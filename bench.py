@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured end-to-end per query (plan + execute + fetch),
+results drained via collect() — every headline query returns a small
+(aggregated / top-k) result by design, which is also the 100 TB
+discipline: operators never materialize unbounded output on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q01_pricing_summary",  # scan + agg
+    "q05_join_inner",  # multiway join
+    "q13_join_asof",  # as-of union-window join
+    "q14_agg_stats",  # stats agg
+    "q21_window_rank",  # window exec
+    "q25_topk_per_group",  # top-k
+    "q50_dedup_exact",  # hash dedup
+    "q52_minhash_lsh",  # LSH near-dup pipeline
+    "q54_similarity_topk",  # brute-force cosine top-k
+    "q58_tfidf",  # text analysis
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from file_appender_spark.queries import QUERIES
+    from file_appender_spark.session import get_spark
+
+    spark = get_spark(app_name="file_appender_spark_bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.perf_counter()
+        rows = spec.spark_fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Local mirror of the driver's DuckDB-oracle comparison: run a Spark
+query and its oracle SQL side by side, canonicalize (sort columns by
+name, sort rows, normalize value rendering), and diff. Used by
+tests/test_queries_oracle.py to catch mismatches before the driver's
+CORRECTNESS gate does.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+
+from file_appender_spark.sources.catalog import TABLES
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return f"{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # collapse -0.0 / 0.0 and render shortest round-trip form
+        if v == 0:
+            return "0.0"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def canonical_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
+    """Return (match, diagnostic)."""
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    con = duckdb_connection(sf_dir)
+    res = con.execute(oracle_sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    if sorted(spark_cols) != sorted(duck_cols):
+        return False, f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    a = canonical_rows(spark_cols, spark_rows)
+    b = canonical_rows(duck_cols, duck_rows)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        return False, f"value mismatch, first diffs: {diffs}"
+    return True, f"ok ({len(spark_rows)} rows)"

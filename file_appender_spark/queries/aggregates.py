@@ -1,0 +1,198 @@
+"""Aggregation inventory: stats suite, distinct counts, collect_list,
+grouping sets / cube / rollup, exact percentiles, pivot.
+(SURVEY.md §2 Part B, Aggregations.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_appender_spark.queries.registry import register
+from file_appender_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q14_agg_stats",
+    """
+    SELECT c_nationkey,
+           count(*)                              AS n,
+           count(DISTINCT c_mktsegment)          AS n_segments,
+           round(sum(c_acctbal), 2)              AS sum_bal,
+           round(avg(c_acctbal), 4)              AS avg_bal,
+           round(min(c_acctbal), 2)              AS min_bal,
+           round(max(c_acctbal), 2)              AS max_bal,
+           round(stddev_samp(c_acctbal), 4)      AS sd_bal,
+           round(var_samp(c_acctbal), 1)         AS var_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q14_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full stats agg suite incl. exact count(distinct). Scale: all of
+    these are partial+final aggregates (map-side combine) in Catalyst;
+    count(distinct) expands to a two-phase agg automatically."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        # var ~5e6: at 4 dp the engines' different accumulation orders
+        # can land on opposite sides of a rounding boundary; 1 dp is
+        # magnitude-appropriate (rounding precision must scale with value)
+        F.round(F.var_samp("c_acctbal"), 1).alias("var_bal"),
+    )
+
+
+@register(
+    "q15_agg_collect",
+    """
+    SELECT n.n_regionkey AS regionkey,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n
+    GROUP BY n.n_regionkey
+    """,
+)
+def q15_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list made deterministic by sort_array, emitted as a
+    joined string (SURVEY.md Part B: collect_list with sort_array
+    wrapper for determinism)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "q16_rollup",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() disambiguation of the all-rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+        "gid",
+        "n",
+        "sum_qty",
+    )
+
+
+@register(
+    "q17_cube",
+    """
+    SELECT coalesce(o_orderstatus, '<all>')    AS status,
+           coalesce(o_orderpriority, '<all>')  AS priority,
+           grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q17_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("gid"),
+    ).select(
+        F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+        "gid",
+        "n",
+        "total",
+    )
+
+
+@register(
+    "q18_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(CAST(l_linenumber AS VARCHAR), '<all>') AS linenumber,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber), ())
+    """,
+)
+def q18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (same Catalyst Expand operator
+    as cube/rollup)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+               coalesce(CAST(l_linenumber AS STRING), '<all>') AS linenumber,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber), ())
+        """
+    )
+
+
+@register(
+    "q19_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q19_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (approx variants are bench-only,
+    SURVEY.md Part B agg row)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+@register(
+    "q20_pivot",
+    """
+    SELECT l_returnflag,
+           round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'O'), 0), 2) AS qty_O,
+           round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'F'), 0), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never infer pivot values at
+    scale — that is an extra pass over the data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .select(
+            "l_returnflag",
+            F.round(F.coalesce("O", F.lit(0.0)), 2).alias("qty_O"),
+            F.round(F.coalesce("F", F.lit(0.0)), 2).alias("qty_F"),
+        )
+    )

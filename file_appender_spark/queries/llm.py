@@ -1,0 +1,686 @@
+"""LLM-data-pipeline operator inventory (SURVEY.md §2 Part B,
+north-star mandate): deduplication (exact / n-gram Jaccard /
+MinHash-LSH / SimHash), similarity search, text analysis, document
+fingerprinting, multimodal columns — over the ``documents`` and
+``embeddings`` tables.
+
+Determinism: every hash is content-derived (sha256 / md5), every
+"random" projection uses fixed seeds baked into the query, every
+float output is rounded before ranking, every ranking has a total
+tie-break. That is what makes these oracle-checkable.
+
+Scale notes: nothing here collects to the driver; candidate
+generation is always index-shaped (explode → equi-join) rather than
+all-pairs, except where the oracle contract demands exact all-pairs
+semantics at test scale (q54 brute-force top-k — its scale path is
+``operators/similarity.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from file_appender_spark.queries.registry import register
+from file_appender_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Deterministic 32-bit token hash shared by minhash/simhash:
+# first 8 hex chars of md5, read as an integer. Same definition on
+# both engines, so signatures agree bit-for-bit.
+def _tok_hash32(col):  # Spark side
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+_TOK32_SQL = "CAST(concat('0x', substr(md5({c}), 1, 8)) AS BIGINT)"
+
+# whitespace tokenizer — the declared tokenizer regex (SURVEY.md §2
+# Part B text analysis row): split on runs of whitespace.
+_WS = r"\s+"
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q50_dedup_exact",
+    """
+    SELECT min(doc_id) AS keep_id,
+           sha256(text) AS content_hash,
+           count(*)     AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by sha256 content hash; kept representative is the
+    min doc_id (deterministic, unlike dropDuplicates' first-seen).
+    Scale: hash-groupBy = one shuffle on the 256-bit hash, perfectly
+    balanced keys."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.sha2("text", 256))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "content_hash", "n_copies")
+    )
+
+
+@register(
+    "q51_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.5
+    """,
+)
+def q51_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by exact token-set Jaccard >= 0.5,
+    computed distributively: explode distinct tokens -> inverted-index
+    self-join on token -> intersection counts. Never materializes the
+    all-pairs cross product; pair generation is bounded by posting-list
+    sizes (at 100 TB you cap hot tokens first — see q52's LSH which
+    replaces the inverted index with banded minhash buckets)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", _WS))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= 0.5)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# MinHash parameters: 16 hash functions = 4 bands x 4 rows, fixed
+# odd multipliers/offsets (deterministic seeds), modulus 2^31-1.
+_MH_P = 2147483647
+_MH_PARAMS = [(2 * j + 1, 7919 * j + 12345) for j in range(16)]
+
+
+@register(
+    "q52_minhash_lsh",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id, w AS words,
+             list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+      WHERE len(w) >= 3
+    ),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shingled
+    ),
+    hashed AS (
+      SELECT doc_id, {_TOK32_SQL.format(c='sh')} AS h FROM tok
+    ),
+    params(j, a, b) AS (VALUES {', '.join(f'({j}, {a}, {b})' for j, (a, b) in enumerate(_MH_PARAMS))}),
+    sigs AS (
+      SELECT doc_id, p.j, min((p.a * h + p.b) % {_MH_P}) AS mh
+      FROM hashed CROSS JOIN params p
+      GROUP BY doc_id, p.j
+    ),
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM sigs GROUP BY doc_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+    ),
+    ssize AS (SELECT doc_id, len(list_distinct(shingles)) AS n FROM shingled),
+    verified AS (
+      SELECT c.d1, c.d2, count(*) AS inter
+      FROM cand c
+      JOIN (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shingled) t1
+        ON t1.doc_id = c.d1
+      JOIN (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shingled) t2
+        ON t2.doc_id = c.d2 AND t2.sh = t1.sh
+      GROUP BY c.d1, c.d2
+    )
+    SELECT v.d1, v.d2,
+           round(CAST(v.inter AS DOUBLE) / (s1.n + s2.n - v.inter), 6) AS jaccard
+    FROM verified v JOIN ssize s1 ON v.d1 = s1.doc_id JOIN ssize s2 ON v.d2 = s2.doc_id
+    WHERE CAST(v.inter AS DOUBLE) / (s1.n + s2.n - v.inter) >= 0.2
+    """,
+)
+def q52_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline, end to end deterministic:
+    3-word shingles -> md5-derived 32-bit shingle hashes -> 16 minhash
+    slots (fixed affine params mod 2^31-1) -> 4-row bands -> candidate
+    pairs from band-bucket equality -> exact Jaccard verification
+    >= 0.2 on the candidates.
+
+    Scale: this IS the 100 TB near-dup design — candidate generation
+    touches only band-bucket collisions (groupBy band+signature), not
+    the inverted token index of q51. The band signature string is the
+    shuffle key; bucket skew is bounded by band width."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", _WS)
+    shingled = (
+        d.select("doc_id", words.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("w", i),
+                        F.element_at("w", i + 1),
+                        F.element_at("w", i + 2),
+                    ),
+                )
+            ).alias("shingles"),
+        )
+    )
+    tok = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    hashed = tok.select("doc_id", _tok_hash32(F.col("sh")).alias("h"))
+    params = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(_MH_PARAMS)], "j int, a long, b long"
+    )
+    sigs = (
+        hashed.join(F.broadcast(params))
+        .groupBy("doc_id", "j")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % _MH_P).alias("mh"))
+    )
+    bands = (
+        sigs.withColumn("band", F.floor(F.col("j") / 4))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("j", "mh"))
+                    ),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    ssize = shingled.select("doc_id", F.size("shingles").alias("n"))
+    t1 = tok.select(F.col("doc_id").alias("d1"), F.col("sh"))
+    t2 = tok.select(F.col("doc_id").alias("d2"), F.col("sh"))
+    verified = (
+        cand.join(t1, "d1")
+        .join(t2, ["d2", "sh"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = ssize.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = ssize.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        verified.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= 0.2)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "q53_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, {_TOK32_SQL.format(c='tok')} AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document from md5-derived token
+    hashes (deterministic; near-dup docs differ in few bits). Scale:
+    explode x 32 bit positions is a constant 32x row expansion with
+    map-side combine — no joins, one shuffle on doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", _WS))).alias("tok")
+    )
+    hashed = tok.select("doc_id", _tok_hash32(F.col("tok")).alias("h"))
+    bitpos = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    bits = (
+        hashed.join(F.broadcast(bitpos))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q54_similarity_topk",
+    """
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    queries AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.qid, c.vec_id,
+             round(list_dot_product(q.qv, c.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))),
+                   6) AS cos_sim
+      FROM queries q CROSS JOIN vecs c
+      WHERE c.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT qid, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored) t
+    WHERE rn <= 10
+    """,
+)
+def q54_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 per query vector (queries =
+    vec_id % 100 = 0), similarity rounded to 6 dp BEFORE ranking with
+    a vec_id tie-break so the ordering is total.
+
+    Scale: the query side is broadcast (it is small by construction);
+    the corpus side streams — one pass, no shuffle until the per-query
+    top-k (WindowGroupLimit keeps k rows per partition). The
+    approximate scale path (LSH-bucketed / IVF) lives in
+    operators/similarity.py and is bench-only."""
+    e = _t(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = vecs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(vecs)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("v"), F.col("v")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q55_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split_regex(text, '\\s+'))                      AS n_ws_tokens,
+           len(list_distinct(string_split_regex(text, '\\s+')))       AS n_distinct,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+           round(CAST(length(text) AS DOUBLE) /
+                 len(string_split_regex(text, '\\s+')), 6)            AS chars_per_token
+    FROM documents
+    """,
+)
+def q55_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, and a
+    BPE-ish regex token count (letter runs / digit runs / single
+    punctuation) — the declared tokenizers of SURVEY.md Part B."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", _WS)
+    bpe = F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        F.size(bpe).alias("n_bpe_ish"),
+        F.round(F.length("text").cast("double") / F.size(ws), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+_STOPWORDS = "('the','a','an','of','and','or','in','on','to','is')"
+
+
+@register(
+    "q56_text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks)    AS n_tokens,
+           round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS digit_ratio,
+           round(CAST(len(list_filter(toks, w -> w IN {_STOPWORDS})) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 6)
+                 AS avg_word_len,
+           CAST(length(text) BETWEEN 100 AND 20000
+                AND CAST(len(list_filter(toks, w -> w IN {_STOPWORDS})) AS DOUBLE)
+                    / len(toks) > 0.05 AS INT) AS quality_pass
+    FROM t
+    """,
+)
+def q56_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, alpha/digit ratios, stopword ratio,
+    average word length, and a boolean quality gate — the standard
+    pre-training corpus filters, all JVM-side expressions."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", _WS)
+    stop_list = [s.strip("'") for s in _STOPWORDS.strip("()").split(",")]
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*stop_list)))
+    stop_ratio = n_stop.cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("alpha_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks),
+            6,
+        ).alias("avg_word_len"),
+        (F.length("text").between(100, 20000) & (stop_ratio > 0.05))
+        .cast("int")
+        .alias("quality_pass"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "is"),
+    "de": ("der", "und", "ist"),
+    "fr": ("le", "et", "est"),
+    "es": ("el", "y", "es"),
+}
+
+
+@register(
+    "q57_lang_id",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks FROM documents),
+    scores AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, w -> w IN ('the','and','is')))  AS s_en,
+             len(list_filter(toks, w -> w IN ('der','und','ist'))) AS s_de,
+             len(list_filter(toks, w -> w IN ('le','et','est')))   AS s_fr,
+             len(list_filter(toks, w -> w IN ('el','y','es')))     AS s_es
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE greatest(s_en, s_de, s_fr, s_es)
+                WHEN s_en THEN 'en' WHEN s_de THEN 'de'
+                WHEN s_fr THEN 'fr' ELSE 'es' END AS predicted_lang,
+           greatest(s_en, s_de, s_fr, s_es)       AS top_score
+    FROM scores
+    """,
+)
+def q57_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID heuristic with a declared
+    deterministic argmax tie-break order (en > de > fr > es)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", _WS)
+    def marker_count(markers):
+        # NB: a plain one-arg lambda per language; default-arg tricks
+        # confuse PySpark's higher-order-function arity detection
+        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+    scores = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            marker_count(markers).alias(f"s_{lang}")
+            for lang, markers in _LANG_MARKERS.items()
+        ],
+    )
+    top = F.greatest("s_en", "s_de", "s_fr", "s_es")
+    pred = (
+        F.when(F.col("s_en") == top, "en")
+        .when(F.col("s_de") == top, "de")
+        .when(F.col("s_fr") == top, "fr")
+        .otherwise("es")
+    )
+    return scores.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        top.alias("top_score"),
+    )
+
+
+@register(
+    "q58_tfidf",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE tf.doc_id % 20 = 0 AND length(tf.term) > 3
+    """,
+)
+def q58_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF (smoothed idf = ln((N+1)/(df+1))+1). Scale: tf and
+    df are both partial-aggregated; N is a 1-row broadcast; df join is
+    on the term key (Zipf skew handled by AQE skew-join)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", _WS)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .filter((F.col("doc_id") % 20 == 0) & (F.length("term") > 3))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "q59_ngram_freq",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM w WHERE len(toks) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def q59_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies, top 50 with total tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", _WS)
+    grams = (
+        d.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                    ),
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@register(
+    "q60_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+           count(*) OVER (PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))))
+             AS n_same
+    FROM documents
+    """,
+)
+def q60_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text, with the fingerprint-collision count per doc."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.count("*").over(W.partitionBy(fp)).alias("n_same"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q61_multimodal",
+    """
+    SELECT doc_id,
+           sha256(text)                 AS content_hash,
+           octet_length(encode(text))   AS n_bytes,
+           'text/plain'                 AS mime,
+           source                       AS origin
+    FROM documents
+    """,
+)
+def q61_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: payload as an opaque binary column
+    + typed metadata struct, content-addressed by sha256 of the bytes.
+    The oracle checks the hash and byte length; the decode /
+    feature-extract path (needs image/audio libs) is the stubbed
+    Pandas-UDF pipeline in operators/multimodal.py."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    meta = F.struct(
+        F.lit("text/plain").alias("mime"),
+        F.col("source").alias("origin"),
+        F.length(payload).alias("n_bytes"),
+    )
+    framed = d.select("doc_id", payload.alias("payload"), meta.alias("meta"))
+    return framed.select(
+        "doc_id",
+        F.sha2("payload", 256).alias("content_hash"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.origin").alias("origin"),
+    )

@@ -1,0 +1,70 @@
+"""Query registry: one place declaring every (spark_fn, oracle_sql)
+pair of the t2 contract.
+
+Determinism rules (SURVEY.md §2 Part B preamble):
+- every oracle-checked query has exact (non-approximate) semantics;
+- floating aggregates are rounded to a declared precision in BOTH the
+  Spark plan and the oracle SQL so order-of-accumulation noise cannot
+  flip the value hash;
+- every computed column is aliased identically on both sides (the
+  driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: SparkQuery
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    """Decorator: register a spark query with its DuckDB oracle SQL."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = QuerySpec(name, _with_views(fn), oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _with_views(fn: SparkQuery) -> SparkQuery:
+    """Wrap a query fn: pin UTC session time and register the driver
+    tables as temp views before running (catalog.register_views)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from file_appender_spark.session import tune_session
+        from file_appender_spark.sources.catalog import register_views
+
+        tune_session(spark)
+        register_views(spark, sf_dir)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+def get_queries() -> dict[str, SparkQuery]:
+    return {name: spec.spark_fn for name, spec in QUERIES.items()}
+
+
+def get_oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

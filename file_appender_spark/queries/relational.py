@@ -1,0 +1,423 @@
+"""Relational query inventory (SURVEY.md §2 Part B: scans, filters,
+joins, aggregations, windows, sort/limit, set ops).
+
+Every query is a (DataFrame plan, DuckDB oracle SQL) pair over the
+driver tables. Scale notes are attached per query: these plans are
+written for a 1000-executor cluster first — broadcast hints for dim
+tables, partial aggregation everywhere, no collect() anywhere.
+
+Determinism: float aggregates rounded to a declared precision on both
+sides; window orderings are total (tie-break on a key column); DISTINCT
+representatives picked by min/max, never "first seen".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from file_appender_spark.queries.registry import register
+from file_appender_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1 pricing summary (scan + pushdown filter + agg + sort)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Scale: filter + projection push into the parquet
+    scan (PushedFilters in explain); aggregation is partial+final with
+    only 4 groups, so the shuffle is tiny regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters / predicates / conditionals / casts
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q02_filter_predicates",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 50000
+      AND o_orderstatus IN ('O', 'F')
+      AND o_orderpriority LIKE '1-%'
+      AND o_custkey IS NOT NULL
+      AND (o_orderkey % 2 = 0 OR o_totalprice > 25000)
+    """,
+)
+def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN / IN / LIKE / IS NULL / boolean combinators — all of
+    these compile to Catalyst predicates and push into the scan."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(1000, 50000)
+        & F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_orderpriority").like("1-%")
+        & F.col("o_custkey").isNotNull()
+        & ((F.col("o_orderkey") % 2 == 0) | (F.col("o_totalprice") > 25000))
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+
+
+@register(
+    "q03_conditional",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END                          AS bal_band,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
+           round(coalesce(c_acctbal, 0.0), 2)            AS bal
+    FROM customer
+    """,
+)
+def q03_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise, coalesce, nullif."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg"
+        ),
+        F.round(F.coalesce(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal"),
+    )
+
+
+@register(
+    "q04_cast",
+    """
+    SELECT l_orderkey,
+           CAST(l_quantity AS BIGINT)               AS qty_int,
+           CAST(l_linenumber AS DOUBLE)             AS line_dbl,
+           CAST(l_returnflag AS VARCHAR)            AS flag_str,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
+           CAST(l_extendedprice AS DECIMAL(18,2))   AS price_dec
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def q04_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts across numeric / string / date / decimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+        F.col("l_returnflag").cast("string").alias("flag_str"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q05_join_inner",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way inner equi-join (TPC-H Q5 shape). Scale: nation (25
+    rows) is explicitly broadcast; lineitem⋈orders is the one real
+    shuffle and AQE handles skew. Filter on o_orderdate prunes before
+    the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@register(
+    "q06_join_left",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q06_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (count = 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "q07_join_right",
+    """
+    SELECT o.o_orderkey, c.c_name
+    FROM customer c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey AND c.c_acctbal > 9000
+    WHERE o.o_orderkey % 50 = 0
+    """,
+)
+def q07_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join with a join-side predicate (kept in ON, not
+    WHERE — outer-join semantics differ and Catalyst must not push it
+    below the join's null-supplying side)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (c.c_acctbal > 9000),
+            "right",
+        )
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "c_name")
+    )
+
+
+@register(
+    "q08_join_full",
+    """
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+           coalesce(n_cust, 0)    AS n_cust,
+           coalesce(n_supp, 0)    AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def q08_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, "nk", "full").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "q09_join_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def q09_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q10_join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q10_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q11_join_cross",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q11_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small dims (both broadcastable)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q12_join_range",
+    """
+    WITH bands(band, lo, hi) AS (VALUES ('xs', 0, 10), ('s', 10, 20),
+                                        ('m', 20, 35), ('l', 35, 100))
+    SELECT b.band, count(*) AS n_items, round(sum(l.l_extendedprice), 2) AS band_price
+    FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+)
+def q12_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: lineitem against quantity bands. Scale: the
+    band table is tiny, so this is a broadcast-nested-loop with 4
+    comparisons per row — the scalable way to do a band join."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("xs", 0, 10), ("s", 10, 20), ("m", 20, 35), ("l", 35, 100)],
+        "band string, lo int, hi int",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("band_price"),
+        )
+    )
+
+
+@register(
+    "q13_join_asof",
+    """
+    WITH deposits AS (
+      SELECT user_id, ts, max(event_id) AS dep_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, d.dep_id AS last_purchase_id
+    FROM clicks c ASOF LEFT JOIN deposits d
+      ON c.user_id = d.user_id AND c.ts >= d.ts
+    """,
+)
+def q13_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click, the latest purchase at-or-before it,
+    per user. Implemented as the sort-merge union trick (SURVEY.md §2
+    Part B joins row): tag both sides, union, one window sorted by
+    (ts, side) per user, carry the last purchase id forward with
+    last(ignorenulls). Scale: one shuffle on user_id, no range
+    explosion, no per-group pandas — this is the 100 TB-safe as-of.
+    Right side deduped to one row per (user, ts) for determinism."""
+    ev = _t(spark, sf_dir, "events")
+    deposits = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("dep_id"))
+        .select("user_id", "ts", "dep_id", F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("dep_id"),
+            F.lit(1).alias("side"),
+            "event_id",
+        )
+    )
+    merged = deposits.unionByName(clicks)
+    # right rows sort before left rows at equal ts => inclusive (ts >= ts)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        merged.withColumn("last_purchase_id", F.last("dep_id", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "last_purchase_id")
+    )

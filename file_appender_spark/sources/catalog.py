@@ -1,0 +1,116 @@
+"""Table catalog over the driver-generated parquet dirs, plus the
+csv/json readers matching the reference's Explore re-read path.
+
+The reference registers its written files as a SQL-queryable table
+(FileAppenderSink.java:96-99, ``setEnableExploreOnCreate(true)``) —
+the Spark equivalent is a temp view over a path
+(``createOrReplaceTempView``), which is exactly what makes the whole
+SURVEY.md §2 Part B SQL surface reachable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+_NANOS_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot
+    read natively (PARQUET_TYPE_ILLEGAL). Detected once per path via
+    pyarrow footer metadata — no data read."""
+    if path not in _NANOS_CACHE:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        _NANOS_CACHE[path] = tuple(
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        )
+    return _NANOS_CACHE[path]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan — columnar, with Catalyst predicate pushdown and
+    column pruning for free.
+
+    Nanosecond-timestamp columns (events.ts in the driver data) are
+    read via ``spark.sql.legacy.parquet.nanosAsLong`` and converted
+    back to TimestampType with integer division (never float division:
+    nanos ~1e18 exceed double's 2^53 integer range)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_timestamp_cols(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view named after itself,
+    the Spark analog of the reference's Explore table binding (A16)."""
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    separator: str = ",",
+) -> DataFrame:
+    """Read back files written by the append-text sink
+    (source-text-reread, A16: TextInputFormat + configured delimiter,
+    FileAppenderSink.java:92-105).
+
+    The written format is a naive join (no quoting/escaping,
+    SURVEY.md §1.4.6), so the reader disables quoting and maps empty
+    strings back to null — the inverse of the serializer's null->""
+    rule.
+    """
+    return (
+        spark.read.schema(schema)
+        .options(
+            sep=separator,
+            quote="",  # naive join: no quoting on write, none on read
+            nullValue="",
+            emptyValue="",
+            header="false",
+            mode="PERMISSIVE",
+        )
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
