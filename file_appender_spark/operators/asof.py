@@ -1,0 +1,68 @@
+"""As-of join — Spark lacks a native one (SURVEY.md §2 Part B joins
+row); this is the sort-merge union implementation.
+
+For each left row, attach the latest right row with
+``right.ts <= left.ts`` (inclusive) within the same key group:
+tag both sides, union, window per key ordered by (ts, side) with
+right-before-left at equal ts, carry right values forward with
+``last(ignorenulls)``.
+
+Scale: ONE shuffle on the key column and a single sort — no range
+explosion, no per-group pandas, works at any key cardinality. This is
+the 100 TB-safe formulation (a broadcast range join would blow up on
+dense right sides; ``pd.merge_asof`` per group dies on skewed keys).
+
+Determinism: callers must ensure at most one right row per (key, ts)
+— pre-aggregate the right side if needed (q13 does max(event_id)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    value_cols: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Return ``left`` with ``value_cols`` from the as-of-matched
+    ``right`` row (null when no prior right row exists)."""
+    l_cols = left.columns
+    tagged_r = right.select(
+        on,
+        ts,
+        *value_cols,
+        F.lit(0 if inclusive else 1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c not in (on, ts)],
+    )
+    tagged_l = left.select(
+        on,
+        ts,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(1 if inclusive else 0).alias("_side"),
+        *[F.col(c) for c in l_cols if c not in (on, ts)],
+    )
+    merged = tagged_r.unionByName(tagged_l)
+    w = (
+        W.partitionBy(on)
+        .orderBy(ts, "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    left_side = 1 if inclusive else 0
+    return carried.filter(F.col("_side") == left_side).select(
+        *[c for c in l_cols],
+        *[F.col(f"_asof_{c}").alias(c) for c in value_cols],
+    )

