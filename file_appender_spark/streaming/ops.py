@@ -1,0 +1,157 @@
+"""Structured Streaming operators over the events stream
+(SURVEY.md §2 Part B streaming rows; the pom's ``cdap-data-streams``
+parenthood, pom.xml:247, declares the reference usable in streaming
+pipelines — this module is that capability, Spark-native).
+
+Every operator takes/returns streaming DataFrames, so they compose
+with any source (file, kafka, socket). Tests drive them with a file
+source + memory sink + ``processAllAvailable`` (synchronous smoke),
+which exercises the exact same incremental planner a 1000-executor
+kafka job uses.
+
+Scale notes: all stateful ops are keyed (state lives on executors,
+sharded by the shuffle), watermarks bound state size, and the
+append-text sink is driven through ``foreachBatch`` so each
+micro-batch reuses the batch sink's election protocol with the batch
+id as the logical run time.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, src_dir: str, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source stream with the events schema (explicit — streaming
+    sources never infer)."""
+    return spark.readStream.format(fmt).schema(EVENT_SCHEMA).load(src_dir)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is set) window aggregation
+    with a watermark: late events beyond the watermark are dropped and
+    window state older than it is evicted."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win, "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session-window aggregation per user (dynamic-length windows
+    merging events closer than ``gap``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stateful streaming dedup: drops records whose key was already
+    seen within the watermark horizon (state auto-evicts beyond it)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys + ["ts"])
+
+
+def running_totals_with_state(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (count, sum(value)) carried across micro-batches
+    — the arbitrary-state API the built-in aggs can't express (e.g.
+    for decaying counters or fraud scores)."""
+    import pandas as pd
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs: Iterable["pd.DataFrame"], state):
+        (user_id,) = key
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def stream_to_append_sink(
+    events: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    separator: str = ",",
+    file_prefix: str = "stream",
+    query_name: str = "append_sink_stream",
+):
+    """Drive the batch append-text sink from a stream via
+    ``foreachBatch`` — the streaming twin of the reference's batch
+    sink (SURVEY.md §2 Part B streaming source/sink row). Each
+    micro-batch appends into the same under-threshold files; the
+    batch id serves as the logical run time (deterministic, monotonic),
+    so age-based rotation stays reproducible."""
+    from file_appender_spark.config import AppendSinkConfig
+    from file_appender_spark.sinks.append_text import append_text
+
+    cfg = AppendSinkConfig(
+        output_dir=output_dir, file_prefix=file_prefix, field_separator=separator
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_text(batch_df, cfg, run_ts_ms=batch_id)
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -1,0 +1,192 @@
+"""Structured Streaming tests: file source -> memory sink, driven
+synchronously with processAllAvailable (SURVEY.md §5 new-engine
+strategy: streaming has no duckdb oracle — golden checks are computed
+from the same data in batch mode instead)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_appender_spark.sources.catalog import load_table
+from file_appender_spark.streaming.ops import (
+    dedup_within_watermark,
+    read_event_stream,
+    running_totals_with_state,
+    session_counts,
+    stream_to_append_sink,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events written to a plain-timestamp parquet dir (the raw driver
+    file has ns timestamps a stream source can't use directly)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    ev.coalesce(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def run_stream(spark, df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_counts_matches_batch(spark, events_dir):
+    # complete mode: append-mode only emits watermark-finalized
+    # windows, so a single availableNow batch would hold back the tail
+    stream = read_event_stream(spark, events_dir)
+    got = run_stream(
+        spark, windowed_counts(stream, window="1 hour"), "win_counts", mode="complete"
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_sliding_window_runs(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    got = run_stream(
+        spark,
+        windowed_counts(stream, window="1 hour", slide="30 minutes"),
+        "slide_counts",
+        mode="complete",
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    # every event lands in exactly 2 sliding windows -> total n doubles
+    n_events = spark.read.parquet(events_dir).count()
+    assert sum(r["n"] for r in rows) == 2 * n_events
+
+
+def test_session_counts_matches_batch_sessionize(spark, events_dir):
+    from file_appender_spark.operators.sessionize import sessionize
+
+    stream = read_event_stream(spark, events_dir)
+    got = run_stream(
+        spark, session_counts(stream, gap="30 minutes"), "sess_counts", mode="complete"
+    )
+    ev = spark.read.parquet(events_dir)
+    batch = (
+        sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, order_tiebreak="event_id")
+        .groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"))
+    )
+    got_sets = sorted((r["user_id"], r["n_events"]) for r in got.collect())
+    batch_sets = sorted((r["user_id"], r["n_events"]) for r in batch.collect())
+    assert got_sets == batch_sets
+
+
+def test_streaming_dedup(spark, events_dir, tmp_path):
+    # duplicate the input dir -> every event appears twice
+    dup_dir = str(tmp_path / "dup")
+    ev = spark.read.parquet(events_dir)
+    ev.union(ev).coalesce(2).write.mode("overwrite").parquet(dup_dir)
+    stream = read_event_stream(spark, dup_dir)
+    got = run_stream(spark, dedup_within_watermark(stream, ["event_id"]), "dedup_s")
+    assert got.count() == ev.count()
+
+
+def test_running_totals_with_state(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    got = run_stream(
+        spark, running_totals_with_state(stream), "run_totals", mode="update"
+    )
+    ev = spark.read.parquet(events_dir)
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
+    )
+    # memory sink in update mode keeps every update; the LAST row per
+    # user is the final state
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in got.collect()  # single batch -> one row per user
+    }
+    expected = {
+        r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()
+    }
+    assert final == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches: batch 1 sets the watermark far past batch
+    2's event times -> the late rows are dropped from the aggregation
+    (update mode; append would also drop them)."""
+    from pyspark.sql import Row
+    import datetime as dt
+
+    d = str(tmp_path / "late_src")
+    os.makedirs(d)
+
+    def ev(eid, hour, minute=0):
+        return Row(
+            event_id=eid,
+            ts=dt.datetime(2020, 1, 1, hour, minute),
+            user_id=1,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+
+    # batch 1: events at hour 10 -> watermark ~ 09:30 (10:00 - 30min)
+    spark.createDataFrame([ev(1, 10), ev(2, 10, 30)]).coalesce(1).write.parquet(
+        d + "/b1"
+    )
+    stream = read_event_stream(spark, d + "/b1")
+    agg = windowed_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()  # batch 1 processed; watermark now ~09:30
+    # batch 2 into the same live query: an event at hour 1 — far
+    # below the established watermark -> must be dropped
+    spark.createDataFrame([ev(3, 1)]).coalesce(1).write.mode("append").parquet(
+        d + "/b1"
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM late_drop").collect()
+    assert any(r["window_start"].hour == 10 for r in rows), rows
+    assert all(r["window_start"].hour != 1 for r in rows), rows
+
+
+def test_foreach_batch_drives_append_sink(spark, events_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, events_dir).select(
+        "event_id", "event_type", "value"
+    )
+    q = stream_to_append_sink(stream, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    files = [f for f in os.listdir(out) if f.startswith("stream-")]
+    assert files, "append sink produced no files"
+    n_lines = 0
+    for f in files:
+        with open(os.path.join(out, f), "rb") as fh:
+            n_lines += len(fh.read().decode("utf-8").splitlines())
+    assert n_lines == spark.read.parquet(events_dir).count()
