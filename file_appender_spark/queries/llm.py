@@ -207,30 +207,36 @@ def q52_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingles"),
         )
     )
-    tok = shingled.select("doc_id", F.explode("shingles").alias("sh"))
-    hashed = tok.select("doc_id", _tok_hash32(F.col("sh")).alias("h"))
-    params = spark.createDataFrame(
-        [(j, a, b) for j, (a, b) in enumerate(_MH_PARAMS)], "j int, a long, b long"
+    # shingled feeds three plan branches (signatures + both verify
+    # sides); persist it so shingling+md5 run once, spilling to disk
+    # when it outgrows memory (the 100 TB-safe storage level)
+    from pyspark import StorageLevel
+
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    # all 16 minhash slots in ONE aggregation over the exploded
+    # shingle hashes — no 16x row blowup, a single shuffle on doc_id
+    # (vs the naive params-cross-join + groupBy(doc,j) + re-group plan,
+    # which benched 5x slower)
+    hashed = shingled.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", _tok_hash32(F.col("sh")).alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P).alias(f"mh{j}")
+            for j, (a, b) in enumerate(_MH_PARAMS)
+        ]
     )
-    sigs = (
-        hashed.join(F.broadcast(params))
-        .groupBy("doc_id", "j")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % _MH_P).alias("mh"))
-    )
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("j") / 4))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("j", "mh"))
-                    ),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                ",",
-            ).alias("sig")
-        )
+    # 4 bands of 4 rows: unpivot via stack — tiny (n_docs x 4) output
+    bands = sigs.select(
+        "doc_id",
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"{bi}, concat_ws(',', mh{4 * bi}, mh{4 * bi + 1}, mh{4 * bi + 2}, mh{4 * bi + 3})"
+                for bi in range(4)
+            )
+            + ") AS (band, sig)"
+        ),
     )
     x = bands.alias("x")
     y = bands.alias("y")
@@ -244,21 +250,19 @@ def q52_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
     )
-    ssize = shingled.select("doc_id", F.size("shingles").alias("n"))
-    t1 = tok.select(F.col("doc_id").alias("d1"), F.col("sh"))
-    t2 = tok.select(F.col("doc_id").alias("d2"), F.col("sh"))
-    verified = (
-        cand.join(t1, "d1")
-        .join(t2, ["d2", "sh"])
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("inter"))
+    # exact-verify candidates with array_intersect on the shingle sets
+    # — two hash joins on doc ids, zero explodes
+    sh1 = shingled.select(
+        F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1")
     )
-    s1 = ssize.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = ssize.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    sh2 = shingled.select(
+        F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
     return (
-        verified.join(s1, "d1")
-        .join(s2, "d2")
+        cand.join(sh1, "d1")
+        .join(sh2, "d2")
         .filter(jac >= 0.2)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )

@@ -1,0 +1,62 @@
+"""Plan-shape regression tests: the physical plans that make the
+engine scale must stay that shape (SURVEY.md §4 design rules).
+A correctness-preserving change that, e.g., loses filter pushdown
+would silently 100x the IO at 100 TB — these assertions catch it."""
+
+from __future__ import annotations
+
+import pytest
+
+from file_appender_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].spark_fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_to_parquet(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q01_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    # only the 7 needed columns reach the scan, not all 11
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_q05_small_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q05_join_inner")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q25_topk_becomes_window_group_limit(spark, sf_dir):
+    # rank<=k filters rewrite to per-partition top-k before the shuffle
+    plan = plan_of(spark, sf_dir, "q25_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q26_order_limit_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q26_sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q12_band_join_broadcasts_tiny_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q12_join_range")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q54_query_side_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q54_similarity_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_no_collect_in_query_paths(spark, sf_dir):
+    """Every registered query builds a DataFrame plan without driver
+    materialization (blocked_topk's query-side collect is operator-
+    level and bounded by contract)."""
+    for name, spec in QUERIES.items():
+        df = spec.spark_fn(spark, sf_dir)
+        assert df is not None and df.columns, name
