@@ -19,6 +19,7 @@ from file_appender_spark.queries import aggregates  # noqa: E402,F401
 from file_appender_spark.queries import windows  # noqa: E402,F401
 from file_appender_spark.queries import functions_suite  # noqa: E402,F401
 from file_appender_spark.queries import extras  # noqa: E402,F401
+from file_appender_spark.queries import udf_suite  # noqa: E402,F401
 from file_appender_spark.queries import llm  # noqa: E402,F401
 
 __all__ = [

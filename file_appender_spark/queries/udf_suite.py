@@ -1,0 +1,154 @@
+"""UDF / UDTF surface + remaining inventory rows (SURVEY.md §2
+Part B): vectorized pandas_udf with an oracle-expressible function,
+table function via posexplode, min_by/max_by, embedding-cosine
+near-dup, and the approximate aggregates (bench-only: registered
+WITHOUT an oracle, so the driver records the weaker rows-only check —
+approx results are legitimately engine-specific)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from file_appender_spark.queries.registry import register
+from file_appender_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q62_embedding_neardup",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             round(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                   6) AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id1, id2, cos_sim FROM p WHERE cos_sim >= 0.4
+    """,
+)
+def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4).
+    Exact all-pairs is the declared t2 semantics at test scale; the
+    100 TB path buckets candidates first (LSH hyperplanes or IVF cells
+    — operators/similarity.py) and verifies with this same exact
+    cosine. Self-join keeps one triangle (id1 < id2)."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+
+    a = v.select(F.col("vec_id").alias("id1"), F.col("e").alias("e1"))
+    b = v.select(F.col("vec_id").alias("id2"), F.col("e").alias("e2"))
+    cos = F.round(
+        dot(F.col("e1"), F.col("e2"))
+        / (F.sqrt(dot(F.col("e1"), F.col("e1"))) * F.sqrt(dot(F.col("e2"), F.col("e2")))),
+        6,
+    )
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+@register(
+    "q63_pandas_udf",
+    """
+    SELECT event_id,
+           round(ln(1.0 + value) * 2.0, 6) AS scaled
+    FROM events
+    WHERE value IS NOT NULL AND event_id % 9 = 0
+    """,
+)
+def q63_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas_udf (Arrow series-to-series) whose function
+    is declared, so the oracle can reproduce it in SQL. Demonstrates
+    the UDF surface; real engine code prefers the equivalent built-in
+    expression (the JVM path) — this query is the API's contract
+    test."""
+
+    @F.pandas_udf(T.DoubleType())
+    def scaled(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # raw value; the final round uses F.round (HALF_UP, matching
+        # the oracle) — numpy's round is banker's and would diverge
+        # on exact half-ulp boundaries
+        return pd.Series(np.log1p(v) * 2.0)
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull() & (F.col("event_id") % 9 == 0))
+        .select("event_id", F.round(scaled("value"), 6).alias("scaled"))
+    )
+
+
+@register(
+    "q64_udtf_posexplode",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+               WHERE doc_id % 50 = 0)
+    SELECT doc_id,
+           generate_subscripts(toks, 1) - 1 AS pos,
+           unnest(toks)                     AS tok
+    FROM t
+    """,
+)
+def q64_udtf_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function surface: posexplode (one row per token with its
+    0-based position) — the built-in form of an array-returning UDTF."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "tok")
+    )
+
+
+@register(
+    "q65_minmax_by",
+    """
+    SELECT c_nationkey,
+           arg_max(c_name, c_acctbal * 10000000 + c_custkey) AS richest,
+           arg_min(c_name, c_acctbal * 10000000 + c_custkey) AS poorest
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q65_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates) with a composite ordering
+    value so ties on balance break on custkey (total order =>
+    deterministic representative)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.expr(
+            "max_by(c_name, c_acctbal * 10000000 + c_custkey)"
+        ).alias("richest"),
+        F.expr(
+            "min_by(c_name, c_acctbal * 10000000 + c_custkey)"
+        ).alias("poorest"),
+    )
+
+
+@register("q66_approx_aggs", None)  # bench-only: no oracle by design
+def q66_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL count-distinct, t-digest-style
+    quantiles): sketch results are engine-specific, so this query is
+    deliberately NOT oracle-checked (SURVEY.md Part B agg row —
+    'approx: bench-only'). The exact twins are q14/q19."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
+    )

@@ -1,0 +1,102 @@
+"""Source/sink inventory tests (SURVEY.md §2 Part B scans/sources/
+sinks): parquet sink roundtrip, partitioned sink with partition
+pruning, json scan, the full A16 register-as-SQL-table flow, and the
+salted-aggregation skew helper."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from file_appender_spark.operators.skew import salted_agg
+from file_appender_spark.sources.catalog import (
+    load_table,
+    read_json,
+    register_appended_table,
+)
+
+
+def test_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "pq")
+    src = load_table(spark, sf_dir, "orders")
+    src.write.mode("overwrite").parquet(out)
+    src.limit(0).write.mode("append").parquet(out)  # append mode works
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+
+
+def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "part")
+    src = load_table(spark, sf_dir, "orders")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    statuses = [r[0] for r in src.select("o_orderstatus").distinct().collect()]
+    assert any(n.startswith("o_orderstatus=") for n in os.listdir(out))
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == statuses[0])
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the filtered scan reads one partition dir
+    assert back.count() == src.filter(F.col("o_orderstatus") == statuses[0]).count()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_max_records_per_file_controls_file_count(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "mrpf")
+    src = load_table(spark, sf_dir, "nation")  # 25 rows
+    src.coalesce(1).write.option("maxRecordsPerFile", 10).mode("overwrite").parquet(out)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 3  # 25 rows / 10 per file
+
+
+def test_json_scan_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "json")
+    src = load_table(spark, sf_dir, "events").limit(500)
+    src.write.mode("overwrite").json(out)
+    back = read_json(spark, out, src.schema)
+    assert back.count() == 500
+    back.createOrReplaceTempView("events_json")
+    n = spark.sql(
+        "SELECT count(*) n FROM events_json WHERE event_type = 'click'"
+    ).collect()[0]["n"]
+    assert n == src.filter("event_type = 'click'").count()
+
+
+def test_register_appended_table_a16(spark, tmp_path):
+    """Sink -> register -> SQL: the reference's Explore binding."""
+    from file_appender_spark.config import AppendSinkConfig
+    from file_appender_spark.sinks.append_text import append_text
+
+    out = str(tmp_path / "a16")
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+    df = spark.createDataFrame([("a", 1), ("b", None)], schema)
+    append_text(df, AppendSinkConfig(output_dir=out, file_prefix="f"), run_ts_ms=1000)
+    register_appended_table(spark, "appended_a16", out, schema)
+    rows = {
+        (r["name"], r["n"])
+        for r in spark.sql("SELECT name, n FROM appended_a16").collect()
+    }
+    assert rows == {("a", 1), ("b", None)}
+    spark.sql("DROP TABLE appended_a16")
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[F.sum("l_quantity").alias("s"), F.count("*").alias("c")],
+        final_aggs=[
+            F.round(F.sum("s"), 2).alias("sum_qty"),
+            F.sum("c").alias("n"),
+        ],
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
