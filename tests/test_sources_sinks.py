@@ -85,6 +85,44 @@ def test_register_appended_table_a16(spark, tmp_path):
     spark.sql("DROP TABLE appended_a16")
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing co-locates join keys at write time: a join of two
+    tables bucketed on the join key runs with ZERO Exchange operators
+    — the shuffle moved from query time to ingest time, which is the
+    whole point at 100 TB (SURVEY.md §4 scale rules)."""
+    from pyspark.sql import functions as F
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path / 'wh'}'"
+    )
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("bucketdb.li_b")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("bucketdb.o_b")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bucketdb.li_b").join(
+                spark.table("bucketdb.o_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert j.count() == li.join(
+                o, li.l_orderkey == o.o_orderkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     salted = salted_agg(
