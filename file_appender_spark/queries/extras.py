@@ -109,6 +109,39 @@ def q38_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q40_sliding_window",
+    """
+    WITH starts AS (
+      SELECT event_id, event_type, value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM starts
+    GROUP BY window_start, event_type
+    """,
+)
+def q40_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide) in batch: every event
+    belongs to exactly 2 windows. The oracle reproduces Spark's window
+    assignment by unnesting both candidate starts per event."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
     "q39_session_window",
     """
     WITH flagged AS (

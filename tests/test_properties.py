@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for pure driver-side logic:
+file election invariants and line building. Spark-free, so hypothesis
+can run hundreds of cases quickly."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from file_appender_spark.config import AppendSinkConfig
+from file_appender_spark.sinks.append_text import FileInfo, elect_incomplete_files
+
+names = st.from_regex(r"f-[0-9]{1,13}", fullmatch=True)
+sizes = st.integers(min_value=0, max_value=10 * 1024 * 1024)
+
+
+@given(st.lists(st.tuples(names, sizes), max_size=30), st.integers(0, 10**13))
+@settings(max_examples=200, deadline=None)
+def test_election_invariants(files, run_ts):
+    cfg = AppendSinkConfig(
+        output_dir="/x", file_prefix="f", size_threshold_mb=1, age_threshold_min=60
+    )
+    # real directory listings have unique names
+    sizes_by_name = dict(files)
+    files = list(sizes_by_name.items())
+    elected = elect_incomplete_files(files, cfg, run_ts)
+    for name in elected:
+        # every elected file parses, is under threshold, and is young
+        info = FileInfo.parse(name, sizes_by_name[name], "f")
+        assert info is not None
+        assert sizes_by_name[name] < cfg.size_threshold_bytes
+        assert run_ts - info.create_time_ms < cfg.age_threshold_ms
+    # sorted by (name-prefix, createTime)
+    keys = [
+        (n.rsplit("-", 1)[0], int(n.rsplit("-", 1)[-1]), n) for n in elected
+    ]
+    assert keys == sorted(keys)
+
+
+@given(st.lists(st.tuples(names, sizes), max_size=30), st.integers(0, 10**13))
+@settings(max_examples=100, deadline=None)
+def test_election_zero_thresholds_keep_everything_parseable(files, run_ts):
+    cfg = AppendSinkConfig(
+        output_dir="/x", file_prefix="f", size_threshold_mb=0, age_threshold_min=0
+    )
+    elected = elect_incomplete_files(files, cfg, run_ts)
+    parseable = {n for n, s in files if FileInfo.parse(n, s, "f")}
+    assert set(elected) == parseable
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="abcXYZ0123456789 .:", max_size=20)),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_line_join_semantics_reference_model(values):
+    """Pure-python model of the serializer's §1.4 rules: null -> '',
+    separator join. (The Spark expression itself is covered in
+    test_serialize.py; this pins the model the expression implements.)"""
+    rendered = [("" if v is None else v) for v in values]
+    line = ",".join(rendered)
+    # invariants: separator count equals field count - 1; nulls never
+    # produce the string 'None'
+    assert line.count(",") >= len(values) - 1
+    assert "None" not in [r for v, r in zip(values, rendered) if v is None]
