@@ -221,6 +221,39 @@ def q34_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q41_map_explode",
+    """
+    WITH g AS (
+      SELECT event_type,
+             count(*) FILTER (value >= 100)            AS big,
+             count(*) FILTER (value < 100 OR value IS NULL) AS small
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, k AS bucket, v AS n
+    FROM g, LATERAL (VALUES ('big', big), ('small', small)) t(k, v)
+    """,
+)
+def q41_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode over a map column (one row per entry) — the map-family
+    generator (SURVEY.md Part B map row). The map is built per group,
+    then unrolled; the oracle produces the same rows relationally."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("value") >= 100, 1)).alias("big"),
+        F.count(F.when(F.col("value").isNull() | (F.col("value") < 100), 1)).alias(
+            "small"
+        ),
+    )
+    m = F.create_map(
+        F.lit("big"), F.col("big"), F.lit("small"), F.col("small")
+    )
+    return (
+        g.select("event_type", m.alias("buckets"))
+        .select("event_type", F.explode("buckets").alias("bucket", "n"))
+    )
+
+
+@register(
     "q35_json_funcs",
     """
     SELECT event_id,

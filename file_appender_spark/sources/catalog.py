@@ -39,12 +39,33 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     if path not in _NANOS_CACHE:
         import pyarrow.parquet as pq
 
-        schema = pq.read_schema(path)
-        _NANOS_CACHE[path] = tuple(
-            f.name
-            for f in schema
-            if str(f.type).startswith("timestamp[ns")
-        )
+        probe = path
+        if os.path.isdir(path):  # spark-written dataset dir: probe one part
+            parts = [
+                f
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+            if not parts:
+                _NANOS_CACHE[path] = ()
+                return _NANOS_CACHE[path]
+            probe = os.path.join(path, parts[0])
+        # inspect PARQUET (not arrow) types: pyarrow reports both
+        # INT96 (legacy spark timestamps, which spark reads fine) and
+        # INT64 TIMESTAMP(NANOS) (which spark rejects) as
+        # timestamp[ns] — only the latter needs the long shim
+        pschema = pq.ParquetFile(probe).schema
+        cols = []
+        for i in range(len(pschema)):
+            col = pschema.column(i)
+            lt = str(col.logical_type)
+            if (
+                col.physical_type == "INT64"
+                and lt.startswith("Timestamp")
+                and "nanoseconds" in lt
+            ):
+                cols.append(col.name)
+        _NANOS_CACHE[path] = tuple(cols)
     return _NANOS_CACHE[path]
 
 

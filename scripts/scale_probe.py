@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Scale probe: replicate the sf0.1 fact tables 10x (~6M lineitem
+rows, "sf1-ish") into /tmp and measure headline queries at both
+scales. The point is the RATIO: a scalable plan grows ~linearly in
+rows; anything quadratic or driver-bound blows past 10x.
+
+Writes nothing to /root/testdata (read-only); replicas live in /tmp
+and are reused across runs. Output: one JSON line with per-query
+(sf0.1 sec, sf1 sec, ratio).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/spark_graft_sf1"
+FACTOR = 10
+
+# fact tables replicated with key remapping; dims copied as-is
+FACTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    # customer replicates too (o_custkey remaps consistently) so
+    # customer-keyed probes see 10x data
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "supplier", "part"]
+
+PROBES = [
+    "q01_pricing_summary",
+    "q01b_selective_agg",
+    "q05_join_inner",
+    "q13_join_asof",
+    "q25_topk_per_group",
+    "q50_dedup_exact",
+    "q52_minhash_lsh",
+    "q58_tfidf",
+]
+
+
+def build_replica(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.sources.catalog import load_table
+
+    os.makedirs(DST, exist_ok=True)
+    rep = spark.range(FACTOR).select(F.col("id").alias("_rep"))
+    for name, keys in FACTS.items():
+        out = os.path.join(DST, f"{name}.parquet")
+        if os.path.exists(out):
+            continue
+        df = load_table(spark, SRC, name)
+        big = df.crossJoin(F.broadcast(rep))
+        for k in keys:
+            big = big.withColumn(k, F.col(k) * FACTOR + F.col("_rep"))
+        big.drop("_rep").write.mode("overwrite").parquet(out)
+        print(f"# built {name} x{FACTOR}", file=sys.stderr)
+    for name in DIMS:
+        out = os.path.join(DST, f"{name}.parquet")
+        if not os.path.exists(out):
+            load_table(spark, SRC, name).write.mode("overwrite").parquet(out)
+
+
+def main() -> None:
+    from file_appender_spark.queries import QUERIES
+    from file_appender_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    spark.range(1).count()
+    build_replica(spark)
+    # warm
+    QUERIES["q01_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001").collect()
+
+    results = {}
+    for name in PROBES:
+        t0 = time.perf_counter()
+        QUERIES[name].spark_fn(spark, SRC).collect()
+        small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        QUERIES[name].spark_fn(spark, DST).collect()
+        big = time.perf_counter() - t0
+        results[name] = {
+            "sf0.1_sec": round(small, 2),
+            "sf1_sec": round(big, 2),
+            "ratio": round(big / small, 1),
+        }
+        print(f"# {name}: {small:.2f}s -> {big:.2f}s (x{big / small:.1f})", file=sys.stderr)
+    print(json.dumps({"factor": FACTOR, "results": results}))
+
+
+if __name__ == "__main__":
+    main()

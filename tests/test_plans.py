@@ -53,6 +53,26 @@ def test_q54_query_side_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+CARTESIAN_ALLOWED = {
+    # deliberate exact all-pairs semantics at test scale (scale paths
+    # documented in operators/similarity.py) or tiny broadcast sides
+    "q11_join_cross",
+    "q54_similarity_topk",
+    "q62_embedding_neardup",
+}
+
+
+def test_no_accidental_cartesian_products(spark, sf_dir):
+    """Sweep EVERY registered query's physical plan: a cartesian
+    product that isn't a declared all-pairs semantic is a scale bug."""
+    offenders = []
+    for name in QUERIES:
+        plan = plan_of(spark, sf_dir, name)
+        if "CartesianProduct" in plan and name not in CARTESIAN_ALLOWED:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_no_collect_in_query_paths(spark, sf_dir):
     """Every registered query builds a DataFrame plan without driver
     materialization (blocked_topk's query-side collect is operator-
