@@ -34,17 +34,28 @@ def asof_join(
     """Return ``left`` with ``value_cols`` from the as-of-matched
     ``right`` row (null when no prior right row exists)."""
     l_cols = left.columns
+    # right values travel inside ONE struct: the struct itself is
+    # non-null for every right row (even when the value columns are
+    # null), so a genuinely-NULL right value is distinguishable from
+    # the placeholder nulls injected for left rows and is carried
+    # as-is instead of being skipped for a stale older value
+    payload = F.struct(*[F.col(c) for c in value_cols]).alias("_payload")
     tagged_r = right.select(
         on,
         ts,
-        *value_cols,
+        payload,
         F.lit(0 if inclusive else 1).alias("_side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c not in (on, ts)],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_cols
+            if c not in (on, ts)
+        ],
     )
+    payload_type = tagged_r.schema["_payload"].dataType
     tagged_l = left.select(
         on,
         ts,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(payload_type).alias("_payload"),
         F.lit(1 if inclusive else 0).alias("_side"),
         *[F.col(c) for c in l_cols if c not in (on, ts)],
     )
@@ -54,15 +65,11 @@ def asof_join(
         .orderBy(ts, "_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = merged.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+    carried = merged.withColumn(
+        "_asof", F.last("_payload", ignorenulls=True).over(w)
     )
     left_side = 1 if inclusive else 0
     return carried.filter(F.col("_side") == left_side).select(
         *[c for c in l_cols],
-        *[F.col(f"_asof_{c}").alias(c) for c in value_cols],
+        *[F.col(f"_asof.{c}").alias(c) for c in value_cols],
     )

@@ -18,10 +18,14 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FEATURE_SCHEMA = (
-    "doc_id long, content_hash string, n_bytes long, mime string, "
-    "width int, height int, n_channels int, feat array<float>"
-)
+def feature_schema(id_col: str = "doc_id") -> str:
+    return (
+        f"{id_col} long, content_hash string, n_bytes long, mime string, "
+        "width int, height int, n_channels int, feat array<float>"
+    )
+
+
+FEATURE_SCHEMA = feature_schema()
 
 
 def frame_payload(
@@ -42,7 +46,10 @@ def frame_payload(
 
 
 def decode_features(
-    framed: DataFrame, decode_stub: str = "fake", feat_dim: int = 8
+    framed: DataFrame,
+    decode_stub: str = "fake",
+    feat_dim: int = 8,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Decode payloads to fixed-size features via ``mapInPandas``.
 
@@ -68,7 +75,7 @@ def decode_features(
                 feat = [b / 255.0 for b in digest[:feat_dim]]
                 rows.append(
                     {
-                        "doc_id": r["doc_id"],
+                        id_col: r[id_col],
                         "content_hash": r["content_hash"],
                         "n_bytes": int(r["meta"]["n_bytes"]),
                         "mime": r["meta"]["mime"],
@@ -82,4 +89,4 @@ def decode_features(
                 )
             yield pd.DataFrame(rows)
 
-    return framed.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return framed.mapInPandas(run, schema=feature_schema(id_col))

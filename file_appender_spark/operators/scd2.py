@@ -10,6 +10,8 @@ on the classpath this operator would delegate to native MERGE)."""
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -44,15 +46,14 @@ def scd2_merge(
         )
         .filter(
             F.col(f"d.{key}").isNull()  # brand-new key
-            | (
-                F.concat_ws(
-                    "\x00",
-                    *[F.coalesce(F.col(f"u.{c}").cast("string"), F.lit("")) for c in compare_cols],
-                )
-                != F.concat_ws(
-                    "\x00",
-                    *[F.coalesce(F.col(f"d.{c}").cast("string"), F.lit("")) for c in compare_cols],
-                )
+            # null-safe per-column comparison: NULL vs '' (or any
+            # separator-aligned concat collision) must count as a change
+            | ~reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"u.{c}").eqNullSafe(F.col(f"d.{c}"))
+                    for c in compare_cols
+                ],
             )
         )
         .select(F.col(f"u.{key}").alias(key), *[F.col(f"u.{c}").alias(c) for c in compare_cols])

@@ -24,9 +24,14 @@ def sessionize(
     """Add ``session_id`` (``<key>#<n>``, 0-based per key). The
     ordering (ts, tiebreak) must be total for determinism."""
     w = W.partitionBy(key).orderBy(ts, order_tiebreak)
-    gap = F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts).over(w))
+    # microsecond-precise gap: unix_timestamp truncates to whole
+    # seconds, which disagrees with sub-second event times around the
+    # threshold (every driver events.ts has sub-second precision)
+    gap_us = F.unix_micros(F.col(ts) if isinstance(ts, str) else ts) - F.unix_micros(
+        F.lag(ts).over(w)
+    )
     new_session = F.when(
-        F.lag(ts).over(w).isNull() | (gap > gap_seconds), 1
+        F.lag(ts).over(w).isNull() | (gap_us > gap_seconds * 1_000_000), 1
     ).otherwise(0)
     run = (
         W.partitionBy(key)

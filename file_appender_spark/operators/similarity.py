@@ -106,7 +106,11 @@ def blocked_topk(
                     continue
                 take = min(k, len(cand_idx))
                 # local top-k by (-sim, id) for a total order
-                order = np.lexsort((ids[cand_idx], -np.round(row[cand_idx], 6)))[:take]
+                # local prune must rank at the SAME precision as the
+                # final window rank or ties resolve differently
+                order = np.lexsort(
+                    (ids[cand_idx], -np.round(row[cand_idx], round_dp))
+                )[:take]
                 sel = cand_idx[order]
                 out_q.extend([q_ids[qi]] * len(sel))
                 out_id.extend(ids[sel])

@@ -16,13 +16,20 @@ def tokens(col, pattern: str = WHITESPACE) -> Column:
 
 
 def ngrams(tok_col: Column, n: int) -> Column:
-    """Word n-grams via sequence+transform — JVM-side, no UDF."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tok_col, i + j) for j in range(n)]
+    """Word n-grams via sequence+transform — JVM-side, no UDF.
+
+    Guarded for short inputs: sequence(1, 0) would DESCEND in Spark
+    (default step -1) and index out of range, so fewer than n tokens
+    yields an empty array."""
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok_col, i + j) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -49,7 +49,8 @@ def q36_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
@@ -146,8 +147,12 @@ def q40_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
       SELECT user_id, ts, value,
+             -- session_window merges while next < last + gap (half-open
+             -- end), so a gap of EXACTLY the threshold starts a new
+             -- session: >=, microsecond-precise
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),

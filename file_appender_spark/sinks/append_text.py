@@ -55,9 +55,16 @@ class FileInfo:
 
     @staticmethod
     def parse(name: str, size: int, prefix: str) -> "FileInfo | None":
-        if not name.startswith(prefix + "-"):
+        """The reference parses any ``<prefix>-<createTime>`` name and
+        elects it when the parsed prefix merely startsWith the
+        configured one (AppendOutputFormat.java:86, fromFileName
+        :153-158). Unparseable names are skipped gracefully (sane
+        deviation: the reference would throw NumberFormatException)."""
+        if "-" not in name:
             return None
-        tail = name.rsplit("-", 1)[-1]
+        name_prefix, tail = name.rsplit("-", 1)
+        if not name_prefix.startswith(prefix):
+            return None
         if not re.fullmatch(r"\d+", tail):
             return None
         return FileInfo(name, int(tail), size)
@@ -142,24 +149,31 @@ class _PartitionWriter:
         self.fs = fs
         self.handle = None
         self.bytes_written = 0
+        # the name-prefix of the file this writer owns (everything
+        # before the trailing -createTime); rotation PRESERVES it,
+        # matching new FileInfo(fileInfo.prefix, now) in
+        # AppendOutputFormat.java:228 — e.g. task 3 rotates
+        # file-00003-<t0> to file-00003-<now>, not file-<now>
+        self.name_prefix = f"{config.file_prefix}-{partition_id:05d}"
 
     def _open_initial(self):
         if self.assigned is not None:
             path = os.path.join(self.directory, self.assigned)
             if self.fs.exists(path):
+                self.name_prefix = self.assigned.rsplit("-", 1)[0]
                 self.handle = self.fs.open_append(path)
                 return
         # create prefix-%05d-startTime (AppendOutputFormat.java:53-57)
-        name = f"{self.config.file_prefix}-{self.partition_id:05d}-{self.run_ts_ms}"
+        name = f"{self.name_prefix}-{self.run_ts_ms}"
         self.handle = self.fs.create_new(os.path.join(self.directory, name))
 
     def _rotate(self):
-        # close current, create prefix-<now>; on create race retry
-        # with a fresh timestamp (AppendOutputFormat.java:223-242)
+        # close current, create <name_prefix>-<now>; on create race
+        # retry with a fresh timestamp (AppendOutputFormat.java:223-242)
         self.handle.close()
         ts = max(int(time.time() * 1000), self.run_ts_ms)
         while True:
-            path = os.path.join(self.directory, f"{self.config.file_prefix}-{ts}")
+            path = os.path.join(self.directory, f"{self.name_prefix}-{ts}")
             try:
                 self.handle = self.fs.create_new(path)
                 break
@@ -231,6 +245,8 @@ def append_text(
     directory = config.output_dir
     cfg = config
 
+    exec_fs = fs  # ships to executors (filesystem impls carry no handles)
+
     def write_partition(pid: int, rows):
         writer = _PartitionWriter(
             directory,
@@ -238,7 +254,7 @@ def append_text(
             pid,
             cfg,
             run_ts_ms,
-            LocalFS(),
+            exec_fs,
         )
         try:
             for row in rows:

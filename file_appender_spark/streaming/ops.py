@@ -89,10 +89,13 @@ def session_counts(
 def dedup_within_watermark(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
 ) -> DataFrame:
-    """Stateful streaming dedup: drops records whose key was already
-    seen within the watermark horizon (state auto-evicts beyond it)."""
+    """Stateful streaming dedup: drops records whose KEY was already
+    seen within the watermark horizon (state auto-evicts beyond it).
+    Uses dropDuplicatesWithinWatermark so a re-delivery with a
+    re-stamped event time still dedups — plain dropDuplicates(keys+ts)
+    would only catch exact (key, ts) duplicates."""
     keys = keys or ["event_id"]
-    return events.withWatermark("ts", watermark).dropDuplicates(keys + ["ts"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def running_totals_with_state(events: DataFrame) -> DataFrame:

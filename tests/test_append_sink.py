@@ -137,6 +137,58 @@ def test_election_filters_and_sort():
     assert elected == ["f-9998000", "f-00000-9999000"]
 
 
+def test_rotation_preserves_name_prefix(spark, tmp_path):
+    """Regression: rotation keeps the full name-prefix incl. the
+    partition token (AppendOutputFormat.java:228 — new
+    FileInfo(fileInfo.prefix, now)), so rotated files sort within
+    their partition's prefix group."""
+    out = str(tmp_path / "out")
+    big = "x" * 600_000
+    rows = [(big, "a"), (big, "b"), (big, "c")]
+    cfg = AppendSinkConfig(output_dir=out, file_prefix="f", size_threshold_mb=1)
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    append_text(df, cfg, run_ts_ms=1_000)
+    files = sorted(os.listdir(out))
+    assert len(files) == 2
+    assert all(f.startswith("f-00000-") for f in files), files
+
+
+def test_election_prefix_startswith(spark):
+    """The reference elects any file whose parsed prefix startsWith
+    the configured prefix (AppendOutputFormat.java:86) — 'file2-...'
+    is appendable under prefix 'file'."""
+    cfg = AppendSinkConfig(
+        output_dir="/x", file_prefix="file", size_threshold_mb=1, age_threshold_min=0
+    )
+    files = [("file2-5000", 10), ("file-00000-4000", 10), ("other-1000", 10)]
+    elected = elect_incomplete_files(files, cfg, 10_000)
+    assert elected == ["file-00000-4000", "file2-5000"]
+
+
+def test_custom_fs_reaches_executors(spark, tmp_path):
+    """Regression: the fs argument must be used by the partition
+    writers, not only the driver-side scan."""
+    from file_appender_spark.sinks.append_text import LocalFS
+
+    class CountingFS(LocalFS):
+        pass  # identity behavior; presence verified via monkeypatched marker
+
+    out = str(tmp_path / "out")
+    cfg = AppendSinkConfig(output_dir=out, file_prefix="f")
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    # a subclass that writes to a shifted directory proves the
+    # instance (not a fresh LocalFS) did the writing
+    shifted = str(tmp_path / "shifted")
+
+    class ShiftFS(LocalFS):
+        def create_new(self, path):
+            os.makedirs(shifted, exist_ok=True)
+            return open(os.path.join(shifted, os.path.basename(path)), "xb")
+
+    append_text(df, cfg, run_ts_ms=1000, fs=ShiftFS())
+    assert os.listdir(shifted) == ["f-00000-1000"]
+
+
 def test_validation_blocks_bad_config(spark, tmp_path):
     from file_appender_spark.schema.validate import SchemaValidationError
 

@@ -129,6 +129,43 @@ def test_ngrams_expression(spark):
     assert out == ["a b", "b c", "c d"]
 
 
+def test_ngrams_short_input_yields_empty(spark):
+    # regression: sequence(1, 0) descends in Spark -> used to crash
+    df = spark.createDataFrame([("solo",), ("a b",)], "text string")
+    out = [
+        r["g"] for r in df.select(ngrams(F.split("text", r"\s+"), 3).alias("g")).collect()
+    ]
+    assert out == [[], []] or out == [[], []]  # 1 and 2 tokens < n=3
+    out2 = [
+        r["g"] for r in df.select(ngrams(F.split("text", r"\s+"), 2).alias("g")).collect()
+    ]
+    assert out2 == [[], ["a b"]]
+
+
+def test_asof_join_carries_genuine_null_value(spark):
+    # regression: a right row whose VALUE is null must win over an
+    # older non-null row, not be skipped
+    left = spark.createDataFrame([(1, 30, "l")], "k int, ts int, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, None)], "k int, ts int, px double"
+    )
+    out = asof_join(left, right, on="k", ts="ts", value_cols=["px"]).collect()
+    assert out[0]["px"] is None
+
+
+def test_blocked_topk_respects_round_dp(spark, sf_dir):
+    from file_appender_spark.operators.similarity import blocked_topk, brute_force_topk
+    from file_appender_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    bf = brute_force_topk(emb, queries, k=5, round_dp=2)
+    bl = blocked_topk(spark, emb, queries, k=5, round_dp=2)
+    assert sorted(map(tuple, bf.collect())) == sorted(map(tuple, bl.collect()))
+
+
 def test_tf_idf_values(spark):
     df = spark.createDataFrame(
         [(1, "x y"), (2, "x z")], "doc_id long, text string"

@@ -87,6 +87,24 @@ def test_scd2_idempotent_when_no_changes(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, dim.collect()))
 
 
+def test_scd2_null_vs_empty_is_a_change(spark):
+    # regression: NULL -> '' must be detected as a change (the old
+    # concat-based comparison conflated them)
+    dim = spark.createDataFrame(
+        [(1, None, "gold", ts("2020-01-01"), None, True)], DIM_SCHEMA
+    )
+    updates = spark.createDataFrame(
+        [(1, "", "gold")], "k long, city string, tier string"
+    )
+    out = scd2_merge(
+        dim, updates, key="k", compare_cols=["city", "tier"],
+        effective_col="eff", run_ts=ts("2021-06-01"),
+    )
+    assert out.count() == 2  # closed old row + new current row
+    cur = out.filter(F.col("is_current")).collect()
+    assert len(cur) == 1 and cur[0]["city"] == ""
+
+
 def test_latest_snapshot(spark):
     dim = make_dim(spark)
     snap = latest_snapshot(dim, key="k", effective_col="eff")
