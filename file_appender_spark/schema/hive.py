@@ -28,6 +28,7 @@ _SIMPLE: dict[type, str] = {
     # extensions beyond the reference mapper (SURVEY.md §1.3 note):
     T.DateType: "date",
     T.TimestampType: "timestamp",
+    T.TimestampNTZType: "timestamp_ntz",
     T.ShortType: "smallint",
     T.ByteType: "tinyint",
 }

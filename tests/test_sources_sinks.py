@@ -62,6 +62,28 @@ def test_json_scan_roundtrip(spark, sf_dir, tmp_path):
     assert n == src.filter("event_type = 'click'").count()
 
 
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orc")
+    src = load_table(spark, sf_dir, "customer")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+
+
+def test_hive_ddl_valid_for_all_driver_tables(spark, sf_dir):
+    """A7 against reality: the generated Hive DDL for every driver
+    table is accepted by Spark's CREATE TABLE parser."""
+    from file_appender_spark.schema.hive import to_hive_schema
+    from file_appender_spark.sources.catalog import TABLES
+
+    for name in TABLES:
+        schema = load_table(spark, sf_dir, name).schema
+        ddl = to_hive_schema(schema)
+        spark.sql(f"CREATE TABLE ddl_probe_{name} ({ddl}) USING parquet")
+        spark.sql(f"DROP TABLE ddl_probe_{name}")
+
+
 def test_register_appended_table_a16(spark, tmp_path):
     """Sink -> register -> SQL: the reference's Explore binding."""
     from file_appender_spark.config import AppendSinkConfig
