@@ -76,6 +76,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting the loop with labels still moving means the
+        # diameter exceeded max_iterations: returning would silently
+        # split real components (dup clusters would keep >1 "keep"
+        # representative) — fail loudly instead
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations (rounds needed ~ graph diameter)"
+        )
     sym.unpersist()
     return labels
 

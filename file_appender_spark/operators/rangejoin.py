@@ -19,6 +19,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _floor_div(col: Column, w: int) -> Column:
+    """Exact integral floor division: (a - pmod(a, w)) div w.
+
+    Never float division — bucket keys in epoch nanos (~1e18) exceed
+    double's exact-integer range (2^53), so F.floor(a / w) can land a
+    point one bucket off its interval replica and silently drop the
+    match."""
+    a = col.cast("long")
+    return ((a - F.pmod(a, F.lit(w))) / F.lit(w)).cast("long")
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -26,18 +37,20 @@ def range_join(
     start_col: str,
     end_col: str,
     bucket_width: int,
-    how: str = "inner",
     extra_on: Column | None = None,
 ) -> DataFrame:
-    """Join each point row to every interval row with
+    """Inner-join each point row to every interval row with
     ``start <= point < end`` (optionally ANDed with ``extra_on``,
     e.g. an equi-key). ``bucket_width`` must be a positive integer in
-    the same units as the range columns (e.g. epoch seconds)."""
+    the same units as the range columns (e.g. epoch seconds).
+
+    Inner join only: the bucket-replication trick would emit one
+    unmatched row PER REPLICA under outer semantics — an outer range
+    join needs a post-dedup this operator deliberately doesn't hide.
+    """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
-    p = points.withColumn(
-        "_rj_bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
-    )
+    p = points.withColumn("_rj_bucket", _floor_div(F.col(point_col), bucket_width))
     # interval [start, end) overlaps buckets floor(start/w)..floor((end-1)/w);
     # empty intervals (end <= start) produce no buckets and drop out
     i = intervals.withColumn(
@@ -46,8 +59,8 @@ def range_join(
             F.when(
                 F.col(end_col) > F.col(start_col),
                 F.sequence(
-                    F.floor(F.col(start_col) / bucket_width).cast("long"),
-                    F.floor((F.col(end_col) - 1) / bucket_width).cast("long"),
+                    _floor_div(F.col(start_col), bucket_width),
+                    _floor_div(F.col(end_col) - 1, bucket_width),
                 ),
             ).otherwise(F.array().cast("array<long>"))
         ),
@@ -59,4 +72,4 @@ def range_join(
     )
     if extra_on is not None:
         cond = cond & extra_on
-    return p.join(i, cond, how).drop("_rj_bucket")
+    return p.join(i, cond, "inner").drop("_rj_bucket")

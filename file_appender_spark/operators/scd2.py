@@ -54,6 +54,7 @@ def scd2_merge(
                     F.col(f"u.{c}").eqNullSafe(F.col(f"d.{c}"))
                     for c in compare_cols
                 ],
+                F.lit(True),  # empty compare_cols: only new keys insert
             )
         )
         .select(F.col(f"u.{key}").alias(key), *[F.col(f"u.{c}").alias(c) for c in compare_cols])
@@ -75,12 +76,22 @@ def scd2_merge(
             ~F.col(current_flag)
         )
     )
+    # new current rows carry the update's attributes; any dim column
+    # not supplied by the update (outside key/compare/bookkeeping)
+    # null-fills, so dims with extra columns — or an empty
+    # compare_cols — still union cleanly
+    special = {key, *compare_cols, effective_col, end_col, current_flag}
     new_rows = changed_keys.select(
         key,
         *compare_cols,
         run_ts_lit.alias(effective_col),
         F.lit(None).cast(dim.schema[end_col].dataType).alias(end_col),
         F.lit(True).alias(current_flag),
+        *[
+            F.lit(None).cast(dim.schema[c].dataType).alias(c)
+            for c in dim.columns
+            if c not in special
+        ],
     )
     return untouched.unionByName(closed).unionByName(new_rows)
 

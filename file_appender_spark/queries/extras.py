@@ -147,11 +147,12 @@ def q40_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
       SELECT user_id, ts, value,
-             -- session_window merges while next < last + gap (half-open
-             -- end), so a gap of EXACTLY the threshold starts a new
-             -- session: >=, microsecond-precise
+             -- session_window MERGES events exactly gap apart
+             -- (empirically verified on this Spark version: two events
+             -- 1800s apart yield one session), so new-session is the
+             -- STRICT inequality, microsecond-precise
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -170,9 +170,6 @@ def test_custom_fs_reaches_executors(spark, tmp_path):
     writers, not only the driver-side scan."""
     from file_appender_spark.sinks.append_text import LocalFS
 
-    class CountingFS(LocalFS):
-        pass  # identity behavior; presence verified via monkeypatched marker
-
     out = str(tmp_path / "out")
     cfg = AppendSinkConfig(output_dir=out, file_prefix="f")
     df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)

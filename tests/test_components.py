@@ -39,6 +39,16 @@ def test_components_deterministic(spark):
     assert a == b
 
 
+def test_components_nonconvergence_raises(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2)
+
+
 def test_dedup_clusters_from_jaccard_pairs(spark, sf_dir):
     """End-to-end: near-dup pairs from the q51 inverted-index jaccard
     -> transitive clusters -> one kept representative per cluster."""

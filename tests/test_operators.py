@@ -135,7 +135,7 @@ def test_ngrams_short_input_yields_empty(spark):
     out = [
         r["g"] for r in df.select(ngrams(F.split("text", r"\s+"), 3).alias("g")).collect()
     ]
-    assert out == [[], []] or out == [[], []]  # 1 and 2 tokens < n=3
+    assert out == [[], []]  # 1 and 2 tokens < n=3
     out2 = [
         r["g"] for r in df.select(ngrams(F.split("text", r"\s+"), 2).alias("g")).collect()
     ]

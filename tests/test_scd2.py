@@ -105,6 +105,20 @@ def test_scd2_null_vs_empty_is_a_change(spark):
     assert len(cur) == 1 and cur[0]["city"] == ""
 
 
+def test_scd2_empty_compare_cols_inserts_only_new_keys(spark):
+    dim = make_dim(spark)
+    updates = spark.createDataFrame(
+        [(1,), (99,)], "k long"
+    )
+    out = scd2_merge(
+        dim, updates, key="k", compare_cols=[],
+        effective_col="eff", run_ts=ts("2021-06-01"),
+    )
+    # existing key 1 untouched; new key 99 inserted
+    assert out.count() == dim.count() + 1
+    assert out.filter(F.col("k") == 99).count() == 1
+
+
 def test_latest_snapshot(spark):
     dim = make_dim(spark)
     snap = latest_snapshot(dim, key="k", effective_col="eff")

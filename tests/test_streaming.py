@@ -174,6 +174,24 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert all(r["window_start"].hour != 1 for r in rows), rows
 
 
+def test_session_window_merges_exact_gap_events(spark):
+    """Pin the empirically-verified boundary semantics the q39 oracle
+    encodes: two events EXACTLY gap apart merge into ONE session."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1, 0, 0, 0)),
+         (1, dt.datetime(2020, 1, 1, 0, 30, 0))],  # exactly 1800s later
+        "user_id long, ts timestamp",
+    )
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["count"] == 2
+
+
 def test_foreach_batch_drives_append_sink(spark, events_dir, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
