@@ -11,9 +11,17 @@ The actual inventory lives in ``file_appender_spark.queries`` — one
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# self-locating: the engine package lives next to this file; don't
+# depend on the caller having put the repo root on sys.path
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def entry(spark: SparkSession) -> DataFrame:
