@@ -53,6 +53,31 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
     total = round(time.perf_counter() - t_total0, 3)
 
+    # scale-path extras (not part of the headline total): the Arrow-
+    # batched blocked similarity vs the expression-tree brute force —
+    # same exact results, different physical strategy
+    extras: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from file_appender_spark.operators.similarity import blocked_topk
+        from file_appender_spark.sources.catalog import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvecs = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        t0 = time.perf_counter()
+        blocked_topk(spark, emb, qvecs, k=10).collect()
+        extras["similarity_blocked_topk"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# similarity_blocked_topk: {extras['similarity_blocked_topk']}s "
+            f"(vs q54 expression path {timings.get('q54_similarity_topk')}s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # extras must never break the bench contract
+        print(f"# extras skipped: {exc}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -61,6 +86,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
