@@ -60,6 +60,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # the 200 default over-parallelizes local runs; AQE coalesces
+        # but planning/task overhead is real — size to the host
+        "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
     }.items():
         try:
             spark.conf.set(k, v)

@@ -1,5 +1,6 @@
 from file_appender_spark.streaming.ops import (
     dedup_within_watermark,
+    interval_join_streams,
     read_event_stream,
     running_totals_with_state,
     session_counts,
@@ -9,6 +10,7 @@ from file_appender_spark.streaming.ops import (
 
 __all__ = [
     "dedup_within_watermark",
+    "interval_join_streams",
     "read_event_stream",
     "running_totals_with_state",
     "session_counts",

@@ -128,6 +128,43 @@ def running_totals_with_state(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_prefix: str = "l",
+    right_prefix: str = "r",
+    lower: str = "0 seconds",
+    upper: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: match right events to left events
+    of the same key with ``l.ts <= r.ts <= l.ts + upper`` (e.g. clicks
+    joined to the purchases they led to within 30 minutes).
+
+    Both sides are watermarked so the join state is bounded: Spark
+    buffers each side only until the other side's watermark passes the
+    time-bound — the canonical stream-stream equi+range join
+    (SURVEY.md §2 Part B streaming row; state sharded by the key).
+    """
+    l = left.select(
+        F.col(key).alias(f"{left_prefix}_key"),
+        F.col("ts").alias(f"{left_prefix}_ts"),
+        F.col("event_id").alias(f"{left_prefix}_id"),
+    ).withWatermark(f"{left_prefix}_ts", watermark)
+    r = right.select(
+        F.col(key).alias(f"{right_prefix}_key"),
+        F.col("ts").alias(f"{right_prefix}_ts"),
+        F.col("event_id").alias(f"{right_prefix}_id"),
+    ).withWatermark(f"{right_prefix}_ts", watermark)
+    cond = (
+        (F.col(f"{left_prefix}_key") == F.col(f"{right_prefix}_key"))
+        & (F.col(f"{right_prefix}_ts") >= F.col(f"{left_prefix}_ts") + F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"{right_prefix}_ts") <= F.col(f"{left_prefix}_ts") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def stream_to_append_sink(
     events: DataFrame,
     output_dir: str,

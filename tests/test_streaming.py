@@ -174,6 +174,40 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert all(r["window_start"].hour != 1 for r in rows), rows
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    from file_appender_spark.streaming.ops import interval_join_streams
+
+    clicks_s = read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "click"
+    )
+    buys_s = read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_streams(
+        clicks_s, buys_s, upper="30 minutes", watermark="1 hour"
+    )
+    got = run_stream(spark, joined, "ssj")
+    ev = spark.read.parquet(events_dir)
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    b = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("r_key"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    batch = c.join(
+        b,
+        (c.l_key == b.r_key)
+        & (b.r_ts >= c.l_ts)
+        & (b.r_ts <= c.l_ts + F.expr("INTERVAL 30 minutes")),
+    )
+    got_pairs = sorted((r["l_id"], r["r_id"]) for r in got.collect())
+    batch_pairs = sorted((r["l_id"], r["r_id"]) for r in batch.collect())
+    assert got_pairs == batch_pairs
+    assert len(got_pairs) > 0
+
+
 def test_session_window_merges_exact_gap_events(spark):
     """Pin the empirically-verified boundary semantics the q39 oracle
     encodes: two events EXACTLY gap apart merge into ONE session."""
