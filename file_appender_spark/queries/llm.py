@@ -315,6 +315,37 @@ def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q43_fuzzy_match",
+    """
+    WITH names AS (
+      SELECT s_suppkey AS id, lower(s_name) AS nm FROM supplier
+    )
+    SELECT a.id AS id1, b.id AS id2,
+           levenshtein(a.nm, b.nm) AS edit_dist
+    FROM names a JOIN names b ON a.id < b.id
+    WHERE levenshtein(a.nm, b.nm) <= 2
+    """,
+)
+def q43_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching by edit distance (supplier names within
+    2 edits) — the string-similarity member of the dedup family. At
+    test scale all-pairs is the declared exact semantics; the scale
+    path blocks candidates first (e.g. same name-prefix or same
+    length band) exactly like q52 bands the minhash space."""
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.lower("s_name").alias("nm")
+    )
+    a = s.select(F.col("id").alias("id1"), F.col("nm").alias("nm1"))
+    b = s.select(F.col("id").alias("id2"), F.col("nm").alias("nm2"))
+    dist = F.levenshtein("nm1", "nm2")
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .filter(dist <= 2)
+        .select("id1", "id2", dist.alias("edit_dist"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

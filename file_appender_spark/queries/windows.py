@@ -149,6 +149,43 @@ def q24_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q42_window_nth_ignore_nulls",
+    """
+    SELECT event_id, user_id,
+           nth_value(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_type,
+           last_value(CASE WHEN value >= 100 THEN value END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_value
+    FROM events
+    WHERE user_id % 10 = 0
+    """,
+)
+def q42_window_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full frame and last_value with IGNORE NULLS
+    (carry-forward of the most recent qualifying value — the standard
+    fill-forward idiom)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w_full = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    big = F.when(F.col("value") >= 100, F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.nth_value("event_type", 2).over(w_full).alias("second_type"),
+        F.last(big, ignorenulls=True).over(w_run).alias("last_big_value"),
+    )
+
+
+@register(
     "q25_topk_per_group",
     """
     SELECT * FROM (
