@@ -1,0 +1,460 @@
+"""Training-data curation operators (SURVEY.md §2 Part B north-star
+mandate, second tranche): the steps between "raw corpus" and "training
+shards" that a 100 TB pipeline runs after dedup/quality (queries/llm.py)
+— deterministic train/val/test splitting, sequence packing, PII
+masking, benchmark decontamination, intra-document repetition stats,
+and stratified sampling.
+
+Determinism contract (same as llm.py): every "random" choice is a
+content-derived md5 bucket, every ratio is rounded at a declared
+precision, every output has a total order on declared keys — which is
+what makes each of these oracle-checkable against DuckDB.
+
+Scale notes: none of these collects to the driver. Splits/sampling are
+stateless per-row hashing (no shuffle at all); packing is a windowed
+prefix-sum partitioned by the shard key (never a global window);
+decontamination is an inverted-index equi-join with a document-
+frequency cap bounding the hottest gram's fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from file_appender_spark.queries.registry import register
+from file_appender_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Deterministic per-document bucket in [0, 100): first 8 hex chars of
+# md5 of the decimal doc_id, mod 100. Content-derived => stable across
+# engines, runs, partitionings, and cluster sizes — the property that
+# makes hash-splits reproducible at 100 TB where seeded RNG is not
+# (RNG depends on row order / partition assignment; md5 does not).
+def _bucket100(col):  # Spark side
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+
+
+_BUCKET100_SQL = (
+    "CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+_WS = r"\s+"
+
+
+# --------------------------------------------------------------------------
+# q67 — deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q67_hash_split",
+    f"""
+    WITH b AS (
+      SELECT lang, n_chars,
+             {_BUCKET100_SQL.format(c='doc_id')} AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END   AS split,
+           count(*)               AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS tot_chars
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def q67_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by md5(doc_id) bucket, reported
+    as per-(lang, split) doc and char counts.
+
+    Scale: the split is a stateless narrow projection — zero shuffle,
+    zero state, embarrassingly parallel, and *stable under re-runs and
+    repartitioning* (the reason hash-splits beat `rand(seed)` splits
+    on a cluster: Spark's rand() is seeded per-partition, so any
+    change in partitioning silently reshuffles the split)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = _bucket100(F.col("doc_id"))
+    return (
+        d.select(
+            "lang",
+            "n_chars",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("tot_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q68 — sequence packing (concat-and-chunk shard assignment)
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@register(
+    "q68_pack_sequences",
+    f"""
+    WITH tok AS (
+      SELECT lang, doc_id,
+             len(string_split_regex(text, '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    off AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_off
+      FROM tok
+    )
+    SELECT lang,
+           start_off // {_PACK_BUDGET}  AS bin,
+           count(*)                     AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id)                  AS first_doc,
+           max(doc_id)                  AS last_doc
+    FROM off
+    GROUP BY 1, 2
+    """,
+)
+def q68_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    doc_id order within each lang shard, and each doc is assigned to
+    the {budget}-token bin its start offset falls in — the standard
+    LLM-pretraining packing layout (concatenate the corpus, cut every
+    N tokens), computed as a windowed prefix sum.
+
+    Scale: the window partitions by the shard key (lang), never
+    globally — each shard's prefix sum is an independent sorted
+    partition, so 1000 shards = 1000 parallel windows, no single-node
+    sort. Bin ids use long integer division (floor-div on bigint, not
+    float: offsets at 100 TB exceed double's 2^53)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", "doc_id", F.size(F.split("text", _WS)).alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    off = tok.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("start_off"),
+    )
+    return (
+        off.select(
+            "lang",
+            "doc_id",
+            "n_tokens",
+            F.expr(f"start_off div {_PACK_BUDGET}").alias("bin"),
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+q68_pack_sequences.__doc__ = q68_pack_sequences.__doc__.format(budget=_PACK_BUDGET)
+
+
+# --------------------------------------------------------------------------
+# q69 — PII masking (regex scrub, keep-last-4 variant)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q69_pii_mask",
+    """
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_name,
+           concat(
+             regexp_replace(substr(c_name, 1, length(c_name) - 4),
+                            '[0-9]', '*', 'g'),
+             substr(c_name, length(c_name) - 3, 4)
+           ) AS masked_keep4,
+           length(c_name)
+             - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS n_digits
+    FROM customer
+    """,
+)
+def q69_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the customer table's numeric identifiers:
+    full digit masking, an account-number-style keep-last-4 mask, and
+    a per-row digit count (audit metric).
+
+    Scale: a stateless narrow projection — regex runs inside
+    whole-stage codegen on the JVM, no shuffle, no UDF. At 100 TB this
+    is scan-bound; the masking itself is free relative to IO."""
+    c = _t(spark, sf_dir, "customer")
+    head = F.expr("substring(c_name, 1, length(c_name) - 4)")
+    tail = F.expr("substring(c_name, length(c_name) - 3, 4)")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "*").alias("masked_name"),
+        F.concat(F.regexp_replace(head, F.lit("[0-9]"), F.lit("*")), tail).alias(
+            "masked_keep4"
+        ),
+        (
+            F.length("c_name") - F.length(F.regexp_replace("c_name", "[0-9]", ""))
+        ).alias("n_digits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q70 — benchmark decontamination (n-gram overlap, doc-frequency cap)
+# --------------------------------------------------------------------------
+
+_DECON_N = 5  # gram width
+_DECON_DF_CAP = 100  # drop grams present in more than this many train docs
+
+
+@register(
+    "q70_decontaminate",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(w) - {_DECON_N - 2}),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+             ))) AS g
+      FROM w WHERE len(w) >= {_DECON_N}
+    ),
+    eval_g  AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 = 0),
+    train_g AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0),
+    kept AS (
+      SELECT g FROM train_g GROUP BY g
+      HAVING count(DISTINCT doc_id) <= {_DECON_DF_CAP}
+    )
+    SELECT e.doc_id                   AS eval_doc,
+           count(DISTINCT t.doc_id)   AS n_contaminating_docs,
+           count(DISTINCT e.g)        AS n_shared_grams
+    FROM eval_g e
+    JOIN kept k ON e.g = k.g
+    JOIN train_g t ON t.g = e.g
+    GROUP BY e.doc_id
+    """,
+)
+def q70_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag eval-set documents (doc_id % 10
+    == 0 stands in for the benchmark) sharing any {n}-gram with a
+    train document, reporting how many train docs and how many grams
+    overlap. Grams present in more than {cap} train docs are dropped
+    first — the standard doc-frequency cap that keeps boilerplate
+    n-grams from flagging everything.
+
+    Scale: an inverted-index equi-join on the gram (like q51), never
+    an all-pairs comparison. The df-cap is also the skew guard: it
+    bounds the hottest gram's join fan-out to {cap} x eval-side
+    postings, so no single shuffle key can blow up."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", _WS)
+    grams = (
+        d.select("doc_id", words.alias("w"))
+        .filter(F.size("w") >= _DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - (_DECON_N - 1)),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[F.element_at("w", i + off) for off in range(_DECON_N)],
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    eval_g = grams.filter(F.col("doc_id") % 10 == 0)
+    train_g = grams.filter(F.col("doc_id") % 10 != 0)
+    kept = (
+        train_g.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _DECON_DF_CAP)
+        .select("g")
+    )
+    return (
+        eval_g.join(kept, "g")
+        .join(train_g.select(F.col("doc_id").alias("t_doc"), "g"), "g")
+        .groupBy(F.col("doc_id").alias("eval_doc"))
+        .agg(
+            F.countDistinct("t_doc").alias("n_contaminating_docs"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+    )
+
+
+q70_decontaminate.__doc__ = q70_decontaminate.__doc__.format(
+    n=_DECON_N, cap=_DECON_DF_CAP
+)
+
+
+# --------------------------------------------------------------------------
+# q71 — intra-document repetition stats (Gopher-style signals)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q71_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+      WHERE len(string_split_regex(text, '\\s+')) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS tok FROM w)
+      GROUP BY doc_id, tok
+    ),
+    top AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             max(c)                 AS top_c,
+             count(*)               AS n_uniq
+      FROM cnt GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id,
+             len(grams)                AS n_bigrams,
+             len(list_distinct(grams)) AS n_uniq_bigrams
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS grams
+        FROM w
+      )
+    )
+    SELECT t.doc_id,
+           t.n_words,
+           round(CAST(t.n_uniq AS DOUBLE) / t.n_words, 6)  AS uniq_word_ratio,
+           round(CAST(t.top_c AS DOUBLE) / t.n_words, 6)   AS top_word_frac,
+           round(1.0 - CAST(b.n_uniq_bigrams AS DOUBLE) / b.n_bigrams, 6)
+                                                           AS dup_bigram_frac
+    FROM top t JOIN big b ON t.doc_id = b.doc_id
+    """,
+)
+def q71_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/C4 family of
+    quality filters): unique-word ratio, most-frequent-word fraction,
+    and duplicate-bigram fraction per document.
+
+    Scale: word counts go through one explode + map-side-combined
+    groupBy on (doc_id, token); bigram uniqueness never explodes at
+    all (array_distinct on the in-row gram array) — repetition is a
+    per-document property, so nothing here shuffles more than one
+    row per (doc, token)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", _WS).alias("w")).filter(F.size("w") >= 2)
+    cnt = (
+        w.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+    )
+    top = cnt.groupBy("doc_id").agg(
+        F.sum("count").cast("bigint").alias("n_words"),
+        F.max("count").alias("top_c"),
+        F.count("*").alias("n_uniq"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+    )
+    big = w.select(
+        "doc_id",
+        F.size(grams).alias("n_bigrams"),
+        F.size(F.array_distinct(grams)).alias("n_uniq_bigrams"),
+    )
+    return top.join(big, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_uniq").cast("double") / F.col("n_words"), 6).alias(
+            "uniq_word_ratio"
+        ),
+        F.round(F.col("top_c").cast("double") / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_uniq_bigrams").cast("double") / F.col("n_bigrams"),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q72 — stratified sampling with per-stratum rates
+# --------------------------------------------------------------------------
+
+_SAMPLE_RATES = [("en", 10), ("de", 50), ("fr", 50), ("zh", 25), ("es", 25)]
+
+
+@register(
+    "q72_stratified_sample",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             {_BUCKET100_SQL.format(c='doc_id')} AS bucket
+      FROM documents
+    )
+    SELECT b.lang,
+           count(*)                     AS n_sampled,
+           CAST(sum(b.n_chars) AS BIGINT) AS tot_chars,
+           min(b.doc_id)                AS min_doc,
+           max(b.doc_id)                AS max_doc
+    FROM b
+    JOIN (VALUES {', '.join(f"('{lang}', {r})" for lang, r in _SAMPLE_RATES)})
+         AS r(lang, rate) ON b.lang = r.lang
+    WHERE b.bucket < r.rate
+    GROUP BY b.lang
+    """,
+)
+def q72_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language rates (the corpus
+    rebalancing step of a data mixture: keep 10% of English, 50% of
+    the low-resource langs, ...), selected by the same md5 bucket as
+    q67 so the sample is reproducible and composable with the split.
+
+    Scale: the rate table is a broadcast join (a handful of strata),
+    so sampling stays a narrow map-side operation — no shuffle of the
+    corpus itself; the only shuffle is the final per-lang agg over
+    already-filtered rows."""
+    d = _t(spark, sf_dir, "documents")
+    rates = F.broadcast(
+        spark.createDataFrame(_SAMPLE_RATES, "lang string, rate int")
+    )
+    b = d.select("doc_id", "lang", "n_chars", _bucket100(F.col("doc_id")).alias("bucket"))
+    return (
+        b.join(rates, "lang")
+        .filter(F.col("bucket") < F.col("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("tot_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
