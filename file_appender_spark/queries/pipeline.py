@@ -406,6 +406,132 @@ def q71_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q73 — per-label embedding centroids (the k-means E-step shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q73_label_centroids",
+    """
+    WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    flat AS (
+      SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM v
+    )
+    SELECT label, dim,
+           round(avg(val), 6) AS centroid,
+           count(*)           AS n_vecs
+    FROM flat GROUP BY label, dim
+    """,
+)
+def q73_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension) —
+    the aggregation shape of a distributed k-means E-step / class
+    prototype computation.
+
+    Scale: posexplode is a fixed 64x row expansion feeding a map-side-
+    combined avg — one shuffle on (label, dim), 640 final groups
+    regardless of corpus size. The long (label, dim, value) layout is
+    deliberate: it keeps the shuffle rows tiny and the combine
+    effective, vs shuffling whole vectors to a single reducer per
+    label."""
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("val"))
+    return flat.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q74 — ANN via deterministic IVF cells (oracle-checked scale path)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q74_ann_ivf_cell",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cells AS (
+      SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END) AS cell
+      FROM v
+    ),
+    queries AS (SELECT vec_id AS qid, v AS qv, cell FROM cells WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.qid, c.vec_id,
+             round(list_dot_product(q.qv, c.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))),
+                   6) AS cos_sim
+      FROM queries q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT qid, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored) t
+    WHERE rn <= 5
+    """,
+)
+def q74_ann_ivf_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via deterministic IVF cells: every
+    vector is assigned to one of 8 coarse cells by the sign pattern of
+    its first 3 dimensions (a fixed, content-derived quantizer — the
+    reason this ANN variant is oracle-checkable, unlike trained
+    k-means cells), and each query searches only its own cell. Top-5
+    by cosine, rounded before ranking, vec_id tie-break.
+
+    Scale: this is the IVF join strategy itself — candidate generation
+    is an equi-join on the cell id (shuffle both sides on cell),
+    reducing scored pairs by ~the cell count vs q54's broadcast
+    cross-join. With a trained quantizer the plan is identical; only
+    the cell-assignment expression changes. Probing n>1 cells =
+    exploding the query side to its n nearest cells before the same
+    join."""
+    e = _t(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cell = (
+        F.when(F.element_at("v", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("v", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("v", 3) > 0, 1).otherwise(0)
+    )
+    cells = vecs.withColumn("cell", cell)
+    queries = cells.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell"
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    scored = (
+        queries.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("v"), F.col("v")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
 # q72 — stratified sampling with per-stratum rates
 # --------------------------------------------------------------------------
 
