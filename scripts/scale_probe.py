@@ -44,6 +44,14 @@ PROBES = [
     "q50_dedup_exact",
     "q52_minhash_lsh",
     "q58_tfidf",
+    # training-data curation + embedding analytics tranche
+    "q67_hash_split",
+    "q68_pack_sequences",
+    "q70_decontaminate",
+    "q71_repetition",
+    "q72_stratified_sample",
+    "q73_label_centroids",
+    "q74_ann_ivf_cell",
 ]
 
 
