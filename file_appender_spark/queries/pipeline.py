@@ -532,6 +532,68 @@ def q74_ann_ivf_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q75 — overlapping document chunking (embedding-pipeline pre-step)
+# --------------------------------------------------------------------------
+
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 32
+
+
+@register(
+    "q75_chunk_docs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+      WHERE len(string_split_regex(text, '\\s+')) >= 1
+    ),
+    st AS (
+      SELECT doc_id, w, unnest(range(1, len(w) + 1, {_CHUNK_STRIDE})) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           (start - 1) // {_CHUNK_STRIDE} AS chunk_id,
+           len(list_slice(w, start, start + {_CHUNK_LEN - 1}))  AS n_tokens,
+           md5(array_to_string(list_slice(w, start, start + {_CHUNK_LEN - 1}), ' '))
+             AS chunk_hash
+    FROM st
+    """,
+)
+def q75_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({len}-token chunks, stride
+    {stride}) — the pre-step that turns documents into embedding-model
+    inputs. Each chunk row carries an md5 content hash so the oracle
+    pins the exact chunk text, not just its shape.
+
+    Scale: chunking is a map-side explode — sequence() of starts plus
+    slice() of the in-row token array, no shuffle at all, output rows
+    ~ tokens/stride. The same plan feeds mapInPandas for the actual
+    embedding call (operators/multimodal.py shows that plumbing);
+    chunk boundaries never cross documents, so partitioning by doc
+    carries through."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", _WS).alias("w")).filter(F.size("w") >= 1)
+    st = w.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(1), F.size("w"), F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("w", F.col("start"), _CHUNK_LEN)
+    return st.select(
+        "doc_id",
+        F.expr(f"(start - 1) div {_CHUNK_STRIDE}").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+q75_chunk_docs.__doc__ = q75_chunk_docs.__doc__.format(
+    len=_CHUNK_LEN, stride=_CHUNK_STRIDE
+)
+
+
+# --------------------------------------------------------------------------
 # q72 — stratified sampling with per-stratum rates
 # --------------------------------------------------------------------------
 
