@@ -80,3 +80,50 @@ def test_no_collect_in_query_paths(spark, sf_dir):
     for name, spec in QUERIES.items():
         df = spec.spark_fn(spark, sf_dir)
         assert df is not None and df.columns, name
+
+
+# --- training-data curation tranche (queries/pipeline.py) ---------------
+
+
+def test_q67_split_is_single_agg_shuffle(spark, sf_dir):
+    """The md5 split itself is stateless: the ONLY exchange in the
+    plan is the final (lang, split) aggregation."""
+    plan = plan_of(spark, sf_dir, "q67_hash_split")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q68_packing_window_is_per_shard(spark, sf_dir):
+    """Prefix-sum window hash-partitions by the shard key; a global
+    (range-partitioned) sort would serialize packing at scale."""
+    plan = plan_of(spark, sf_dir, "q68_pack_sequences")
+    assert "Window" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q69_pii_mask_has_no_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q69_pii_mask")
+    assert "Exchange" not in plan
+
+
+def test_q72_rate_table_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q72_stratified_sample")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q74_ivf_candidates_are_equi_join(spark, sf_dir):
+    """IVF candidate generation must be a hash equi-join on the cell
+    id — nested-loop here would reintroduce the brute-force scan the
+    cells exist to avoid."""
+    plan = plan_of(spark, sf_dir, "q74_ann_ivf_cell")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
+def test_q75_chunking_has_no_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q75_chunk_docs")
+    assert "Exchange" not in plan
