@@ -532,6 +532,85 @@ def q74_ann_ivf_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q76 — curation funnel (stage-by-stage survivor counts, single pass)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q76_curation_funnel",
+    """
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split_regex(text, '\\s+') AS w,
+             sha256(text) AS h
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, lang, len(w) AS nw,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ur,
+             min(doc_id) OVER (PARTITION BY h) AS keep
+      FROM w
+    ),
+    agg AS (
+      SELECT count(*) AS n0,
+             CAST(sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN doc_id = keep AND nw >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN doc_id = keep AND nw >= 30 AND ur >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN doc_id = keep AND nw >= 30 AND ur >= 0.5 AND lang <> 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM f
+    )
+    SELECT '0_all' AS stage, n0 AS n_docs FROM agg
+    UNION ALL SELECT '1_exact_dedup', n1 FROM agg
+    UNION ALL SELECT '2_min_length', n2 FROM agg
+    UNION ALL SELECT '3_uniq_ratio', n3 FROM agg
+    UNION ALL SELECT '4_lang_filter', n4 FROM agg
+    """,
+)
+def q76_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel: how many documents survive each cumulative
+    stage — exact dedup (min-doc_id representative), minimum length
+    (>= 30 words), repetition (unique-word ratio >= 0.5), language
+    filter (drop 'zh') — reported as one row per stage.
+
+    Scale: the whole funnel is ONE pass — per-row boolean flags plus
+    conditional aggregation — never N filtered re-scans of a 100 TB
+    corpus (the naive funnel implementation). The only shuffles are
+    the dedup window's hash partition and the final single-row agg;
+    adding a stage adds a column, not a scan."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "lang",
+        F.split("text", _WS).alias("w"),
+        F.sha2("text", 256).alias("h"),
+    )
+    f = w.select(
+        "doc_id",
+        "lang",
+        F.size("w").alias("nw"),
+        (F.size(F.array_distinct("w")).cast("double") / F.size("w")).alias("ur"),
+        F.min("doc_id").over(W.partitionBy("h")).alias("keep"),
+    )
+    s1 = F.col("doc_id") == F.col("keep")
+    s2 = s1 & (F.col("nw") >= 30)
+    s3 = s2 & (F.col("ur") >= 0.5)
+    s4 = s3 & (F.col("lang") != "zh")
+    agg = f.agg(
+        F.count("*").alias("n0"),
+        F.sum(s1.cast("bigint")).alias("n1"),
+        F.sum(s2.cast("bigint")).alias("n2"),
+        F.sum(s3.cast("bigint")).alias("n3"),
+        F.sum(s4.cast("bigint")).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, '0_all', n0, '1_exact_dedup', n1, '2_min_length', n2,"
+            " '3_uniq_ratio', n3, '4_lang_filter', n4) AS (stage, n_docs)"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q75 — overlapping document chunking (embedding-pipeline pre-step)
 # --------------------------------------------------------------------------
 
