@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from file_appender_spark.operators.sessionize import sessionize
 from file_appender_spark.queries.registry import register
@@ -184,5 +185,76 @@ def q39_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
             "n_events",
+        )
+    )
+
+
+@register(
+    "q77_group_outliers",
+    """
+    WITH stats AS (
+      SELECT p_partkey, p_type, p_retailprice,
+             round((p_retailprice - avg(p_retailprice) OVER (PARTITION BY p_type))
+                   / stddev_samp(p_retailprice) OVER (PARTITION BY p_type), 6) AS z
+      FROM part
+    )
+    SELECT p_partkey, p_type, p_retailprice, z
+    FROM stats WHERE abs(z) > 1.5
+    """,
+)
+def q77_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (|z| > 1.5 on the ROUNDED
+    score, so the cut is engine-identical): parts priced far from
+    their type's mean. (Prices are ~uniform per type, so max |z| is
+    about sqrt(3) — a 2.0 cut would never fire on this data.)
+
+    Scale: two window aggregates over the same partition spec fuse
+    into ONE Window exec — a single shuffle on the group key; the
+    filter is a narrow post-projection. The classic alternative
+    (groupBy stats + self-join back) costs a second shuffle."""
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_type")
+    z = F.round(
+        (F.col("p_retailprice") - F.avg("p_retailprice").over(w))
+        / F.stddev_samp("p_retailprice").over(w),
+        6,
+    )
+    return (
+        p.select("p_partkey", "p_type", "p_retailprice", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 1.5)
+    )
+
+
+@register(
+    "q78_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+           count(*)                                    AS n_orders,
+           round(min(o_totalprice), 2)                 AS lo,
+           round(max(o_totalprice), 2)                 AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q78_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (25k-wide bins) with
+    per-bin extrema — the one-pass profiling query behind data
+    dashboards.
+
+    Scale: bin assignment is a stateless projection; the agg
+    map-side-combines to ~20 groups, so the shuffle is tiny no matter
+    the row count. Bin ids use floor + bigint cast (never float
+    division on huge ids)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bin"),
+            "o_totalprice",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
