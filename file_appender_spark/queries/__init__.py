@@ -22,6 +22,7 @@ from file_appender_spark.queries import extras  # noqa: E402,F401
 from file_appender_spark.queries import udf_suite  # noqa: E402,F401
 from file_appender_spark.queries import llm  # noqa: E402,F401
 from file_appender_spark.queries import pipeline  # noqa: E402,F401
+from file_appender_spark.queries import profiling  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

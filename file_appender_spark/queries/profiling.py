@@ -1,0 +1,221 @@
+"""Dataset profiling and event-sequence analytics.
+
+Profiling (q79) is the "look at your data before training on it"
+query every 100 TB pipeline runs first; the cohort/funnel/transition
+trio (q80-q82) are the classic product-analytics shapes over the
+`events` stream table, expressed so a single shuffle on `user_id`
+carries each whole computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from file_appender_spark.queries.registry import register
+from file_appender_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, count({c}) AS n_nonnull,"
+    f" count(DISTINCT {c}) AS n_distinct, count(*) AS n_rows FROM customer"
+    for c in _PROFILE_COLS
+)
+
+
+@register("q79_profile_columns", _PROFILE_ORACLE)
+def q79_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of `customer`: per column, non-null
+    count and exact distinct count, long-format output via
+    stack()-unpivot of the one aggregate row.
+
+    Scale: ONE scan + one aggregation computes all columns' stats
+    (Catalyst plans the N exact count(distinct)s as a single Expand —
+    rows x5, then one shuffle of partial aggregates); the unpivot is a
+    driver-row-level projection. At 100 TB swap the exact distincts
+    for approx_count_distinct to drop the Expand — the query shape is
+    unchanged. The naive alternative (one query per column) scans the
+    table N times."""
+    c = _t(spark, sf_dir, "customer")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col in _PROFILE_COLS:
+        aggs.append(F.count(col).alias(f"nn_{col}"))
+        aggs.append(F.count_distinct(F.col(col)).alias(f"nd_{col}"))
+    one = c.agg(*aggs)
+    stack = ", ".join(f"'{col}', nn_{col}, nd_{col}" for col in _PROFILE_COLS)
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack})"
+            " AS (col_name, n_nonnull, n_distinct)"
+        ),
+        "n_rows",
+    )
+
+
+@register(
+    "q80_cohort_retention",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             min(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    )
+    SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+           CAST(date_trunc('week', ts)       AS DATE) AS active_week,
+           CAST(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                                 CAST(date_trunc('week', ts) AS DATE)) / 7
+                AS BIGINT)                             AS week_offset,
+           count(DISTINCT user_id)                     AS n_active_users
+    FROM e
+    GROUP BY 1, 2, 3
+    """,
+)
+def q80_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the ISO week of
+    their first event, counted distinct in every week they were
+    active.
+
+    Scale: first-seen is a window min over user_id — ONE shuffle on
+    the user key, no self-join back to the events table (the textbook
+    formulation joins a firsts aggregate to the fact table: two
+    shuffles of the big side). The final distinct-count agg shuffles
+    only (cohort, week) pairs. week_offset stays in integer math
+    (days/7 on week-truncated dates is exact)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.col("first_ts")).cast("date")
+    active = F.date_trunc("week", F.col("ts")).cast("date")
+    return (
+        e.select("user_id", "ts")
+        .withColumn("first_ts", F.min("ts").over(w))
+        .select(
+            cohort.alias("cohort_week"),
+            active.alias("active_week"),
+            "user_id",
+        )
+        .withColumn(
+            "week_offset",
+            (F.datediff("active_week", "cohort_week") / 7).cast("bigint"),
+        )
+        .groupBy("cohort_week", "active_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+_FUNNEL_WINDOW = (
+    "(PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
+@register(
+    "q81_event_funnel",
+    f"""
+    WITH e1 AS (
+      SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER {_FUNNEL_WINDOW} AS fv
+      FROM events
+    ), e2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > fv THEN ts END)
+               OVER {_FUNNEL_WINDOW} AS fc
+      FROM e1
+    ), e3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > fc THEN ts END)
+               OVER {_FUNNEL_WINDOW} AS fp
+      FROM e2
+    ), per_user AS (
+      SELECT user_id, max(fv) AS fv, max(fc) AS fc, max(fp) AS fp
+      FROM e3 GROUP BY user_id
+    )
+    SELECT count(fv) AS n_viewed,
+           count(fc) AS n_clicked_after_view,
+           count(fp) AS n_purchased_after_click
+    FROM per_user
+    """,
+)
+def q81_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view -> click -> purchase:
+    a user converts a stage only with an event strictly AFTER their
+    first event of the previous stage (not merely possessing all
+    three types).
+
+    Scale: the three dependent "first X after first Y" columns are
+    running mins over the SAME window spec (user_id, ordered by ts) —
+    Spark plans one Exchange + one Sort and stacks three Window
+    operators on top, so the whole funnel costs a single shuffle of
+    the events table plus a tiny per-user aggregate."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ts, typ = F.col("ts"), F.col("event_type")
+    e1 = e.select("user_id", "ts", "event_type", "event_id").withColumn(
+        "fv", F.min(F.when(typ == "view", ts)).over(w)
+    )
+    e2 = e1.withColumn(
+        "fc", F.min(F.when((typ == "click") & (ts > F.col("fv")), ts)).over(w)
+    )
+    e3 = e2.withColumn(
+        "fp", F.min(F.when((typ == "purchase") & (ts > F.col("fc")), ts)).over(w)
+    )
+    per_user = e3.groupBy("user_id").agg(
+        F.max("fv").alias("fv"), F.max("fc").alias("fc"), F.max("fp").alias("fp")
+    )
+    return per_user.agg(
+        F.count("fv").alias("n_viewed"),
+        F.count("fc").alias("n_clicked_after_view"),
+        F.count("fp").alias("n_purchased_after_click"),
+    )
+
+
+@register(
+    "q82_event_transitions",
+    """
+    WITH pairs AS (
+      SELECT event_type,
+             lead(event_type) OVER w AS next_type,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type, next_type,
+           count(*)    AS n_transitions,
+           sum(gap_us) AS sum_gap_us
+    FROM pairs WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q82_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive
+    event types per user, with the total dwell time (microseconds,
+    exact integer — no float accumulation) per transition edge.
+
+    Scale: lead() needs one shuffle+sort on user_id; the transition
+    aggregate then map-side-combines to at most |types|^2 = 25 groups.
+    Dwell time stays in i64 microseconds so the sum is associative and
+    exact regardless of partitioning."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("gap_us"),
+    )
+    return (
+        pairs.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum("gap_us").alias("sum_gap_us"),
+        )
+    )

@@ -127,3 +127,32 @@ def test_q74_ivf_candidates_are_equi_join(spark, sf_dir):
 def test_q75_chunking_has_no_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q75_chunk_docs")
     assert "Exchange" not in plan
+
+
+# --- profiling / event-analytics tranche (queries/profiling.py) ---------
+
+
+def test_q79_profile_is_single_scan(spark, sf_dir):
+    """All five columns' stats come from ONE scan of customer: the
+    multi-count(distinct) plans as a single Expand, not N scans."""
+    plan = plan_of(spark, sf_dir, "q79_profile_columns")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_q81_funnel_windows_share_one_sort(spark, sf_dir):
+    """The three dependent funnel windows use the same partition+order
+    spec, so Spark stacks them on one Exchange + one Sort; a plan with
+    three sorts would re-sort the events table twice for nothing."""
+    plan = plan_of(spark, sf_dir, "q81_event_funnel")
+    assert plan.count("Window") == 3
+    assert plan.count("Sort") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q80_cohort_has_no_self_join(spark, sf_dir):
+    """First-seen via window min, not an aggregate self-joined back:
+    no join operator anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, "q80_cohort_retention")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
