@@ -493,3 +493,104 @@ def q13_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "last_purchase_id")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5/Q4 shapes: multiway join reordering + correlated EXISTS
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q83_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q83_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    line's supplier share a nation inside one region — a six-table
+    join with both equi keys and a cross-table filter.
+
+    Scale: region/nation/supplier are dimension-sized at any SF —
+    broadcast them so the only shuffles are the big-side
+    lineitem<->orders and orders<->customer equi-joins (AQE reorders
+    those and picks shuffled-hash vs sort-merge at runtime). The date
+    filter lands in the orders scan (pushed down), shrinking the
+    probe side before any join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    reg = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q84_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q84_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (in a quarter) having at least one line
+    shipped after the order date, counted by priority — a correlated
+    EXISTS with a non-equi component.
+
+    Scale: expressed as a LEFT SEMI join on (l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate): the equi key drives the shuffle,
+    the date comparison rides along as a residual condition, and the
+    semi form never materializes the (order x lines) multiplicity —
+    output cardinality is bounded by orders, not lineitem."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -156,3 +156,21 @@ def test_q80_cohort_has_no_self_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q80_cohort_retention")
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_q83_q5_shape_broadcasts_dims_no_nlj(spark, sf_dir):
+    """Six-table join must stay all-equi: dims broadcast, and the
+    c_nationkey = s_nationkey cross-filter rides the supplier join
+    instead of degenerating into a nested loop."""
+    plan = plan_of(spark, sf_dir, "q83_local_supplier_volume")
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+
+
+def test_q84_exists_is_semi_join(spark, sf_dir):
+    """EXISTS compiles to a LEFT SEMI equi-join with the date
+    comparison as residual — never a per-order subquery scan."""
+    plan = plan_of(spark, sf_dir, "q84_priority_exists")
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan
