@@ -277,3 +277,83 @@ def q35_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_null"
         ),
     )
+
+
+@register(
+    "q85_token_set_algebra",
+    """
+    WITH halves AS (
+      SELECT doc_id,
+             list_distinct(words[1:len(words)//2])              AS a,
+             list_distinct(words[len(words)//2 + 1:len(words)]) AS b
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words
+            FROM documents)
+      WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           len(list_filter(a, x -> list_contains(b, x)))     AS n_common,
+           len(list_filter(a, x -> NOT list_contains(b, x))) AS n_only_first,
+           len(list_distinct(list_concat(a, b)))             AS n_union,
+           round(len(list_filter(a, x -> list_contains(b, x)))
+                 / len(list_distinct(list_concat(a, b))), 6) AS jaccard
+    FROM halves
+    """,
+)
+def q85_token_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / except / union) between the
+    distinct token sets of each document's first and second half —
+    the split-halves Jaccard self-similarity used as a repetition
+    signal in corpus QA.
+
+    Scale: entirely JVM-side array expressions inside one projection —
+    no explode, no shuffle, no Python; output is one row per document
+    with only small integers. The oracle spells intersect/except as
+    list_filter/list_contains because DuckDB's list_intersect makes no
+    element-order or dedup guarantee; sizes are engine-identical."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    words = F.split("text", r"\s+")
+    half = (F.size(words) / 2).cast("int")
+    d2 = d.select(
+        "doc_id",
+        F.array_distinct(F.slice(words, 1, half)).alias("a"),
+        F.array_distinct(
+            F.slice(words, half + 1, F.size(words) - half)
+        ).alias("b"),
+    )
+    n_common = F.size(F.array_intersect("a", "b"))
+    n_union = F.size(F.array_union("a", "b"))
+    return d2.select(
+        "doc_id",
+        n_common.alias("n_common"),
+        F.size(F.array_except("a", "b")).alias("n_only_first"),
+        n_union.alias("n_union"),
+        F.round(n_common / n_union, 6).alias("jaccard"),
+    )
+
+
+@register(
+    "q86_regexp_extract_all",
+    """
+    SELECT event_id,
+           array_to_string(regexp_extract_all(props, '[0-9]+'), '-') AS nums,
+           len(regexp_extract_all(props, '[0-9]+'))                  AS n_nums,
+           regexp_extract(props, '"k":\\s*([0-9]+)', 1)              AS k_val
+    FROM events
+    WHERE event_id % 11 = 0
+    """,
+)
+def q86_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all + group-capture extraction over the JSON
+    props string (digit runs joined positionally, and the "k" value
+    by capture group).
+
+    Scale: stateless codegen'd projection — the regex runs inside
+    whole-stage codegen on the JVM, no shuffle, no UDF."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    nums = F.expr(r"regexp_extract_all(props, '[0-9]+', 0)")
+    return e.select(
+        "event_id",
+        F.array_join(nums, "-").alias("nums"),
+        F.size(nums).alias("n_nums"),
+        F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).alias("k_val"),
+    )

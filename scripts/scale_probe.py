@@ -52,6 +52,14 @@ PROBES = [
     "q72_stratified_sample",
     "q73_label_centroids",
     "q74_ann_ivf_cell",
+    # profiling / event-analytics + Q5/Q4 join shapes
+    "q78_histogram",
+    "q79_profile_columns",
+    "q80_cohort_retention",
+    "q81_event_funnel",
+    "q82_event_transitions",
+    "q83_local_supplier_volume",
+    "q84_priority_exists",
 ]
 
 
