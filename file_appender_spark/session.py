@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # runtime bloom-filter join pruning: shrink the shuffled big
+        # side of selective joins (measured ~20% on the Q5 shape at
+        # sf0.1); default-on in Spark 4, pinned here so a deployment
+        # override can't silently regress join-heavy plans
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -60,6 +65,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         # the 200 default over-parallelizes local runs; AQE coalesces
         # but planning/task overhead is real — size to the host
         "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
