@@ -160,3 +160,82 @@ def test_salted_agg_matches_plain(spark, sf_dir):
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_parquet_schema_evolution_mergeschema(spark, sf_dir, tmp_path):
+    """A table whose later files gained a column reads as the union
+    schema with mergeSchema (nulls for old files) — the 100 TB lake
+    reality where schemas drift across years of partitions."""
+    d = str(tmp_path / "evolving")
+    o = load_table(spark, sf_dir, "orders").limit(100)
+    o.select("o_orderkey", "o_totalprice").write.parquet(d)
+    o.select(
+        "o_orderkey", "o_totalprice", F.lit("v2").alias("ingest_tag")
+    ).write.mode("append").parquet(d)
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "ingest_tag"}
+    assert merged.count() == 200
+    assert merged.filter(F.col("ingest_tag").isNull()).count() == 100
+
+
+def test_json_scan_permissive_corrupt_records(spark, tmp_path):
+    """Malformed JSON lines land in the corrupt-record column instead
+    of failing the job (PERMISSIVE is the only sane default when one
+    bad record in a billion must not kill the pipeline)."""
+    import os
+
+    d = str(tmp_path / "json")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-0.json"), "w") as f:
+        f.write('{"a": 1, "b": "x"}\n')
+        f.write("{not json at all\n")
+        f.write('{"a": 3, "b": "z"}\n')
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+    ).cache()  # SPARK-21610: corrupt-record column needs a materialized scan
+    try:
+        assert df.count() == 3
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert bad.count() == 1
+        assert df.filter(F.col("a") == 3).count() == 1
+    finally:
+        df.unpersist()
+
+
+def test_csv_permissive_and_dropmalformed(spark, tmp_path):
+    """CSV rows with the wrong arity: PERMISSIVE nulls the missing
+    fields, DROPMALFORMED skips the row — both without failing."""
+    import os
+
+    d = str(tmp_path / "csv")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-0.csv"), "w") as f:
+        f.write("1,alpha,10.5\n")
+        f.write("2,beta\n")  # short row
+        f.write("3,gamma,30.5\n")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    permissive = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(d)
+    assert permissive.count() == 3
+    assert permissive.filter(F.col("score").isNull()).count() == 1
+    dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(d)
+    assert [r.id for r in dropped.orderBy("id").collect()] == [1, 3]
