@@ -90,9 +90,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def tune_scan_splits(spark: SparkSession, sf_dir: str) -> None:
+    """Size parquet scan splits from the MEASURED input bytes so every
+    core gets work: target ~4 splits per core, clamped to
+    [4 MB, 128 MB].
+
+    Spark's 128 MB default is right for a petabyte lake but caps a
+    single-file table at total/128MB tasks — on this driver data one
+    lineitem file would scan on ~1 core while 31 idle (measured 1.8x
+    on the Q1 shape). At 100 TB the formula clamps straight back to
+    the 128 MB default, so this is self-tuning, not a small-data
+    special case. AQE cannot do this: it re-plans shuffles, never
+    scan splits."""
+    try:
+        total = 0
+        for name in TABLES:
+            p = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.isfile(p):
+                total += os.path.getsize(p)
+            elif os.path.isdir(p):
+                for f in os.listdir(p):
+                    if f.endswith(".parquet") and not f.startswith((".", "_")):
+                        total += os.path.getsize(os.path.join(p, f))
+        if not total:
+            return
+        cores = spark.sparkContext.defaultParallelism
+        mb = 1024 * 1024
+        target = min(max(total // (cores * 4), 4 * mb), 128 * mb)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    except Exception:
+        pass  # non-local paths: keep the deployment's configured value
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view named after itself,
     the Spark analog of the reference's Explore table binding (A16)."""
+    tune_scan_splits(spark, sf_dir)
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
