@@ -239,3 +239,19 @@ def test_csv_permissive_and_dropmalformed(spark, tmp_path):
     assert permissive.filter(F.col("score").isNull()).count() == 1
     dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(d)
     assert [r.id for r in dropped.orderBy("id").collect()] == [1, 3]
+
+
+def test_tune_scan_splits_sizes_to_input(spark, sf_dir):
+    """Split size derives from measured bytes: tiny inputs clamp to
+    the 4 MB floor (max parallelism), lake-scale inputs stay at the
+    128 MB default (the production value)."""
+    from file_appender_spark.sources.catalog import tune_scan_splits
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        tune_scan_splits(spark, sf_dir)  # a few MB of driver data
+        assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == 4 * 1024 * 1024
+        tune_scan_splits(spark, "/nonexistent")  # no files: untouched
+        assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == 4 * 1024 * 1024
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
