@@ -725,3 +725,67 @@ def q72_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# q87 — mixture rebalance: derive per-language rates from the data
+# (downsample every language to the rarest one), then apply them
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q87_mixture_rebalance",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    r AS (SELECT lang, n,
+                 CAST(floor(100.0 * (SELECT min(n) FROM c) / n) AS BIGINT) AS rate
+          FROM c),
+    b AS (SELECT doc_id, lang, n_chars,
+                 {_BUCKET100_SQL.format(c='doc_id')} AS bucket
+          FROM documents)
+    SELECT b.lang,
+           min(r.n)                       AS n_before,
+           count(*)                       AS n_sampled,
+           min(r.rate)                    AS rate_pct,
+           CAST(sum(b.n_chars) AS BIGINT) AS tot_chars
+    FROM b JOIN r ON b.lang = r.lang
+    WHERE b.bucket < r.rate
+    GROUP BY b.lang
+    """,
+)
+def q87_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing with DERIVED rates: count each
+    language, set every language's keep-rate to floor(100 * min_count
+    / count) — the "level to the rarest source" mixture — and apply it
+    with the same md5 bucket as q67/q72, so the rebalanced corpus is
+    reproducible run-over-run.
+
+    Scale: the stats pass aggregates to |langs| rows (tiny), the rate
+    table broadcasts back, and the rebalance itself is a map-side
+    filter — the corpus is never shuffled; the integer rate avoids
+    float-threshold ties across engines. This two-phase
+    derive-then-apply is the same plan at 100 TB: phase one's shuffle
+    carries only partial counts."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    min_n = counts.agg(F.min("n").alias("mn"))
+    rates = F.broadcast(
+        counts.crossJoin(F.broadcast(min_n)).select(
+            "lang",
+            "n",
+            F.floor(100.0 * F.col("mn") / F.col("n")).cast("bigint").alias("rate"),
+        )
+    )
+    b = d.select(
+        "doc_id", "lang", "n_chars", _bucket100(F.col("doc_id")).alias("bucket")
+    )
+    return (
+        b.join(rates, "lang")
+        .filter(F.col("bucket") < F.col("rate"))
+        .groupBy("lang")
+        .agg(
+            F.min("n").alias("n_before"),
+            F.count("*").alias("n_sampled"),
+            F.min("rate").alias("rate_pct"),
+            F.sum("n_chars").cast("bigint").alias("tot_chars"),
+        )
+    )
