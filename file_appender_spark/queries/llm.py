@@ -719,3 +719,67 @@ def q61_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.mime").alias("mime"),
         F.col("meta.origin").alias("origin"),
     )
+
+
+@register(
+    "q88_embedding_quantize",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx
+      FROM v
+    )
+    SELECT vec_id,
+           round(mx, 6) AS max_abs,
+           list_reduce(list_transform(v, x -> CAST(round(127 * x / mx) AS BIGINT)),
+                       (a, b) -> a + b)        AS sum_q,
+           round(list_reduce(
+                   list_transform(v, x -> (x - round(127 * x / mx) * mx / 127)
+                                        * (x - round(127 * x / mx) * mx / 127)),
+                   (a, b) -> a + b) / len(v), 12) AS mse
+    FROM m WHERE mx > 0
+    """,
+)
+def q88_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (absmax
+    scaling, the storage/serving compression step of an embedding
+    pipeline), with per-vector checksum and reconstruction MSE.
+
+    Scale: per-row array arithmetic only — a stateless JVM projection
+    with zero shuffle, which is why quantizing 100 TB of vectors is
+    an embarrassingly parallel rewrite. Determinism: the per-vector
+    reduction runs dim-by-dim IN ORDER on both engines (array fold,
+    not a distributed agg), so double accumulation is bit-identical;
+    squares are spelled e*e (not pow) to keep the instruction stream
+    the same."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    d2 = e.select("vec_id", v.alias("v"), mx.alias("mx")).filter(F.col("mx") > 0)
+
+    def _q(x):
+        return F.round(127 * x / F.col("mx"))
+
+    def _err2(x):
+        err = x - _q(x) * F.col("mx") / 127
+        return err * err
+
+    return d2.select(
+        "vec_id",
+        F.round("mx", 6).alias("max_abs"),
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: _q(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_q"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("v"), _err2),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("v"),
+            12,
+        ).alias("mse"),
+    )
