@@ -783,3 +783,43 @@ def q88_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("mse"),
     )
+
+
+@register(
+    "q89_incremental_dedup",
+    """
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+    ),
+    incoming AS (
+      SELECT doc_id, md5(text) AS h, n_chars FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT i.doc_id, i.h AS content_hash, i.n_chars
+    FROM incoming i LEFT JOIN hist ON i.h = hist.h
+    WHERE hist.h IS NULL
+    """,
+)
+def q89_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an arriving batch (doc_id % 10 = 0
+    stands in for "today's crawl") keeps only documents whose content
+    hash is absent from the historical corpus — the anti-join every
+    continuously-growing training set runs at ingest, so duplicate
+    content never enters downstream stages.
+
+    Scale: LEFT ANTI join on the hash — the history side is a
+    DISTINCT hash projection (one narrow column, not the corpus), and
+    hashes distribute uniformly so the shuffle has no skew by
+    construction. In production the distinct-hash set is the rollup
+    the pipeline maintains incrementally (store hashes, not text)."""
+    d = _t(spark, sf_dir, "documents")
+    hist = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    incoming = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.md5("text").alias("content_hash"), "n_chars"
+    )
+    return incoming.join(
+        hist, incoming.content_hash == hist.h, "left_anti"
+    )
