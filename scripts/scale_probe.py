@@ -60,6 +60,9 @@ PROBES = [
     "q82_event_transitions",
     "q83_local_supplier_volume",
     "q84_priority_exists",
+    "q87_mixture_rebalance",
+    "q88_embedding_quantize",
+    "q89_incremental_dedup",
 ]
 
 

@@ -174,3 +174,21 @@ def test_q84_exists_is_semi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q84_priority_exists")
     assert "LeftSemi" in plan
     assert "NestedLoop" not in plan
+
+
+def test_q87_rate_derivation_broadcasts_back(spark, sf_dir):
+    """The derived rate table must broadcast; the corpus-side
+    rebalance is a map-side filter, not a corpus shuffle."""
+    plan = plan_of(spark, sf_dir, "q87_mixture_rebalance")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q88_quantize_has_no_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q88_embedding_quantize")
+    assert "Exchange" not in plan
+
+
+def test_q89_incremental_dedup_is_anti_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q89_incremental_dedup")
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
