@@ -90,3 +90,120 @@ def decode_features(
             yield pd.DataFrame(rows)
 
     return framed.mapInPandas(run, schema=feature_schema(id_col))
+
+
+def sample_frames(
+    framed: DataFrame,
+    n_frames: int = 4,
+    decode_stub: str = "fake",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-to-many frame sampling (the video path): each payload
+    yields ``n_frames`` rows, one per uniformly-sampled frame.
+
+    Scale notes: ``mapInPandas`` with a 1->N output batch shape —
+    still partition-preserving (no shuffle), and the fan-out factor
+    is a constant, so downstream cardinality is predictable
+    (n_inputs * n_frames). With the ``"fake"`` codec a "frame" is the
+    sha256 of the payload's i-th byte-slice — deterministic and
+    content-derived, so tests pin exact values; ``"raise"`` marks the
+    ffmpeg/pyav call site."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if decode_stub == "raise":
+                    raise NotImplementedError(
+                        "video codec not available in this environment; "
+                        "plug an ffmpeg/pyav frame sampler here"
+                    )
+                n = max(len(payload), 1)
+                step = max(n // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = payload[i * step : (i + 1) * step] or b"\x00"
+                    rows.append(
+                        {
+                            id_col: r[id_col],
+                            "frame_idx": i,
+                            "frame_offset": min(i * step, n - 1),
+                            "frame_hash": hashlib.sha256(chunk).hexdigest(),
+                            "frame_bytes": len(chunk),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return framed.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, frame_idx int, frame_offset long, "
+            "frame_hash string, frame_bytes long"
+        ),
+    )
+
+
+def resize_payload(
+    framed: DataFrame,
+    width: int,
+    height: int,
+    decode_stub: str = "fake",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Payload-to-payload transform (the resize path): emits a new
+    frame with transformed bytes, updated metadata and a NEW content
+    hash (content addressing means any byte change re-addresses).
+
+    Scale notes: payload-in/payload-out keeps the operator closed
+    under composition (resize |> decode_features |> ...); no shuffle.
+    The ``"fake"`` codec derives exactly width*height*3 bytes from
+    the source hash so size accounting is test-pinned."""
+
+    def run(batches):
+        import pandas as pd
+
+        target = width * height * 3
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if decode_stub == "raise":
+                    raise NotImplementedError(
+                        "image codec not available in this environment; "
+                        "plug a PIL resize here"
+                    )
+                seed = hashlib.sha256(payload).digest()
+                buf = (seed * (target // len(seed) + 1))[:target]
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "payload": buf,
+                        "mime": r["meta"]["mime"],
+                        "origin": r["meta"]["origin"],
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    out = framed.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, payload binary, mime string, origin string, "
+            "width int, height int"
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("payload"),
+        F.struct(
+            F.col("mime"),
+            F.col("origin"),
+            F.length("payload").alias("n_bytes"),
+            F.col("width"),
+            F.col("height"),
+        ).alias("meta"),
+        F.sha2("payload", 256).alias("content_hash"),
+    )

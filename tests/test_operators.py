@@ -176,3 +176,41 @@ def test_tf_idf_values(spark):
     }
     assert out[(1, "x")] == (1, 2)
     assert out[(1, "y")] == (1, 1)
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    """1->N frame fan-out: deterministic count, content-derived
+    hashes, no shuffle in the plan."""
+    from file_appender_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    framed = frame_payload(
+        d, "doc_id", F.encode("text", "UTF-8"), "video/fake", "source"
+    )
+    frames = sample_frames(framed, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 80  # 20 inputs x 4 frames
+    assert {r.frame_idx for r in rows} == {0, 1, 2, 3}
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # determinism: re-running yields identical hashes
+    again = {(r.doc_id, r.frame_idx): r.frame_hash for r in frames.collect()}
+    assert all(again[(r.doc_id, r.frame_idx)] == r.frame_hash for r in rows)
+
+
+def test_multimodal_resize_readdresses_content(spark, sf_dir):
+    from file_appender_spark.operators.multimodal import resize_payload
+
+    d = load_table(spark, sf_dir, "documents").limit(5)
+    framed = frame_payload(
+        d, "doc_id", F.encode("text", "UTF-8"), "image/fake", "source"
+    )
+    resized = resize_payload(framed, width=8, height=8)
+    rows = resized.collect()
+    assert all(r.meta.n_bytes == 8 * 8 * 3 for r in rows)
+    assert all(r.meta.width == 8 and r.meta.height == 8 for r in rows)
+    old = {r.doc_id: r.content_hash for r in framed.collect()}
+    assert all(r.content_hash != old[r.doc_id] for r in rows)  # re-addressed
+    # composition: resized frames feed the decode stage unchanged
+    feats = decode_features(resized)
+    assert feats.count() == 5
