@@ -255,3 +255,22 @@ def test_tune_scan_splits_sizes_to_input(spark, sf_dir):
         assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == 4 * 1024 * 1024
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_tune_scan_splits_clamps_to_lake_default(spark, tmp_path):
+    """At lake scale the formula lands back on the 128 MB production
+    default (sparse file gives a multi-TB apparent size for free)."""
+    from file_appender_spark.sources.catalog import tune_scan_splits
+
+    big = tmp_path / "lineitem.parquet"
+    with open(big, "wb") as f:
+        f.truncate(2 * 1024**4)  # 2 TB apparent, 0 bytes on disk
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        tune_scan_splits(spark, str(tmp_path))
+        assert (
+            int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+            == 128 * 1024 * 1024
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
