@@ -152,3 +152,34 @@ def q66_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
         F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
     )
+
+
+@register(
+    "q90_rowwise_udf",
+    """
+    SELECT doc_id,
+           lang || ':' || CAST(n_chars % 97 AS VARCHAR)
+             || ':' || substr(md5(text), 1, 4) AS tag
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+)
+def q90_rowwise_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the declared `udf` surface of the
+    SURVEY §2 UDF row) computing a content tag; the SAME logic is
+    SQL-expressible, which is what makes it oracle-checkable.
+
+    Scale: this is deliberately the SLOW path — one Python call per
+    row with pickling on both sides; it exists because the API
+    surface must (users migrate gradually), but every production
+    query in this repo uses JVM expressions or Arrow-batched
+    pandas_udf instead. ~10-100x penalty vs both, measured in
+    SNIPPETS.md pattern [1] discussions."""
+    import hashlib
+
+    @F.udf(T.StringType())
+    def tag_udf(lang: str, n_chars: int, text: str) -> str:
+        h = hashlib.md5(text.encode("utf-8")).hexdigest()[:4]
+        return f"{lang}:{n_chars % 97}:{h}"
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    return d.select("doc_id", tag_udf("lang", "n_chars", "text").alias("tag"))
