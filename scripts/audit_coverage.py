@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Docs-vs-code audit: every registered query must appear in
+COVERAGE.md, every qNN mentioned in COVERAGE.md must exist in the
+registry, and every query must have an oracle unless explicitly
+rows-only. Exit 1 on drift — run before ending a work round.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# rows-only queries (no oracle) must be deliberate, listed here
+ROWS_ONLY_ALLOWED = {"q66_approx_aggs"}
+
+
+def main() -> int:
+    from file_appender_spark.queries import QUERIES
+
+    cov = open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")).read()
+    # COVERAGE rows may cite short ids ("q05", "string q30"); compare
+    # by the qNN[letter] id, not the full slug
+    mentioned = {m.group(1) for m in re.finditer(r"\b(q\d+[a-z]?)(_[a-z0-9_]+)?\b", cov)}
+    registered = {name.split("_", 1)[0]: name for name in QUERIES}
+
+    problems = []
+    for qid in sorted(set(registered) - mentioned):
+        problems.append(f"registered but not in COVERAGE.md: {registered[qid]}")
+    for qid in sorted(mentioned - set(registered)):
+        problems.append(f"in COVERAGE.md but not registered: {qid}")
+    for name, spec in sorted(QUERIES.items()):
+        if spec.oracle is None and name not in ROWS_ONLY_ALLOWED:
+            problems.append(f"query without oracle not allow-listed: {name}")
+        if name in ROWS_ONLY_ALLOWED and spec.oracle is not None:
+            problems.append(f"allow-listed rows-only query HAS an oracle: {name}")
+
+    if problems:
+        print("\n".join(problems))
+        return 1
+    print(f"ok: {len(registered)} queries, docs and registry in sync")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

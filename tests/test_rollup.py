@@ -109,3 +109,47 @@ def test_merge_is_idempotent_and_partition_scoped(spark, sf_dir, tmp_path):
         & (F.col("event_type") == base.event_type)
     ).collect()[0]
     assert got_row.n_events == base.n_events + 100
+
+
+def test_rollup_resumes_from_checkpoint(spark, chunked_events_dir, tmp_path):
+    """Stop the maintenance stream, let new data arrive, restart with
+    the SAME checkpoint: the rollup must continue incrementally (no
+    reprocessing from zero) and converge to the batch truth."""
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    chunks = sorted(glob.glob(chunked_events_dir + "/*.parquet"))
+    shutil.copy(chunks[0], src + "/c0.parquet")
+    shutil.copy(chunks[1], src + "/c1.parquet")
+    rollup_dir, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    schema = spark.read.parquet(chunked_events_dir).schema
+
+    def start():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        return continuous_rollup(
+            stream, rollup_dir, ckpt, window="1 hour", watermark="1 day"
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    partial = spark.read.parquet(rollup_dir)
+    n_partial = partial.count()
+    assert n_partial > 0
+    # new data lands while the job is down
+    shutil.copy(chunks[2], src + "/c2.parquet")
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    got = spark.read.parquet(rollup_dir).drop("window_date")
+    want = _batch_truth(spark, src)
+    assert _canon(got) == _canon(want)
