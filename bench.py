@@ -100,6 +100,42 @@ def main() -> None:
     except Exception as exc:  # extras must never break the bench contract
         print(f"# extras skipped: {exc}", file=sys.stderr)
 
+    # sink throughput extras: the reference's core capability — write
+    # lineitem as delimited text via (a) the compat append protocol
+    # (A1-A15: election, append-into-files, rotation) and (b) the
+    # idiomatic write.text fast path. Reported as rows/sec so the
+    # single-node comparison to the reference is direct.
+    try:
+        import shutil
+        import tempfile
+
+        from file_appender_spark.config import AppendSinkConfig
+        from file_appender_spark.sinks.append_text import append_text, append_text_fast
+        from file_appender_spark.sources.catalog import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        n_rows = li.count()
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            append_text(
+                li,
+                AppendSinkConfig(output_dir=os.path.join(td, "compat"), file_prefix="li"),
+                run_ts_ms=0,
+            )
+            dt = time.perf_counter() - t0
+            extras["append_sink_rows_per_sec"] = int(n_rows / dt)
+            t0 = time.perf_counter()
+            append_text_fast(li, os.path.join(td, "fast"))
+            dt_fast = time.perf_counter() - t0
+            extras["text_sink_rows_per_sec"] = int(n_rows / dt_fast)
+        print(
+            f"# append sink: {extras['append_sink_rows_per_sec']} rows/s compat, "
+            f"{extras['text_sink_rows_per_sec']} rows/s idiomatic ({n_rows} rows)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# sink extras skipped: {exc}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
