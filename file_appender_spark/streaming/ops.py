@@ -195,3 +195,50 @@ def stream_to_append_sink(
         .queryName(query_name)
         .start()
     )
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on the Spark 4 stateful API
+    (``transformWithStateInPandas``): typed ValueState per key,
+    update-mode emission — the successor to applyInPandasWithState
+    (same semantics as :func:`running_totals_with_state`, kept side
+    by side so users can migrate API-by-API). Runtime requirement:
+    the TWS state protocol speaks protobuf — in environments without
+    ``google.protobuf`` (this container), the applyInPandasWithState
+    twin is the supported path.
+
+    Scale notes: state is one (count, sum) pair per user in the state
+    store — O(keys), incrementally checkpointed; each micro-batch
+    touches only the keys present in that batch. ValueState supports
+    a TTL (``ttlDurationMs``) for keys that must expire at 100 TB
+    cardinalities; unbounded user counts would set it."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = 0, 0.0
+            if self._state.exists():
+                prev = self._state.get()
+                n, total = int(prev[0]), float(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -242,3 +242,33 @@ def test_foreach_batch_drives_append_sink(spark, events_dir, tmp_path):
         with open(os.path.join(out, f), "rb") as fh:
             n_lines += len(fh.read().decode("utf-8").splitlines())
     assert n_lines == spark.read.parquet(events_dir).count()
+
+
+def test_transform_with_state_running_totals(spark, events_dir):
+    """Spark-4 stateful API twin of the applyInPandasWithState op:
+    after all micro-batches, the latest per-user emission equals the
+    batch aggregate."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires protobuf at runtime",
+    )
+    from file_appender_spark.streaming.ops import running_totals_tws
+
+    stream = read_event_stream(spark, events_dir)
+    got = run_stream(
+        spark, running_totals_tws(stream), "tws_totals", mode="update"
+    )
+    # update mode re-emits a key per batch: keep the LAST emission
+    # (max n_events — counts only grow)
+    latest = (
+        got.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+        )
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, batch.collect()))
