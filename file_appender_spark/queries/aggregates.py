@@ -196,3 +196,48 @@ def q20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("F", F.lit(0.0)), 2).alias("qty_F"),
         )
     )
+
+
+@register(
+    "q91_unpivot_measures",
+    """
+    SELECT measure, l_returnflag,
+           count(*)                 AS n,
+           round(sum(value), 2)     AS total,
+           round(avg(value), 6)     AS mean
+    FROM (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    GROUP BY measure, l_returnflag
+    """,
+)
+def q91_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (``DataFrame.unpivot`` / MELT) of three
+    lineitem measures, then per-(measure, flag) stats — the reshaping
+    step feeding any generic per-metric dashboard or drift monitor.
+
+    Scale: unpivot is a zero-shuffle 3x row projection (one scan; the
+    oracle's UNION ALL spelling would scan three times if taken
+    literally — Spark's unpivot never re-reads); the aggregate
+    map-side-combines to |measures| x |flags| = 9 groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "extendedprice")
+        .otherwise("discount"),
+    )
+    return long.groupBy("measure", "l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+    )
