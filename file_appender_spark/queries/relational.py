@@ -594,3 +594,84 @@ def q84_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register(
+    "q92_lateral_topk",
+    """
+    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_custkey % 50 = 0
+    """,
+)
+def q92_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (each
+    customer's two biggest orders) — the SQL spelling of per-group
+    top-k.
+
+    Scale: Catalyst decorrelates the lateral into a join + per-key
+    limit instead of running one subquery per outer row; semantics
+    and output match the window-function top-k (q25), and the total
+    order (price DESC, then key) makes the cut deterministic."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey % 50 = 0
+        """
+    )
+
+
+@register(
+    "q93_recursive_spine",
+    """
+    WITH RECURSIVE spine(week_start) AS (
+      SELECT TIMESTAMP '2024-01-01'
+      UNION ALL
+      SELECT week_start + INTERVAL 7 DAY FROM spine
+      WHERE week_start + INTERVAL 7 DAY <= TIMESTAMP '2024-03-04'
+    )
+    SELECT s.week_start, count(e.event_id) AS n_events
+    FROM spine s
+    LEFT JOIN events e ON date_trunc('week', e.ts) = s.week_start
+    GROUP BY s.week_start
+    """,
+)
+def q93_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4) generating a weekly date spine, LEFT
+    JOINed to event counts so EMPTY weeks surface as zeros — the
+    gaps-in-time-series report a bare GROUP BY cannot produce.
+
+    Scale: the recursion materializes O(weeks) rows on the driver
+    side of the plan (trivially small at any data scale) and the
+    spine joins the fact table on an equi key (week truncation), so
+    the fact side shuffles once; no per-week rescan."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(week_start) AS (
+          SELECT TIMESTAMP '2024-01-01'
+          UNION ALL
+          SELECT week_start + INTERVAL '7' DAY FROM spine
+          WHERE week_start + INTERVAL '7' DAY <= TIMESTAMP '2024-03-04'
+        )
+        SELECT s.week_start, count(e.event_id) AS n_events
+        FROM spine s
+        LEFT JOIN events e ON date_trunc('week', e.ts) = s.week_start
+        GROUP BY s.week_start
+        """
+    )
