@@ -357,3 +357,41 @@ def q86_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(nums).alias("n_nums"),
         F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).alias("k_val"),
     )
+
+
+@register(
+    "q94_variant_extract",
+    """
+    SELECT event_type,
+           count(*)                                                  AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q94_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once, then typed path extraction — the open-schema
+    column pattern (store anything, pay typed-access cost only for
+    the paths you touch).
+
+    Scale: VARIANT stores a parsed binary form, so repeated path
+    extraction never re-parses the JSON text (unlike
+    get_json_object, which parses per call — q35 covers that
+    surface); shredded parquet writes make the touched paths
+    columnar. The oracle spells the same extraction with DuckDB's
+    json_extract."""
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
