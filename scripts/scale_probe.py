@@ -63,6 +63,10 @@ PROBES = [
     "q87_mixture_rebalance",
     "q88_embedding_quantize",
     "q89_incremental_dedup",
+    "q91_unpivot_measures",
+    "q92_lateral_topk",
+    "q93_recursive_spine",
+    "q94_variant_extract",
 ]
 
 

@@ -192,3 +192,27 @@ def test_q89_incremental_dedup_is_anti_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q89_incremental_dedup")
     assert "LeftAnti" in plan
     assert "NestedLoop" not in plan
+
+
+def test_q91_unpivot_is_single_scan_expand(spark, sf_dir):
+    """unpivot must be one scan + Expand; the UNION ALL spelling
+    would read lineitem three times."""
+    plan = plan_of(spark, sf_dir, "q91_unpivot_measures")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_q92_lateral_decorrelates_to_window_limit(spark, sf_dir):
+    """The LATERAL ORDER BY/LIMIT must decorrelate — per-outer-row
+    subquery execution would be O(customers) scans."""
+    plan = plan_of(spark, sf_dir, "q92_lateral_topk")
+    assert "WindowGroupLimit" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q94_variant_parses_in_projection(spark, sf_dir):
+    """VARIANT extraction stays a stateless projection feeding a
+    5-group aggregate — no shuffle beyond the tiny agg exchange."""
+    plan = plan_of(spark, sf_dir, "q94_variant_extract")
+    assert plan.count("Exchange") <= 2
+    assert "variant_get" in plan or "VariantGet" in plan.lower() or "parse_json" in plan
