@@ -49,11 +49,15 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query; similarity rounded BEFORE ranking
     with an id tie-break so the ordering is total."""
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    q = queries.select(F.col(qid_col), _as_double(F.col(vec_col)).alias("qv"))
+    # norms per row, not per pair: one codegen'd fold per candidate
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    q = queries.select(
+        F.col(qid_col), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     cos = F.round(
-        _dot(F.col("qv"), F.col("v"))
-        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
         round_dp,
     )
     scored = (
@@ -160,7 +164,7 @@ def ivf_topk(
     model = km.fit(c)
     assigned = model.transform(c).select(
         id_col, "v", F.col("prediction").alias("cell")
-    )
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
     cent_df = spark.createDataFrame(
@@ -183,10 +187,10 @@ def ivf_topk(
         qc.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select(qid_col, "qv", "cell")
+        .withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     )
     cos = F.round(
-        _dot(F.col("qv"), F.col("v"))
-        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
         6,
     )
     scored = (

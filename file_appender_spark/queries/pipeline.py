@@ -497,15 +497,23 @@ def q74_ann_ivf_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.element_at("v", 2) > 0, 2).otherwise(0)
         + F.when(F.element_at("v", 3) > 0, 1).otherwise(0)
     )
-    cells = vecs.withColumn("cell", cell)
-    queries = cells.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell"
-    )
-
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
+
+    # norms hoisted per row (not per candidate pair): one fold per
+    # pair survives, and it stays inside codegen — same 20x effect
+    # as q54, values bit-identical
+    cells = vecs.withColumn("cell", cell).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    queries = cells.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        "cell",
+        F.col("nrm").alias("qnrm"),
+    )
 
     scored = (
         queries.join(cells, "cell")
@@ -514,11 +522,7 @@ def q74_ann_ivf_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "vec_id",
             F.round(
-                dot(F.col("qv"), F.col("v"))
-                / (
-                    F.sqrt(dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(dot(F.col("v"), F.col("v")))
-                ),
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("cos_sim"),
         )
