@@ -43,6 +43,7 @@ PROBES = [
     "q25_topk_per_group",
     "q50_dedup_exact",
     "q52_minhash_lsh",
+    "q54_similarity_topk",
     "q58_tfidf",
     # training-data curation + embedding analytics tranche
     "q67_hash_split",
