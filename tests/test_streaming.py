@@ -272,3 +272,39 @@ def test_transform_with_state_running_totals(spark, events_dir):
         .agg(F.count("*").alias("n_events"))
     )
     assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_progress_collector_captures_metrics(spark, events_dir):
+    from file_appender_spark.streaming.monitor import ProgressCollector
+
+    collector = ProgressCollector().attach(spark)
+    try:
+        stream = read_event_stream(spark, events_dir)
+        got = run_stream(
+            spark,
+            windowed_counts(stream, window="1 hour"),
+            "monitored_counts",
+            mode="complete",
+        )
+        assert got.count() > 0
+        # the listener bus is async: wait until the row total stops
+        # growing (bounded), then assert on the drained snapshot
+        import time
+
+        prev = -1
+        for _ in range(20):
+            rows = collector.totals()["rows"]
+            if rows == prev and rows > 0:
+                break
+            prev = rows
+            time.sleep(0.5)
+        records = collector.snapshot()
+        assert records, "no progress events captured"
+        mine = [r for r in records if r["query_name"] == "monitored_counts"]
+        assert mine
+        totals = collector.totals()
+        assert totals["rows"] > 0
+        assert totals["batches"] >= 1
+        assert totals["max_batch_ms"] is not None
+    finally:
+        collector.detach(spark)
