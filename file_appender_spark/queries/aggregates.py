@@ -241,3 +241,35 @@ def q91_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total"),
         F.round(F.avg("value"), 6).alias("mean"),
     )
+
+
+@register(
+    "q95_listagg",
+    """
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, '|' ORDER BY c_mktsegment, c_custkey) AS segs,
+           count(*) AS n
+    FROM customer
+    WHERE c_custkey % 40 = 0
+    GROUP BY c_nationkey
+    """,
+)
+def q95_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP, the SQL
+    2016 ordered-set aggregate Spark 4 added) — deterministic because
+    the WITHIN GROUP ordering is total (segment, then custkey).
+
+    Scale: one shuffle on the group key; the ordered aggregation
+    sorts within each group's partial state, never globally."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               listagg(c_mktsegment, '|')
+                 WITHIN GROUP (ORDER BY c_mktsegment, c_custkey) AS segs,
+               count(*) AS n
+        FROM customer
+        WHERE c_custkey % 40 = 0
+        GROUP BY c_nationkey
+        """
+    )
