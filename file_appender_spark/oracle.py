@@ -46,11 +46,20 @@ def canonical_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register the driver tables as DuckDB views. Handles both a
+    single parquet FILE per table (the driver's layout) and a
+    Spark-written dataset DIRECTORY of part files (e.g. the 10x
+    scale-probe replicas)."""
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        if os.path.isdir(path):
+            pattern = os.path.join(path, "*.parquet")
+        elif os.path.exists(path):
+            pattern = path
+        else:
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
     return con
 
 

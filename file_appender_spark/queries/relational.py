@@ -25,6 +25,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+
+# --- deterministic money arithmetic -----------------------------------------
+# Double sums are order-dependent (a cent flipped at the 10x probe), and
+# even double->DECIMAL conversion differs between engines near scale
+# boundaries (Spark converts via the shortest decimal string, DuckDB via
+# the exact binary expansion). The only fully cross-engine-deterministic
+# pipeline is integer arithmetic: scale each value to exact 1e-4 units
+# with floor(x*10000 + 0.5) (multiply/add/floor are IEEE ops that yield
+# bit-identical doubles on every engine), sum the BIGINTs exactly, and
+# round to cents with integer half-up. Sums stay far under 2^53, so every
+# intermediate double is exact.
+
+
+def _money_sum_2dp(col_expr):
+    scaled = F.floor(col_expr * 10000 + F.lit(0.5)).cast("bigint")
+    cents = F.floor((F.sum(scaled) + 50) / 100.0).cast("bigint")
+    return cents / 100.0
+
+
+def _money_avg_4dp(col_expr):
+    scaled = F.floor(col_expr * 10000 + F.lit(0.5)).cast("bigint")
+    units = F.floor(F.sum(scaled) / F.count(F.lit(1)) + 0.5).cast("bigint")
+    return units / 10000.0
+
+
+def _sql_money_sum_2dp(expr: str) -> str:
+    return (
+        f"CAST(floor((sum(CAST(floor(({expr}) * 10000 + 0.5) AS BIGINT)) + 50)"
+        " / 100.0) AS BIGINT) / 100.0"
+    )
+
+
+def _sql_money_avg_4dp(expr: str) -> str:
+    return (
+        f"CAST(floor(sum(CAST(floor(({expr}) * 10000 + 0.5) AS BIGINT))"
+        " / count(*) + 0.5) AS BIGINT) / 10000.0"
+    )
+
+
 # --------------------------------------------------------------------------
 # Flagship: TPC-H Q1 pricing summary (scan + pushdown filter + agg + sort)
 # --------------------------------------------------------------------------
@@ -34,13 +73,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           CAST(floor((sum(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0 AS sum_qty,
+           CAST(floor((sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0 AS sum_disc_price,
+           CAST(floor((sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0 AS sum_charge,
+           CAST(floor(sum(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) / count(*) + 0.5) AS BIGINT) / 10000.0 AS avg_qty,
+           CAST(floor(sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) / count(*) + 0.5) AS BIGINT) / 10000.0 AS avg_price,
+           CAST(floor(sum(CAST(floor((l_discount) * 10000 + 0.5) AS BIGINT)) / count(*) + 0.5) AS BIGINT) / 10000.0 AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -51,7 +90,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape. Scale: filter + projection push into the parquet
     scan (PushedFilters in explain); aggregation is partial+final with
-    only 4 groups, so the shuffle is tiny regardless of input size."""
+    only 4 groups, so the shuffle is tiny regardless of input size.
+
+    Money/quantity aggregates use the integer-scaled pipeline (see
+    _money_sum_2dp): per-row floor(x*1e4+0.5) is bit-identical on
+    every engine, the BIGINT sum is exact under any partitioning, and
+    cent-rounding happens in integer space — double sums of ~1e10
+    flipped the last rounded cent at the 10x probe, and double→DECIMAL
+    conversion itself differs between engines near scale boundaries
+    (Spark converts via the shortest decimal string, DuckDB via the
+    exact binary value)."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -59,13 +107,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _money_sum_2dp(F.col("l_quantity")).alias("sum_qty"),
+            _money_sum_2dp(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum_2dp(disc_price).alias("sum_disc_price"),
+            _money_sum_2dp(charge).alias("sum_charge"),
+            _money_avg_4dp(F.col("l_quantity")).alias("avg_qty"),
+            _money_avg_4dp(F.col("l_extendedprice")).alias("avg_price"),
+            _money_avg_4dp(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -106,7 +154,7 @@ def q01b_selective_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q01c_shipping_priority",
     """
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(floor((sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0 AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -134,8 +182,8 @@ def q01c_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum_2dp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -242,7 +290,7 @@ def q04_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_join_inner",
     """
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(floor((sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0 AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -257,7 +305,12 @@ def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way inner equi-join (TPC-H Q5 shape). Scale: nation (25
     rows) is explicitly broadcast; lineitem⋈orders is the one real
     shuffle and AQE handles skew. Filter on o_orderdate prunes before
-    the join."""
+    the join.
+
+    Money uses the integer-scaled pipeline (_money_sum_2dp): exact
+    BIGINT accumulation under any partitioning — double sums of ~1e10
+    flipped the last rounded cent between engines at the 10x probe
+    scale (and would at 100 TB in any two runs)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
@@ -270,8 +323,8 @@ def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum_2dp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -504,7 +557,7 @@ def q13_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q83_local_supplier_volume",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0 AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -550,8 +603,8 @@ def q83_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum_2dp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
