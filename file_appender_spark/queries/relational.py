@@ -468,7 +468,7 @@ def q11_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bands(band, lo, hi) AS (VALUES ('xs', 0, 10), ('s', 10, 20),
                                         ('m', 20, 35), ('l', 35, 100))
-    SELECT b.band, count(*) AS n_items, round(sum(l.l_extendedprice), 2) AS band_price
+    SELECT b.band, count(*) AS n_items, CAST(floor((sum(CAST(floor((l.l_extendedprice) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0 AS band_price
     FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
     GROUP BY b.band
     """,
@@ -490,7 +490,7 @@ def q12_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("band_price"),
+            _money_sum_2dp(F.col("l_extendedprice")).alias("band_price"),
         )
     )
 
