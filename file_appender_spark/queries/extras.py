@@ -258,3 +258,63 @@ def q78_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "q96_session_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, session_idx,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sessioned
+      GROUP BY user_id, session_idx
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    HAVING count(*) >= 5
+    """,
+)
+def q96_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: each session becomes its ordered
+    event-type string ("view>click>purchase"), then paths occurring
+    >= 5 times are counted — the how-do-users-actually-navigate
+    query behind every funnel redesign.
+
+    Scale: sessionization and the per-session LISTAGG share the same
+    user_id partitioning (one shuffle of events); the path-frequency
+    aggregate then map-side-combines — distinct paths, not sessions,
+    cross the second (tiny) exchange. The WITHIN GROUP ordering is
+    total (ts, event_id), so every engine builds the same string."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=1800, order_tiebreak="event_id"
+    )
+    s.createOrReplaceTempView("sessioned_events")
+    paths = spark.sql(
+        """
+        SELECT user_id, session_idx,
+               listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id) AS path
+        FROM sessioned_events
+        GROUP BY user_id, session_idx
+        """
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+    )
