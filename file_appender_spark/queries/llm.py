@@ -828,3 +828,66 @@ def q89_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(
         hist, incoming.content_hash == hist.h, "left_anti"
     )
+
+
+@register(
+    "q99_bm25",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    corpus AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n_docs
+      FROM dl
+    )
+    SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+           round(
+             ln(1.0 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)),
+             6) AS bm25
+    FROM tf
+    JOIN dl USING (doc_id)
+    JOIN dft USING (term)
+    CROSS JOIN corpus
+    WHERE tf.doc_id % 25 = 0 AND length(tf.term) > 5
+    """,
+)
+def q99_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scores (k1=1.2, b=0.75) for every
+    (probed-doc, term) pair: idf = ln(1 + (N-df+0.5)/(df+0.5)) with
+    the standard tf saturation / doc-length normalization — the exact
+    ranking function behind lexical retrieval in dedup-and-retrieve
+    curation stacks.
+
+    Scale: tf, per-doc length and df are all partial aggregates on one
+    tokenized scan (at 100 TB you persist the tokenized view or reuse
+    the inverted index of q70); the corpus row (N, avgdl) is a 1-row
+    broadcast; the df join is keyed on term — Zipf head skew is
+    handled by AQE skew-join (session default). avgdl is an exact
+    integer sum divided once, so both engines derive the identical
+    double."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", _WS)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dft = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    corpus = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    sat = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(dft, "term")
+        .crossJoin(F.broadcast(corpus))
+        .filter((F.col("doc_id") % 25 == 0) & (F.length("term") > 5))
+        .select("doc_id", "term", "tf", "df", F.round(idf * sat, 6).alias("bm25"))
+    )

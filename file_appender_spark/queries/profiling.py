@@ -219,3 +219,147 @@ def q82_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_us").alias("sum_gap_us"),
         )
     )
+
+
+@register(
+    "q97_regression",
+    """
+    SELECT l_returnflag,
+           count(*)                                            AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4)   AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 3) AS icpt,
+           round(regr_r2(l_extendedprice, l_quantity), 6)      AS r2,
+           round(corr(l_extendedprice, l_quantity), 6)         AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 1)   AS covar_pq
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q97_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of extendedprice on
+    quantity via the SQL:2016 ``regr_*`` ordered-pair aggregates
+    (slope, intercept, R^2) plus Pearson correlation and sample
+    covariance — the drift/feature-correlation screen a curation
+    pipeline runs per data source.
+
+    Scale: every ``regr_*`` aggregate is a streaming moment
+    accumulator (sum, sum-of-squares, co-moment) with partial+final
+    combine, so one map-side-combined shuffle to |flags| = 3 groups
+    carries the whole fit; no second pass, no collect. Rounding is
+    magnitude-scaled (covar ~1e5 -> 1 dp) so the engines' different
+    accumulation orders cannot flip a printed digit."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 3).alias("icpt"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.corr(y, x), 6).alias("corr_pq"),
+        F.round(F.covar_samp(y, x), 1).alias("covar_pq"),
+    )
+
+
+@register(
+    "q98_decile_stats",
+    """
+    WITH d AS (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT o_orderpriority, decile,
+           count(*)                   AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           CAST(floor((sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) + 50)
+                / 100.0) AS BIGINT) / 100.0 AS total
+    FROM d
+    GROUP BY o_orderpriority, decile
+    """,
+)
+def q98_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning: per order-priority deciles of
+    o_totalprice (ntile over a totally-ordered window — price ties
+    broken by o_orderkey so tile assignment is deterministic), then
+    per-bin count / bounds / integer-scaled exact total.
+
+    Scale: the window partitions by priority, so the sort is
+    per-partition, never global; a GLOBAL ntile would serialize on one
+    task — at 100 TB you'd range-partition on the order column and
+    add per-partition rank offsets with the two-phase scheme of
+    ``operators/prefix_sum.py``. The money total uses the bulletproof
+    integer-cents pipeline (see relational._money_sum_2dp)."""
+    from file_appender_spark.queries.relational import _money_sum_2dp
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    d = o.select(
+        "o_orderpriority", "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return d.groupBy("o_orderpriority", "decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        _money_sum_2dp(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "q100_mad_outliers",
+    """
+    WITH med AS (
+      SELECT c_mktsegment, median(c_acctbal) AS med
+      FROM customer GROUP BY c_mktsegment
+    ),
+    dev AS (
+      SELECT c.c_mktsegment, med.med,
+             abs(c.c_acctbal - med.med) AS adev
+      FROM customer c JOIN med USING (c_mktsegment)
+    ),
+    madt AS (
+      SELECT c_mktsegment, median(adev) AS mad
+      FROM dev GROUP BY c_mktsegment
+    )
+    SELECT d.c_mktsegment,
+           count(*)             AS n,
+           round(min(d.med), 4) AS med,
+           round(min(m.mad), 4) AS mad,
+           sum(CASE WHEN d.adev > 1.5 * m.mad THEN 1 ELSE 0 END) AS n_out
+    FROM dev d JOIN madt m USING (c_mktsegment)
+    GROUP BY d.c_mktsegment
+    """,
+)
+def q100_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per market segment: median absolute
+    deviation (median-of-|x - median|) and the count of accounts
+    deviating more than 1.5 * MAD. The 1.5 threshold is deliberate:
+    acctbal is ~uniform, where max |dev| = 2 * MAD, so a 2x threshold
+    would sit exactly on a float-equality boundary (cf. the q77
+    z-score lesson) — 1.5 flags the top ~quarter robustly.
+
+    Scale: two exact per-group medians (sort-based aggregate within
+    each segment's partition) and two broadcast joins of the 5-row
+    stats tables back onto the fact — no global sort, no self-join of
+    the fact table against itself. Both engines interpolate the
+    even-count median as lower + (upper-lower)*0.5 on identical
+    doubles, and every emitted float is rounded magnitude-aware."""
+    c = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    med = c.groupBy("c_mktsegment").agg(F.median("c_acctbal").alias("med"))
+    dev = c.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment", "med", F.abs(F.col("c_acctbal") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("c_mktsegment").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("med"), 4).alias("med"),
+            F.round(F.min("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 1.5 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_out"),
+        )
+    )

@@ -216,3 +216,40 @@ def test_q94_variant_parses_in_projection(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q94_variant_extract")
     assert plan.count("Exchange") <= 2
     assert "variant_get" in plan or "VariantGet" in plan.lower() or "parse_json" in plan
+
+
+def test_q97_regression_is_one_pass_agg(spark, sf_dir):
+    """The regr_*/corr/covar family must plan as ONE partial+final
+    aggregate over a single scan — a naive mean-then-residual spelling
+    would scan lineitem twice and join the means back."""
+    plan = plan_of(spark, sf_dir, "q97_regression")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_q98_decile_window_is_per_partition(spark, sf_dir):
+    """ntile partitions by priority: the plan must sort within hash
+    partitions, never collapse to a single partition (a global ntile
+    would serialize the whole table through one task)."""
+    plan = plan_of(spark, sf_dir, "q98_decile_stats")
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Sort") == 1
+    assert "Window" in plan
+
+
+def test_q99_bm25_corpus_stats_broadcast(spark, sf_dir):
+    """The 1-row (N, avgdl) corpus aggregate must broadcast; the
+    tf-df join stays a shuffle on term."""
+    plan = plan_of(spark, sf_dir, "q99_bm25")
+    assert "BroadcastExchange" in plan
+
+
+def test_q100_mad_stats_join_back_broadcasts(spark, sf_dir):
+    """Every stats join-back (median, MAD, and the recomputed dev
+    branch feeding the MAD aggregate) broadcasts the 5-row table —
+    a sort-merge join here would shuffle customer for a dimension
+    that fits in one packet."""
+    plan = plan_of(spark, sf_dir, "q100_mad_outliers")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
