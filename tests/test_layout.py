@@ -77,3 +77,51 @@ def test_cluster_by_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
         if hi1 >= lo2
     )
     assert overlaps > 0
+
+
+def _containing_fraction(ranges, value) -> float:
+    """Fraction of files a point predicate on `value` must read."""
+    hits = sum(1 for lo, hi in ranges if lo <= value <= hi)
+    return hits / len(ranges)
+
+
+def test_zorder_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """The proof of the z-curve: after zorder_by on (custkey,
+    totalprice), footer min/max ranges prune files for point
+    predicates on EITHER column, while the linear cluster_by baseline
+    prunes only its leading column (every file spans ~the full range
+    of the other). Asserted from the same parquet footers a real
+    scan's skipping logic consults."""
+    from file_appender_spark.operators.layout import zorder_by
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 8
+
+    zdst = str(tmp_path / "zorder")
+    zorder_by(orders, ["o_custkey", "o_totalprice"], n_files).write.parquet(zdst)
+    ldst = str(tmp_path / "linear")
+    cluster_by(orders, ["o_custkey"], n_files).write.parquet(ldst)
+
+    med_ck, med_tp = (
+        orders.agg(
+            F.median("o_custkey").alias("ck"), F.median("o_totalprice").alias("tp")
+        ).collect()[0]
+    )
+
+    z_ck = _containing_fraction(file_key_ranges(zdst, "o_custkey"), med_ck)
+    z_tp = _containing_fraction(file_key_ranges(zdst, "o_totalprice"), med_tp)
+    l_ck = _containing_fraction(file_key_ranges(ldst, "o_custkey"), med_ck)
+    l_tp = _containing_fraction(file_key_ranges(ldst, "o_totalprice"), med_tp)
+
+    # linear: perfect on the clustered column, blind on the other
+    assert l_ck <= 2 / n_files
+    assert l_tp == 1.0
+    # z-order: real pruning on BOTH dimensions (8 files = 3 z-bits:
+    # ideal uniform split reads 1/2 of files per single-column point
+    # predicate; allow slack for quantile-sampling error)
+    assert z_ck <= 0.75
+    assert z_tp <= 0.75
+    # and round-trips the data
+    assert spark.read.parquet(zdst).count() == orders.count()
