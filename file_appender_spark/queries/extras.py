@@ -318,3 +318,50 @@ def q96_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sessions"))
         .filter(F.col("n_sessions") >= 5)
     )
+
+
+@register(
+    "q103_union_by_name",
+    """
+    WITH u AS (
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT c_custkey, c_acctbal, c_mktsegment, c_nationkey
+      FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT coalesce(c_mktsegment, 'legacy') AS segment,
+           count(*)                 AS n,
+           count(c_name)            AS n_name,
+           count(c_nationkey)       AS n_nation,
+           round(sum(c_acctbal), 2) AS bal
+    FROM u GROUP BY coalesce(c_mktsegment, 'legacy')
+    """,
+)
+def q103_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: two snapshots of the same table with
+    different column sets combine by NAME (missing columns become
+    NULL), then aggregate across the seam — the read-side half of
+    schema evolution, where a 100 TB lake always holds files written
+    under several historical schemas (the write-side mergeSchema
+    twin is tested in test_sources_sinks.py).
+
+    Scale: unionByName is a zero-shuffle plan union — each side keeps
+    its own scan and the null-padding is a projection; only the final
+    aggregate exchanges."""
+    c = _t(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "c_nationkey"
+    )
+    u = old.unionByName(new, allowMissingColumns=True)
+    return u.groupBy(
+        F.coalesce("c_mktsegment", F.lit("legacy")).alias("segment")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count("c_name").alias("n_name"),
+        F.count("c_nationkey").alias("n_nation"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal"),
+    )

@@ -891,3 +891,53 @@ def q99_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_id") % 25 == 0) & (F.length("term") > 5))
         .select("doc_id", "term", "tf", "df", F.round(idf * sat, 6).alias("bm25"))
     )
+
+
+@register(
+    "q101_word_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+    tot AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           count(*)   AS n_unique,
+           min(tot.n) AS n_tokens,
+           round(-sum((c * 1.0 / tot.n) * ln(c * 1.0 / tot.n)) / ln(2.0), 6)
+             AS word_entropy
+    FROM tf JOIN tot USING (doc_id)
+    WHERE tf.doc_id % 20 = 0
+    GROUP BY tf.doc_id
+    """,
+)
+def q101_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution (bits) —
+    the information-density quality signal that separates boilerplate
+    and keyword-stuffed spam (low entropy) from natural prose, used
+    alongside the q71 repetition stats in curation filters.
+
+    Scale: term frequencies partial-aggregate on the tokenized scan;
+    the per-doc total joins back on doc_id (same-key shuffle, AQE
+    coalesced); entropy is one more map-side-combined aggregate.
+    Determinism: each term's p*ln(p) is computed from identical
+    doubles on both engines; only the final sum's accumulation order
+    differs (~1e-13 absolute), far inside the 6 dp rounding."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", _WS)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    tot = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    return (
+        tf.join(tot, "doc_id")
+        .filter(F.col("doc_id") % 20 == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.min("n").alias("n_tokens"),
+            F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 6).alias(
+                "word_entropy"
+            ),
+        )
+    )

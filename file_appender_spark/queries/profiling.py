@@ -363,3 +363,64 @@ def q100_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_out"),
         )
     )
+
+
+@register(
+    "q102_arrival_percentiles",
+    """
+    WITH pairs AS (
+      SELECT event_type,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           count(*)                    AS n,
+           quantile_disc(gap_us, 0.5)  AS p50_us,
+           quantile_disc(gap_us, 0.9)  AS p90_us,
+           quantile_disc(gap_us, 0.99) AS p99_us
+    FROM pairs
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q102_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-latency profile of user activity: DISCRETE p50/p90/p99 of
+    the inter-event arrival gap (microseconds, per preceding event
+    type) — the SLO-style distribution summary a pipeline publishes
+    about its own event streams.
+
+    Discrete (percentile_disc / quantile_disc), not interpolated, by
+    hard-won design: gaps reach ~2e11 us, where one double ulp is
+    ~6e-5 — BIGGER than a 4 dp rounding granule, so the engines'
+    differently-ordered interpolation arithmetic flipped a printed
+    digit at sf0.1. A discrete percentile returns an actual element:
+    exact i64, zero float arithmetic, deterministic at any magnitude
+    (Spark emits it as DOUBLE, so we cast back to BIGINT; every gap
+    is far under 2^53 so the cast is lossless).
+
+    Scale: the lead() window and nothing else shuffles (one exchange
+    on user_id, same spec as q82); the percentile aggregate's partial
+    state is per-group, and at most |types| = 5 groups reach the
+    final stage."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        "event_type",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("gap_us"),
+    )
+    disc = (
+        "cast(percentile_disc({p}) within group (order by gap_us) as bigint)"
+        " as {alias}"
+    )
+    return (
+        pairs.filter(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(disc.format(p=0.5, alias="p50_us")),
+            F.expr(disc.format(p=0.9, alias="p90_us")),
+            F.expr(disc.format(p=0.99, alias="p99_us")),
+        )
+    )

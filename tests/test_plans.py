@@ -253,3 +253,22 @@ def test_q100_mad_stats_join_back_broadcasts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q100_mad_outliers")
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
+
+
+def test_q102_percentiles_share_the_window_exchange(spark, sf_dir):
+    """The lead() window is the only data-sized shuffle; the discrete
+    percentile aggregate adds one tiny exchange to <=5 groups. No
+    global sort anywhere."""
+    plan = plan_of(spark, sf_dir, "q102_arrival_percentiles")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q103_union_is_zero_shuffle(spark, sf_dir):
+    """unionByName must plan as a plain Union of two scans with
+    null-padding projections — no exchange on either input; only the
+    final aggregate shuffles."""
+    plan = plan_of(spark, sf_dir, "q103_union_by_name")
+    assert "Union" in plan
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
