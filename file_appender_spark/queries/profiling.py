@@ -424,3 +424,65 @@ def q102_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(disc.format(p=0.99, alias="p99_us")),
         )
     )
+
+
+@register(
+    "q104_quality_report",
+    """
+    WITH base AS (
+      SELECT count(*)                         AS n_rows,
+             count(DISTINCT o_orderkey)       AS n_pk,
+             count(o_totalprice)              AS n_price_nonnull,
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_price_nonpos,
+             sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+                        OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+                      THEN 1 ELSE 0 END)      AS n_date_oob
+      FROM orders
+    ),
+    orph AS (
+      SELECT count(*) AS n_fk_orphans
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT base.*, orph.n_fk_orphans FROM base CROSS JOIN orph
+    """,
+)
+def q104_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row data-quality report over `orders` (the Deequ-style
+    pre-training gate): primary-key uniqueness (n_pk == n_rows),
+    completeness, value bounds, date sanity, and referential
+    integrity against `customer` — every count exact-integer, so the
+    report is deterministic under any partitioning.
+
+    Scale: the five constraint counters fuse into ONE scan's
+    aggregate (conditional sums + a two-phase exact count-distinct);
+    the FK check is a separate anti-join count whose build side is
+    the customer key column only. Both results are single rows, so
+    the final cross join is free."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_pk"),
+        F.count("o_totalprice").alias("n_price_nonnull"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "n_price_nonpos"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01 00:00:00").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_date_oob"),
+    )
+    orphans = (
+        o.select("o_custkey")
+        .join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_fk_orphans"))
+    )
+    return base.crossJoin(orphans)

@@ -272,3 +272,14 @@ def test_q103_union_is_zero_shuffle(spark, sf_dir):
     assert "Union" in plan
     assert plan.count("Scan parquet") == 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q104_quality_checks_fuse_and_fk_is_anti_join(spark, sf_dir):
+    """All five constraint counters ride ONE orders scan (conditional
+    aggregates + Expand for the exact count-distinct); the FK check
+    compiles to a LeftAnti equi-join on the pruned key column."""
+    plan = plan_of(spark, sf_dir, "q104_quality_report")
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "", 1)
+    # orders scanned twice total: once for the fused agg, once for FK
+    assert plan.count("Scan parquet") == 3  # orders x2 + customer keys
