@@ -1,0 +1,93 @@
+"""The Spark-4 Python DataSource wrapping of the append-text layout:
+format("append_text") must read back exactly what read_delimited
+reads (same multiset, same null inverse mapping), with one input
+partition per rotated file."""
+
+from __future__ import annotations
+
+import pytest
+
+from file_appender_spark.config import AppendSinkConfig
+from file_appender_spark.sinks.append_text import append_text
+from file_appender_spark.sources.append_text_datasource import AppendTextDataSource
+from file_appender_spark.sources.catalog import read_delimited
+
+SCHEMA = "name string, qty int, price double, ok boolean"
+ROWS = [
+    ("alpha", 1, 1.5, True),
+    ("beta", None, 2.25, False),
+    ("gamma", 3, None, None),
+    ("delta", 4, 0.0, True),
+]
+
+
+@pytest.fixture()
+def written_dir(spark, tmp_path):
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    append_text(df, AppendSinkConfig(output_dir=out, file_prefix="f"), run_ts_ms=1000)
+    return out
+
+
+def _register(spark):
+    # idempotent across the shared session fixture
+    try:
+        spark.dataSource.register(AppendTextDataSource)
+    except Exception:
+        pass
+
+
+def test_datasource_matches_read_delimited(spark, written_dir):
+    _register(spark)
+    via_ds = (
+        spark.read.format("append_text").schema(SCHEMA).load(written_dir).collect()
+    )
+    via_csv = read_delimited(spark, written_dir, SCHEMA).collect()
+    assert sorted(map(tuple, via_ds)) == sorted(map(tuple, via_csv))
+    # null inverse mapping: "" wrote for None, reads back as None
+    got = {tuple(r) for r in via_ds}
+    assert ("beta", None, 2.25, False) in got
+    assert ("gamma", 3, None, None) in got
+
+
+def test_datasource_is_sql_queryable(spark, written_dir):
+    _register(spark)
+    df = spark.read.format("append_text").schema(SCHEMA).load(written_dir)
+    df.createOrReplaceTempView("appended_ds")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM appended_ds WHERE qty IS NOT NULL"
+    ).collect()[0]["n"]
+    assert n == 3
+
+
+def test_one_partition_per_rotated_file(spark, tmp_path):
+    """Rotation leaves N files; the reader must expose N-way
+    parallelism, mirroring the sink's one-writer-per-file protocol."""
+    out = str(tmp_path / "rot")
+    df = spark.createDataFrame(
+        [(f"row{i:04d}" * 2000, i, float(i), True) for i in range(200)], SCHEMA
+    ).coalesce(1)
+    # ~16 KB rows x 200 = ~3.2 MB against a 1 MB threshold: several rotations
+    append_text(
+        df,
+        AppendSinkConfig(output_dir=out, file_prefix="f", size_threshold_mb=1),
+        run_ts_ms=1000,
+    )
+    _register(spark)
+    reader = AppendTextDataSource(
+        {"path": out, "ddl": SCHEMA}
+    ).reader(spark.createDataFrame([], SCHEMA).schema)
+    import os
+
+    n_files = len(
+        [f for f in os.listdir(out) if not f.startswith(("_", "."))]
+    )
+    assert len(reader.partitions()) == n_files >= 2  # rotation really split
+    back = spark.read.format("append_text").schema(SCHEMA).load(out)
+    assert back.count() == 200
+
+
+def test_missing_schema_raises(spark, written_dir):
+    _register(spark)
+    with pytest.raises(Exception, match="schema"):
+        spark.read.format("append_text").load(written_dir).count()
