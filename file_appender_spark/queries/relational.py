@@ -728,3 +728,59 @@ def q93_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.week_start
         """
     )
+
+
+@register(
+    "q105_share_of_total",
+    f"""
+    WITH nat AS (
+      SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+             {_sql_money_sum_2dp('o.o_totalprice')} AS revenue
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT regionkey, nation, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY regionkey), 6)
+             AS share_region,
+           round(revenue / sum(revenue) OVER (), 6) AS share_total
+    FROM nat
+    """,
+)
+def q105_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue share within its region
+    and of the grand total — the classic reporting-function shape.
+
+    Scale-honest spelling: the shares are computed by windows over
+    the ALREADY-AGGREGATED 25-row nation table, so the unpartitioned
+    grand-total window touches 25 rows, not the fact table (windowing
+    the raw join output would serialize billions of rows through one
+    partition). Revenue itself uses the integer-scaled money pipeline,
+    exact under any partitioning; the share denominators sum 25
+    2dp-rounded doubles, so 6 dp rounding has ~1e-13 slack."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(_money_sum_2dp(F.col("o_totalprice")).alias("revenue"))
+    )
+    w_region = W.partitionBy("regionkey")
+    w_all = W.partitionBy()
+    return nat.select(
+        "regionkey",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6).alias(
+            "share_region"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_total"
+        ),
+    )
