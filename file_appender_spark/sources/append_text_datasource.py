@@ -33,7 +33,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 _ARROW_TYPES = {
@@ -68,6 +73,9 @@ class AppendTextDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> "AppendTextReader":
         return AppendTextReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: T.StructType) -> "AppendTextStreamReader":
+        return AppendTextStreamReader(schema, self.options)
 
 
 class AppendTextReader(DataSourceReader):
@@ -121,3 +129,104 @@ class AppendTextReader(DataSourceReader):
             ),
         )
         yield from table.to_batches()
+
+
+def _parse_line(line: str, sep: str, fields) -> tuple:
+    """Invert the serializer (SURVEY.md §1.4.6): naive split on the
+    separator, "" -> null, then per-field scalar parse."""
+    import datetime
+
+    parts = line.split(sep)
+    out = []
+    for raw, f in zip(parts, fields):
+        if raw == "":
+            out.append(None)
+            continue
+        t = f.dataType.typeName()
+        if t in ("integer", "long"):
+            out.append(int(raw))
+        elif t in ("float", "double"):
+            out.append(float(raw))
+        elif t == "boolean":
+            out.append(raw == "true")
+        elif t == "timestamp":
+            out.append(datetime.datetime.fromisoformat(raw))
+        else:
+            out.append(raw)
+    return tuple(out)
+
+
+class AppendTextStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of an append-text directory: the capability the
+    reference DECLARES but never implements (pom.xml:246-247 lists
+    the `cdap-data-streams` parent artifact, yet the plugin code is
+    batch-only — FileAppenderSink.java:52). Offsets are plain
+    ``{file_name: byte_position}`` dicts; each microbatch reads every
+    file's [last_offset, last_complete_line) byte range, so a line
+    the writer is mid-appending is never half-consumed — the offset
+    only ever advances to a newline boundary.
+
+    Replay is exact: ``readBetweenOffsets`` re-reads the recorded
+    byte ranges verbatim, which is what makes checkpoint recovery
+    exactly-once into a transactional sink. Driver-side reading is
+    the right trade here BY CONSTRUCTION: the sink's rotation
+    thresholds bound per-file growth, and a microbatch's delta is the
+    recent appends, not the table."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("append_text stream: no path given to load()")
+        self.sep = options.get("sep", ",")
+
+    def _data_files(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            e.name
+            for e in os.scandir(self.path)
+            if e.is_file() and not e.name.startswith(("_", "."))
+        )
+
+    def _complete_bytes(self, name: str) -> int:
+        """Offset just past the last complete line (newline-terminated
+        prefix length; a trailing partial line stays unconsumed)."""
+        full = os.path.join(self.path, name)
+        size = os.path.getsize(full)
+        if size == 0:
+            return 0
+        with open(full, "rb") as f:
+            f.seek(max(0, size - 1))
+            if f.read(1) == b"\n":
+                return size
+            # scan back for the last newline (appends are line-sized,
+            # so this window is tiny)
+            back = min(size, 1 << 16)
+            f.seek(size - back)
+            buf = f.read(back)
+            pos = buf.rfind(b"\n")
+            return size - back + pos + 1 if pos >= 0 else 0
+
+    def initialOffset(self) -> dict:
+        return {}  # consume from the beginning of every file
+
+    def read(self, start: dict):
+        end = {n: self._complete_bytes(n) for n in self._data_files()}
+        # keep already-seen files in the offset even if unlisted now
+        for n, off in start.items():
+            end[n] = max(end.get(n, 0), off)
+        return iter(list(self.readBetweenOffsets(start, end))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        fields = self.schema.fields
+        for name, hi in sorted(end.items()):
+            lo = start.get(name, 0)
+            if hi <= lo:
+                continue
+            full = os.path.join(self.path, name)
+            with open(full, "rb") as f:
+                f.seek(lo)
+                chunk = f.read(hi - lo).decode("utf-8")
+            for line in chunk.splitlines():
+                yield _parse_line(line, self.sep, fields)

@@ -91,3 +91,38 @@ def test_missing_schema_raises(spark, written_dir):
     _register(spark)
     with pytest.raises(Exception, match="schema"):
         spark.read.format("append_text").load(written_dir).count()
+
+
+def test_streaming_tail_exactly_once_across_appends(spark, tmp_path):
+    """The streaming half (the capability the reference's pom declares
+    but its code never implements): run 1 consumes the initial
+    appends, run 2 — same checkpoint — consumes ONLY the delta, and
+    the downstream parquet table holds each row exactly once."""
+    out = str(tmp_path / "tailed")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = AppendSinkConfig(output_dir=out, file_prefix="f")
+    _register(spark)
+
+    def run_stream():
+        q = (
+            spark.readStream.format("append_text")
+            .schema(SCHEMA)
+            .load(out)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    append_text(spark.createDataFrame(ROWS[:2], SCHEMA), cfg, run_ts_ms=1000)
+    run_stream()
+    got1 = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    assert got1 == {ROWS[0], ROWS[1]}
+
+    append_text(spark.createDataFrame(ROWS[2:], SCHEMA), cfg, run_ts_ms=2000)
+    run_stream()
+    got2 = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    assert got2 == sorted(ROWS)  # no re-delivery of run-1 rows
