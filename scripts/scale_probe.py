@@ -68,6 +68,15 @@ PROBES = [
     "q92_lateral_topk",
     "q93_recursive_spine",
     "q94_variant_extract",
+    # statistics / text / quality tranche (session 4)
+    "q97_regression",
+    "q98_decile_stats",
+    "q99_bm25",
+    "q100_mad_outliers",
+    "q101_word_entropy",
+    "q102_arrival_percentiles",
+    "q104_quality_report",
+    "q105_share_of_total",
 ]
 
 

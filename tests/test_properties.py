@@ -66,3 +66,50 @@ def test_line_join_semantics_reference_model(values):
     # produce the string 'None'
     assert line.count(",") >= len(values) - 1
     assert "None" not in [r for v, r in zip(values, rendered) if v is None]
+
+
+_line_texts = st.text(alphabet="abcXYZ09;| .", max_size=12)
+
+
+@given(st.lists(_line_texts, max_size=20), st.data())
+@settings(max_examples=150, deadline=None)
+def test_stream_offsets_respect_line_boundaries(lines, data):
+    """The streaming tail's core invariant, under EVERY possible
+    mid-append cut point: offsets only land on newline boundaries, a
+    partial trailing line is never consumed, and two reads (before
+    and after the rest of the append arrives) reconstruct exactly the
+    full line sequence."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from file_appender_spark.sources.append_text_datasource import (
+        AppendTextStreamReader,
+    )
+
+    schema = T.StructType([T.StructField("s", T.StringType())])
+    payload = b"".join(s.encode() + b"\n" for s in lines)
+    cut = data.draw(st.integers(min_value=0, max_value=len(payload)))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "f-1000")
+        with open(path, "wb") as f:
+            f.write(payload[:cut])
+        reader = AppendTextStreamReader(schema, {"path": d, "sep": ","})
+        it1, off1 = reader.read({})
+        rows1 = list(it1)
+        n1 = off1.get("f-1000", 0)
+        assert n1 == 0 or payload[:n1].endswith(b"\n")
+        assert n1 <= cut  # never reads past what exists
+        with open(path, "ab") as f:
+            f.write(payload[cut:])
+        it2, off2 = reader.read(off1)
+        rows2 = list(it2)
+        # "" serialized null -> reads back as None (the sink's inverse)
+        expect = [s if s != "" else None for s in lines]
+        assert [r[0] for r in rows1 + rows2] == expect
+        # and replay between the recorded offsets is identical
+        replay = list(reader.readBetweenOffsets({}, off1)) + list(
+            reader.readBetweenOffsets(off1, off2)
+        )
+        assert replay == rows1 + rows2
