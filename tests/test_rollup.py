@@ -153,3 +153,64 @@ def test_rollup_resumes_from_checkpoint(spark, chunked_events_dir, tmp_path):
     got = spark.read.parquet(rollup_dir).drop("window_date")
     want = _batch_truth(spark, src)
     assert _canon(got) == _canon(want)
+
+
+def test_rollup_maintained_from_append_text_stream(spark, tmp_path):
+    """Full-circle integration: records written by the REFERENCE's
+    append-with-rotation sink stream straight into the continuously
+    maintained rollup table via format("append_text") — sink output
+    as a live source, with the rollup equal to a batch recompute
+    after every increment."""
+    import datetime
+
+    from file_appender_spark.config import AppendSinkConfig
+    from file_appender_spark.sinks.append_text import append_text
+    from file_appender_spark.sources.append_text_datasource import (
+        AppendTextDataSource,
+    )
+    from file_appender_spark.sources.catalog import read_delimited
+
+    out = str(tmp_path / "appended")
+    rollup_dir = str(tmp_path / "rollup3")
+    ckpt = str(tmp_path / "ckpt3")
+    schema = "ts timestamp, event_type string, value double"
+    cfg = AppendSinkConfig(output_dir=out, file_prefix="ev")
+    try:
+        spark.dataSource.register(AppendTextDataSource)
+    except Exception:
+        pass
+
+    def batch(hours, etype, n):
+        t0 = datetime.datetime(2024, 3, 1)
+        return spark.createDataFrame(
+            [
+                (t0 + datetime.timedelta(hours=h, minutes=7 * i), etype, float(i))
+                for h in hours
+                for i in range(n)
+            ],
+            schema,
+        )
+
+    append_text(batch([0, 1], "click", 5), cfg, run_ts_ms=1000)
+    stream = spark.readStream.format("append_text").schema(schema).load(out)
+    q = continuous_rollup(stream, rollup_dir, ckpt, window="1 hour", watermark="1 day")
+    try:
+        q.processAllAvailable()
+        truth1 = rollup_aggregate(
+            read_delimited(spark, out, schema), "1 hour", "1 day"
+        )
+        assert _canon(spark.read.parquet(rollup_dir).drop("window_date")) == _canon(
+            truth1
+        )
+        # second sink run APPENDS into the same files; the stream picks
+        # up only the delta and the rollup stays equal to a recompute
+        append_text(batch([1, 2], "purchase", 4), cfg, run_ts_ms=2000)
+        q.processAllAvailable()
+        truth2 = rollup_aggregate(
+            read_delimited(spark, out, schema), "1 hour", "1 day"
+        )
+        assert _canon(spark.read.parquet(rollup_dir).drop("window_date")) == _canon(
+            truth2
+        )
+    finally:
+        q.stop()
