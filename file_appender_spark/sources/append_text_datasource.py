@@ -98,6 +98,10 @@ class AppendTextReader(DataSourceReader):
             and not e.name.startswith(("_", "."))
             and os.path.getsize(e.path) > 0
         ]
+        if not files:
+            # the API calls read() at least once even for an empty
+            # source: hand it one sentinel partition that yields nothing
+            return [InputPartition(None)]
         return [InputPartition(f) for f in sorted(files)]
 
     def read(self, partition: InputPartition):
@@ -106,6 +110,9 @@ class AppendTextReader(DataSourceReader):
         buffers, not pickled rows)."""
         import pyarrow as pa
         import pyarrow.csv as pacsv
+
+        if partition is None or partition.value is None:  # empty source
+            return
 
         names = [f.name for f in self.schema.fields]
         column_types = {

@@ -126,3 +126,18 @@ def test_streaming_tail_exactly_once_across_appends(spark, tmp_path):
     run_stream()
     got2 = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
     assert got2 == sorted(ROWS)  # no re-delivery of run-1 rows
+
+
+def test_empty_and_empty_file_dirs_read_as_zero_rows(spark, tmp_path):
+    """An empty directory (or one holding only 0-byte files, which
+    rotation can leave behind) is a valid, zero-row table — not an
+    error (the API still calls read() once; the sentinel partition
+    must yield nothing)."""
+    import os
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    _register(spark)
+    assert spark.read.format("append_text").schema(SCHEMA).load(d).count() == 0
+    open(os.path.join(d, "f-1000"), "w").close()
+    assert spark.read.format("append_text").schema(SCHEMA).load(d).count() == 0
