@@ -134,6 +134,28 @@ def main() -> None:
             file=sys.stderr,
         )
     except Exception as exc:
+        print(f"# extras skipped: {exc}", file=sys.stderr)
+
+    # sketch rollup extra: the incremental-metrics scale path — build
+    # the per-key HLL table over orders and merge-estimate it, rows/s
+    # of raw input absorbed into mergeable sketch state
+    try:
+        from file_appender_spark.operators.sketches import hll_estimate, hll_rollup
+
+        o = load_table(spark, sf_dir, "orders")
+        n_orders = o.count()
+        t0 = time.perf_counter()
+        hll_estimate(
+            hll_rollup(o, ["o_orderpriority"], "o_custkey"), []
+        ).collect()
+        dt = time.perf_counter() - t0
+        extras["hll_rollup_rows_per_sec"] = int(n_orders / dt)
+        print(
+            f"# hll rollup: {extras['hll_rollup_rows_per_sec']} rows/s "
+            f"({n_orders} rows)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
         print(f"# sink extras skipped: {exc}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
