@@ -941,3 +941,44 @@ def q101_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q106_embedding_drift",
+    """
+    WITH dims AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT dim,
+           count(*)                   AS n,
+           round(avg(v), 6)          AS mean_v,
+           round(stddev_samp(v), 6)  AS sd_v,
+           round(min(v), 6)          AS min_v,
+           round(max(v), 6)          AS max_v
+    FROM dims GROUP BY dim
+    """,
+)
+def q106_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus profile of the embedding space (mean /
+    spread / range for every vector dimension) — the drift monitor a
+    pipeline runs when the encoder or data mix changes: a dimension
+    whose mean wanders or variance collapses flags a broken encoder
+    long before downstream quality drops.
+
+    Scale: posexplode is a zero-shuffle row multiplication (rows x
+    dim); the aggregate map-side-combines to |dims| groups, so the
+    shuffle carries only partial states. float32 values convert
+    exactly to double on both engines before any arithmetic."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = e.select(F.posexplode("embedding").alias("pos", "vf")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("vf").cast("double").alias("v")
+    )
+    return d.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 6).alias("sd_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
