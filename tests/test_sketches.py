@@ -119,3 +119,13 @@ def test_sketch_rows_are_small(spark, sf_dir, tmp_path):
     merged = hll_estimate(back, []).collect()[0]["approx_distinct"]
     exact = o.select("o_custkey").distinct().count()
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_theta_overlap_with_absent_key_is_empty_not_null(spark, sf_dir):
+    """A key with no rows yields an EMPTY sketch (0 estimates, union
+    == the present side) — not nulls, not an error."""
+    o = load_table(spark, sf_dir, "orders")
+    rollup = theta_rollup(o, ["o_orderstatus"], "o_custkey")
+    est = theta_overlap(rollup, ["o_orderstatus"], "O", "NO_SUCH").collect()[0]
+    assert est["n_b"] == 0 and est["n_inter"] == 0
+    assert est["n_union"] == est["n_a"] == est["n_a_only"] > 0
