@@ -24,6 +24,96 @@ from file_appender_spark.queries import llm  # noqa: E402,F401
 from file_appender_spark.queries import pipeline  # noqa: E402,F401
 from file_appender_spark.queries import profiling  # noqa: E402,F401
 
+# --------------------------------------------------------------------------
+# Driver-facing registration order.
+#
+# The per-round correctness harness checks the FIRST 50 registered
+# queries in registration (dict-insertion) order. Round 1 verified the
+# first 50 (CORRECTNESS_r01.json: 49 green, q04 hash-fixed since);
+# the remaining 52 — the whole dedup / similarity / text-analysis /
+# curation / profiling tranche — never got a driver row. Re-rank so
+# the never-checked tranche (plus the repaired q04) occupies the
+# window this round; the round-1-green queries keep their evidence on
+# file and move behind. Remove this ranking once every query has a
+# green driver row (scripts/audit_coverage.py tracks that).
+# --------------------------------------------------------------------------
+_DRIVER_PRIORITY = [
+    "q04_cast",  # round-1 hash failure, re-verify first
+    # dedup / similarity (north-star tranche)
+    "q50_dedup_exact",
+    "q51_jaccard_pairs",
+    "q52_minhash_lsh",
+    "q53_simhash",
+    "q54_similarity_topk",
+    "q62_embedding_neardup",
+    "q89_incremental_dedup",
+    "q60_fingerprint",
+    "q43_fuzzy_match",
+    # text analysis
+    "q55_token_stats",
+    "q56_text_quality",
+    "q57_lang_id",
+    "q58_tfidf",
+    "q59_ngram_freq",
+    "q99_bm25",
+    "q101_word_entropy",
+    # curation pipeline
+    "q67_hash_split",
+    "q68_pack_sequences",
+    "q69_pii_mask",
+    "q70_decontaminate",
+    "q71_repetition",
+    "q72_stratified_sample",
+    "q73_label_centroids",
+    "q74_ann_ivf_cell",
+    "q75_chunk_docs",
+    "q76_curation_funnel",
+    "q87_mixture_rebalance",
+    "q88_embedding_quantize",
+    "q106_embedding_drift",
+    "q61_multimodal",
+    # profiling / event analytics
+    "q79_profile_columns",
+    "q80_cohort_retention",
+    "q81_event_funnel",
+    "q82_event_transitions",
+    "q77_group_outliers",
+    "q78_histogram",
+    "q96_session_paths",
+    "q97_regression",
+    "q98_decile_stats",
+    "q100_mad_outliers",
+    "q102_arrival_percentiles",
+    "q104_quality_report",
+    # batch window twins + union-by-name
+    "q37_sessionize",
+    "q38_tumbling_window",
+    "q39_session_window",
+    "q40_sliding_window",
+    "q103_union_by_name",
+    # UDF surface
+    "q63_pandas_udf",
+    "q64_udtf_posexplode",
+    # ---- position 51+ (checked next round if the cap is 50) ----
+    "q65_minmax_by",
+    "q90_rowwise_udf",
+    "q66_approx_aggs",  # rows-only check by design — weakest evidence
+]
+
+
+def _reorder_registry() -> None:
+    ranked = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+    missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+    if missing:
+        raise ValueError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
+    rest = [n for n in QUERIES if n not in set(ranked)]
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    QUERIES.update({n: snapshot[n] for n in ranked + rest})
+
+
+_reorder_registry()
+
 __all__ = [
     "QUERIES",
     "QuerySpec",

@@ -263,13 +263,24 @@ def q03_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l_linenumber AS DOUBLE)             AS line_dbl,
            CAST(l_returnflag AS VARCHAR)            AS flag_str,
            CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
-           CAST(l_extendedprice AS DECIMAL(18,2))   AS price_dec
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec
     FROM lineitem
     WHERE l_orderkey % 100 = 0
     """,
 )
 def q04_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Casts across numeric / string / date / decimal."""
+    """Casts across numeric / string / date / decimal.
+
+    The DECIMAL(18,2) cast stays in the plan, but the column is emitted
+    as its canonical string rendering on BOTH sides: round-1 driver
+    correctness showed rows+schema green but hash red on the raw
+    DECIMAL column — DECIMAL values round-trip through the comparison
+    harness differently per engine (e.g. Decimal object vs float64),
+    while the scale-2 string rendering ("123.40") is identical.
+    Caveat (documented, not hit at sf0.01): double→DECIMAL conversion
+    itself can differ at half-cent binary boundaries (Spark rounds the
+    shortest-string rendering, DuckDB the exact binary value).
+    """
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(F.col("l_orderkey") % 100 == 0).select(
         "l_orderkey",
@@ -277,7 +288,7 @@ def q04_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("double").alias("line_dbl"),
         F.col("l_returnflag").cast("string").alias("flag_str"),
         F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("price_dec"),
     )
 
 
