@@ -170,9 +170,12 @@ def connected_components_star(
     round truncates the otherwise-exponential iterative lineage (same
     lesson as min-label)."""
     e = _canon_edges(edges, src, dst).localCheckpoint(eager=True)
+    # node universe from the RAW edge list: _canon_edges drops
+    # self-loops, and a node appearing only as u==v must still get a
+    # (singleton) label — matching min-label propagation's universe
     all_nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

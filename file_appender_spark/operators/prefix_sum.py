@@ -91,7 +91,9 @@ def global_running_sum(
         # Arrow batches so the pass stays streaming
         carry = 0
         for pdf in batches:
-            cum = pdf[value_col].astype(dtype).cumsum() + carry
+            # NULLs contribute 0, matching SQL SUM's null-skipping
+            # (and NaN→int64 would raise on the integral path)
+            cum = pdf[value_col].fillna(0).astype(dtype).cumsum() + carry
             pdf = pdf.assign(_local_cum=cum)
             if len(cum):
                 carry = cum.iloc[-1]

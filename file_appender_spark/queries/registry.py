@@ -43,7 +43,7 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-_REGISTERED: set[tuple[int, str]] = set()
+_REGISTERED: set[tuple[str, str]] = set()
 
 
 def _with_views(fn: SparkQuery) -> SparkQuery:
@@ -59,7 +59,10 @@ def _with_views(fn: SparkQuery) -> SparkQuery:
         from file_appender_spark.sources.catalog import register_views
 
         tune_session(spark)
-        key = (id(spark), sf_dir)
+        # applicationId+startTime is unique per live session; id(spark)
+        # can be reused by CPython after the old session is collected.
+        sc = spark.sparkContext
+        key = (f"{sc.applicationId}:{sc.startTime}", sf_dir)
         if key not in _REGISTERED:
             register_views(spark, sf_dir)
             _REGISTERED.add(key)

@@ -194,7 +194,11 @@ class _PartitionWriter:
         ):
             self._rotate()
         self.handle.write(data)
-        self.bytes_written += len(data)
+        # count only the record bytes, NOT the newline: the reference
+        # accumulates value.getLength() (AppendOutputFormat.java:
+        # 217-219) while writeln appends the separator outside the
+        # counter — so its rotation point ignores one byte per record.
+        self.bytes_written += len(data) - 1
 
     def close(self):
         if self.handle is not None:

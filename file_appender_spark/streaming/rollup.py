@@ -70,6 +70,9 @@ def merge_rollup_batch(
     # eager: the upsert below overwrites the table some callers derive
     # `updates` from — pin the update rows BEFORE any file is replaced
     updates.count()
+    # dynamic overwrite is scoped to this upsert: save + restore so the
+    # shared session's overwrite semantics are untouched afterwards
+    prior_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         merged = updates
@@ -89,6 +92,10 @@ def merge_rollup_batch(
             .parquet(rollup_dir)
         )
     finally:
+        if prior_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior_mode)
         updates.unpersist()
 
 

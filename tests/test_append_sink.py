@@ -220,3 +220,36 @@ def test_read_back_roundtrip(spark, tmp_path):
     back.createOrReplaceTempView("appended")
     n = spark.sql("SELECT count(*) AS n FROM appended").collect()[0]["n"]
     assert n == 4
+
+
+def test_rotation_counter_excludes_newline(tmp_path):
+    """The reference accumulates only value.getLength() per record
+    (AppendOutputFormat.java:217-219) — the newline written by writeln
+    never reaches the rotation counter. Pin that here so the rotation
+    point tracks the reference protocol byte-for-byte."""
+    from file_appender_spark.sinks.append_text import LocalFS, _PartitionWriter
+
+    cfg = AppendSinkConfig(output_dir=str(tmp_path), file_prefix="f")
+    w = _PartitionWriter(str(tmp_path), None, 0, cfg, 1_000, LocalFS())
+    for line in ("ab", "cdef", "g"):
+        w.write_line(line)
+    w.close()
+    assert w.bytes_written == len("ab") + len("cdef") + len("g")
+
+
+def test_star_cc_labels_self_loop_only_node(spark):
+    """A node appearing only in a self-loop edge must still get a
+    singleton label from BOTH variants (the star variant's node
+    universe is built from raw edges, before the self-loop filter)."""
+    from file_appender_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7)], "src long, dst long"
+    )
+    want = {(1, 1), (2, 1), (7, 7)}
+    a = {(r.node, r.component) for r in connected_components(edges).collect()}
+    b = {(r.node, r.component) for r in connected_components_star(edges).collect()}
+    assert a == want and b == want

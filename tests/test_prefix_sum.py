@@ -69,3 +69,16 @@ def test_preserves_other_columns_and_rowcount(spark, sf_dir):
     out = global_running_sum(d, "doc_id", "n_chars", out_col="cum_chars")
     assert out.count() == d.count()
     assert set(out.columns) == set(d.columns) | {"cum_chars"}
+
+
+def test_nulls_skip_like_sql_sum(spark):
+    """NULL values contribute 0 to the running total (SQL SUM
+    semantics) on both the integral and double paths — the integral
+    path must not raise on NaN->int64."""
+    rows = [(1, 10), (2, None), (3, 5), (4, None), (5, 1)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(3)
+    got = {
+        r["k"]: r["run"]
+        for r in global_running_sum(df, "k", "v", out_col="run").collect()
+    }
+    assert got == {1: 10, 2: 10, 3: 15, 4: 15, 5: 16}
