@@ -18,6 +18,17 @@ Three tiers:
 3. ``ivf_topk`` — approximate: KMeans coarse quantizer (fixed seed),
    probe the ``nprobe`` nearest centroids only. Bench-only (recall
    < 1 by design, so never oracle-checked).
+4. ``srp_neardup`` — banded sign-random-projection LSH for embedding
+   near-duplicate PAIRS: candidates come from band-signature
+   collisions (an equi-join, the q52 MinHash-LSH structure), never an
+   all-pairs cross join; exact cosine verifies only the collisions.
+   The scale path for q62's declared exact all-pairs semantics.
+5. ``ann_sign_ivf`` — the parameterized form of q74's deterministic
+   IVF: the cell count GROWS with the corpus
+   (``n_cells ~ n_rows / target_cell_size``) so per-query candidate
+   work stays ~constant as data scales, instead of each cell growing
+   10x when the corpus does (the measured 14.2x probe regression of
+   the fixed-8-cell form).
 
 At 100 TB the corpus side stays partitioned; only queries and
 centroids are broadcast. No driver materialization anywhere.
@@ -130,6 +141,211 @@ def blocked_topk(
     w = W.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _srp_projection(v, bit_idx: int):
+    """Dot product of ``v`` with a hash-derived pseudo-random
+    hyperplane: coefficient for (bit, dim) is murmur3(bit, dim)
+    scaled to [-1, 1). No stored model, no RNG state — signatures are
+    deterministic across runs, engines, and partitionings, and the
+    whole fold stays inside codegen."""
+    return F.aggregate(
+        F.transform(
+            v,
+            lambda x, i: x * (F.hash(F.lit(bit_idx), i).cast("double") / 2147483648.0),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def _srp_band_sigs(v, n_bits: int, n_bands: int) -> list:
+    """Split ``n_bits`` hyperplane sign bits into ``n_bands`` integer
+    band signatures (bits packed big-endian within a band)."""
+    assert n_bits % n_bands == 0, "n_bits must divide evenly into bands"
+    rows_per_band = n_bits // n_bands
+    bits = [
+        (_srp_projection(v, b) >= 0).cast("long") for b in range(n_bits)
+    ]
+    sigs = []
+    for bi in range(n_bands):
+        sig = F.lit(0).cast("long")
+        for j in range(rows_per_band):
+            sig = sig * 2 + bits[bi * rows_per_band + j]
+        sigs.append(sig)
+    return sigs
+
+
+def srp_neardup(
+    corpus: DataFrame,
+    threshold: float,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded sign-random-projection
+    LSH — the 100 TB path for q62's exact all-pairs contract
+    (queries/udf_suite.py q62, which stays the small-scale oracle).
+
+    Structure is q52's MinHash-LSH, transplanted to the cosine metric:
+    per-vector band signatures -> candidate pairs from band-signature
+    equality (a shuffled equi-join on (band, sig), NEVER a cross
+    join) -> exact cosine verification >= threshold on candidates
+    only. Output columns match q62: (id1, id2, cos_sim).
+
+    Recall is the LSH contract: a pair at cosine c collides with
+    probability 1 - (1 - (1 - acos(c)/pi)^r)^b for r = n_bits/n_bands
+    rows and b = n_bands bands — near 1 for true near-duplicates
+    (c -> 1), tunable via n_bits/n_bands for lower thresholds.
+    Precision is exactly 1: every emitted pair passed the exact
+    cosine check. Identical vectors always collide (equal signatures
+    in every band)."""
+    from pyspark import StorageLevel
+
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    band_sigs = _srp_band_sigs(F.col("v"), n_bits, n_bands)
+    # vectors + norms + band signatures in one projection, persisted:
+    # the frame feeds the candidate join AND both verify sides
+    sigs = c.select(
+        F.col(id_col),
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        *[band_sigs[bi].alias(f"b{bi}") for bi in range(n_bands)],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = sigs.select(
+        F.col(id_col),
+        F.expr(
+            f"stack({n_bands}, "
+            + ", ".join(f"{bi}, b{bi}" for bi in range(n_bands))
+            + ") AS (band, sig)"
+        ),
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id1"), F.col(f"y.{id_col}").alias("id2")
+        )
+        .distinct()
+    )
+    s1 = sigs.select(
+        F.col(id_col).alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
+    )
+    s2 = sigs.select(
+        F.col(id_col).alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
+    )
+    cos = F.round(
+        _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), round_dp
+    )
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_bits_for(n_rows: int, target_cell_size: int, min_bits: int = 3) -> int:
+    """Cell-count policy: enough sign bits that the EXPECTED cell size
+    is ~target_cell_size (cells = 2^bits ~ n_rows / target). Pure so
+    tests can pin it without a SparkSession."""
+    import math
+
+    if n_rows <= 0:
+        return min_bits
+    cells = max(2 ** min_bits, math.ceil(n_rows / max(target_cell_size, 1)))
+    return max(min_bits, math.ceil(math.log2(cells)))
+
+
+def ann_sign_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    target_cell_size: int = 1024,
+    n_rows: int | None = None,
+    n_bits: int | None = None,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    round_dp: int = 6,
+) -> DataFrame:
+    """ANN top-k with a deterministic sign-projection IVF whose cell
+    count scales with the corpus — the parameterized form of q74
+    (queries/pipeline.py), which pins 8 cells for oracle checkability.
+
+    ``n_bits`` (cells = 2^n_bits) defaults to ``ivf_bits_for(n_rows,
+    target_cell_size)``; ``n_rows`` is counted once if not supplied
+    (suppliers with table stats should pass it). Cells are SRP
+    hyperplane sign buckets (hash-derived, model-free), so assignment
+    is a per-row projection — no training pass, no stored centroids.
+
+    ``nprobe > 1`` is multiprobe LSH: the query side additionally
+    probes the cells at Hamming distance 1 obtained by flipping each
+    of the first ``nprobe - 1`` signature bits — a query-side explode
+    by a small constant, after which the SAME equi-join runs.
+
+    Scale: candidate generation is an equi-join on the cell id; per
+    query the scored candidates stay ~target_cell_size * nprobe rows
+    regardless of corpus size (the fix for the fixed-cell 14.2x probe
+    regression recorded in SCALING.md)."""
+    if n_bits is None:
+        if n_rows is None:
+            n_rows = corpus.count()
+        n_bits = ivf_bits_for(n_rows, target_cell_size)
+
+    def cell_of(v):
+        sig = F.lit(0).cast("long")
+        for b in range(n_bits):
+            sig = sig * 2 + (_srp_projection(v, b) >= 0).cast("long")
+        return sig
+
+    c = (
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("cell", cell_of(F.col("v")))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    q = (
+        queries.select(F.col(qid_col), _as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("cell0", cell_of(F.col("qv")))
+        .withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    )
+    if nprobe <= 1:
+        probes = q.select(qid_col, "qv", "qnrm", F.col("cell0").alias("cell"))
+    else:
+        # own cell + single-bit flips of the top (nprobe-1) bits
+        flips = F.array(
+            F.col("cell0"),
+            *[
+                F.col("cell0").bitwiseXOR(F.lit(1 << (n_bits - 1 - b)))
+                for b in range(min(nprobe - 1, n_bits))
+            ],
+        )
+        probes = q.select(
+            qid_col, "qv", "qnrm", F.explode(flips).alias("cell")
+        )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), round_dp
+    )
+    scored = (
+        probes.join(c, "cell")
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(qid_col, id_col, cos.alias("cos_sim"))
+    )
+    w = W.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )

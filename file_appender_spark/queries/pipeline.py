@@ -489,7 +489,14 @@ def q74_ann_ivf_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-join. With a trained quantizer the plan is identical; only
     the cell-assignment expression changes. Probing n>1 cells =
     exploding the query side to its n nearest cells before the same
-    join."""
+    join.
+
+    The FIXED 8-cell quantizer here exists for oracle checkability;
+    at scale each cell grows linearly with the corpus (measured 14.2x
+    probe cost at 10x data, SCALING.md). The production default is
+    ``operators/similarity.ann_sign_ivf``: same equi-join plan, cell
+    count ~ n_rows / target_cell_size so per-query work stays flat —
+    pytest pins the policy (ivf_bits_for) and the plan shape."""
     e = _t(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cell = (

@@ -37,12 +37,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4).
     Exact all-pairs is the declared t2 semantics at test scale; the
-    100 TB path buckets candidates first (LSH hyperplanes or IVF cells
-    — operators/similarity.py) and verifies with this same exact
-    cosine. Self-join keeps one triangle (id1 < id2). Norms are
-    precomputed per row before the join — one array fold per PAIR
-    instead of three (same effect as q54: the single fold stays in
-    codegen, norm work drops to O(rows)); values bit-identical."""
+    100 TB path is ``operators/similarity.srp_neardup`` — banded
+    sign-random-projection LSH whose candidates come from a
+    band-signature equi-join (q52's structure on the cosine metric),
+    verified with this same exact cosine; equivalence and plan shape
+    are pytest-pinned (test_operators.py srp tests,
+    test_plans.py::test_srp_neardup_no_cross_join). Self-join keeps
+    one triangle (id1 < id2). Norms are precomputed per row before
+    the join — one array fold per PAIR instead of three (same effect
+    as q54: the single fold stays in codegen, norm work drops to
+    O(rows)); values bit-identical."""
     v = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )

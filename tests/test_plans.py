@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from file_appender_spark.queries import QUERIES
 
 
@@ -283,3 +285,39 @@ def test_q104_quality_checks_fuse_and_fk_is_anti_join(spark, sf_dir):
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "", 1)
     # orders scanned twice total: once for the fused agg, once for FK
     assert plan.count("Scan parquet") == 3  # orders x2 + customer keys
+
+
+def test_srp_neardup_no_cross_join(spark, sf_dir):
+    """The banded q62 scale path must generate candidates via a
+    band-signature equi-join — an all-pairs cross join here is exactly
+    the plan shape this operator exists to avoid."""
+    from file_appender_spark.operators.similarity import srp_neardup
+    from file_appender_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        srp_neardup(emb, threshold=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_sign_ivf_candidates_are_equi_join(spark, sf_dir):
+    """The parameterized IVF keeps q74's join strategy: candidates
+    from an equi-join on the cell id, whatever the cell count."""
+    from file_appender_spark.operators.similarity import ann_sign_ivf
+    from file_appender_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(5).select(F.col("vec_id").alias("qid"), "embedding")
+    plan = (
+        ann_sign_ivf(emb, queries, k=3, target_cell_size=64, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
