@@ -4,11 +4,23 @@ The data model: media travels as an opaque ``binary`` payload column
 plus a typed metadata struct (mime, origin, n_bytes), content-addressed
 by sha256. All Spark-side plumbing — schema, partition-preserving
 ``mapInPandas`` decode, Arrow batch shapes, feature schemas — is real
-and tested; the codec calls themselves are STUBBED (the image/audio
-libraries are not in this container): ``decode_stub="fake"`` produces
-deterministic pseudo-features from the payload hash, ``"raise"``
-raises NotImplementedError exactly where a Pillow/librosa call would
-go.
+and tested. The codec seam has three modes:
+
+- ``decode_stub="fake"``: deterministic pseudo-features derived from
+  the payload hash — the plumbing is testable end to end without any
+  media library in the container.
+- ``decode_stub="pil"``: a REAL image decode/resize via Pillow, gated
+  behind an import-try. Tests ``importorskip`` it; when Pillow is
+  absent the operator raises ImportError at plan-build time (not
+  mid-job on the executors).
+- ``decode_stub="raise"``: marks the codec call site with
+  NotImplementedError for media kinds with no in-container library
+  (audio/video).
+
+Per-item codec work is inherently row-wise, but the batch loops use
+column-level ``zip`` over the Arrow-backed pandas frame — never
+``pdf.iterrows()`` (which materializes a Series per row and was the
+one row-at-a-time Python loop flagged in the round-1 review).
 """
 
 from __future__ import annotations
@@ -17,6 +29,21 @@ import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pil_or_raise():
+    """Import Pillow at plan-build time so a missing library fails on
+    the driver with a clear message, not inside an executor task."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "decode_stub='pil' needs Pillow; install it or use the "
+            "deterministic 'fake' codec"
+        ) from exc
+
 
 def feature_schema(id_col: str = "doc_id") -> str:
     return (
@@ -54,40 +81,71 @@ def decode_features(
     """Decode payloads to fixed-size features via ``mapInPandas``.
 
     Scale notes: partition-preserving (no shuffle); one Arrow batch in,
-    one out; the per-batch loop is where a vectorized codec (PIL /
-    torchvision / ffmpeg) would run. With ``"fake"``, features are the
-    first ``feat_dim`` bytes of sha256(payload) scaled to [0,1) —
-    deterministic, so the plumbing is testable end to end."""
+    one out; the per-batch loop is where the codec runs. ``"pil"``
+    decodes real images (geometry from the codec, features = the
+    row-major mean-pooled grayscale grid at ``feat_dim`` cells);
+    ``"fake"`` derives features from sha256(payload) so the plumbing is
+    deterministic end to end."""
+    if decode_stub == "pil":
+        _pil_or_raise()
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
+            ids, hashes, bn, bm, w, h, nc, feats = [], [], [], [], [], [], [], []
+            metas = pdf["meta"]
+            for doc_id, payload, content_hash, meta in zip(
+                pdf[id_col], pdf["payload"], pdf["content_hash"], metas
+            ):
+                payload = bytes(payload)
                 if decode_stub == "raise":
                     raise NotImplementedError(
                         "media codec not available in this environment; "
                         "plug a PIL/librosa decoder here"
                     )
-                digest = hashlib.sha256(payload).digest()
-                feat = [b / 255.0 for b in digest[:feat_dim]]
-                rows.append(
-                    {
-                        id_col: r[id_col],
-                        "content_hash": r["content_hash"],
-                        "n_bytes": int(r["meta"]["n_bytes"]),
-                        "mime": r["meta"]["mime"],
-                        # fake geometry derived from content hash —
-                        # a real decoder reads these from the codec
-                        "width": 1 + digest[0] % 64,
-                        "height": 1 + digest[1] % 64,
-                        "n_channels": 3,
-                        "feat": feat,
-                    }
-                )
-            yield pd.DataFrame(rows)
+                if decode_stub == "pil":
+                    import io
+
+                    import numpy as np
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(payload))
+                    gray = np.asarray(img.convert("L"), dtype="float32") / 255.0
+                    # mean-pool to feat_dim cells (row-major over a
+                    # feat_dim x 1 grid of horizontal bands)
+                    bands = np.array_split(gray, feat_dim, axis=0)
+                    feat = [float(b.mean()) for b in bands]
+                    width, height = img.size
+                    channels = len(img.getbands())
+                else:
+                    digest = hashlib.sha256(payload).digest()
+                    feat = [b / 255.0 for b in digest[:feat_dim]]
+                    # fake geometry derived from content hash — a real
+                    # decoder reads these from the codec
+                    width = 1 + digest[0] % 64
+                    height = 1 + digest[1] % 64
+                    channels = 3
+                ids.append(doc_id)
+                hashes.append(content_hash)
+                bn.append(int(meta["n_bytes"]))
+                bm.append(meta["mime"])
+                w.append(width)
+                h.append(height)
+                nc.append(channels)
+                feats.append(feat)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "content_hash": hashes,
+                    "n_bytes": bn,
+                    "mime": bm,
+                    "width": w,
+                    "height": h,
+                    "n_channels": nc,
+                    "feat": feats,
+                }
+            )
 
     return framed.mapInPandas(run, schema=feature_schema(id_col))
 
@@ -107,15 +165,15 @@ def sample_frames(
     (n_inputs * n_frames). With the ``"fake"`` codec a "frame" is the
     sha256 of the payload's i-th byte-slice — deterministic and
     content-derived, so tests pin exact values; ``"raise"`` marks the
-    ffmpeg/pyav call site."""
+    ffmpeg/pyav call site (no video library ships in this container)."""
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
+            ids, idxs, offs, fhash, fbytes = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(payload)
                 if decode_stub == "raise":
                     raise NotImplementedError(
                         "video codec not available in this environment; "
@@ -125,16 +183,20 @@ def sample_frames(
                 step = max(n // n_frames, 1)
                 for i in range(n_frames):
                     chunk = payload[i * step : (i + 1) * step] or b"\x00"
-                    rows.append(
-                        {
-                            id_col: r[id_col],
-                            "frame_idx": i,
-                            "frame_offset": min(i * step, n - 1),
-                            "frame_hash": hashlib.sha256(chunk).hexdigest(),
-                            "frame_bytes": len(chunk),
-                        }
-                    )
-            yield pd.DataFrame(rows)
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(min(i * step, n - 1))
+                    fhash.append(hashlib.sha256(chunk).hexdigest())
+                    fbytes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "frame_offset": offs,
+                    "frame_hash": fhash,
+                    "frame_bytes": fbytes,
+                }
+            )
 
     return framed.mapInPandas(
         run,
@@ -158,35 +220,55 @@ def resize_payload(
 
     Scale notes: payload-in/payload-out keeps the operator closed
     under composition (resize |> decode_features |> ...); no shuffle.
-    The ``"fake"`` codec derives exactly width*height*3 bytes from
-    the source hash so size accounting is test-pinned."""
+    ``"pil"`` runs a real ``Image.resize`` and re-encodes PNG;
+    ``"fake"`` derives exactly width*height*3 bytes from the source
+    hash so size accounting is test-pinned."""
+    if decode_stub == "pil":
+        _pil_or_raise()
 
     def run(batches):
         import pandas as pd
 
         target = width * height * 3
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
+            ids, payloads, mimes, origins = [], [], [], []
+            for doc_id, payload, meta in zip(
+                pdf[id_col], pdf["payload"], pdf["meta"]
+            ):
+                payload = bytes(payload)
                 if decode_stub == "raise":
                     raise NotImplementedError(
                         "image codec not available in this environment; "
                         "plug a PIL resize here"
                     )
-                seed = hashlib.sha256(payload).digest()
-                buf = (seed * (target // len(seed) + 1))[:target]
-                rows.append(
-                    {
-                        id_col: r[id_col],
-                        "payload": buf,
-                        "mime": r["meta"]["mime"],
-                        "origin": r["meta"]["origin"],
-                        "width": width,
-                        "height": height,
-                    }
-                )
-            yield pd.DataFrame(rows)
+                if decode_stub == "pil":
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(payload)).resize((width, height))
+                    out = io.BytesIO()
+                    img.save(out, format="PNG")
+                    buf = out.getvalue()
+                    mime = "image/png"
+                else:
+                    seed = hashlib.sha256(payload).digest()
+                    buf = (seed * (target // len(seed) + 1))[:target]
+                    mime = meta["mime"]
+                ids.append(doc_id)
+                payloads.append(buf)
+                mimes.append(mime)
+                origins.append(meta["origin"])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "origin": origins,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                }
+            )
 
     out = framed.mapInPandas(
         run,

@@ -214,3 +214,171 @@ def test_multimodal_resize_readdresses_content(spark, sf_dir):
     # composition: resized frames feed the decode stage unchanged
     feats = decode_features(resized)
     assert feats.count() == 5
+
+
+# --------------------------------------------------------------------------
+# SRP-banded near-dup + parameterized sign-IVF (the q62 / q74 scale paths)
+# --------------------------------------------------------------------------
+
+
+def test_srp_neardup_finds_exact_duplicates(spark, sf_dir):
+    """Identical vectors have identical signatures in every band, so
+    recall on exact duplicates is 1 by construction."""
+    from file_appender_spark.operators.similarity import srp_neardup
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    dup = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    pairs = srp_neardup(corpus, threshold=0.999)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    want = {(r["vec_id"], r["vec_id"] + 1_000_000) for r in emb.collect()}
+    assert want <= got
+    assert all(r["cos_sim"] >= 0.999 for r in pairs.collect())
+
+
+def test_srp_neardup_subset_of_exact_with_same_values(spark, sf_dir):
+    """Every banded pair appears in the exact all-pairs result with
+    the identical rounded cosine (precision = 1: exact verify)."""
+    from file_appender_spark.operators.similarity import srp_neardup
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    banded = {
+        (r["id1"], r["id2"]): r["cos_sim"]
+        for r in srp_neardup(emb, threshold=0.4).collect()
+    }
+    # exact all-pairs reference (the q62 form)
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+
+    v = v.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    a = v.select(F.col("vec_id").alias("id1"), F.col("e").alias("e1"), F.col("nrm").alias("n1"))
+    b = v.select(F.col("vec_id").alias("id2"), F.col("e").alias("e2"), F.col("nrm").alias("n2"))
+    exact = {
+        (r["id1"], r["id2"]): r["cos_sim"]
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .collect()
+    }
+    assert set(banded) <= set(exact)
+    assert all(exact[p] == banded[p] for p in banded)
+
+
+def test_ivf_bits_for_scales_with_corpus():
+    from file_appender_spark.operators.similarity import ivf_bits_for
+
+    assert ivf_bits_for(8_000, 1_000) == 3  # floor: 8 cells
+    assert ivf_bits_for(80_000, 1_000) == 7  # 80 cells -> 128
+    assert ivf_bits_for(800_000, 1_000) == 10  # 800 -> 1024
+    assert ivf_bits_for(0, 1_000) == 3
+    # 10x the corpus adds ~log2(10) bits: cell size stays ~flat
+    assert ivf_bits_for(1_000_000, 1_000) - ivf_bits_for(100_000, 1_000) in (3, 4)
+
+
+def test_ann_sign_ivf_finds_identical_vector(spark, sf_dir):
+    """A query identical to a corpus vector lands in the same cell
+    (deterministic quantizer) and must surface it at cos 1.0."""
+    from file_appender_spark.operators.similarity import ann_sign_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("qid"), "embedding"
+    )
+    out = ann_sign_ivf(emb, queries, k=3, target_cell_size=64)
+    top = {
+        r["qid"] - 1_000_000: (r["vec_id"], r["cos_sim"])
+        for r in out.collect()
+        if r["cos_sim"] >= 0.999999
+    }
+    for r in queries.collect():
+        orig = r["qid"] - 1_000_000
+        assert top[orig][0] == orig
+
+
+def test_ann_sign_ivf_multiprobe_never_worse(spark, sf_dir):
+    """nprobe>1 probes a superset of cells, so each query's top-k
+    similarity sum is monotonically non-decreasing."""
+    from file_appender_spark.operators.similarity import ann_sign_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    def per_query_sum(df):
+        rows = df.groupBy("qid").agg(F.sum("cos_sim").alias("s")).collect()
+        return {r["qid"]: r["s"] for r in rows}
+
+    one = per_query_sum(ann_sign_ivf(emb, queries, k=3, target_cell_size=64, nprobe=1))
+    three = per_query_sum(ann_sign_ivf(emb, queries, k=3, target_cell_size=64, nprobe=3))
+    for qid, s in one.items():
+        assert three[qid] >= s - 1e-9
+
+
+# --------------------------------------------------------------------------
+# Real-codec seam (PIL): tests SKIP (not stub) when Pillow is absent
+# --------------------------------------------------------------------------
+
+
+def test_multimodal_pil_missing_fails_at_plan_time(spark, sf_dir):
+    """With Pillow absent, decode_stub='pil' must raise ImportError on
+    the DRIVER when the plan is built — never mid-job on executors."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: the real-decode test covers this path")
+    except ImportError:
+        pass
+    from file_appender_spark.operators.multimodal import resize_payload
+
+    d = load_table(spark, sf_dir, "documents").limit(1)
+    framed = frame_payload(
+        d, "doc_id", F.encode("text", "UTF-8"), "image/png", "source"
+    )
+    with pytest.raises(ImportError, match="Pillow"):
+        decode_features(framed, decode_stub="pil")
+    with pytest.raises(ImportError, match="Pillow"):
+        resize_payload(framed, width=4, height=4, decode_stub="pil")
+
+
+def test_multimodal_pil_real_decode(spark, sf_dir):
+    """The real image path: PNG in, codec-read geometry + mean-pooled
+    features out; resize re-encodes and re-addresses."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from file_appender_spark.operators.multimodal import resize_payload
+
+    def png_bytes(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png_bytes(16, 12, (255, 255, 255))), (2, png_bytes(8, 8, (0, 0, 0)))]
+    df = spark.createDataFrame(rows, "doc_id long, img binary").withColumn(
+        "source", F.lit("test")
+    )
+    framed = frame_payload(df, "doc_id", F.col("img"), "image/png", "source")
+    feats = {r.doc_id: r for r in decode_features(framed, decode_stub="pil").collect()}
+    assert (feats[1].width, feats[1].height) == (16, 12)
+    assert all(x > 0.99 for x in feats[1].feat)  # white image
+    assert all(x < 0.01 for x in feats[2].feat)  # black image
+    resized = resize_payload(framed, width=4, height=4, decode_stub="pil")
+    out = {r.doc_id: r for r in resized.collect()}
+    assert all(r.meta.width == 4 and r.meta.height == 4 for r in out.values())
+    # round-trip: the resized payload is a real decodable 4x4 PNG
+    img = Image.open(io.BytesIO(bytes(out[1].payload)))
+    assert img.size == (4, 4)
