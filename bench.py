@@ -28,6 +28,12 @@ HEADLINE = [
     "q52_minhash_lsh",  # LSH near-dup pipeline
     "q54_similarity_topk",  # brute-force cosine top-k
     "q58_tfidf",  # text analysis
+    # the genuinely expensive shapes (worst 10x scale ratios in
+    # SCALING.md) — benched so a round-over-round regression on them
+    # is visible, not just on the fast ten
+    "q70_decontaminate",  # n-gram inverted-index join
+    "q84_priority_exists",  # EXISTS-semi over orders x lineitem
+    "q74_ann_ivf_cell",  # IVF candidate equi-join
 ]
 
 
@@ -157,6 +163,21 @@ def main() -> None:
         )
     except Exception as exc:
         print(f"# sink extras skipped: {exc}", file=sys.stderr)
+
+    # host-speed calibration: a fixed JVM-side workload whose cost is
+    # independent of the engine under test. Round-over-round query
+    # times are only comparable after normalizing by this (observed
+    # >2x host-speed swings between rounds on shared infrastructure).
+    try:
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr("sum(id) AS s").collect()
+        extras["calib_jvm_range_sum_1e8_sec"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# calibration: range-sum(1e8) {extras['calib_jvm_range_sum_1e8_sec']}s",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# calibration skipped: {exc}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

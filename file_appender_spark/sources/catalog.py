@@ -69,24 +69,61 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     return _NANOS_CACHE[path]
 
 
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _session_token(spark: SparkSession) -> str:
+    """Unique per live session (id(spark) can be recycled by CPython
+    after GC — see queries/registry.py)."""
+    sc = spark.sparkContext
+    return f"{sc.applicationId}:{sc.startTime}"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — columnar, with Catalyst predicate pushdown and
     column pruning for free.
 
-    Nanosecond-timestamp columns (events.ts in the driver data) are
+    Nanosecond-timestamp columns (events.ts in early driver data) are
     read via ``spark.sql.legacy.parquet.nanosAsLong`` and converted
     back to TimestampType with integer division (never float division:
-    nanos ~1e18 exceed double's 2^53 integer range)."""
+    nanos ~1e18 exceed double's 2^53 integer range).
+
+    Naive (isAdjustedToUTC=false) parquet timestamps — what the
+    driver's current pandas/arrow writer emits — arrive as
+    TIMESTAMP_NTZ in Spark 4 and are normalized to TimestampType.
+    The session timezone is pinned to UTC (session.py), so the cast
+    is value-preserving (same wall clock, same rendering, and
+    time-arithmetic functions like ``unix_micros`` accept it).
+
+    The built DataFrame (an immutable lazy plan) is memoized per
+    (session, path, file-mtime): plan CONSTRUCTION costs several py4j
+    JVM roundtrips (file listing + footer schema), pure fixed overhead
+    when a 100-query correctness run re-derives the same ten scans.
+    The mtime in the key invalidates on rewritten paths, so
+    read-your-own-writes tests stay correct."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos_cols = _nanos_timestamp_cols(path)
-    if not nanos_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (_session_token(spark), os.path.abspath(path), mtime)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     from pyspark.sql import functions as F
 
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _DF_CACHE[key] = df
     return df
 
 
