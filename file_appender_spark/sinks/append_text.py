@@ -163,9 +163,17 @@ class _PartitionWriter:
                 self.name_prefix = self.assigned.rsplit("-", 1)[0]
                 self.handle = self.fs.open_append(path)
                 return
-        # create prefix-%05d-startTime (AppendOutputFormat.java:53-57)
-        name = f"{self.name_prefix}-{self.run_ts_ms}"
-        self.handle = self.fs.create_new(os.path.join(self.directory, name))
+        # create prefix-%05d-startTime (AppendOutputFormat.java:53-57).
+        # append-or-create, not create: the reference checks existence
+        # at first write (AppendOutputFormat.java:208-221), which is
+        # what makes a RETRIED task append after its failed attempt's
+        # partial writes instead of crashing — the at-least-once
+        # contract of the no-op committer (A13, java:121-123)
+        path = os.path.join(self.directory, f"{self.name_prefix}-{self.run_ts_ms}")
+        if self.fs.exists(path):
+            self.handle = self.fs.open_append(path)
+        else:
+            self.handle = self.fs.create_new(path)
 
     def _rotate(self):
         # close current, create <name_prefix>-<now>; on create race

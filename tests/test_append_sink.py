@@ -253,3 +253,43 @@ def test_star_cc_labels_self_loop_only_node(spark):
     a = {(r.node, r.component) for r in connected_components(edges).collect()}
     b = {(r.node, r.component) for r in connected_components_star(edges).collect()}
     assert a == want and b == want
+
+
+def test_task_retry_duplicates_lines_at_least_once(tmp_path):
+    """A13 fault injection: the no-op committer means writes are
+    visible immediately and a retried task re-emits its partition —
+    duplicates, not rollback (needsTaskCommit=false,
+    AppendOutputFormat.java:107-135; at-least-once by design).
+
+    Simulates Spark's task retry: attempt 1 writes 2 of 5 lines and
+    dies; the retry re-runs the SAME partition (same id, same
+    driver-side election, same logical run_ts) from the start. The
+    reference's append-or-create at first write
+    (AppendOutputFormat.java:208-221) makes the retry APPEND after the
+    failed attempt's partial output."""
+    from file_appender_spark.sinks.append_text import LocalFS, _PartitionWriter
+
+    cfg = AppendSinkConfig(output_dir=str(tmp_path), file_prefix="f")
+    lines = [f"row-{i}" for i in range(5)]
+    run_ts = 1_000_000
+    fs = LocalFS()
+
+    # attempt 1: partial write, then the task dies mid-partition
+    w1 = _PartitionWriter(str(tmp_path), None, 0, cfg, run_ts, fs)
+    for ln in lines[:2]:
+        w1.write_line(ln)
+    w1.close()  # OS flush on process death; no commit/rollback exists
+
+    # attempt 2 (Spark task retry): full partition, from the top
+    w2 = _PartitionWriter(str(tmp_path), None, 0, cfg, run_ts, fs)
+    for ln in lines:
+        w2.write_line(ln)
+    w2.close()
+
+    files = [f for f in os.listdir(tmp_path) if f.startswith("f-")]
+    assert files == [f"f-00000-{run_ts}"]  # same file, appended into
+    got = Counter(
+        open(os.path.join(tmp_path, files[0])).read().splitlines()
+    )
+    want = Counter(lines) + Counter(lines[:2])  # all 5 + the 2 dupes
+    assert got == want
