@@ -37,6 +37,41 @@ def main() -> int:
         if name in ROWS_ONLY_ALLOWED and spec.oracle is not None:
             problems.append(f"allow-listed rows-only query HAS an oracle: {name}")
 
+    # driver-evidence ledger: which queries have a green row in SOME
+    # round's CORRECTNESS file (the driver checks a 50-query window per
+    # round in registration order; queries/__init__.py ranks
+    # never-checked queries into the window until all are covered)
+    import glob
+    import json
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    green: dict[str, str] = {}
+    checked: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path)
+        for name, row in json.load(open(path)).items():
+            checked.add(name)
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            ):
+                green.setdefault(name, rnd)
+    never = [n for n in QUERIES if n not in checked]
+    red = [n for n in QUERIES if n in checked and n not in green]
+    print(
+        f"driver evidence: {len(green)} green, {len(red)} checked-but-red, "
+        f"{len(never)} never in a driver window"
+    )
+    for n in red:
+        # informational, not fatal: a red row stays red in the ledger
+        # until a LATER round re-checks the (since-fixed) query —
+        # queries/__init__.py ranks it back into the driver window
+        print(f"  RED (driver checked, not green yet): {n}")
+    for n in never:
+        print(f"  never-checked: {n}")
+
     if problems:
         print("\n".join(problems))
         return 1

@@ -127,6 +127,44 @@ def main() -> None:
             "ratio": round(big / small, 1),
         }
         print(f"# {name}: {small:.2f}s -> {big:.2f}s (x{big / small:.1f})", file=sys.stderr)
+
+    # operator-level probes: the SCALE paths whose whole point is a
+    # sub-quadratic 10x ratio (the oracle-form queries q62/q74 carry
+    # the small-scale contract; these carry the 100 TB one)
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.operators.similarity import ann_sign_ivf, srp_neardup
+    from file_appender_spark.sources.catalog import load_table
+
+    def op_probe(tag, fn):
+        t0 = time.perf_counter()
+        fn(SRC).count()
+        small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(DST).count()
+        big = time.perf_counter() - t0
+        results[tag] = {
+            "sf0.1_sec": round(small, 2),
+            "sf1_sec": round(big, 2),
+            "ratio": round(big / small, 1),
+        }
+        print(f"# {tag}: {small:.2f}s -> {big:.2f}s (x{big / small:.1f})", file=sys.stderr)
+
+    op_probe(
+        "op_srp_neardup",
+        lambda d: srp_neardup(load_table(spark, d, "embeddings"), threshold=0.4),
+    )
+    op_probe(
+        "op_ann_sign_ivf",
+        lambda d: ann_sign_ivf(
+            load_table(spark, d, "embeddings"),
+            load_table(spark, d, "embeddings")
+            .filter(F.col("vec_id") % 100 == 0)
+            .select(F.col("vec_id").alias("qid"), "embedding"),
+            k=10,
+            target_cell_size=256,
+        ),
+    )
     print(json.dumps({"factor": FACTOR, "results": results}))
 
 
