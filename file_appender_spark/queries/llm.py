@@ -982,3 +982,51 @@ def q106_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+@register(
+    "q107_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents
+    ),
+    cf  AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(c * 1.0 / n) / ln(2.0)), 6) AS avg_log2_prob,
+           round(min(ln(c * 1.0 / n) / ln(2.0)), 6) AS min_log2_prob
+    FROM tok JOIN cf USING (term) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+)
+def q107_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: each document's mean (and
+    worst-token) log2 probability under the corpus unigram language
+    model — the classic cheap fluency filter (documents full of rare
+    junk tokens score low; natural prose scores high), run before any
+    neural scorer gets involved.
+
+    Scale: corpus term frequencies partial-aggregate on the tokenized
+    scan (one term-keyed shuffle, Zipf skew handled by AQE exactly as
+    q58/q99); the 1-row corpus total is a broadcast cross join; the
+    per-doc aggregate map-side-combines. Determinism: both engines
+    compute ln on identical doubles (c/n from exact integers); only
+    the final avg's accumulation order differs (~1e-13), absorbed by
+    the 6 dp rounding (the q101 argument)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", _WS)).alias("term"))
+    cf = tok.groupBy("term").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("n"))
+    logp = F.log(F.col("c") * 1.0 / F.col("n")) / F.log(F.lit(2.0))
+    return (
+        tok.join(cf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("avg_log2_prob"),
+            F.round(F.min(logp), 6).alias("min_log2_prob"),
+        )
+    )

@@ -244,3 +244,59 @@ def register_appended_table(
         )
         """
     )
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-media ingestion via Spark's ``binaryFile`` source: one row
+    per file with (path, modificationTime, length, content binary) —
+    the on-ramp that turns a directory of images/audio/video into the
+    engine's multimodal frame (operators/multimodal.frame_payload).
+
+    Scale notes: the source parallelizes file listing on the driver
+    and assigns files to scan tasks by size; content is read lazily
+    per task (never driver-side). Push ``glob`` down so non-media
+    files are pruned at LISTING time, not after a wasted read. Very
+    large single files are NOT split (one file = one row), so a 100 TB
+    media lake should shard uploads — the source is for many-file
+    corpora, matching how media crawls land."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
+def ingest_media_dir(
+    spark: SparkSession,
+    path: str,
+    mime: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Compose binaryFile scan -> multimodal frame: content-addressed
+    (sha256) payload rows with typed metadata, doc ids derived from
+    the content hash (stable across re-crawls: same bytes, same id —
+    re-ingesting a moved file cannot fork its identity)."""
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.operators.multimodal import frame_payload
+
+    files = read_binary_files(spark, path, glob=glob, recursive=recursive).select(
+        F.col("path").alias("origin"), F.col("content")
+    )
+    framed = frame_payload(files, "origin", F.col("content"), mime, "origin")
+    # content-derived 63-bit id (first 16 hex chars of the sha256)
+    return framed.select(
+        F.conv(F.substring("content_hash", 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("doc_id"),
+        "payload",
+        "meta",
+        "content_hash",
+    )

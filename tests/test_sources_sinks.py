@@ -297,3 +297,32 @@ def test_scan_exposes_file_lineage_metadata(spark, sf_dir, tmp_path):
     assert sum(r["count"] for r in per_file) == load_table(
         spark, sf_dir, "orders"
     ).count()
+
+
+def test_binary_file_ingestion_to_multimodal_frame(spark, tmp_path):
+    """binaryFile scan -> content-addressed multimodal frame: glob
+    pruning, lazy per-task content reads, hash-stable doc ids."""
+    from file_appender_spark.operators.multimodal import decode_features
+    from file_appender_spark.sources.catalog import ingest_media_dir, read_binary_files
+
+    payloads = {f"img_{i}.png": bytes([i]) * (10 + i) for i in range(3)}
+    (tmp_path / "notes.txt").write_text("not media")
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    raw = read_binary_files(spark, str(tmp_path), glob="*.png")
+    rows = raw.select("path", "length", "content").collect()
+    assert len(rows) == 3  # txt pruned at listing time
+    assert {os.path.basename(r["path"]): bytes(r["content"]) for r in rows} == payloads
+
+    framed = ingest_media_dir(spark, str(tmp_path), "image/png", glob="*.png")
+    out = framed.collect()
+    assert len(out) == 3
+    assert all(len(r["content_hash"]) == 64 for r in out)
+    assert all(r["meta"]["mime"] == "image/png" for r in out)
+    # identity is content-derived: re-ingesting yields identical ids
+    again = {r["content_hash"]: r["doc_id"] for r in ingest_media_dir(
+        spark, str(tmp_path), "image/png", glob="*.png").collect()}
+    assert all(again[r["content_hash"]] == r["doc_id"] for r in out)
+    # the frame feeds the decode stage unchanged (composition)
+    assert decode_features(framed).count() == 3
