@@ -37,7 +37,7 @@ def register(name: str, oracle: str | None):
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(name, _with_views(fn), oracle, fn.__doc__ or "")
+        QUERIES[name] = QuerySpec(name, _with_views(fn, name), oracle, fn.__doc__ or "")
         return fn
 
     return deco
@@ -47,7 +47,7 @@ _REGISTERED: set[tuple] = set()
 _DF_MEMO: dict[tuple, DataFrame] = {}
 
 
-def _with_views(fn: SparkQuery) -> SparkQuery:
+def _with_views(fn: SparkQuery, name: str) -> SparkQuery:
     """Wrap a query fn: pin UTC session time and register the driver
     tables as temp views before running (catalog.register_views).
 
@@ -75,7 +75,7 @@ def _with_views(fn: SparkQuery) -> SparkQuery:
         # memoize the built DataFrame: an immutable lazy plan, safe to
         # reuse — repeat callers (bench best-of-N) skip re-analysis,
         # execution still runs in full on every action
-        dkey = (token, sf_dir, wrapped.__name__)
+        dkey = (token, sf_dir, name)
         if dkey not in _DF_MEMO:
             _DF_MEMO[dkey] = fn(spark, sf_dir)
         return _DF_MEMO[dkey]
@@ -83,6 +83,19 @@ def _with_views(fn: SparkQuery) -> SparkQuery:
     wrapped.__name__ = getattr(fn, "__name__", "query")
     wrapped.__doc__ = fn.__doc__
     return wrapped
+
+
+def build_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Rebuild a query's DataFrame bypassing the memo. Plan-shape
+    assertions need a NEVER-EXECUTED plan: after any action, AQE
+    finalizes the shared object's executedPlan in place (the string
+    then shows the runtime-chosen plan, different node counts), so a
+    memoized df that some earlier caller collected is the wrong thing
+    to assert static shape against."""
+    sc = spark.sparkContext
+    token = f"{sc.applicationId}:{sc.startTime}"
+    _DF_MEMO.pop((token, sf_dir, name), None)
+    return QUERIES[name].spark_fn(spark, sf_dir)
 
 
 def get_queries() -> dict[str, SparkQuery]:

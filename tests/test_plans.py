@@ -10,10 +10,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from file_appender_spark.queries import QUERIES
+from file_appender_spark.queries.registry import build_fresh
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = QUERIES[name].spark_fn(spark, sf_dir)
+    # build_fresh, not spark_fn: the registry memoizes DataFrames, and
+    # an earlier test executing the shared object lets AQE finalize its
+    # executedPlan in place — static shape assertions need a fresh one
+    df = build_fresh(spark, sf_dir, name)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
