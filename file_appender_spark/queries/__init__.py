@@ -31,11 +31,16 @@ from file_appender_spark.queries import profiling  # noqa: E402,F401
 # queries in registration (dict-insertion) order. Round 1 verified the
 # first 50 (CORRECTNESS_r01.json: 49 green, q04 hash-fixed since);
 # the remaining 52 — the whole dedup / similarity / text-analysis /
-# curation / profiling tranche — never got a driver row. Re-rank so
-# the never-checked tranche (plus the repaired q04) occupies the
-# window this round; the round-1-green queries keep their evidence on
-# file and move behind. Remove this ranking once every query has a
-# green driver row (scripts/audit_coverage.py tracks that).
+# curation / profiling tranche — never got a driver row.
+#
+# The ranking is now LEDGER-DRIVEN (_rank_by_ledger): queries without
+# a green row in any recorded CORRECTNESS_r*.json sort first (in
+# _DRIVER_PRIORITY order where listed, else registration order), and
+# already-green queries move behind, keeping their evidence on file.
+# Each round this automatically rotates the next never-checked /
+# still-red tranche into the window; once every query is green the
+# ranking is the identity. scripts/audit_coverage.py reports ledger
+# state per query.
 # --------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     "q04_cast",  # round-1 hash failure, re-verify first
@@ -101,15 +106,46 @@ _DRIVER_PRIORITY = [
 ]
 
 
+def _green_in_ledger() -> set[str]:
+    """Queries with an all-green row in any recorded round's
+    CORRECTNESS file (repo root, committed per round)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            ):
+                green.add(name)
+    return green
+
+
 def _reorder_registry() -> None:
-    ranked = [n for n in _DRIVER_PRIORITY if n in QUERIES]
     missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
     if missing:
         raise ValueError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
-    rest = [n for n in QUERIES if n not in set(ranked)]
+    green = _green_in_ledger()
+    prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    names = list(QUERIES)
+    reg = {n: i for i, n in enumerate(names)}
+    # never-green first (hand-ranked tranche order, then registration
+    # order), green behind in registration order — fully deterministic
+    names.sort(key=lambda n: (n in green, prio.get(n, len(prio)), reg[n]))
     snapshot = dict(QUERIES)
     QUERIES.clear()
-    QUERIES.update({n: snapshot[n] for n in ranked + rest})
+    QUERIES.update({n: snapshot[n] for n in names})
 
 
 _reorder_registry()

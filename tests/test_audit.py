@@ -18,3 +18,34 @@ def test_coverage_audit_passes():
         [sys.executable, script], capture_output=True, text=True, timeout=300
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_driver_window_ranks_unverified_queries_first():
+    """Registration order is the driver's check order (first-50
+    window): every query lacking a green row in the committed
+    CORRECTNESS ledger must precede every query that has one, so each
+    round automatically verifies the not-yet-proven tranche."""
+    import glob
+    import json
+
+    from file_appender_spark.queries import QUERIES
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(path)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            ):
+                green.add(name)
+    if not green:
+        return  # fresh checkout without ledger files: nothing to pin
+    names = list(QUERIES)
+    first_green = min(names.index(g) for g in green if g in names)
+    ungreen_after = [n for n in names[first_green:] if n not in green]
+    assert not ungreen_after, (
+        f"unverified queries ranked behind verified ones: {ungreen_after}"
+    )
