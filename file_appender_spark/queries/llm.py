@@ -992,7 +992,7 @@ def q106_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     cf  AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
-    tot AS (SELECT count(*) AS n FROM tok)
+    tot AS (SELECT sum(c) AS n FROM cf)
     SELECT tok.doc_id,
            count(*) AS n_tokens,
            round(avg(ln(c * 1.0 / n) / ln(2.0)), 6) AS avg_log2_prob,
@@ -1010,7 +1010,8 @@ def q107_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: corpus term frequencies partial-aggregate on the tokenized
     scan (one term-keyed shuffle, Zipf skew handled by AQE exactly as
-    q58/q99); the 1-row corpus total is a broadcast cross join; the
+    q58/q99); the 1-row corpus total sums the aggregated term table
+    (never a third scan of documents) and broadcast-cross-joins; the
     per-doc aggregate map-side-combines. Determinism: both engines
     compute ln on identical doubles (c/n from exact integers); only
     the final avg's accumulation order differs (~1e-13), absorbed by
@@ -1018,7 +1019,9 @@ def q107_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", _WS)).alias("term"))
     cf = tok.groupBy("term").agg(F.count("*").alias("c"))
-    tot = tok.agg(F.count("*").alias("n"))
+    # corpus total from the aggregated term table, NOT a third scan of
+    # documents (cf is |vocab| rows; summing it is free)
+    tot = cf.agg(F.sum("c").alias("n"))
     logp = F.log(F.col("c") * 1.0 / F.col("n")) / F.log(F.lit(2.0))
     return (
         tok.join(cf, "term")
