@@ -106,6 +106,30 @@ def main() -> None:
     except Exception as exc:  # extras must never break the bench contract
         print(f"# extras skipped: {exc}", file=sys.stderr)
 
+    # round-2 similarity scale paths (operators/similarity.py): banded
+    # SRP near-dup in its intended high-threshold regime, and the
+    # corpus-scaled sign-IVF ANN — the production forms of q62/q74
+    try:
+        from file_appender_spark.operators.similarity import ann_sign_ivf, srp_neardup
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        t0 = time.perf_counter()
+        srp_neardup(emb, threshold=0.95, n_bits=128, n_bands=8).count()
+        extras["srp_neardup_sec"] = round(time.perf_counter() - t0, 3)
+        qv = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        t0 = time.perf_counter()
+        ann_sign_ivf(emb, qv, k=10, target_cell_size=256).count()
+        extras["ann_sign_ivf_sec"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# srp_neardup {extras['srp_neardup_sec']}s, "
+            f"ann_sign_ivf {extras['ann_sign_ivf_sec']}s",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# similarity extras skipped: {exc}", file=sys.stderr)
+
     # sink throughput extras: the reference's core capability — write
     # lineitem as delimited text via (a) the compat append protocol
     # (A1-A15: election, append-into-files, rotation) and (b) the
