@@ -150,9 +150,18 @@ def main() -> None:
         }
         print(f"# {tag}: {small:.2f}s -> {big:.2f}s (x{big / small:.1f})", file=sys.stderr)
 
+    # intended near-dup regime (threshold 0.95, 16-bit bands); note the
+    # exact-copy replica still fans output out 45x per duplicate group
+    # (inherent to pair semantics) — the fair planted-dup probe lives in
+    # SCALING.md "Round-2 scale paths"
     op_probe(
         "op_srp_neardup",
-        lambda d: srp_neardup(load_table(spark, d, "embeddings"), threshold=0.4),
+        lambda d: srp_neardup(
+            load_table(spark, d, "embeddings"),
+            threshold=0.95,
+            n_bits=128,
+            n_bands=8,
+        ),
     )
     op_probe(
         "op_ann_sign_ivf",
