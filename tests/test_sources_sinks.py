@@ -326,3 +326,26 @@ def test_binary_file_ingestion_to_multimodal_frame(spark, tmp_path):
     assert all(again[r["content_hash"]] == r["doc_id"] for r in out)
     # the frame feeds the decode stage unchanged (composition)
     assert decode_features(framed).count() == 3
+
+
+def test_load_table_memo_invalidates_on_rewrite(spark, tmp_path):
+    """The scan-plan memo is keyed on file mtime: rewriting a path
+    must yield the NEW data/schema, never a stale cached plan
+    (read-your-own-writes safety of the round-2 plan cache)."""
+    import time as _time
+
+    sf = str(tmp_path)
+    p = os.path.join(sf, "orders.parquet")
+    spark.range(3).selectExpr("id AS o_orderkey").write.parquet(p)
+    first = load_table(spark, sf, "orders")
+    assert first.count() == 3
+    # same path, unchanged -> memoized object
+    assert load_table(spark, sf, "orders") is first
+    _time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    spark.range(5).selectExpr(
+        "id AS o_orderkey", "id * 2 AS o_total"
+    ).write.mode("overwrite").parquet(p)
+    fresh = load_table(spark, sf, "orders")
+    assert fresh is not first
+    assert fresh.count() == 5
+    assert set(fresh.columns) == {"o_orderkey", "o_total"}
