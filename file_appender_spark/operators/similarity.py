@@ -256,6 +256,57 @@ def srp_neardup(
     )
 
 
+def srp_recall(threshold: float, n_bits: int, n_bands: int) -> float:
+    """Expected recall of banded SRP LSH for a pair at exactly
+    ``threshold`` cosine: per-hyperplane agreement p = 1 - acos(t)/pi,
+    a band of r = n_bits/n_bands bits collides with p^r, and the pair
+    is a candidate if ANY band collides: 1 - (1 - p^r)^b. True
+    near-duplicates (cos -> 1) approach recall 1 for any banding.
+    Pure, for parameter policy + tests."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    r = n_bits // n_bands
+    return 1.0 - (1.0 - p**r) ** n_bands
+
+
+def srp_params_for(
+    n_rows: int,
+    threshold: float,
+    min_recall: float = 0.9,
+    target_candidates_per_row: float = 4.0,
+    max_bands: int = 256,
+) -> tuple[int, int]:
+    """Banding policy for ``srp_neardup`` at corpus scale, the
+    `ivf_bits_for` analog: returns (n_bits, n_bands).
+
+    Two constraints pull in opposite directions. PRECISION-side cost:
+    a random (cos ~ 0) pair collides in a band with probability
+    0.5^r, so expected junk candidates per row are ~ b * 0.5^r * n —
+    r is chosen so that stays <= target_candidates_per_row (candidate
+    volume then grows LINEARLY with the corpus, the property that
+    makes the operator survive 100 TB). RECALL-side: more bands raise
+    recall at the threshold (srp_recall); bands double until
+    min_recall is met. The defaults tuned into the operator signature
+    (16 bits / 4 bands) are for the tiny oracle corpus; production
+    callers pass srp_params_for(count, threshold)."""
+    import math
+
+    n_bands = 4
+    while True:
+        r = math.ceil(
+            math.log2(
+                max(n_bands * max(n_rows - 1, 1) / target_candidates_per_row, 2.0)
+            )
+        )
+        r = min(max(r, 2), 30)
+        if srp_recall(threshold, r * n_bands, n_bands) >= min_recall:
+            return (r * n_bands, n_bands)
+        if n_bands >= max_bands:
+            return (r * n_bands, n_bands)  # best effort at the cap
+        n_bands *= 2
+
+
 def ivf_bits_for(n_rows: int, target_cell_size: int, min_bits: int = 3) -> int:
     """Cell-count policy: enough sign bits that the EXPECTED cell size
     is ~target_cell_size (cells = 2^bits ~ n_rows / target). Pure so

@@ -382,3 +382,40 @@ def test_multimodal_pil_real_decode(spark, sf_dir):
     # round-trip: the resized payload is a real decodable 4x4 PNG
     img = Image.open(io.BytesIO(bytes(out[1].payload)))
     assert img.size == (4, 4)
+
+
+def test_srp_params_policy():
+    """Banding policy: candidate volume stays linear in the corpus
+    (bits/band grow with log n) while recall at the threshold meets
+    the target (bands grow until it does)."""
+    from file_appender_spark.operators.similarity import srp_params_for, srp_recall
+
+    for n in (1_000, 100_000, 10_000_000):
+        bits, bands = srp_params_for(n, threshold=0.95, min_recall=0.9)
+        r = bits // bands
+        # precision constraint: expected random candidates per row <= ~4
+        assert bands * 0.5**r * n <= 4.0 * 1.01
+        # recall constraint met
+        assert srp_recall(0.95, bits, bands) >= 0.9
+    # near-exact duplicates need few bands even at 1e9 rows
+    bits, bands = srp_params_for(1_000_000_000, threshold=0.99)
+    assert bands <= 64
+    assert srp_recall(0.99, bits, bands) >= 0.9
+    # recall is ~1 for identical vectors under any returned banding
+    assert srp_recall(1.0, bits, bands) == 1.0
+
+
+def test_srp_neardup_with_policy_params(spark, sf_dir):
+    """The policy output drives the operator end to end: planted
+    exact duplicates are always recovered (equal signatures in every
+    band), junk candidates stay bounded."""
+    from file_appender_spark.operators.similarity import srp_neardup, srp_params_for
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(150)
+    dup = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    bits, bands = srp_params_for(300, threshold=0.999)
+    pairs = srp_neardup(corpus, threshold=0.999, n_bits=bits, n_bands=bands)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    want = {(r["vec_id"], r["vec_id"] + 1_000_000) for r in emb.collect()}
+    assert want <= got
