@@ -1,0 +1,168 @@
+"""Incremental embedding near-dup ingest: the LSH analog of q89's
+exact incremental dedup (queries/llm.py), shaped for a streaming
+``foreachBatch`` or a batch-per-partition backfill loop.
+
+A persistent SIGNATURE STORE (parquet) holds, for every admitted
+vector: id, double-cast vector, norm, and its SRP band signatures
+(operators/similarity: same deterministic hash-derived hyperplanes, so
+signatures are stable across runs and engines). Each incoming batch:
+
+1. computes its own band signatures (map-side only),
+2. finds candidates against the STORE by band-signature equi-join —
+   never a scan of historical vectors, never a cross join,
+3. finds candidates WITHIN the batch the same way (earlier-id wins),
+4. verifies candidates with exact cosine >= threshold,
+5. admits survivors and appends ONLY their signature rows to the
+   store.
+
+Scale notes: per batch, work is O(batch x matching-bucket) — the
+historical side is touched only through the signature join, so cost
+tracks the batch size, not corpus size. The store append is the only
+write. At-least-once semantics on retry: re-admitting the same ids
+appends duplicate store rows, which the signature join tolerates
+(candidates dedup by id) — idempotent in effect, matching the engine's
+documented sink semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_appender_spark.operators.similarity import (
+    _as_double,
+    _dot,
+    _srp_band_sigs,
+)
+
+
+def _sig_frame(
+    df: DataFrame, n_bits: int, n_bands: int, id_col: str, vec_col: str
+) -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    sigs = _srp_band_sigs(v, n_bits, n_bands)
+    return df.select(
+        F.col(id_col),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("nrm"),
+        *[sigs[bi].alias(f"b{bi}") for bi in range(n_bands)],
+    )
+
+
+def _bands_long(sigs: DataFrame, n_bands: int, id_col: str) -> DataFrame:
+    return sigs.select(
+        F.col(id_col),
+        F.expr(
+            f"stack({n_bands}, "
+            + ", ".join(f"{bi}, b{bi}" for bi in range(n_bands))
+            + ") AS (band, sig)"
+        ),
+    )
+
+
+def neardup_ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    threshold: float,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Admit the batch rows that are NOT near-duplicates (cosine >=
+    threshold) of (a) any previously-admitted vector or (b) an
+    earlier-id row of the same batch; append the admitted signatures
+    to the store. Returns the admitted batch rows (original columns).
+
+    Deterministic: within a batch the min-id representative of a
+    near-dup group wins (the q50/q89 representative rule); across
+    batches, arrival order wins. A RETRY after a successful store
+    append finds the batch's own admitted rows in the store and
+    re-admits nothing — store growth is idempotent; a retry after a
+    failed append recomputes the identical admitted set."""
+    from pyspark import StorageLevel
+
+    sigs = _sig_frame(batch, n_bits, n_bands, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = _bands_long(sigs, n_bands, id_col)
+
+    cand_pairs = []
+    store_exists = os.path.exists(store_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(store_dir)
+    )
+    if store_exists:
+        hist = spark.read.parquet(store_dir)
+        hist_bands = _bands_long(hist, n_bands, id_col).select(
+            F.col(id_col).alias("hist_id"), "band", "sig"
+        )
+        # batch x history candidates: equi-join on (band, sig) only
+        cand_pairs.append(
+            bands.join(hist_bands, ["band", "sig"])
+            .select(F.col(id_col).alias("new_id"), F.col("hist_id").alias("old_id"))
+            .distinct()
+            .join(
+                hist.select(
+                    F.col(id_col).alias("old_id"),
+                    F.col("v").alias("v_old"),
+                    F.col("nrm").alias("n_old"),
+                ).dropDuplicates(["old_id"]),
+                "old_id",
+            )
+        )
+    # within-batch candidates: earlier id is the incumbent
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand_pairs.append(
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{id_col}") > F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("new_id"), F.col(f"y.{id_col}").alias("old_id")
+        )
+        .distinct()
+        .join(
+            sigs.select(
+                F.col(id_col).alias("old_id"),
+                F.col("v").alias("v_old"),
+                F.col("nrm").alias("n_old"),
+            ),
+            "old_id",
+        )
+    )
+
+    cands = cand_pairs[0]
+    for extra in cand_pairs[1:]:
+        cands = cands.unionByName(extra)
+
+    new_side = sigs.select(
+        F.col(id_col).alias("new_id"), F.col("v").alias("v_new"), F.col("nrm").alias("n_new")
+    )
+    cos = F.round(
+        _dot(F.col("v_new"), F.col("v_old")) / (F.col("n_new") * F.col("n_old")),
+        round_dp,
+    )
+    dup_ids = (
+        cands.join(new_side, "new_id")
+        .filter(cos >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    # NOTE: within-batch suppression is vs earlier-id rows regardless
+    # of whether the earlier row itself gets suppressed — a chain
+    # a~b~c (a<b<c, a!~c) admits only a. That is the transitive-
+    # closure contract of dedup_clusters (operators/components.py);
+    # the conservative form drops more, never less, and stays
+    # single-pass (no iteration inside a streaming batch).
+    admitted = batch.join(dup_ids, id_col, "left_anti")
+    admitted_sigs = _sig_frame(admitted, n_bits, n_bands, id_col, vec_col)
+    admitted_sigs.write.mode("append").parquet(store_dir)
+    sigs.unpersist()
+    return admitted

@@ -419,3 +419,64 @@ def test_srp_neardup_with_policy_params(spark, sf_dir):
     got = {(r["id1"], r["id2"]) for r in pairs.collect()}
     want = {(r["vec_id"], r["vec_id"] + 1_000_000) for r in emb.collect()}
     assert want <= got
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup ingest (the LSH analog of q89)
+# --------------------------------------------------------------------------
+
+
+def _synth_vecs(spark, ids, dim=16, offset=0):
+    """Hash-derived distinct unit-ish vectors, deterministic per id."""
+    rows = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    return rows.select(
+        "vec_id",
+        F.array(
+            *[
+                (F.hash(F.col("vec_id") + offset, F.lit(d)).cast("double") / 2147483648.0)
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def test_neardup_ingest_across_batches(spark, tmp_path):
+    from file_appender_spark.operators.neardup_ingest import neardup_ingest_batch
+
+    store = str(tmp_path / "sigstore")
+    b1 = _synth_vecs(spark, [1, 2, 3, 4, 5])
+    a1 = neardup_ingest_batch(spark, b1, store, threshold=0.999)
+    assert sorted(r["vec_id"] for r in a1.collect()) == [1, 2, 3, 4, 5]
+
+    # batch 2: id 101 duplicates historical id 3 (same hash seed via
+    # offset arithmetic -> identical vector), ids 102/103 are an
+    # internal duplicate pair, id 104 is genuinely new
+    dup_hist = _synth_vecs(spark, [3]).select(
+        F.lit(101).cast("long").alias("vec_id"), "embedding"
+    )
+    internal = _synth_vecs(spark, [7000])
+    dup_internal = internal.select(
+        F.lit(103).cast("long").alias("vec_id"), "embedding"
+    )
+    internal = internal.select(F.lit(102).cast("long").alias("vec_id"), "embedding")
+    fresh = _synth_vecs(spark, [104], offset=50_000)
+    b2 = dup_hist.unionByName(internal).unionByName(dup_internal).unionByName(fresh)
+    a2 = neardup_ingest_batch(spark, b2, store, threshold=0.999)
+    assert sorted(r["vec_id"] for r in a2.collect()) == [102, 104]
+
+    # retry after successful append: own rows are now historical
+    a2_retry = neardup_ingest_batch(spark, b2, store, threshold=0.999)
+    assert a2_retry.count() == 0
+
+
+def test_neardup_ingest_plan_has_no_cross_join(spark, tmp_path):
+    from file_appender_spark.operators.neardup_ingest import neardup_ingest_batch
+
+    store = str(tmp_path / "sigstore")
+    neardup_ingest_batch(spark, _synth_vecs(spark, [1, 2, 3]), store, threshold=0.999)
+    b2 = _synth_vecs(spark, [10, 11, 12])
+    # the admitted frame against a NON-EMPTY store exercises the
+    # batch-x-history signature join
+    plan_df = neardup_ingest_batch(spark, b2, store, threshold=0.999)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
