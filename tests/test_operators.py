@@ -480,3 +480,59 @@ def test_neardup_ingest_plan_has_no_cross_join(spark, tmp_path):
     plan_df = neardup_ingest_batch(spark, b2, store, threshold=0.999)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_ingest_via_streaming_foreachbatch(spark, tmp_path):
+    """End-to-end streaming wiring: a parquet file stream drives
+    neardup_ingest_batch through foreachBatch (one micro-batch per
+    file), admitted rows land in the output sink, near-dups of
+    earlier batches are suppressed."""
+    from file_appender_spark.operators.neardup_ingest import neardup_ingest_batch
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    store = str(tmp_path / "sigstore")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    # file 1: ids 1-3; file 2: id 201 = duplicate of id 2, id 202 new
+    # (flat part files copied into the stream dir, one micro-batch each)
+    import glob
+    import shutil
+
+    def add_file(df, name):
+        tmp = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / name))
+
+    add_file(_synth_vecs(spark, [1, 2, 3]), "b1.parquet")
+    dup = _synth_vecs(spark, [2]).select(
+        F.lit(201).cast("long").alias("vec_id"), "embedding"
+    )
+    b2 = dup.unionByName(_synth_vecs(spark, [202], offset=90_000))
+    add_file(b2, "b2.parquet")
+
+    schema = _synth_vecs(spark, [0]).schema
+
+    def absorb(batch, batch_id):
+        admitted = neardup_ingest_batch(spark, batch, store, threshold=0.999)
+        admitted.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    admitted_ids = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    # 201 suppressed as a near-dup of 2 — whichever file order the
+    # stream picked, the duplicate pair admits exactly one member
+    assert len({2, 201} & admitted_ids) == 1
+    assert {1, 3, 202} <= admitted_ids
+    assert len(admitted_ids) == 4
