@@ -365,3 +365,68 @@ def q103_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_nationkey").alias("n_nation"),
         F.round(F.sum("c_acctbal"), 2).alias("bal"),
     )
+
+
+@register(
+    "q108_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds
+    ),
+    grid AS (
+      SELECT t.event_type, s.hr
+      FROM (SELECT DISTINCT event_type FROM hourly) t CROSS JOIN spine s
+    )
+    SELECT g.event_type, g.hr,
+           coalesce(h.n, 0) AS n_events,
+           CAST(sum(coalesce(h.n, 0)) OVER (
+             PARTITION BY g.event_type ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_events
+    FROM grid g LEFT JOIN hourly h USING (event_type, hr)
+    """,
+)
+def q108_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a generated calendar spine (sequence +
+    explode) crossed with the observed dimension values, left-joined
+    to the hourly aggregate so missing hours appear as explicit zero
+    rows, plus a per-type running total over the now-dense series —
+    the densification step every downstream charting/forecasting
+    consumer needs.
+
+    Scale: the fact aggregates FIRST (hourly is |types| x |hours|
+    rows); the spine is generated from a 1-row bounds aggregate
+    (broadcast), the grid is dims x hours (small by construction), and
+    the left join + window run over the aggregate, never the raw
+    fact. The raw scan is touched exactly once."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .withColumn("cum_events", F.sum("n_events").over(w).cast("bigint"))
+    )
