@@ -43,13 +43,14 @@ def main(argv: list[str] | None = None) -> int:
     from file_appender_spark.sources.catalog import register_views
 
     spark = get_spark(app_name="file_appender_spark_cli")
-    register_views(spark, args.sf_dir)
     if args.query:
         if args.query not in QUERIES:
             print(f"unknown query {args.query!r}; try --list", file=sys.stderr)
             return 2
+        # inventory queries register their own views (memoized)
         df = QUERIES[args.query].spark_fn(spark, args.sf_dir)
     else:
+        register_views(spark, args.sf_dir)
         df = spark.sql(args.sql)
     if args.explain:
         df.explain("formatted")

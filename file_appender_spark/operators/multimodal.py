@@ -113,7 +113,13 @@ def decode_features(
                     img = Image.open(io.BytesIO(payload))
                     gray = np.asarray(img.convert("L"), dtype="float32") / 255.0
                     # mean-pool to feat_dim cells (row-major over a
-                    # feat_dim x 1 grid of horizontal bands)
+                    # feat_dim x 1 grid of horizontal bands); images
+                    # shorter than feat_dim rows are row-repeated
+                    # first — array_split would otherwise produce
+                    # empty bands whose mean is a silent NaN
+                    if gray.shape[0] < feat_dim:
+                        reps = -(-feat_dim // max(gray.shape[0], 1))
+                        gray = np.repeat(gray, reps, axis=0)
                     bands = np.array_split(gray, feat_dim, axis=0)
                     feat = [float(b.mean()) for b in bands]
                     width, height = img.size

@@ -80,10 +80,13 @@ def neardup_ingest_batch(
 
     Deterministic: within a batch the min-id representative of a
     near-dup group wins (the q50/q89 representative rule); across
-    batches, arrival order wins. A RETRY after a successful store
-    append finds the batch's own admitted rows in the store and
-    re-admits nothing — store growth is idempotent; a retry after a
-    failed append recomputes the identical admitted set."""
+    batches, arrival order wins. RETRY semantics are at-least-once,
+    matching the engine's documented sink contract: the history join
+    excludes a row's own id, so a retried batch (after a successful
+    OR failed store append) recomputes the identical admitted set and
+    re-emits it — duplicate store rows from a successful-append retry
+    are tolerated (history dedups by id), never silently swallowed
+    into an empty downstream batch."""
     from pyspark import StorageLevel
 
     sigs = _sig_frame(batch, n_bits, n_bands, id_col, vec_col).persist(
@@ -100,9 +103,12 @@ def neardup_ingest_batch(
         hist_bands = _bands_long(hist, n_bands, id_col).select(
             F.col(id_col).alias("hist_id"), "band", "sig"
         )
-        # batch x history candidates: equi-join on (band, sig) only
+        # batch x history candidates: equi-join on (band, sig) only.
+        # new_id != old_id keeps a retried batch from matching its own
+        # already-appended rows (the at-least-once contract above)
         cand_pairs.append(
             bands.join(hist_bands, ["band", "sig"])
+            .filter(F.col(id_col) != F.col("hist_id"))
             .select(F.col(id_col).alias("new_id"), F.col("hist_id").alias("old_id"))
             .distinct()
             .join(
@@ -162,6 +168,11 @@ def neardup_ingest_batch(
     # the conservative form drops more, never less, and stays
     # single-pass (no iteration inside a streaming batch).
     admitted = batch.join(dup_ids, id_col, "left_anti")
+    # materialize ONCE (executor-local checkpoint): the store append
+    # below and the caller's downstream write both reuse it — without
+    # this, the caller's action re-runs the whole history join +
+    # verification after sigs is unpersisted
+    admitted = admitted.localCheckpoint(eager=True)
     admitted_sigs = _sig_frame(admitted, n_bits, n_bands, id_col, vec_col)
     admitted_sigs.write.mode("append").parquet(store_dir)
     sigs.unpersist()

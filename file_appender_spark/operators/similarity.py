@@ -187,6 +187,7 @@ def srp_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via banded sign-random-projection
     LSH — the 100 TB path for q62's exact all-pairs contract
@@ -209,14 +210,21 @@ def srp_neardup(
 
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     band_sigs = _srp_band_sigs(F.col("v"), n_bits, n_bands)
-    # vectors + norms + band signatures in one projection, persisted:
-    # the frame feeds the candidate join AND both verify sides
+    # vectors + norms + band signatures in one projection — the frame
+    # feeds the candidate join AND both verify sides, so it is
+    # persisted by default (the q52 shared-branch pattern). The cache
+    # lives until evicted or the session ends; repeat callers in a
+    # long-lived service should pass persist=False (recompute the
+    # map-side signatures 3x instead of holding a cache per call) or
+    # unpersist via their own lifecycle.
     sigs = c.select(
         F.col(id_col),
         "v",
         F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
         *[band_sigs[bi].alias(f"b{bi}") for bi in range(n_bands)],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist:
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bands = sigs.select(
         F.col(id_col),
         F.expr(
@@ -331,6 +339,7 @@ def ann_sign_ivf(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     round_dp: int = 6,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k with a deterministic sign-projection IVF whose cell
     count scales with the corpus — the parameterized form of q74
@@ -389,11 +398,15 @@ def ann_sign_ivf(
     cos = F.round(
         _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), round_dp
     )
-    scored = (
-        probes.join(c, "cell")
-        .filter(F.col(id_col) != F.col(qid_col))
-        .select(qid_col, id_col, cos.alias("cos_sim"))
-    )
+    scored = probes.join(c, "cell")
+    if exclude_self:
+        # q74's contract: queries ARE corpus rows querying their own
+        # table, so a row must not return itself. Callers with an
+        # INDEPENDENT qid space must pass exclude_self=False — with it
+        # on, a corpus vector whose id collides with a qid would be
+        # silently dropped from that query's candidates.
+        scored = scored.filter(F.col(id_col) != F.col(qid_col))
+    scored = scored.select(qid_col, id_col, cos.alias("cos_sim"))
     w = W.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -106,37 +106,13 @@ _DRIVER_PRIORITY = [
 ]
 
 
-def _green_in_ledger() -> set[str]:
-    """Queries with an all-green row in any recorded round's
-    CORRECTNESS file (repo root, committed per round)."""
-    import glob
-    import json
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            rows = json.load(open(path))
-        except (OSError, ValueError):
-            continue
-        for name, row in rows.items():
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match") in (True, None)
-                and not row.get("err")
-            ):
-                green.add(name)
-    return green
-
-
 def _reorder_registry() -> None:
+    from file_appender_spark.queries.ledger import green_queries
+
     missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
     if missing:
         raise ValueError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
-    green = _green_in_ledger()
+    green = green_queries()
     prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
     names = list(QUERIES)
     reg = {n: i for i, n in enumerate(names)}

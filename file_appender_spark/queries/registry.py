@@ -68,14 +68,20 @@ def _with_views(fn: SparkQuery, name: str) -> SparkQuery:
         if (token, None) not in _REGISTERED:
             tune_session(spark)
             _REGISTERED.add((token, None))
-        key = (token, sf_dir)
+        # data-version in both keys: rewriting any table under sf_dir
+        # re-registers the views and invalidates memoized plans (the
+        # same read-your-own-writes guarantee as catalog._DF_CACHE)
+        from file_appender_spark.sources.catalog import sf_version
+
+        version = sf_version(sf_dir)
+        key = (token, sf_dir, version)
         if key not in _REGISTERED:
             register_views(spark, sf_dir)
             _REGISTERED.add(key)
         # memoize the built DataFrame: an immutable lazy plan, safe to
         # reuse — repeat callers (bench best-of-N) skip re-analysis,
         # execution still runs in full on every action
-        dkey = (token, sf_dir, name)
+        dkey = (token, sf_dir, version, name)
         if dkey not in _DF_MEMO:
             _DF_MEMO[dkey] = fn(spark, sf_dir)
         return _DF_MEMO[dkey]
@@ -92,9 +98,11 @@ def build_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     then shows the runtime-chosen plan, different node counts), so a
     memoized df that some earlier caller collected is the wrong thing
     to assert static shape against."""
+    from file_appender_spark.sources.catalog import sf_version
+
     sc = spark.sparkContext
     token = f"{sc.applicationId}:{sc.startTime}"
-    _DF_MEMO.pop((token, sf_dir, name), None)
+    _DF_MEMO.pop((token, sf_dir, sf_version(sf_dir), name), None)
     return QUERIES[name].spark_fn(spark, sf_dir)
 
 

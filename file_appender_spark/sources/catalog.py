@@ -79,6 +79,36 @@ def _session_token(spark: SparkSession) -> str:
     return f"{sc.applicationId}:{sc.startTime}"
 
 
+def _path_version(path: str) -> int:
+    """Data-version token for a parquet path: the max mtime_ns over
+    the path and (for directories) its immediate children. Catches
+    both flat-file rewrites and partitioned rewrites (replacing files
+    inside ``part=X/`` bumps that subdir's mtime even though the table
+    dir's own mtime stays put). -1 for missing paths."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return -1
+    version = st.st_mtime_ns
+    if os.path.isdir(path):
+        try:
+            for entry in os.scandir(path):
+                version = max(version, entry.stat().st_mtime_ns)
+        except OSError:
+            pass
+    return version
+
+
+def sf_version(sf_dir: str) -> int:
+    """Aggregate data-version for every driver table under ``sf_dir``
+    (used by the query registry to invalidate memoized query plans
+    when any underlying table is rewritten)."""
+    return max(
+        (_path_version(os.path.join(sf_dir, f"{t}.parquet")) for t in TABLES),
+        default=-1,
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — columnar, with Catalyst predicate pushdown and
     column pruning for free.
@@ -102,11 +132,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The mtime in the key invalidates on rewritten paths, so
     read-your-own-writes tests stay correct."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        mtime = os.stat(path).st_mtime_ns
-    except OSError:
-        mtime = -1
-    key = (_session_token(spark), os.path.abspath(path), mtime)
+    key = (_session_token(spark), os.path.abspath(path), _path_version(path))
     cached = _DF_CACHE.get(key)
     if cached is not None:
         return cached
@@ -291,7 +317,8 @@ def ingest_media_dir(
         F.col("path").alias("origin"), F.col("content")
     )
     framed = frame_payload(files, "origin", F.col("content"), mime, "origin")
-    # content-derived 63-bit id (first 16 hex chars of the sha256)
+    # content-derived 60-bit id (first 15 hex chars of the sha256 —
+    # 16 could exceed the signed-bigint range)
     return framed.select(
         F.conv(F.substring("content_hash", 1, 15), 16, 10)
         .cast("bigint")

@@ -40,24 +40,12 @@ def main() -> int:
     # driver-evidence ledger: which queries have a green row in SOME
     # round's CORRECTNESS file (the driver checks a 50-query window per
     # round in registration order; queries/__init__.py ranks
-    # never-checked queries into the window until all are covered)
-    import glob
-    import json
+    # never-checked queries into the window until all are covered).
+    # One shared green-row definition: queries/ledger.py
+    from file_appender_spark.queries.ledger import checked_queries, green_queries
 
-    root = os.path.join(os.path.dirname(__file__), "..")
-    green: dict[str, str] = {}
-    checked: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        rnd = os.path.basename(path)
-        for name, row in json.load(open(path)).items():
-            checked.add(name)
-            if (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match") in (True, None)
-                and not row.get("err")
-            ):
-                green.setdefault(name, rnd)
+    green = green_queries()
+    checked = checked_queries()
     never = [n for n in QUERIES if n not in checked]
     red = [n for n in QUERIES if n in checked and n not in green]
     print(

@@ -25,22 +25,10 @@ def test_driver_window_ranks_unverified_queries_first():
     window): every query lacking a green row in the committed
     CORRECTNESS ledger must precede every query that has one, so each
     round automatically verifies the not-yet-proven tranche."""
-    import glob
-    import json
-
     from file_appender_spark.queries import QUERIES
+    from file_appender_spark.queries.ledger import green_queries
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        for name, row in json.load(open(path)).items():
-            if (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match") in (True, None)
-                and not row.get("err")
-            ):
-                green.add(name)
+    green = green_queries()
     if not green:
         return  # fresh checkout without ledger files: nothing to pin
     names = list(QUERIES)
