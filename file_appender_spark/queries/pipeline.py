@@ -800,3 +800,62 @@ def q87_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("tot_chars"),
         )
     )
+
+
+@register(
+    "q109_token_budget_pack",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / length(text), 6) AS alpha_ratio
+      FROM documents
+    ),
+    r AS (
+      SELECT t.*,
+             sum(n_tokens) OVER (
+               ORDER BY alpha_ratio DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n_tokens, alpha_ratio, cum_tokens
+    FROM r WHERE cum_tokens <= 20000
+    """,
+)
+def q109_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped corpus selection: rank documents by a
+    quality signal (alpha ratio, rounded — ties broken by doc_id) and
+    admit them best-first until the cumulative token count reaches the
+    training budget — how a data mix fills its per-source quota.
+
+    Scale: the ranked running sum here is a single global window
+    (fine at oracle scale, and the budget cut usually follows a
+    per-source stratification that bounds each partition). For a
+    corpus where one global cumulative sum must span billions of rows,
+    the engine's partition-parallel two-phase prefix sum
+    (operators/prefix_sum.py::global_running_sum — per-partition
+    partials, one tiny driver-free offset join) computes the same
+    cum_tokens without a single-partition sort."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+    t = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("alpha_ratio"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.orderBy(F.desc("alpha_ratio"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 20000)
+    )
