@@ -110,11 +110,16 @@ def main() -> None:
     # SRP near-dup in its intended high-threshold regime, and the
     # corpus-scaled sign-IVF ANN — the production forms of q62/q74
     try:
-        from file_appender_spark.operators.similarity import ann_sign_ivf, srp_neardup
+        from file_appender_spark.operators.similarity import (
+            ann_sign_ivf,
+            srp_neardup,
+            srp_params_for,
+        )
 
         emb = load_table(spark, sf_dir, "embeddings")
+        n_bits, n_bands = srp_params_for(emb.count(), threshold=0.95)
         t0 = time.perf_counter()
-        srp_neardup(emb, threshold=0.95, n_bits=128, n_bands=8).count()
+        srp_neardup(emb, threshold=0.95, n_bits=n_bits, n_bands=n_bands).count()
         extras["srp_neardup_sec"] = round(time.perf_counter() - t0, 3)
         qv = emb.filter(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("qid"), "embedding"
