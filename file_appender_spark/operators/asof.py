@@ -30,16 +30,29 @@ def asof_join(
     ts: str,
     value_cols: list[str],
     inclusive: bool = True,
+    tolerance=None,
 ) -> DataFrame:
     """Return ``left`` with ``value_cols`` from the as-of-matched
-    ``right`` row (null when no prior right row exists)."""
+    ``right`` row (null when no prior right row exists).
+
+    ``tolerance`` bounds the match staleness (DuckDB/pandas
+    ``merge_asof`` tolerance semantics): a matched right row older
+    than ``left.ts - tolerance`` yields nulls instead. Pass a number
+    for numeric ts columns or an SQL interval string (e.g.
+    ``"15 minutes"``) for timestamps. Implemented by carrying the
+    matched right timestamp inside the payload struct and nulling the
+    values after the carry — the plan still has ONE shuffle and no
+    range join."""
     l_cols = left.columns
     # right values travel inside ONE struct: the struct itself is
     # non-null for every right row (even when the value columns are
     # null), so a genuinely-NULL right value is distinguishable from
     # the placeholder nulls injected for left rows and is carried
-    # as-is instead of being skipped for a stale older value
-    payload = F.struct(*[F.col(c) for c in value_cols]).alias("_payload")
+    # as-is instead of being skipped for a stale older value. The
+    # matched right ts rides along as _rts for the tolerance check.
+    payload = F.struct(
+        F.col(ts).alias("_rts"), *[F.col(c) for c in value_cols]
+    ).alias("_payload")
     tagged_r = right.select(
         on,
         ts,
@@ -69,7 +82,17 @@ def asof_join(
         "_asof", F.last("_payload", ignorenulls=True).over(w)
     )
     left_side = 1 if inclusive else 0
-    return carried.filter(F.col("_side") == left_side).select(
+    out = carried.filter(F.col("_side") == left_side)
+    if tolerance is None:
+        fresh = F.lit(True)
+    elif isinstance(tolerance, str):
+        fresh = F.col("_asof._rts") >= F.col(ts) - F.expr(f"INTERVAL {tolerance}")
+    else:
+        fresh = F.col("_asof._rts") >= F.col(ts) - F.lit(tolerance)
+    return out.select(
         *[c for c in l_cols],
-        *[F.col(f"_asof.{c}").alias(c) for c in value_cols],
+        *[
+            F.when(fresh, F.col(f"_asof.{c}")).alias(c)
+            for c in value_cols
+        ],
     )

@@ -795,3 +795,51 @@ def q105_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_total"
         ),
     )
+
+
+@register(
+    "q110_asof_tolerance",
+    """
+    WITH deposits AS (
+      SELECT user_id, ts, max(event_id) AS dep_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id,
+           CASE WHEN d.ts >= c.ts - INTERVAL 1 HOUR THEN d.dep_id END
+             AS recent_purchase_id
+    FROM clicks c ASOF LEFT JOIN deposits d
+      ON c.user_id = d.user_id AND c.ts >= d.ts
+    """,
+)
+def q110_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the latest purchase
+    at-or-before each click only counts when it happened within the
+    last hour (merge_asof tolerance semantics — stale matches become
+    nulls, rows are never dropped). Runs through the library operator
+    (operators/asof.py::asof_join, tolerance="1 hour"): the matched
+    right timestamp rides inside the carried payload struct, so the
+    plan is STILL one user_id shuffle + one sort — tolerance adds a
+    null-out projection, not a range join."""
+    from file_appender_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    deposits = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("dep_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        clicks,
+        deposits,
+        on="user_id",
+        ts="ts",
+        value_cols=["dep_id"],
+        tolerance="1 hour",
+    ).select(
+        "event_id", "user_id", F.col("dep_id").alias("recent_purchase_id")
+    )

@@ -539,3 +539,29 @@ def test_neardup_ingest_via_streaming_foreachbatch(spark, tmp_path):
     assert len({2, 201} & admitted_ids) == 1
     assert {1, 3, 202} <= admitted_ids
     assert len(admitted_ids) == 4
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """merge_asof tolerance semantics: a match older than the
+    tolerance yields nulls, the left row itself is never dropped."""
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 50, "c")], "k int, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, 9.5), (1, 120, 1.2)], "k int, ts int, px double"
+    )
+    out = {
+        (r["k"], r["ts"]): r["px"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", value_cols=["px"], tolerance=10
+        ).collect()
+    }
+    assert out[(1, 100)] == 9.5   # match at 95, age 5 <= 10
+    assert out[(1, 200)] is None  # last match at 120, age 80 > 10
+    assert out[(2, 50)] is None   # no match at all
+    # without tolerance the stale match is carried
+    out2 = {
+        (r["k"], r["ts"]): r["px"]
+        for r in asof_join(left, right, on="k", ts="ts", value_cols=["px"]).collect()
+    }
+    assert out2[(1, 200)] == 1.2
