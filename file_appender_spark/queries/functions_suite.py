@@ -395,3 +395,32 @@ def q94_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+@register(
+    "q111_bitfield_aggs",
+    """
+    SELECT event_type,
+           bit_and(user_id % 256)  AS mask_and,
+           bit_or(user_id % 256)   AS mask_or,
+           bit_xor(user_id % 256)  AS mask_xor,
+           bool_and(value >= 0)    AS all_nonneg,
+           bool_or(value > 99)     AS any_large
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q111_bitfield_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregate family: AND/OR/XOR-folded bit
+    masks (the permission-mask / feature-bitset reduction) and
+    bool_and/bool_or predicates — all commutative-associative, so
+    partial aggregation is exact under any partitioning."""
+    e = _t(spark, sf_dir, "events")
+    m = F.col("user_id") % 256
+    return e.groupBy("event_type").agg(
+        F.bit_and(m).alias("mask_and"),
+        F.bit_or(m).alias("mask_or"),
+        F.bit_xor(m).alias("mask_xor"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_large"),
+    )
