@@ -177,3 +177,37 @@ def neardup_ingest_batch(
     admitted_sigs.write.mode("append").parquet(store_dir)
     sigs.unpersist()
     return admitted
+
+
+def compact_store(
+    spark: SparkSession,
+    store_dir: str,
+    id_col: str = "vec_id",
+    target_file_mb: int = 64,
+) -> int:
+    """Signature-store maintenance: every micro-batch appends a few
+    small files, so a long-running ingest accumulates thousands of
+    them and the per-batch history join pays ever-growing file-listing
+    and scan-open costs. Rewrite the store into ~target-sized files,
+    deduping retry-appended rows (same id, keep one) — run it
+    periodically from the maintenance schedule, exactly like
+    operators/layout.compact for data tables.
+
+    Returns the compacted file count. The rewrite goes through a
+    sibling directory + atomic-ish swap so a concurrent reader never
+    sees a half-written store."""
+    import shutil
+
+    from file_appender_spark.operators.layout import plan_file_count, dir_bytes
+
+    tmp = store_dir.rstrip("/") + ".compacting"
+    deduped = spark.read.parquet(store_dir).dropDuplicates([id_col])
+    n = plan_file_count(dir_bytes(spark, store_dir), target_file_mb)
+    deduped.repartition(n).write.mode("overwrite").parquet(tmp)
+    old = store_dir.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old)
+    return n

@@ -565,3 +565,33 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
         for r in asof_join(left, right, on="k", ts="ts", value_cols=["px"]).collect()
     }
     assert out2[(1, 200)] == 1.2
+
+
+def test_neardup_store_compaction(spark, tmp_path):
+    """Many small batch appends -> one compacted store with retry
+    duplicates collapsed; ingest keeps working against it."""
+    import glob
+
+    from file_appender_spark.operators.neardup_ingest import (
+        compact_store,
+        neardup_ingest_batch,
+    )
+
+    store = str(tmp_path / "sigstore")
+    for lo in range(0, 40, 10):
+        batch = _synth_vecs(spark, list(range(lo, lo + 10)))
+        neardup_ingest_batch(spark, batch, store, threshold=0.999)
+    # simulate a successful-append retry: duplicate store rows
+    neardup_ingest_batch(spark, _synth_vecs(spark, list(range(0, 10))), store,
+                         threshold=0.999)
+    files_before = len(glob.glob(f"{store}/part-*.parquet"))
+    compact_store(spark, store)
+    files_after = len(glob.glob(f"{store}/part-*.parquet"))
+    assert files_after < files_before
+    df = spark.read.parquet(store)
+    assert df.count() == 40  # retry duplicates collapsed
+    assert df.select("vec_id").distinct().count() == 40
+    # ingest continues against the compacted store
+    nxt = neardup_ingest_batch(spark, _synth_vecs(spark, [500]), store,
+                               threshold=0.999)
+    assert nxt.count() == 1
