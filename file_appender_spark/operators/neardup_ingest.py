@@ -95,6 +95,7 @@ def neardup_ingest_batch(
     bands = _bands_long(sigs, n_bands, id_col)
 
     cand_pairs = []
+    _recover_store(store_dir)
     store_exists = os.path.exists(store_dir) and any(
         f.endswith(".parquet") for f in os.listdir(store_dir)
     )
@@ -179,6 +180,17 @@ def neardup_ingest_batch(
     return admitted
 
 
+def _recover_store(store_dir: str) -> None:
+    """Crash recovery for compact_store's directory swap: if a crash
+    between the two renames left ``store_dir`` missing while the
+    ``.old`` backup exists, restore the backup — called at the top of
+    every ingest batch and compaction so the history can never be
+    silently treated as a first run."""
+    old = store_dir.rstrip("/") + ".old"
+    if not os.path.exists(store_dir) and os.path.exists(old):
+        os.rename(old, store_dir)
+
+
 def compact_store(
     spark: SparkSession,
     store_dir: str,
@@ -189,25 +201,42 @@ def compact_store(
     small files, so a long-running ingest accumulates thousands of
     them and the per-batch history join pays ever-growing file-listing
     and scan-open costs. Rewrite the store into ~target-sized files,
-    deduping retry-appended rows (same id, keep one) — run it
-    periodically from the maintenance schedule, exactly like
-    operators/layout.compact for data tables.
+    deduping retry-appended rows (same id, keep one).
 
-    Returns the compacted file count. The rewrite goes through a
-    sibling directory + atomic-ish swap so a concurrent reader never
-    sees a half-written store."""
+    Contract (narrower than layout.compact, which is FS-agnostic and
+    read-concurrent): the store must live on a LOCAL filesystem (the
+    swap uses os.rename) and ingest must be PAUSED during compaction —
+    there is exactly one writer by design (the sequential foreachBatch
+    loop), so pausing is the natural maintenance window. A crash
+    between the two renames leaves the ``.old`` backup in place;
+    ``_recover_store`` (run at the top of every ingest batch and
+    compaction) restores it, so dedup history survives any
+    single-fault crash. Returns the ACTUAL compacted file count."""
     import shutil
 
-    from file_appender_spark.operators.layout import plan_file_count, dir_bytes
+    from file_appender_spark.operators.layout import dir_bytes, plan_file_count
 
+    _recover_store(store_dir)
     tmp = store_dir.rstrip("/") + ".compacting"
-    deduped = spark.read.parquet(store_dir).dropDuplicates([id_col])
-    n = plan_file_count(dir_bytes(spark, store_dir), target_file_mb)
-    deduped.repartition(n).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # leftover from an interrupted compaction
+    df = spark.read.parquet(store_dir)
+    # size the rewrite from the DEDUPED fraction, not raw bytes — a
+    # heavily retry-duplicated store would otherwise get ~dup-factor
+    # more, smaller files than target_file_mb asks for
+    counts = df.agg(
+        F.count("*").alias("total"), F.count_distinct(F.col(id_col)).alias("uniq")
+    ).collect()[0]
+    frac = (counts["uniq"] / counts["total"]) if counts["total"] else 1.0
+    n = plan_file_count(int(dir_bytes(spark, store_dir) * frac), target_file_mb)
+    df.dropDuplicates([id_col]).repartition(n).write.mode("overwrite").parquet(tmp)
     old = store_dir.rstrip("/") + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(store_dir, old)
     os.rename(tmp, store_dir)
     shutil.rmtree(old)
-    return n
+    return sum(
+        1 for f in os.listdir(store_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )

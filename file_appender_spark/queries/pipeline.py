@@ -12,9 +12,12 @@ what makes each of these oracle-checkable against DuckDB.
 
 Scale notes: none of these collects to the driver. Splits/sampling are
 stateless per-row hashing (no shuffle at all); packing is a windowed
-prefix-sum partitioned by the shard key (never a global window);
-decontamination is an inverted-index equi-join with a document-
-frequency cap bounding the hottest gram's fan-out.
+prefix-sum partitioned by the shard key (never a global window, with
+one declared exception: q109's budget cut is a global ranked
+cumulative sum by definition — its oracle form uses the single
+window, its scale pairing is operators/prefix_sum.py's two-phase
+global sum); decontamination is an inverted-index equi-join with a
+document-frequency cap bounding the hottest gram's fan-out.
 """
 
 from __future__ import annotations
@@ -849,8 +852,6 @@ def q109_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha_ratio"),
     )
-    from pyspark.sql.window import Window as W
-
     w = (
         W.orderBy(F.desc("alpha_ratio"), F.asc("doc_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)

@@ -595,3 +595,24 @@ def test_neardup_store_compaction(spark, tmp_path):
     nxt = neardup_ingest_batch(spark, _synth_vecs(spark, [500]), store,
                                threshold=0.999)
     assert nxt.count() == 1
+
+
+def test_neardup_store_crash_recovery(spark, tmp_path):
+    """A crash between compact_store's two renames leaves only the
+    .old backup; the next ingest (or compaction) restores it instead
+    of silently starting dedup history from scratch."""
+    import os
+
+    from file_appender_spark.operators.neardup_ingest import neardup_ingest_batch
+
+    store = str(tmp_path / "sigstore")
+    neardup_ingest_batch(spark, _synth_vecs(spark, [1, 2, 3]), store, threshold=0.999)
+    # simulate the mid-swap crash: store renamed away, new one not yet in place
+    os.rename(store, store + ".old")
+    # next batch recovers the history: a duplicate of id 2 is suppressed
+    dup = _synth_vecs(spark, [2]).select(
+        F.lit(99).cast("long").alias("vec_id"), "embedding"
+    )
+    admitted = neardup_ingest_batch(spark, dup, store, threshold=0.999)
+    assert admitted.count() == 0
+    assert not os.path.exists(store + ".old")
