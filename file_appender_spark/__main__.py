@@ -32,9 +32,17 @@ def main(argv: list[str] | None = None) -> int:
     from file_appender_spark.queries import QUERIES
 
     if args.list:
+        from file_appender_spark.queries.ledger import green_queries
+
+        green = green_queries()
         for name, spec in QUERIES.items():
             doc = (spec.doc or "").strip().splitlines()
-            print(f"{name}: {doc[0] if doc else ''}")
+            mark = "✓" if name in green else "·"
+            print(f"{mark} {name}: {doc[0] if doc else ''}")
+        print(
+            f"# {len(green)} driver-verified (✓), "
+            f"{len(QUERIES) - len(green)} pending a driver window (·)"
+        )
         return 0
     if not args.sql and not args.query:
         ap.error("provide SQL, --query NAME, or --list")

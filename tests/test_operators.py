@@ -616,3 +616,23 @@ def test_neardup_store_crash_recovery(spark, tmp_path):
     admitted = neardup_ingest_batch(spark, dup, store, threshold=0.999)
     assert admitted.count() == 0
     assert not os.path.exists(store + ".old")
+
+
+def test_ann_sign_ivf_exclude_self_flag(spark):
+    """exclude_self=True (the q74 self-query contract) drops the
+    corpus row whose id equals the qid; False (independent id spaces)
+    lets an id-colliding corpus vector be returned."""
+    from file_appender_spark.operators.similarity import ann_sign_ivf
+
+    corpus = _synth_vecs(spark, [1, 2, 3])
+    # query vector IDENTICAL to corpus id 2, and its qid collides: 2
+    queries = corpus.filter(F.col("vec_id") == 2).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    hits_excl = ann_sign_ivf(corpus, queries, k=3, target_cell_size=64)
+    assert all(r["vec_id"] != 2 for r in hits_excl.collect())
+    hits_incl = ann_sign_ivf(
+        corpus, queries, k=3, target_cell_size=64, exclude_self=False
+    )
+    best = {r["vec_id"]: r["cos_sim"] for r in hits_incl.collect()}
+    assert best.get(2) == 1.0  # the identical colliding row IS returned
