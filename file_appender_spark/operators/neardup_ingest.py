@@ -240,3 +240,164 @@ def compact_store(
         1 for f in os.listdir(store_dir)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
+
+
+# --------------------------------------------------------------------------
+# Text twin: incremental MinHash near-dup ingest for documents
+# --------------------------------------------------------------------------
+
+
+def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document MinHash signatures, identical definition to
+    q52_minhash_lsh (queries/llm.py: 3-word shingles, md5-derived
+    32-bit hashes, 16 affine min-slots, 4 bands) — imported, not
+    re-declared, so the ingest and the oracle query can never drift.
+    Documents with fewer than 3 words produce no signature (they
+    cannot shingle; callers admit them unconditionally)."""
+    from file_appender_spark.queries.llm import _MH_P, _MH_PARAMS, _tok_hash32
+
+    words = F.split(F.col(text_col), r"\s+")
+    # the when() guard matters even though short rows are filtered:
+    # over a LocalRelation (createDataFrame input) Catalyst evaluates
+    # the collapsed projection eagerly for every row, and
+    # sequence(1, 0) DESCENDS, driving element_at out of bounds
+    shingle_expr = F.when(
+        F.size("w") >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i),
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = (
+        df.select(F.col(id_col), words.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(id_col, shingle_expr.alias("shingles"))
+    )
+    hashed = shingled.select(
+        id_col, F.explode("shingles").alias("sh")
+    ).select(id_col, _tok_hash32(F.col("sh")).alias("h"))
+    sigs = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P).alias(f"mh{j}")
+            for j, (a, b) in enumerate(_MH_PARAMS)
+        ]
+    )
+    n_slots = len(_MH_PARAMS)
+    return sigs.select(
+        id_col,
+        F.array(*[F.col(f"mh{j}") for j in range(n_slots)]).alias("mh"),
+        *[
+            F.concat_ws(
+                ",", *[F.col(f"mh{4 * bi + r}") for r in range(4)]
+            ).alias(f"b{bi}")
+            for bi in range(n_slots // 4)
+        ],
+    )
+
+
+def _mh_bands_long(sigs: DataFrame, id_col: str) -> DataFrame:
+    return sigs.select(
+        F.col(id_col),
+        F.expr(
+            "stack(4, " + ", ".join(f"{bi}, b{bi}" for bi in range(4)) + ") AS (band, sig)"
+        ),
+    )
+
+
+def textdup_ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental TEXT near-dup ingest: the q52 MinHash-LSH pipeline
+    folded into the same persistent-store protocol as
+    ``neardup_ingest_batch``. Candidates come from band-signature
+    equi-joins (batch x store and within-batch, earlier id wins);
+    verification is the ESTIMATED Jaccard — the fraction of agreeing
+    minhash slots (16) — so the store holds one fixed-size signature
+    row per document, never the shingle sets (store size is O(docs),
+    independent of document length; estimator sd at j=0.5 is
+    ~1/sqrt(16) = 0.125, so thresholds should not be razor-thin).
+
+    Documents too short to shingle (< 3 words) are admitted
+    unconditionally and not stored. Retry semantics are at-least-once
+    exactly as the embedding ingest: own-id matches are excluded."""
+    _recover_store(store_dir)
+    sigs = _minhash_sig_frame(batch, id_col, text_col).localCheckpoint(eager=True)
+    bands = _mh_bands_long(sigs, id_col)
+
+    est_jacc = (
+        F.aggregate(
+            F.zip_with("mh_new", "mh_old", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda s, x: s + x,
+        ).cast("double")
+        / F.size("mh_new")
+    )
+
+    cand_pairs = []
+    store_exists = os.path.exists(store_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(store_dir)
+    )
+    if store_exists:
+        hist = spark.read.parquet(store_dir)
+        hist_bands = _mh_bands_long(hist, id_col).select(
+            F.col(id_col).alias("hist_id"), "band", "sig"
+        )
+        cand_pairs.append(
+            bands.join(hist_bands, ["band", "sig"])
+            .filter(F.col(id_col) != F.col("hist_id"))
+            .select(F.col(id_col).alias("new_id"), F.col("hist_id").alias("old_id"))
+            .distinct()
+            .join(
+                hist.select(
+                    F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")
+                ).dropDuplicates(["old_id"]),
+                "old_id",
+            )
+        )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand_pairs.append(
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{id_col}") > F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("new_id"), F.col(f"y.{id_col}").alias("old_id")
+        )
+        .distinct()
+        .join(
+            sigs.select(F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")),
+            "old_id",
+        )
+    )
+    cands = cand_pairs[0]
+    for extra in cand_pairs[1:]:
+        cands = cands.unionByName(extra)
+
+    dup_ids = (
+        cands.join(
+            sigs.select(F.col(id_col).alias("new_id"), F.col("mh").alias("mh_new")),
+            "new_id",
+        )
+        .filter(est_jacc >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
+    admitted_ids = admitted.select(id_col)
+    sigs.join(admitted_ids, id_col).write.mode("append").parquet(store_dir)
+    return admitted

@@ -189,23 +189,28 @@ def q52_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key; bucket skew is bounded by band width."""
     d = _t(spark, sf_dir, "documents")
     words = F.split("text", _WS)
+    # when() guard: over a LocalRelation Catalyst evaluates the
+    # collapsed projection eagerly for every row, where the filter
+    # alone would not stop sequence(1, 0) from descending into an
+    # out-of-bounds element_at (operators/neardup_ingest.py hit this)
+    shingle_expr = F.when(
+        F.size("w") >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i),
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     shingled = (
         d.select("doc_id", words.alias("w"))
         .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("w", i),
-                        F.element_at("w", i + 1),
-                        F.element_at("w", i + 2),
-                    ),
-                )
-            ).alias("shingles"),
-        )
+        .select("doc_id", shingle_expr.alias("shingles"))
     )
     # shingled feeds three plan branches (signatures + both verify
     # sides); persist it so shingling+md5 run once, spilling to disk

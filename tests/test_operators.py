@@ -636,3 +636,40 @@ def test_ann_sign_ivf_exclude_self_flag(spark):
     )
     best = {r["vec_id"]: r["cos_sim"] for r in hits_incl.collect()}
     assert best.get(2) == 1.0  # the identical colliding row IS returned
+
+
+def test_textdup_ingest_across_batches(spark, sf_dir, tmp_path):
+    """MinHash text ingest: exact-duplicate text of an earlier batch
+    is suppressed, fresh text admitted, short docs pass through,
+    retry re-emits (at-least-once)."""
+    from file_appender_spark.operators.neardup_ingest import textdup_ingest_batch
+
+    store = str(tmp_path / "txtstore")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", r"\s+")) >= 3)
+        .limit(6)
+        .select("doc_id", "text")
+    )
+    a1 = textdup_ingest_batch(spark, docs, store, threshold=0.9)
+    assert a1.count() == 6
+
+    # batch 2: one exact copy of an admitted doc (new id), one short
+    # doc (cannot shingle), one genuinely new text
+    copy = docs.limit(1).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    short = spark.createDataFrame([(20_000, "tiny doc")], "doc_id long, text string")
+    fresh = spark.createDataFrame(
+        [(30_000, "completely different words about moose migration patterns "
+                  "in northern latitudes during early spring thaw")],
+        "doc_id long, text string",
+    )
+    b2 = copy.unionByName(short).unionByName(fresh)
+    a2 = textdup_ingest_batch(spark, b2, store, threshold=0.9)
+    got = sorted(r["doc_id"] for r in a2.collect())
+    assert got == [20_000, 30_000]  # copy suppressed, short + fresh admitted
+
+    # retry: identical admitted set re-emitted
+    a2_retry = textdup_ingest_batch(spark, b2, store, threshold=0.9)
+    assert sorted(r["doc_id"] for r in a2_retry.collect()) == [20_000, 30_000]
