@@ -135,6 +135,35 @@ def main() -> None:
     except Exception as exc:
         print(f"# similarity extras skipped: {exc}", file=sys.stderr)
 
+    # incremental near-dup ingest throughput: docs/sec through one
+    # micro-batch against a pre-populated MinHash signature store
+    try:
+        import shutil
+        import tempfile
+
+        from file_appender_spark.operators.neardup_ingest import textdup_ingest_batch
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        rest = docs.filter(F.col("doc_id") % 2 == 1)
+        td = tempfile.mkdtemp()
+        store = os.path.join(td, "sigstore")
+        textdup_ingest_batch(spark, half, store, threshold=0.5)  # populate
+        t0 = time.perf_counter()
+        admitted = textdup_ingest_batch(spark, rest, store, threshold=0.5)
+        n_admitted = admitted.count()
+        dt = time.perf_counter() - t0
+        extras["textdup_ingest_docs_per_sec"] = int((n_docs - n_docs // 2) / dt)
+        shutil.rmtree(td)
+        print(
+            f"# textdup ingest: {extras['textdup_ingest_docs_per_sec']} docs/s "
+            f"({n_admitted} admitted of {n_docs - n_docs // 2})",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# ingest extra skipped: {exc}", file=sys.stderr)
+
     # sink throughput extras: the reference's core capability — write
     # lineitem as delimited text via (a) the compat append protocol
     # (A1-A15: election, append-into-files, rotation) and (b) the
@@ -216,6 +245,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_registered": len(QUERIES),
                 "extras": extras,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1038,3 +1038,62 @@ def q107_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(logp), 6).alias("min_log2_prob"),
         )
     )
+
+
+@register(
+    "q112_oov_rate",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS c FROM tok GROUP BY term
+        ORDER BY c DESC, term LIMIT 100
+      )
+    )
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(avg(CASE WHEN v.term IS NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.term = v.term
+    GROUP BY tok.doc_id
+    """,
+)
+def q112_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage profile: each document's out-of-vocabulary
+    token rate against the corpus top-100 vocabulary (deterministic:
+    ranked by count desc then term) — the tokenizer-fit signal a
+    pipeline checks before committing to a vocab size, and a
+    quality filter (high OOV = noise/foreign/encoding junk).
+
+    Scale: the vocabulary derives from the same partial-aggregated
+    term counts as q107 and is tiny by construction (top-k), so it
+    BROADCASTS to the token join — no shuffle of the token stream at
+    all beyond the per-doc aggregate; the left join marks membership
+    without ever materializing the vocab per row."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", _WS)).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(100)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.avg(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)), 6
+            ).alias("oov_rate"),
+        )
+    )
