@@ -62,6 +62,32 @@ def _bands_long(sigs: DataFrame, n_bands: int, id_col: str) -> DataFrame:
     )
 
 
+def _band_pairs(
+    new_bands: DataFrame, old_bands: DataFrame, id_col: str, within_batch: bool
+) -> DataFrame:
+    """(new_id, old_id) candidate pairs from band-signature equality —
+    the shared core of both ingest variants. ``within_batch=True``
+    keeps only earlier-id incumbents (the min-id-representative rule);
+    ``False`` (vs history) excludes only self-id matches, which is
+    what makes retries at-least-once instead of self-suppressing."""
+    x = new_bands.alias("x")
+    y = old_bands.select(F.col(id_col).alias("_oid"), "band", "sig").alias("y")
+    if within_batch:
+        idcmp = F.col(f"x.{id_col}") > F.col("y._oid")
+    else:
+        idcmp = F.col(f"x.{id_col}") != F.col("y._oid")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & idcmp,
+        )
+        .select(F.col(f"x.{id_col}").alias("new_id"), F.col("y._oid").alias("old_id"))
+        .distinct()
+    )
+
+
 def neardup_ingest_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -101,18 +127,11 @@ def neardup_ingest_batch(
     )
     if store_exists:
         hist = spark.read.parquet(store_dir)
-        hist_bands = _bands_long(hist, n_bands, id_col).select(
-            F.col(id_col).alias("hist_id"), "band", "sig"
-        )
-        # batch x history candidates: equi-join on (band, sig) only.
-        # new_id != old_id keeps a retried batch from matching its own
-        # already-appended rows (the at-least-once contract above)
+        # batch x history candidates: equi-join on (band, sig) only
         cand_pairs.append(
-            bands.join(hist_bands, ["band", "sig"])
-            .filter(F.col(id_col) != F.col("hist_id"))
-            .select(F.col(id_col).alias("new_id"), F.col("hist_id").alias("old_id"))
-            .distinct()
-            .join(
+            _band_pairs(
+                bands, _bands_long(hist, n_bands, id_col), id_col, within_batch=False
+            ).join(
                 hist.select(
                     F.col(id_col).alias("old_id"),
                     F.col("v").alias("v_old"),
@@ -122,20 +141,8 @@ def neardup_ingest_batch(
             )
         )
     # within-batch candidates: earlier id is the incumbent
-    x = bands.alias("x")
-    y = bands.alias("y")
     cand_pairs.append(
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col(f"x.{id_col}") > F.col(f"y.{id_col}")),
-        )
-        .select(
-            F.col(f"x.{id_col}").alias("new_id"), F.col(f"y.{id_col}").alias("old_id")
-        )
-        .distinct()
-        .join(
+        _band_pairs(bands, bands, id_col, within_batch=True).join(
             sigs.select(
                 F.col(id_col).alias("old_id"),
                 F.col("v").alias("v_old"),
@@ -351,14 +358,8 @@ def textdup_ingest_batch(
     )
     if store_exists:
         hist = spark.read.parquet(store_dir)
-        hist_bands = _mh_bands_long(hist, id_col).select(
-            F.col(id_col).alias("hist_id"), "band", "sig"
-        )
         cand_pairs.append(
-            bands.join(hist_bands, ["band", "sig"])
-            .filter(F.col(id_col) != F.col("hist_id"))
-            .select(F.col(id_col).alias("new_id"), F.col("hist_id").alias("old_id"))
-            .distinct()
+            _band_pairs(bands, _mh_bands_long(hist, id_col), id_col, within_batch=False)
             .join(
                 hist.select(
                     F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")
@@ -366,20 +367,8 @@ def textdup_ingest_batch(
                 "old_id",
             )
         )
-    x = bands.alias("x")
-    y = bands.alias("y")
     cand_pairs.append(
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col(f"x.{id_col}") > F.col(f"y.{id_col}")),
-        )
-        .select(
-            F.col(f"x.{id_col}").alias("new_id"), F.col(f"y.{id_col}").alias("old_id")
-        )
-        .distinct()
-        .join(
+        _band_pairs(bands, bands, id_col, within_batch=True).join(
             sigs.select(F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")),
             "old_id",
         )
