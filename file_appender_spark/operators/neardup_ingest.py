@@ -1,27 +1,35 @@
-"""Incremental embedding near-dup ingest: the LSH analog of q89's
-exact incremental dedup (queries/llm.py), shaped for a streaming
-``foreachBatch`` or a batch-per-partition backfill loop.
+"""Incremental near-dup ingest: the LSH analog of q89's exact
+incremental dedup (queries/llm.py), shaped for a streaming
+``foreachBatch`` or a batch-per-partition backfill loop. Two
+modality variants share one protocol and one candidate core
+(``_band_pairs``):
 
-A persistent SIGNATURE STORE (parquet) holds, for every admitted
-vector: id, double-cast vector, norm, and its SRP band signatures
-(operators/similarity: same deterministic hash-derived hyperplanes, so
-signatures are stable across runs and engines). Each incoming batch:
+- ``neardup_ingest_batch`` — EMBEDDINGS: SRP band signatures
+  (operators/similarity: deterministic hash-derived hyperplanes),
+  exact-cosine verification.
+- ``textdup_ingest_batch`` — DOCUMENTS: q52's MinHash signatures
+  (imported definitions), estimated-Jaccard verification over the 16
+  stored slots (fixed-size store rows, O(docs) store).
+
+A persistent SIGNATURE STORE (parquet) holds one signature row per
+admitted item. Each incoming batch:
 
 1. computes its own band signatures (map-side only),
 2. finds candidates against the STORE by band-signature equi-join —
-   never a scan of historical vectors, never a cross join,
+   never a scan of historical payloads, never a cross join,
 3. finds candidates WITHIN the batch the same way (earlier-id wins),
-4. verifies candidates with exact cosine >= threshold,
+4. verifies candidates (exact cosine / estimated Jaccard >= threshold),
 5. admits survivors and appends ONLY their signature rows to the
    store.
 
 Scale notes: per batch, work is O(batch x matching-bucket) — the
 historical side is touched only through the signature join, so cost
 tracks the batch size, not corpus size. The store append is the only
-write. At-least-once semantics on retry: re-admitting the same ids
-appends duplicate store rows, which the signature join tolerates
-(candidates dedup by id) — idempotent in effect, matching the engine's
-documented sink semantics.
+write; ``compact_store`` (with ``_recover_store`` crash recovery)
+keeps its file count bounded. Retries are at-least-once: own-id
+matches are excluded from the history join, so a retried batch
+re-emits its identical admitted set, and duplicate store rows are
+collapsed at compaction.
 """
 
 from __future__ import annotations
