@@ -269,31 +269,19 @@ def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     re-declared, so the ingest and the oracle query can never drift.
     Documents with fewer than 3 words produce no signature (they
     cannot shingle; callers admit them unconditionally)."""
-    from file_appender_spark.queries.llm import _MH_P, _MH_PARAMS, _tok_hash32
+    from file_appender_spark.queries.llm import (
+        _MH_P,
+        _MH_PARAMS,
+        _WS,
+        _tok_hash32,
+        shingle_expr,
+    )
 
-    words = F.split(F.col(text_col), r"\s+")
-    # the when() guard matters even though short rows are filtered:
-    # over a LocalRelation (createDataFrame input) Catalyst evaluates
-    # the collapsed projection eagerly for every row, and
-    # sequence(1, 0) DESCENDS, driving element_at out of bounds
-    shingle_expr = F.when(
-        F.size("w") >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("w", i),
-                    F.element_at("w", i + 1),
-                    F.element_at("w", i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    words = F.split(F.col(text_col), _WS)
     shingled = (
         df.select(F.col(id_col), words.alias("w"))
         .filter(F.size("w") >= 3)
-        .select(id_col, shingle_expr.alias("shingles"))
+        .select(id_col, shingle_expr("w").alias("shingles"))
     )
     hashed = shingled.select(
         id_col, F.explode("shingles").alias("sh")
@@ -314,15 +302,6 @@ def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias(f"b{bi}")
             for bi in range(n_slots // 4)
         ],
-    )
-
-
-def _mh_bands_long(sigs: DataFrame, id_col: str) -> DataFrame:
-    return sigs.select(
-        F.col(id_col),
-        F.expr(
-            "stack(4, " + ", ".join(f"{bi}, b{bi}" for bi in range(4)) + ") AS (band, sig)"
-        ),
     )
 
 
@@ -347,9 +326,12 @@ def textdup_ingest_batch(
     Documents too short to shingle (< 3 words) are admitted
     unconditionally and not stored. Retry semantics are at-least-once
     exactly as the embedding ingest: own-id matches are excluded."""
+    from file_appender_spark.queries.llm import _MH_PARAMS
+
+    n_bands = len(_MH_PARAMS) // 4
     _recover_store(store_dir)
     sigs = _minhash_sig_frame(batch, id_col, text_col).localCheckpoint(eager=True)
-    bands = _mh_bands_long(sigs, id_col)
+    bands = _bands_long(sigs, n_bands, id_col)
 
     est_jacc = (
         F.aggregate(
@@ -367,7 +349,7 @@ def textdup_ingest_batch(
     if store_exists:
         hist = spark.read.parquet(store_dir)
         cand_pairs.append(
-            _band_pairs(bands, _mh_bands_long(hist, id_col), id_col, within_batch=False)
+            _band_pairs(bands, _bands_long(hist, n_bands, id_col), id_col, within_batch=False)
             .join(
                 hist.select(
                     F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")

@@ -44,6 +44,30 @@ _TOK32_SQL = "CAST(concat('0x', substr(md5({c}), 1, 8)) AS BIGINT)"
 _WS = r"\s+"
 
 
+def shingle_expr(w: str = "w"):
+    """3-word shingle array over a pre-split words column — the ONE
+    definition shared by q52_minhash_lsh and the incremental text
+    ingest (operators/neardup_ingest), so stored signatures and the
+    oracle query can never drift. The when() guard matters even when
+    short rows are filtered upstream: over a LocalRelation Catalyst
+    evaluates collapsed projections eagerly for every row, where
+    sequence(1, 0) DESCENDS and drives element_at out of bounds."""
+    return F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i),
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # --------------------------------------------------------------------------
 # Dedup
 # --------------------------------------------------------------------------
@@ -189,28 +213,10 @@ def q52_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key; bucket skew is bounded by band width."""
     d = _t(spark, sf_dir, "documents")
     words = F.split("text", _WS)
-    # when() guard: over a LocalRelation Catalyst evaluates the
-    # collapsed projection eagerly for every row, where the filter
-    # alone would not stop sequence(1, 0) from descending into an
-    # out-of-bounds element_at (operators/neardup_ingest.py hit this)
-    shingle_expr = F.when(
-        F.size("w") >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("w", i),
-                    F.element_at("w", i + 1),
-                    F.element_at("w", i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     shingled = (
         d.select("doc_id", words.alias("w"))
         .filter(F.size("w") >= 3)
-        .select("doc_id", shingle_expr.alias("shingles"))
+        .select("doc_id", shingle_expr("w").alias("shingles"))
     )
     # shingled feeds three plan branches (signatures + both verify
     # sides); persist it so shingling+md5 run once, spilling to disk
@@ -1075,8 +1081,14 @@ def q112_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCASTS to the token join — no shuffle of the token stream at
     all beyond the per-doc aggregate; the left join marks membership
     without ever materializing the vocab per row."""
+    from pyspark import StorageLevel
+
     d = _t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", _WS)).alias("term"))
+    # tok feeds the vocab aggregation AND the membership join —
+    # persist so full-corpus tokenization runs once (q52's pattern)
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", _WS)).alias("term")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     vocab = (
         tok.groupBy("term")
         .agg(F.count("*").alias("c"))

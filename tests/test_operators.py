@@ -648,6 +648,7 @@ def test_textdup_ingest_across_batches(spark, sf_dir, tmp_path):
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.size(F.split("text", r"\s+")) >= 3)
+        .orderBy("doc_id")
         .limit(6)
         .select("doc_id", "text")
     )
@@ -656,8 +657,10 @@ def test_textdup_ingest_across_batches(spark, sf_dir, tmp_path):
 
     # batch 2: one exact copy of an admitted doc (new id), one short
     # doc (cannot shingle), one genuinely new text
-    copy = docs.limit(1).select(
-        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    first_row = docs.orderBy("doc_id").collect()[0]
+    copy = spark.createDataFrame(
+        [(first_row["doc_id"] + 10_000, first_row["text"])],
+        "doc_id long, text string",
     )
     short = spark.createDataFrame([(20_000, "tiny doc")], "doc_id long, text string")
     fresh = spark.createDataFrame(
