@@ -307,7 +307,10 @@ def srp_params_for(
                 max(n_bands * max(n_rows - 1, 1) / target_candidates_per_row, 2.0)
             )
         )
-        r = min(max(r, 2), 30)
+        # band signatures pack r bits into one signed long: 62 is the
+        # safe ceiling (a 30-bit clamp here silently broke the linear-
+        # candidate bound past ~2^25 rows — caught by hypothesis)
+        r = min(max(r, 2), 62)
         if srp_recall(threshold, r * n_bands, n_bands) >= min_recall:
             return (r * n_bands, n_bands)
         if n_bands >= max_bands:

@@ -860,3 +860,128 @@ def q109_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= 20000)
     )
+
+
+@register(
+    "q113_winsorize",
+    """
+    WITH b AS (
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.05), 4) AS lo,
+             round(quantile_cont(o_totalprice, 0.95), 4) AS hi
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           round(o.o_totalprice, 2) AS raw_price,
+           round(least(greatest(o.o_totalprice, b.lo), b.hi), 4)
+             AS winsorized_price,
+           CAST(o.o_totalprice < b.lo OR o.o_totalprice > b.hi AS INT)
+             AS was_clipped
+    FROM orders o JOIN b USING (o_orderstatus)
+    WHERE o.o_orderkey % 20 = 0
+    """,
+)
+def q113_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip each value into its group's
+    exact [p05, p95] band — the outlier-capping step a feature/reward
+    pipeline runs before normalization so single extreme rows cannot
+    dominate a mean or a gradient.
+
+    Scale: the percentile bounds aggregate to |groups| rows (exact
+    percentiles via q19's machinery) and BROADCAST back onto the
+    fact; the clip itself is a map-side least/greatest — one scan,
+    one tiny broadcast, no second shuffle of the fact."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("hi"),
+    )
+    return (
+        o.filter(F.col("o_orderkey") % 20 == 0)
+        .join(F.broadcast(b), "o_orderstatus")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("raw_price"),
+            F.round(
+                F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")), 4
+            ).alias("winsorized_price"),
+            (
+                (F.col("o_totalprice") < F.col("lo"))
+                | (F.col("o_totalprice") > F.col("hi"))
+            )
+            .cast("int")
+            .alias("was_clipped"),
+        )
+    )
+
+
+@register(
+    "q114_split_leakage",
+    """
+    WITH assigned AS (
+      SELECT doc_id, sha256(text) AS content_hash,
+             CASE
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 90 THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT content_hash,
+           count(DISTINCT split)  AS n_splits,
+           count(*)               AS n_docs,
+           min(doc_id)            AS example_doc_id,
+           array_to_string(list_sort(list_distinct(list(split))), ',')
+             AS splits
+    FROM assigned
+    GROUP BY content_hash
+    HAVING count(DISTINCT split) > 1
+    """,
+)
+def q114_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage report: content hashes that appear in MORE THAN
+    ONE of train/valid/test under the q67 hash-split assignment — the
+    governance check that catches evaluation contamination when
+    duplicate documents straddle split boundaries (ids differ, so
+    id-hash splitting cannot see the duplication; content hashing
+    can).
+
+    Scale: one scan computing (content sha256, id-derived split),
+    one groupBy on the content hash (balanced keys by construction);
+    the HAVING keeps only offending groups, so output is bounded by
+    the true leak count."""
+    return split_leakage_report(_t(spark, sf_dir, "documents"))
+
+
+def split_leakage_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The q114 logic over any (id, text) frame — unit-tested with
+    planted cross-split duplicates, since the driver corpus is
+    honestly leak-free at the gate scale (the query then correctly
+    reports zero rows; sf0.1 carries 8 real duplicate texts)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    assigned = df.select(
+        id_col,
+        F.sha2(text_col, 256).alias("content_hash"),
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return (
+        assigned.groupBy("content_hash")
+        .agg(
+            F.count_distinct("split").alias("n_splits"),
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("example_doc_id"),
+            F.array_join(F.array_sort(F.array_distinct(F.collect_list("split"))), ",").alias(
+                "splits"
+            ),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

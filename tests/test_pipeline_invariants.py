@@ -95,3 +95,41 @@ def test_stratified_sample_subset_and_rates(spark, sf_dir):
         for r in QUERIES["q72_stratified_sample"].spark_fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_split_leakage_detects_planted_cross_split_duplicate(spark):
+    """q114's logic on planted data: a text duplicated under two ids
+    that hash into different splits is reported; unique texts and
+    same-split duplicates are not."""
+    from file_appender_spark.queries.pipeline import split_leakage_report
+
+    # find two ids in different splits and two in the same split
+    import hashlib
+
+    def split_of(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("valid" if b < 90 else "test")
+
+    ids = list(range(200))
+    cross = next(
+        (a, b) for a in ids for b in ids if a < b and split_of(a) != split_of(b)
+    )
+    same = next(
+        (a, b)
+        for a in ids
+        for b in ids
+        if a < b and {a, b} != set(cross) and split_of(a) == split_of(b) == "train"
+    )
+    rows = [
+        (cross[0], "leaked document text"),
+        (cross[1], "leaked document text"),
+        (same[0], "benign duplicate"),
+        (same[1], "benign duplicate"),
+        (999, "unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_leakage_report(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_splits"] == 2 and r["n_docs"] == 2
+    assert r["example_doc_id"] == cross[0]

@@ -113,3 +113,33 @@ def test_stream_offsets_respect_line_boundaries(lines, data):
             reader.readBetweenOffsets(off1, off2)
         )
         assert replay == rows1 + rows2
+
+
+# --- SRP banding policy properties (hypothesis over the pure math) ---
+
+
+@given(
+    st.integers(min_value=2, max_value=1_000_000_000),
+    st.floats(min_value=0.5, max_value=0.999),
+)
+@settings(max_examples=60, deadline=None)
+def test_srp_policy_meets_constraints(n_rows, threshold):
+    """For any corpus size and sensible threshold, the banding policy
+    keeps expected random candidates per row bounded and, unless it
+    hit the band cap, meets the recall target; recall for identical
+    vectors is always exactly 1."""
+    from file_appender_spark.operators.similarity import srp_params_for, srp_recall
+
+    bits, bands = srp_params_for(n_rows, threshold, min_recall=0.9)
+    r = bits // bands
+    assert bits % bands == 0 and r >= 2
+    # precision: expected junk candidates per row stay bounded
+    assert bands * 0.5**r * n_rows <= 4.0 + 1e-9
+    # recall target met unless the policy capped out
+    if bands < 256:
+        assert srp_recall(threshold, bits, bands) >= 0.9
+    assert srp_recall(1.0, bits, bands) == 1.0
+    # monotonicity: more bands never hurt recall at fixed bits/band
+    assert srp_recall(threshold, r * bands * 2, bands * 2) >= srp_recall(
+        threshold, bits, bands
+    ) - 1e-12
