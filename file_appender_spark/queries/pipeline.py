@@ -985,3 +985,67 @@ def split_leakage_report(
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+@register(
+    "q115_split_balance",
+    """
+    WITH assigned AS (
+      SELECT lang,
+             CASE
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 90 THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ),
+    cell AS (SELECT split, lang, count(*) AS n FROM assigned GROUP BY 1, 2),
+    tot  AS (SELECT split, sum(n) AS n_split FROM cell GROUP BY 1),
+    corpus AS (
+      SELECT lang, CAST(sum(n) AS DOUBLE) / (SELECT sum(n) FROM cell) AS p_corpus
+      FROM cell GROUP BY lang
+    )
+    SELECT c.split, c.lang, c.n,
+           round(CAST(c.n AS DOUBLE) / t.n_split, 6)          AS p_split,
+           round(p.p_corpus, 6)                               AS p_corpus,
+           round(CAST(c.n AS DOUBLE) / t.n_split - p.p_corpus, 6)
+             AS balance_gap
+    FROM cell c JOIN tot t USING (split) JOIN corpus p USING (lang)
+    """,
+)
+def q115_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split label balance monitor: each (split, lang) cell's
+    share within its split vs the corpus-wide share — the check that a
+    hash split didn't (by bad luck or bad keying) concentrate a
+    language into one split, completing the governance trio with q67
+    (the split itself) and q114 (content leakage).
+
+    Scale: one scan to |splits| x |langs| cells; every later join
+    runs over those tiny aggregates (split totals, corpus shares) —
+    nothing re-touches the fact."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    assigned = d.select(
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").alias(
+            "split"
+        ),
+    )
+    cell = assigned.groupBy("split", "lang").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window as W2
+
+    n_split = F.sum("n").over(W2.partitionBy("split"))
+    n_all = F.sum("n").over(W2.partitionBy())
+    p_corpus = F.sum("n").over(W2.partitionBy("lang")) / n_all
+    return cell.select(
+        "split",
+        "lang",
+        "n",
+        F.round(F.col("n") / n_split, 6).alias("p_split"),
+        F.round(p_corpus, 6).alias("p_corpus"),
+        F.round(F.col("n") / n_split - p_corpus, 6).alias("balance_gap"),
+    )
