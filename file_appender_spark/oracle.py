@@ -63,6 +63,50 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def oracle_decimal_columns(oracle_sql: str, sf_dir: str) -> list[str]:
+    """Names of output columns the oracle SQL produces as an arrow
+    decimal type (DuckDB HUGEINT / DECIMAL both arrive as decimal128).
+
+    The driver's canonicalization distinguishes decimal128 from int64,
+    so an oracle column that lands as decimal while Spark emits BIGINT
+    hash-mismatches even when every value is numerically equal — the
+    root cause of round 1's q04 red and all six round-2 reds. Pure
+    DuckDB (no Spark session) so tests can sweep the full inventory
+    cheaply."""
+    import pyarrow as pa
+
+    con = duckdb_connection(sf_dir)
+    try:
+        tbl = con.execute(oracle_sql).arrow()
+    finally:
+        con.close()
+    return [f.name for f in tbl.schema if pa.types.is_decimal(f.type)]
+
+
+def _decimal_mismatch(spark_df, duck_cols, duck_rows) -> str | None:
+    """Data-level tripwire: a column where exactly one side is Decimal
+    is a guaranteed driver hash-mismatch even if values are equal."""
+    from pyspark.sql.types import DecimalType
+
+    spark_dec = {
+        f.name for f in spark_df.schema.fields if isinstance(f.dataType, DecimalType)
+    }
+    duck_dec = set()
+    for row in duck_rows[:100]:
+        for c, v in zip(duck_cols, row):
+            if isinstance(v, Decimal):
+                duck_dec.add(c)
+    bad = spark_dec.symmetric_difference(duck_dec)
+    if bad:
+        return (
+            f"decimal-type mismatch on {sorted(bad)}: spark decimal cols="
+            f"{sorted(spark_dec)}, oracle decimal cols={sorted(duck_dec)} — "
+            "the driver hashes Decimal and int64/double differently; "
+            "CAST the oracle column (usually sum(int) -> HUGEINT) to BIGINT/DOUBLE"
+        )
+    return None
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
     """Return (match, diagnostic)."""
     spark_cols = spark_df.columns
@@ -75,6 +119,9 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
 
     if sorted(spark_cols) != sorted(duck_cols):
         return False, f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    dec_diag = _decimal_mismatch(spark_df, duck_cols, duck_rows)
+    if dec_diag:
+        return False, dec_diag
     if len(spark_rows) != len(duck_rows):
         return False, f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
     a = canonical_rows(spark_cols, spark_rows)

@@ -57,8 +57,8 @@ def q36_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessioned AS (
       SELECT user_id, ts, value,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
       FROM flagged
     )
     SELECT user_id, session_idx,

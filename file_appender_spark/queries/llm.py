@@ -293,7 +293,7 @@ def q52_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, b.bit
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )
@@ -915,7 +915,7 @@ def q99_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id)
     SELECT tf.doc_id,
            count(*)   AS n_unique,
-           min(tot.n) AS n_tokens,
+           CAST(min(tot.n) AS BIGINT) AS n_tokens,
            round(-sum((c * 1.0 / tot.n) * ln(c * 1.0 / tot.n)) / ln(2.0), 6)
              AS word_entropy
     FROM tf JOIN tot USING (doc_id)

@@ -817,10 +817,10 @@ def q87_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT t.*,
-             sum(n_tokens) OVER (
+             CAST(sum(n_tokens) OVER (
                ORDER BY alpha_ratio DESC, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS cum_tokens
+             ) AS BIGINT) AS cum_tokens
       FROM t
     )
     SELECT doc_id, n_tokens, alpha_ratio, cum_tokens

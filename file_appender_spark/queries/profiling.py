@@ -190,7 +190,7 @@ def q81_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, next_type,
            count(*)    AS n_transitions,
-           sum(gap_us) AS sum_gap_us
+           CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
     FROM pairs WHERE next_type IS NOT NULL
     GROUP BY 1, 2
     """,
@@ -326,7 +326,7 @@ def q98_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)             AS n,
            round(min(d.med), 4) AS med,
            round(min(m.mad), 4) AS mad,
-           sum(CASE WHEN d.adev > 1.5 * m.mad THEN 1 ELSE 0 END) AS n_out
+           CAST(sum(CASE WHEN d.adev > 1.5 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
     FROM dev d JOIN madt m USING (c_mktsegment)
     GROUP BY d.c_mktsegment
     """,
@@ -433,10 +433,10 @@ def q102_arrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(*)                         AS n_rows,
              count(DISTINCT o_orderkey)       AS n_pk,
              count(o_totalprice)              AS n_price_nonnull,
-             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_price_nonpos,
-             sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
-                        OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
-                      THEN 1 ELSE 0 END)      AS n_date_oob
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_nonpos,
+             CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+                             OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_date_oob
       FROM orders
     ),
     orph AS (
