@@ -340,21 +340,22 @@ def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q43_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching by edit distance (supplier names within
-    2 edits) — the string-similarity member of the dedup family. At
-    test scale all-pairs is the declared exact semantics; the scale
-    path blocks candidates first (e.g. same name-prefix or same
-    length band) exactly like q52 bands the minhash space."""
+    2 edits) — the string-similarity member of the dedup family.
+
+    The oracle states the all-pairs exact semantics; the Spark plan
+    runs the BLOCKED scale path (operators/fuzzyjoin.py): PassJoin-
+    style segment pigeonhole generates candidates through an equi-join
+    (constant ~45x key expansion, exact recall — proven equivalent to
+    all-pairs in tests/test_fuzzyjoin.py), then one bounded
+    levenshtein per candidate. Same results, linear-in-rows candidate
+    cost — this is how it bands the string space exactly like q52
+    bands the minhash space and srp_neardup the embedding space."""
+    from file_appender_spark.operators.fuzzyjoin import fuzzy_self_join
+
     s = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("id"), F.lower("s_name").alias("nm")
     )
-    a = s.select(F.col("id").alias("id1"), F.col("nm").alias("nm1"))
-    b = s.select(F.col("id").alias("id2"), F.col("nm").alias("nm2"))
-    dist = F.levenshtein("nm1", "nm2")
-    return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .filter(dist <= 2)
-        .select("id1", "id2", dist.alias("edit_dist"))
-    )
+    return fuzzy_self_join(s, "id", "nm", max_dist=2)
 
 
 # --------------------------------------------------------------------------

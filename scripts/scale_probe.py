@@ -174,6 +174,29 @@ def main() -> None:
             target_cell_size=256,
         ),
     )
+    # blocked fuzzy join over diverse document-derived strings (the
+    # doc_id suffix keeps replica strings distinct, so matches stay
+    # within bounded per-document groups — near-linear expected; the
+    # supplier-table q43 form can't probe scale because supplier is a
+    # non-replicated dim)
+    from file_appender_spark.operators.fuzzyjoin import fuzzy_self_join
+
+    op_probe(
+        "op_fuzzy_blocked",
+        lambda d: fuzzy_self_join(
+            load_table(spark, d, "documents").select(
+                F.col("doc_id").alias("id"),
+                F.concat(
+                    F.lower(F.substring("text", 1, 24)),
+                    F.lit("-"),
+                    F.col("doc_id").cast("string"),
+                ).alias("nm"),
+            ),
+            "id",
+            "nm",
+            max_dist=2,
+        ),
+    )
     print(json.dumps({"factor": FACTOR, "results": results}))
 
 
