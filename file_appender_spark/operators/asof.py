@@ -43,6 +43,23 @@ def asof_join(
     matched right timestamp inside the payload struct and nulling the
     values after the carry — the plan still has ONE shuffle and no
     range join."""
+    if "_rts" in value_cols or "_rts" in (on, ts):
+        raise ValueError(
+            "asof_join reserves the column name '_rts' to carry the "
+            "matched right timestamp for the tolerance check — rename "
+            "that column before joining"
+        )
+    if isinstance(tolerance, str):
+        try:
+            # F.expr() builds lazily; spark.sql() parses + analyzes
+            # eagerly, so a malformed interval fails HERE with a clear
+            # message naming the argument, not deep in the query plan
+            left.sparkSession.sql(f"SELECT INTERVAL {tolerance}")
+        except Exception as e:
+            raise ValueError(
+                f"asof_join tolerance {tolerance!r} is not a valid SQL "
+                f"interval string (expected e.g. '15 minutes'): {e}"
+            ) from None
     l_cols = left.columns
     # right values travel inside ONE struct: the struct itself is
     # non-null for every right row (even when the value columns are

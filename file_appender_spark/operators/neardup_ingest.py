@@ -34,6 +34,7 @@ collapsed at compaction.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -130,6 +131,9 @@ def neardup_ingest_batch(
 
     cand_pairs = []
     _recover_store(store_dir)
+    _check_store_params(
+        store_dir, {"modality": "srp", "n_bits": n_bits, "n_bands": n_bands}
+    )
     store_exists = os.path.exists(store_dir) and any(
         f.endswith(".parquet") for f in os.listdir(store_dir)
     )
@@ -195,6 +199,35 @@ def neardup_ingest_batch(
     return admitted
 
 
+_PARAMS_FILE = "_LSH_PARAMS.json"
+
+
+def _check_store_params(store_dir: str, expected: dict) -> None:
+    """Stamp the LSH parameters into the store on first use and fail
+    fast when a later batch disagrees. Signatures computed under
+    different (n_bits, n_bands) — or a different modality — are
+    incomparable: band equi-joins would silently find no historical
+    candidates and admit every near-duplicate. The sidecar starts
+    with ``_`` so Spark's parquet reader ignores it."""
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, _PARAMS_FILE)
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = json.load(f)
+        if stored != expected:
+            raise ValueError(
+                f"signature store {store_dir} was built with LSH params "
+                f"{stored}, but this batch uses {expected} — signatures "
+                "are incomparable across params; rebuild the store or "
+                "pass the original parameters"
+            )
+    else:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(expected, f, sort_keys=True)
+        os.replace(tmp, path)
+
+
 def _recover_store(store_dir: str) -> None:
     """Crash recovery for compact_store's directory swap: if a crash
     between the two renames left ``store_dir`` missing while the
@@ -245,6 +278,11 @@ def compact_store(
     frac = (counts["uniq"] / counts["total"]) if counts["total"] else 1.0
     n = plan_file_count(int(dir_bytes(spark, store_dir) * frac), target_file_mb)
     df.dropDuplicates([id_col]).repartition(n).write.mode("overwrite").parquet(tmp)
+    # the LSH-params stamp must survive the swap, or the next ingest
+    # batch would re-stamp with whatever params it happens to pass
+    params_src = os.path.join(store_dir, _PARAMS_FILE)
+    if os.path.exists(params_src):
+        shutil.copy2(params_src, os.path.join(tmp, _PARAMS_FILE))
     old = store_dir.rstrip("/") + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
@@ -330,6 +368,10 @@ def textdup_ingest_batch(
 
     n_bands = len(_MH_PARAMS) // 4
     _recover_store(store_dir)
+    _check_store_params(
+        store_dir,
+        {"modality": "minhash", "n_slots": len(_MH_PARAMS), "n_bands": n_bands},
+    )
     sigs = _minhash_sig_frame(batch, id_col, text_col).localCheckpoint(eager=True)
     bands = _bands_long(sigs, n_bands, id_col)
 

@@ -68,6 +68,12 @@ def _with_views(fn: SparkQuery, name: str) -> SparkQuery:
         if (token, None) not in _REGISTERED:
             tune_session(spark)
             _REGISTERED.add((token, None))
+        # re-pin the one correctness-critical conf on EVERY call (one
+        # cheap py4j roundtrip): if anything mutated the session
+        # timezone since tuning, memoized timestamp plans would
+        # silently compute under the wrong zone
+        if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         # data-version in both keys: rewriting any table under sf_dir
         # re-registers the views and invalidates memoized plans (the
         # same read-your-own-writes guarantee as catalog._DF_CACHE)
@@ -76,6 +82,19 @@ def _with_views(fn: SparkQuery, name: str) -> SparkQuery:
         version = sf_version(sf_dir)
         key = (token, sf_dir, version)
         if key not in _REGISTERED:
+            # evict prior-version view/memo entries for this
+            # (session, sf_dir): tables being rewritten in a loop
+            # would otherwise leak stale plan objects without bound
+            for stale in [
+                k
+                for k in _REGISTERED
+                if k[1:2] == (sf_dir,) and k[0] == token and k != key
+            ]:
+                _REGISTERED.discard(stale)
+            for stale in [
+                k for k in _DF_MEMO if k[0] == token and k[1] == sf_dir and k[2] != version
+            ]:
+                del _DF_MEMO[stale]
             register_views(spark, sf_dir)
             _REGISTERED.add(key)
         # memoize the built DataFrame: an immutable lazy plan, safe to

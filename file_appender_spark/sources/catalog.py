@@ -81,21 +81,26 @@ def _session_token(spark: SparkSession) -> str:
 
 def _path_version(path: str) -> int:
     """Data-version token for a parquet path: the max mtime_ns over
-    the path and (for directories) its immediate children. Catches
-    both flat-file rewrites and partitioned rewrites (replacing files
-    inside ``part=X/`` bumps that subdir's mtime even though the table
-    dir's own mtime stays put). -1 for missing paths."""
+    the path and (for directories) everything under it, recursively —
+    a rewrite at any partition depth (``a=1/b=2/part.parquet``)
+    invalidates the memoized DataFrame, not just single-level layouts.
+    -1 for missing paths. Cost is a local stat walk over the test
+    tables; a production deployment would take snapshot versions from
+    a table format / metastore instead of the filesystem."""
     try:
         st = os.stat(path)
     except OSError:
         return -1
     version = st.st_mtime_ns
     if os.path.isdir(path):
-        try:
-            for entry in os.scandir(path):
-                version = max(version, entry.stat().st_mtime_ns)
-        except OSError:
-            pass
+        for root, dirs, files in os.walk(path):
+            for n in dirs + files:
+                try:
+                    version = max(
+                        version, os.stat(os.path.join(root, n)).st_mtime_ns
+                    )
+                except OSError:
+                    pass
     return version
 
 
@@ -136,6 +141,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _DF_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict prior-version entries for the same (session, path): a
+    # long-lived session rewriting tables would otherwise strand an
+    # unbounded trail of stale DataFrame plans in the memo
+    for stale in [k for k in _DF_CACHE if k[:2] == key[:2] and k[2] != key[2]]:
+        del _DF_CACHE[stale]
     from pyspark.sql import functions as F
 
     nanos_cols = _nanos_timestamp_cols(path)

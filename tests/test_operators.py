@@ -676,3 +676,70 @@ def test_textdup_ingest_across_batches(spark, sf_dir, tmp_path):
     # retry: identical admitted set re-emitted
     a2_retry = textdup_ingest_batch(spark, b2, store, threshold=0.9)
     assert sorted(r["doc_id"] for r in a2_retry.collect()) == [20_000, 30_000]
+
+
+def test_neardup_store_params_mismatch_fails_fast(spark, tmp_path):
+    """A store built under one (n_bits, n_bands) must refuse batches
+    computed under another — mismatched band signatures are
+    incomparable and would silently admit historical near-dups."""
+    import pytest as _pytest
+
+    from file_appender_spark.operators.neardup_ingest import neardup_ingest_batch
+
+    store = str(tmp_path / "sigstore_params")
+    neardup_ingest_batch(
+        spark, _synth_vecs(spark, [1, 2]), store, threshold=0.999, n_bits=16, n_bands=4
+    )
+    with _pytest.raises(ValueError, match="LSH params"):
+        neardup_ingest_batch(
+            spark, _synth_vecs(spark, [3]), store, threshold=0.999,
+            n_bits=32, n_bands=8,
+        )
+    # same params keep working, and the stamp survives compaction
+    from file_appender_spark.operators.neardup_ingest import compact_store
+
+    compact_store(spark, store)
+    neardup_ingest_batch(
+        spark, _synth_vecs(spark, [4]), store, threshold=0.999, n_bits=16, n_bands=4
+    )
+    with _pytest.raises(ValueError, match="LSH params"):
+        neardup_ingest_batch(
+            spark, _synth_vecs(spark, [5]), store, threshold=0.999,
+            n_bits=32, n_bands=8,
+        )
+
+
+def test_neardup_store_rejects_wrong_modality(spark, tmp_path):
+    """An embedding (SRP) store cannot be fed to the text (MinHash)
+    ingest — the stamp records the modality too."""
+    import pytest as _pytest
+
+    from file_appender_spark.operators.neardup_ingest import (
+        neardup_ingest_batch,
+        textdup_ingest_batch,
+    )
+
+    store = str(tmp_path / "sigstore_modality")
+    neardup_ingest_batch(spark, _synth_vecs(spark, [1]), store, threshold=0.999)
+    docs = spark.createDataFrame(
+        [(1, "three word doc right here")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="LSH params"):
+        textdup_ingest_batch(spark, docs, store)
+
+
+def test_asof_join_rejects_reserved_rts_and_bad_interval(spark):
+    import pytest as _pytest
+
+    from file_appender_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 0)], "k int, ts int, x int")
+    right = spark.createDataFrame([(1, 9, 7)], "k int, ts int, _rts int")
+    with _pytest.raises(ValueError, match="_rts"):
+        asof_join(left, right, on="k", ts="ts", value_cols=["_rts"])
+    right2 = spark.createDataFrame([(1, 9, 7)], "k int, ts int, v int")
+    with _pytest.raises(ValueError, match="interval"):
+        asof_join(
+            left, right2, on="k", ts="ts", value_cols=["v"],
+            tolerance="not an interval at all",
+        )
