@@ -44,6 +44,9 @@ from file_appender_spark.operators.similarity import (
     _as_double,
     _dot,
     _srp_band_sigs,
+    _srp_band_sigs_sql,
+    _srp_coefs,
+    _vec_dim,
 )
 
 
@@ -51,11 +54,19 @@ def _sig_frame(
     df: DataFrame, n_bits: int, n_bands: int, id_col: str, vec_col: str
 ) -> DataFrame:
     v = _as_double(F.col(vec_col))
-    sigs = _srp_band_sigs(v, n_bits, n_bands)
-    return df.select(
+    # hoisted-coefficient fast path: bit-identical signatures (see
+    # _srp_band_sigs_sql), so stores written either way stay comparable
+    base = df.select(F.col(id_col), v.alias("v"))
+    dim = _vec_dim(base, F.col("v"))
+    if dim is None:
+        sigs = _srp_band_sigs(F.col("v"), n_bits, n_bands)
+    else:
+        coefs = _srp_coefs(df.sparkSession, n_bits, dim)
+        sigs = _srp_band_sigs_sql("v", n_bits, n_bands, coefs)
+    return base.select(
         F.col(id_col),
-        v.alias("v"),
-        F.sqrt(_dot(v, v)).alias("nrm"),
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
         *[sigs[bi].alias(f"b{bi}") for bi in range(n_bands)],
     )
 

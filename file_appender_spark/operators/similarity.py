@@ -146,12 +146,27 @@ def blocked_topk(
     )
 
 
-def _srp_projection(v, bit_idx: int):
+def _srp_projection(v, bit_idx: int, coefs: list | None = None):
     """Dot product of ``v`` with a hash-derived pseudo-random
     hyperplane: coefficient for (bit, dim) is murmur3(bit, dim)
     scaled to [-1, 1). No stored model, no RNG state — signatures are
     deterministic across runs, engines, and partitionings, and the
-    whole fold stays inside codegen."""
+    whole fold stays inside codegen.
+
+    ``coefs`` (from ``_srp_coefs``) is the hoisted fast path: the
+    per-(bit, dim) hash is data-independent, so when the vector
+    dimension is known the coefficients become ONE array literal and
+    the per-row work drops to a multiply-add fold — measured ~2x on
+    the sf0.1 bench. The fold ORDER and every multiply are unchanged,
+    so projections (and therefore signatures) are bit-identical to
+    the inline-hash path — required for signature-store compatibility
+    (operators/neardup_ingest.py)."""
+    if coefs is not None:
+        return F.aggregate(
+            F.zip_with(v, F.lit(coefs[bit_idx]), lambda x, c: x * c),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
     return F.aggregate(
         F.transform(
             v,
@@ -162,13 +177,98 @@ def _srp_projection(v, bit_idx: int):
     )
 
 
-def _srp_band_sigs(v, n_bits: int, n_bands: int) -> list:
+_SRP_COEF_MEMO: dict[tuple[int, int], list[list[float]]] = {}
+
+
+def _srp_coefs(spark, n_bits: int, dim: int) -> list[list[float]]:
+    """The exact hyperplane coefficients the inline path computes per
+    row, hoisted: one tiny JVM job evaluates the SAME
+    ``F.hash(bit, i)`` murmur3 (so values match bit-for-bit), then the
+    (n_bits x dim) matrix is memoized — it is session-independent."""
+    key = (n_bits, dim)
+    got = _SRP_COEF_MEMO.get(key)
+    if got is None:
+        rows = (
+            spark.range(n_bits)
+            .select(F.col("id").cast("int").alias("bit"))
+            .select("bit", F.explode(F.expr(f"sequence(0, {dim - 1})")).alias("i"))
+            .select(
+                "bit",
+                "i",
+                (F.hash(F.col("bit"), F.col("i")).cast("double") / 2147483648.0).alias(
+                    "c"
+                ),
+            )
+            .collect()
+        )
+        mat = [[0.0] * dim for _ in range(n_bits)]
+        for r in rows:
+            mat[r["bit"]][r["i"]] = r["c"]
+        got = _SRP_COEF_MEMO[key] = mat
+    return got
+
+
+def _vec_dim(df: DataFrame, vec_col_expr) -> int | None:
+    """Dimension of the (fixed-width) vector column, or None when the
+    frame is empty — callers fall back to the inline-hash path."""
+    row = df.select(F.size(vec_col_expr).alias("d")).first()
+    return None if row is None else row["d"]
+
+
+def _sql_double(x: float) -> str:
+    """SQL double literal that parses back to the same IEEE-754 value
+    (repr is the shortest round-tripping decimal)."""
+    return f"{x!r}D"
+
+
+def _srp_bit_sql(vname: str, bit_idx: int, coefs: list) -> str:
+    """The sign bit of one hyperplane projection as SQL text. Same
+    multiplies, same left-fold order as ``_srp_projection`` — results
+    are bit-identical; only the plan-construction cost differs
+    (building 96 Python-lambda HOFs costs ~5s of py4j roundtrips on
+    the driver; parsing one generated SQL string costs ~ms)."""
+    arr = "array(" + ",".join(_sql_double(c) for c in coefs[bit_idx]) + ")"
+    proj = (
+        f"aggregate(zip_with({vname}, {arr}, (x, c) -> x * c), "
+        f"0.0D, (s, x) -> s + x)"
+    )
+    return f"cast(({proj} >= 0) as long)"
+
+
+def _srp_band_sigs_sql(
+    vname: str, n_bits: int, n_bands: int, coefs: list
+) -> list:
+    """SQL-text twin of ``_srp_band_sigs`` over a NAMED vector column:
+    one ``F.expr`` per band signature instead of per-bit lambda
+    construction. Values are bit-identical to the Column path (pinned
+    by test_srp_hoisted_coefs_bit_identical)."""
+    assert n_bits % n_bands == 0
+    rows_per_band = n_bits // n_bands
+    sigs = []
+    for bi in range(n_bands):
+        sig = _srp_bit_sql(vname, bi * rows_per_band, coefs)
+        for j in range(1, rows_per_band):
+            sig = f"({sig} * 2 + {_srp_bit_sql(vname, bi * rows_per_band + j, coefs)})"
+        sigs.append(F.expr(sig))
+    return sigs
+
+
+def _srp_cell_sql(vname: str, n_bits: int, coefs: list):
+    """All ``n_bits`` sign bits packed into one cell id (the
+    ``ann_sign_ivf`` cell function), as a single parsed expression."""
+    sig = _srp_bit_sql(vname, 0, coefs)
+    for b in range(1, n_bits):
+        sig = f"({sig} * 2 + {_srp_bit_sql(vname, b, coefs)})"
+    return F.expr(sig)
+
+
+def _srp_band_sigs(v, n_bits: int, n_bands: int, coefs: list | None = None) -> list:
     """Split ``n_bits`` hyperplane sign bits into ``n_bands`` integer
     band signatures (bits packed big-endian within a band)."""
     assert n_bits % n_bands == 0, "n_bits must divide evenly into bands"
     rows_per_band = n_bits // n_bands
     bits = [
-        (_srp_projection(v, b) >= 0).cast("long") for b in range(n_bits)
+        (_srp_projection(v, b, coefs) >= 0).cast("long") for b in range(n_bits)
     ]
     sigs = []
     for bi in range(n_bands):
@@ -209,7 +309,12 @@ def srp_neardup(
     from pyspark import StorageLevel
 
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    band_sigs = _srp_band_sigs(F.col("v"), n_bits, n_bands)
+    dim = _vec_dim(c, F.col("v"))
+    if dim is None:
+        band_sigs = _srp_band_sigs(F.col("v"), n_bits, n_bands)
+    else:
+        coefs = _srp_coefs(corpus.sparkSession, n_bits, dim)
+        band_sigs = _srp_band_sigs_sql("v", n_bits, n_bands, coefs)
     # vectors + norms + band signatures in one projection — the frame
     # feeds the candidate join AND both verify sides, so it is
     # persisted by default (the q52 shared-branch pattern). The cache
@@ -368,20 +473,27 @@ def ann_sign_ivf(
             n_rows = corpus.count()
         n_bits = ivf_bits_for(n_rows, target_cell_size)
 
-    def cell_of(v):
+    dim = _vec_dim(
+        corpus.select(_as_double(F.col(vec_col)).alias("v")), F.col("v")
+    )
+    coefs = None if dim is None else _srp_coefs(corpus.sparkSession, n_bits, dim)
+
+    def cell_of(vname: str):
+        if coefs is not None:
+            return _srp_cell_sql(vname, n_bits, coefs)
         sig = F.lit(0).cast("long")
         for b in range(n_bits):
-            sig = sig * 2 + (_srp_projection(v, b) >= 0).cast("long")
+            sig = sig * 2 + (_srp_projection(F.col(vname), b) >= 0).cast("long")
         return sig
 
     c = (
         corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-        .withColumn("cell", cell_of(F.col("v")))
+        .withColumn("cell", cell_of("v"))
         .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
     q = (
         queries.select(F.col(qid_col), _as_double(F.col(vec_col)).alias("qv"))
-        .withColumn("cell0", cell_of(F.col("qv")))
+        .withColumn("cell0", cell_of("qv"))
         .withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     )
     if nprobe <= 1:

@@ -743,3 +743,37 @@ def test_asof_join_rejects_reserved_rts_and_bad_interval(spark):
             left, right2, on="k", ts="ts", value_cols=["v"],
             tolerance="not an interval at all",
         )
+
+
+def test_srp_hoisted_coefs_bit_identical(spark, sf_dir):
+    """The hoisted-coefficient projection must produce BIT-IDENTICAL
+    band signatures to the inline-hash path (same multiplies, same
+    fold order) — signature stores written under either are
+    comparable."""
+    from file_appender_spark.operators.similarity import (
+        _as_double,
+        _srp_band_sigs,
+        _srp_band_sigs_sql,
+        _srp_coefs,
+    )
+    from file_appender_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    dim = base.select(F.size("v").alias("d")).first()["d"]
+    coefs = _srp_coefs(spark, 16, dim)
+    inline = base.select(
+        "vec_id",
+        *[
+            s.alias(f"b{i}")
+            for i, s in enumerate(_srp_band_sigs(F.col("v"), 16, 4))
+        ],
+    )
+    hoisted = base.select(
+        "vec_id",
+        *[
+            s.alias(f"b{i}")
+            for i, s in enumerate(_srp_band_sigs_sql("v", 16, 4, coefs))
+        ],
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, hoisted.collect()))
