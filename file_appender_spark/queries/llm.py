@@ -152,10 +152,10 @@ _MH_P = 2147483647
 _MH_PARAMS = [(2 * j + 1, 7919 * j + 12345) for j in range(16)]
 
 
-@register(
-    "q52_minhash_lsh",
-    f"""
-    WITH shingled AS (
+# The q52 oracle decomposed into (CTE chain, final SELECT) so other
+# oracles (q116 cluster assignment, q122 retention funnel) can build
+# on the SAME near-dup pair definition without drift.
+_Q52_CTES = f"""shingled AS (
       SELECT doc_id, w AS words,
              list_transform(range(1, len(w) - 1),
                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
@@ -193,13 +193,17 @@ _MH_PARAMS = [(2 * j + 1, 7919 * j + 12345) for j in range(16)]
       JOIN (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shingled) t2
         ON t2.doc_id = c.d2 AND t2.sh = t1.sh
       GROUP BY c.d1, c.d2
-    )
+    )"""
+
+_Q52_FINAL = """
     SELECT v.d1, v.d2,
            round(CAST(v.inter AS DOUBLE) / (s1.n + s2.n - v.inter), 6) AS jaccard
     FROM verified v JOIN ssize s1 ON v.d1 = s1.doc_id JOIN ssize s2 ON v.d2 = s2.doc_id
     WHERE CAST(v.inter AS DOUBLE) / (s1.n + s2.n - v.inter) >= 0.2
-    """,
-)
+    """
+
+
+@register("q52_minhash_lsh", f"WITH {_Q52_CTES}{_Q52_FINAL}")
 def q52_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline, end to end deterministic:
     3-word shingles -> md5-derived 32-bit shingle hashes -> 16 minhash
@@ -1109,4 +1113,187 @@ def q112_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)), 6
             ).alias("oov_rate"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: cluster assignment, co-occurrence, Zipf health
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q116_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_Q52_CTES},
+    q52 AS ({_Q52_FINAL}),
+    sym AS (
+      SELECT d1 AS u, d2 AS v FROM q52
+      UNION ALL
+      SELECT d2 AS u, d1 AS v FROM q52
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT x.id, s.v FROM reach x JOIN sym s ON s.u = x.r
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id,
+           CAST(min(r) = id AS BOOLEAN) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def q116_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTER ASSIGNMENT for every document: the
+    q52 MinHash-LSH pair graph collapsed to connected components
+    (cluster id = min doc_id of the component, ``keep`` marks the
+    representative; singletons keep themselves). This is the query
+    form of operators/components.py — previously pytest-only, now
+    oracle-checked against a recursive-CTE closure over the SAME pair
+    definition (the oracle composes q52's own CTE chain, so the two
+    can never drift).
+
+    Scale: pairs come from q52's banded LSH (equi-join candidates);
+    the component collapse is the alternating large-star/small-star
+    algorithm (O(log n) rounds, each a groupBy-min + join — the
+    public MapReduce CC algorithm of Kiveris et al.), never a driver
+    loop over edges. Component diameter, not corpus size, bounds the
+    round count."""
+    from file_appender_spark.operators.components import dedup_clusters
+
+    pairs = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    cl = dedup_clusters(pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(
+        cl.select(F.col("doc").alias("doc_id"), "cluster"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster", F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce("cluster", F.col("doc_id")) == F.col("doc_id")).alias("keep"),
+    )
+
+
+@register(
+    "q118_pmi_cooccur",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS t
+      FROM documents
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    df AS (SELECT t, count(*) AS dft FROM tok GROUP BY t),
+    pairs AS (
+      SELECT a.t AS tok_a, b.t AS tok_b, count(*) AS n_ab
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY a.t, b.t
+      HAVING count(*) >= 25
+    )
+    SELECT p.tok_a, p.tok_b, p.n_ab,
+           round(ln((p.n_ab * 1.0 * nd.n) / (da.dft * 1.0 * db.dft)), 6) AS pmi
+    FROM pairs p
+    JOIN df da ON da.t = p.tok_a
+    JOIN df db ON db.t = p.tok_b
+    CROSS JOIN nd
+    """,
+)
+def q118_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in
+    the same document (support >= 25 docs) — the association-mining
+    member of the text-analysis family (collocation detection,
+    boilerplate phrase discovery).
+
+    Scale: the pair count is a self-equi-join of the per-doc DISTINCT
+    token list on doc_id — fan-out is (distinct tokens per doc)^2,
+    bounded by document length, never corpus size. Document
+    frequencies broadcast back onto the surviving (HAVING-pruned)
+    pairs. A web-scale corpus adds a df-band prune before the
+    self-join (drop tokens outside [min_df, max_df]) — the same skew
+    guard as q70's postings cap."""
+    from pyspark import StorageLevel
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", _WS))).alias("t"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nd = d.agg(F.count_distinct("doc_id").alias("n"))
+    df_counts = tok.groupBy("t").agg(F.count("*").alias("dft"))
+    a = tok.select("doc_id", F.col("t").alias("tok_a"))
+    b = tok.select("doc_id", F.col("t").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 25)
+    )
+    return (
+        pairs.join(
+            F.broadcast(df_counts.select(F.col("t").alias("tok_a"), F.col("dft").alias("dfa"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(df_counts.select(F.col("t").alias("tok_b"), F.col("dft").alias("dfb"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * 1.0 * F.col("n"))
+                    / (F.col("dfa") * 1.0 * F.col("dfb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "q120_zipf_slope",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS t FROM documents
+    ),
+    freq AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+    top AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r
+      FROM freq ORDER BY f DESC, t LIMIT 50
+    ),
+    pts AS (SELECT ln(r * 1.0) AS x, ln(f * 1.0) AS y FROM top)
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope
+    FROM pts
+    """,
+)
+def q120_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law health check: OLS slope of ln(frequency) vs ln(rank)
+    over the top-50 corpus tokens — natural text sits near -1;
+    template/boilerplate corpora flatten toward 0. The
+    language-distribution twin of q97's OLS (same closed form).
+
+    Scale: token counting map-side combines to |vocab| groups; the
+    top-50 rank is a 50-row TakeOrdered, and the regression is one
+    tiny aggregate — nothing global beyond the vocab groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", _WS)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("f"))
+    )
+    wr = W.orderBy(F.desc("f"), F.asc("t"))
+    top = freq.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= 50)
+    pts = top.select(
+        F.log(F.col("r") * 1.0).alias("x"), F.log(F.col("f") * 1.0).alias("y")
+    )
+    n = F.count("*")
+    return pts.agg(
+        n.cast("bigint").alias("n_points"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("zipf_slope"),
     )

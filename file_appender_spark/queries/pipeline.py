@@ -1049,3 +1049,263 @@ def q115_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_corpus, 6).alias("p_corpus"),
         F.round(F.col("n") / n_split - p_corpus, 6).alias("balance_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: binning, spectra, retention, contamination depth
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q119_quantile_bins",
+    """
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+      FROM documents
+    )
+    SELECT bin, count(*) AS n_docs,
+           min(n_chars) AS lo, max(n_chars) AS hi,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM ranked GROUP BY bin
+    """,
+)
+def q119_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of document length with per-bin
+    stats — the length-bucketing step behind curriculum/packing
+    decisions (q68 packs within shards; this tells you what the
+    shard length distribution looks like first).
+
+    Scale: ntile over a global order is fine at report scale on the
+    grouped/deduped column; at 100 TB the same bins come from
+    approx_percentile boundaries + a bucket join — no global sort.
+    The (n_chars, doc_id) order is total, so both engines agree on
+    every boundary row."""
+    d = _t(spark, sf_dir, "documents")
+    wb = W.orderBy("n_chars", "doc_id")
+    return (
+        d.select("doc_id", "n_chars", F.ntile(10).over(wb).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "q121_power_iteration",
+    """
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dots AS (
+      SELECT vec_id, v,
+             list_dot_product(v, list_transform(range(1, 65), i -> 0.125)) AS dv
+      FROM vecs
+    ),
+    comps AS (
+      SELECT i.i AS dim_idx, sum(d.dv * d.v[i.i]) AS yd
+      FROM dots d CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+      GROUP BY i.i
+    ),
+    nrm AS (SELECT sqrt(sum(yd * yd)) AS n FROM comps)
+    SELECT dim_idx, round(yd / nrm.n, 6) AS coef
+    FROM comps CROSS JOIN nrm
+    """,
+)
+def q121_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the dominant Gram-matrix
+    eigenvector of the embedding corpus: y = (sum_i v_i v_i^T) x0 with
+    the deterministic start x0 = (0.125, ...) (1/sqrt(64), exact in
+    binary), normalized — the distributed linear-algebra primitive
+    under spectral diagnostics (is one direction eating the variance?
+    is the embedding space collapsing?).
+
+    Scale: the matrix is NEVER materialized — each row contributes
+    (v . x0) * v, posexplode to (dim, partial) and map-side combine to
+    |dims| groups (q73's centroid shape). Iterating k steps is k
+    passes, each one shuffle of 64 rows."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dv = F.aggregate(
+        F.transform("v", lambda x: x * F.lit(0.125)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    dots = e.select("v", dv.alias("dv"))
+    comps = (
+        dots.select(F.posexplode("v").alias("pos", "x"), "dv")
+        .groupBy((F.col("pos") + 1).cast("long").alias("dim_idx"))
+        .agg(F.sum(F.col("dv") * F.col("x")).alias("yd"))
+    )
+    nrm = comps.agg(F.sqrt(F.sum(F.col("yd") * F.col("yd"))).alias("n"))
+    return comps.crossJoin(F.broadcast(nrm)).select(
+        "dim_idx", F.round(F.col("yd") / F.col("n"), 6).alias("coef")
+    )
+
+
+@register(
+    "q122_retention_funnel",
+    None,  # oracle registered below via llm's composed CTEs
+)
+def q122_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup retention funnel: documents in, survivors
+    after exact dedup (global min-id-per-sha256 keep), survivors
+    after near-dup suppression (drop any doc appearing as the larger
+    id in a verified q52 MinHash pair), and the kept char volume —
+    the how-much-data-did-dedup-cost-us report every curation run
+    ends with.
+
+    Near-dup suppression here is the PAIRWISE larger-id rule (not the
+    transitive q116 clusters): deterministic, single-pass, and
+    exactly mirrored in the oracle; q116 reports the transitive view.
+
+    Scale: exact-keep is q50's hash groupBy; the near-dup drop list
+    is a semi-join against q52's pair output (banded LSH, linear
+    candidates); the funnel itself is one groupBy on source."""
+    from file_appender_spark.queries.llm import q52_minhash_lsh
+
+    d = _t(spark, sf_dir, "documents")
+    keep_exact = (
+        d.withColumn("h", F.sha2("text", 256))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_drop = q52_minhash_lsh(spark, sf_dir).select(
+        F.col("d2").alias("doc_id")
+    ).distinct()
+    flagged = (
+        d.join(keep_exact.withColumn("keep_exact", F.lit(1)), "doc_id", "left")
+        .join(near_drop.withColumn("near_dup", F.lit(1)), "doc_id", "left")
+    )
+    kept_near = (F.col("keep_exact").isNotNull()) & (F.col("near_dup").isNull())
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keep_exact").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_after_exact"),
+        F.sum(F.when(kept_near, 1).otherwise(0)).cast("bigint").alias("n_after_neardup"),
+        F.sum(F.when(kept_near, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_kept"),
+    )
+
+
+def _register_q122_oracle() -> None:
+    """q122's oracle composes llm's q52 CTE chain (same pair
+    definition, zero drift) — registered post-hoc because the SQL
+    constant lives in the llm module."""
+    import dataclasses
+
+    from file_appender_spark.queries.llm import _Q52_CTES, _Q52_FINAL
+    from file_appender_spark.queries.registry import QUERIES
+
+    QUERIES["q122_retention_funnel"] = dataclasses.replace(
+        QUERIES["q122_retention_funnel"],
+        oracle=f"""
+    WITH {_Q52_CTES},
+    q52 AS ({_Q52_FINAL}),
+    keep_exact AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    near_drop AS (SELECT DISTINCT d2 AS doc_id FROM q52)
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_exact,
+           CAST(sum(CASE WHEN k.doc_id IS NOT NULL AND n.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after_neardup,
+           CAST(sum(CASE WHEN k.doc_id IS NOT NULL AND n.doc_id IS NULL
+                         THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM documents d
+    LEFT JOIN keep_exact k ON k.doc_id = d.doc_id
+    LEFT JOIN near_drop n ON n.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    )
+
+
+_register_q122_oracle()
+
+
+@register(
+    "q123_contamination_coverage",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(w) - {_DECON_N - 2}),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+             ))) AS g
+      FROM w WHERE len(w) >= {_DECON_N}
+    ),
+    eval_g  AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 = 0),
+    train_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 <> 0
+                ),
+    shared AS (
+      SELECT e.doc_id, count(*) AS n_shared
+      FROM eval_g e JOIN train_g t ON t.g = e.g
+      GROUP BY e.doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM eval_g GROUP BY doc_id)
+    SELECT t.doc_id AS eval_doc, t.n_grams,
+           coalesce(s.n_shared, 0) AS n_shared,
+           round(coalesce(s.n_shared, 0) * 1.0 / t.n_grams, 6) AS coverage
+    FROM totals t LEFT JOIN shared s ON s.doc_id = t.doc_id
+    """,
+)
+def q123_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination DEPTH per eval document: what fraction of its
+    distinct {n}-grams appear anywhere in the train split (q70 flags
+    contaminated docs; this measures how contaminated — the number
+    benchmark-leakage reports actually quote). Zero-overlap eval docs
+    are reported with coverage 0, not dropped.
+
+    Scale: identical inverted-index shape to q70 (gram equi-join,
+    never all-pairs); the train side collapses to DISTINCT grams
+    first, so the join fan-out per gram is 1."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", _WS)
+    grams = (
+        d.select("doc_id", words.alias("w"))
+        .filter(F.size("w") >= _DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - (_DECON_N - 1)),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[F.element_at("w", i + off) for off in range(_DECON_N)],
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    eval_g = grams.filter(F.col("doc_id") % 10 == 0)
+    train_g = grams.filter(F.col("doc_id") % 10 != 0).select("g").distinct()
+    shared = (
+        eval_g.join(train_g, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    totals = eval_g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(shared, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("eval_doc"),
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)) * 1.0 / F.col("n_grams"), 6
+            ).alias("coverage"),
+        )
+    )

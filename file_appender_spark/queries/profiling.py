@@ -486,3 +486,84 @@ def q104_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_fk_orphans"))
     )
     return base.crossJoin(orphans)
+
+
+@register(
+    "q117_ks_drift",
+    """
+    WITH pooled AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 1 ELSE 0 END AS isa
+      FROM orders
+    ),
+    tot AS (
+      SELECT CAST(sum(isa) AS BIGINT) AS na,
+             CAST(count(*) - sum(isa) AS BIGINT) AS nb
+      FROM pooled
+    ),
+    by_x AS (
+      SELECT x, CAST(sum(isa) AS BIGINT) AS a,
+             CAST(count(*) - sum(isa) AS BIGINT) AS b
+      FROM pooled GROUP BY x
+    ),
+    cdf AS (
+      SELECT x,
+             CAST(sum(a) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+             CAST(sum(b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+      FROM by_x
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           round(max(abs(ca * 1.0 / t.na - cb * 1.0 / t.nb)), 6) AS ks_stat
+    FROM cdf CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def q117_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the
+    o_totalprice distributions before/after 1998 — the standard
+    dataset-drift gate a training pipeline runs when a new data dump
+    arrives (alongside q106's embedding-centroid drift).
+
+    Scale: the exact KS needs the supremum over the pooled empirical
+    CDFs, i.e. a global ordering. Here that is one window over the
+    DISTINCT values (group first — |distinct| << |rows|); at 100 TB
+    the same shape runs on a quantile-binned grid (percentile sketch
+    per side, sup over the grid) — a bounded-error KS with no global
+    sort, the documented scale twin."""
+    o = _t(spark, sf_dir, "orders")
+    pooled = o.select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .cast("long")
+        .alias("isa"),
+    )
+    tot = pooled.agg(
+        F.sum("isa").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("isa")).cast("bigint").alias("nb"),
+    )
+    by_x = pooled.groupBy("x").agg(
+        F.sum("isa").cast("bigint").alias("a"),
+        (F.count("*") - F.sum("isa")).cast("bigint").alias("b"),
+    )
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cdf = by_x.select(
+        "x",
+        F.sum("a").over(w).cast("bigint").alias("ca"),
+        F.sum("b").over(w).cast("bigint").alias("cb"),
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("na").alias("n_a"), F.col("nb").alias("n_b"))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") * 1.0 / F.col("na")
+                        - F.col("cb") * 1.0 / F.col("nb")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+    )
