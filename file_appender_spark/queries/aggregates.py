@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from file_appender_spark.queries.registry import register
 from file_appender_spark.sources.catalog import load_table
@@ -272,4 +273,44 @@ def q95_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey % 40 = 0
         GROUP BY c_nationkey
         """
+    )
+
+
+@register(
+    "q124_mode_per_group",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_orders
+    FROM r WHERE rn = 1
+    """,
+)
+def q124_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic
+    tie-break — the aggregate SQL's MODE() computes
+    non-deterministically on ties, so the engine spells it as
+    count + rank, the only form that is oracle-stable.
+
+    Scale: the inner count collapses to |status x priority| groups
+    (map-side combine), the rank runs over that tiny aggregate — the
+    window never sees raw rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_orders"),
+        )
     )

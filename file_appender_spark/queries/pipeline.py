@@ -1309,3 +1309,148 @@ def q123_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "q125_gini_tokens",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split_regex(text, '\\s+')) AS x FROM documents
+    ),
+    r AS (SELECT x, row_number() OVER (ORDER BY x, doc_id) AS i FROM t)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(x) AS BIGINT) AS total_tokens,
+           round((2.0 * sum(i * x)) / (count(*) * sum(x))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r
+    """,
+)
+def q125_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-document token distribution — the
+    is-my-corpus-dominated-by-a-few-giant-documents concentration
+    check that decides whether packing (q68) or chunking (q75) runs
+    first. Closed form over ranked values:
+    G = 2*sum(i*x_(i)) / (n*sum(x)) - (n+1)/n.
+
+    Scale: the rank is a global sort at oracle scale; the scale twin
+    is operators/prefix_sum.py's two-phase layout (rank = partition
+    offset + local rank), and the rank-weighted sum stays in exact
+    integer arithmetic until the final division (sum(i*x) fits i64
+    comfortably below ~1e9 docs x 1e4 tokens; past that the same
+    formula runs on the 128-bit decimal the one-row aggregate can
+    afford)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", _WS)).alias("x"))
+    wr = W.orderBy("x", "doc_id")
+    r = t.select("x", F.row_number().over(wr).cast("long").alias("i"))
+    n = F.count("*")
+    return r.agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("x").cast("bigint").alias("total_tokens"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("x"))) / (n * F.sum("x"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q126_label_separation",
+    """
+    WITH flat AS (
+      SELECT label, i.i AS dim, avg(v[i.i]) AS c
+      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+      GROUP BY label, i.i
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sum(a.c * b.c)
+                 / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 6) AS cos_sim
+    FROM flat a JOIN flat b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def q126_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class separation report: pairwise cosine similarity
+    between label centroids — high off-diagonal similarity means the
+    embedding space is not separating classes (the q73/q106
+    centroid family's third member).
+
+    Scale: centroids collapse the corpus to |labels| x |dims| rows
+    (map-side combine, q73's shape); the pairwise stage runs on that
+    tiny frame — label-count-bounded, corpus-size-independent."""
+    e = _t(spark, sf_dir, "embeddings")
+    flat = (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .select("label", (F.col("pos") + 1).cast("long").alias("dim"), F.col("col").alias("val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("c"))
+    )
+    a = flat.select(F.col("label").alias("label_a"), "dim", F.col("c").alias("ca"))
+    b = flat.select(F.col("label").alias("label_b"), "dim", F.col("c").alias("cb"))
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                6,
+            ).alias("cos_sim")
+        )
+    )
+
+
+@register(
+    "q127_token_shards",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+      FROM t
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM t)
+    SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           round(sum(n_tokens) * 8.0 / tot.tt, 6) AS balance_ratio
+    FROM r CROSS JOIN tot
+    GROUP BY 1, tot.tt
+    """,
+)
+def q127_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment: rank documents by size
+    descending and deal them round-robin into 8 shards (longest-first
+    round-robin ~ greedy balance without sequential state), reporting
+    per-shard token volume and the balance ratio (1.0 = perfect) —
+    the writer-side layout step before q68 packs within shards.
+
+    Scale: the global rank at oracle scale; the scale twin replaces it
+    with (size-band, md5-bucket) assignment — same balance property,
+    zero global sort (documented, like q109/q125)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", _WS)).alias("n_tokens"))
+    wr = W.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    r = t.select(
+        "n_tokens", F.row_number().over(wr).cast("long").alias("rk")
+    )
+    tot = t.agg(F.sum("n_tokens").cast("bigint").alias("tt"))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .groupBy(((F.col("rk") - 1) % 8).alias("shard"), "tt")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.round(F.sum("n_tokens") * 8.0 / F.col("tt"), 6).alias("balance_ratio"),
+        )
+        .drop("tt")
+    )

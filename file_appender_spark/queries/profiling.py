@@ -567,3 +567,88 @@ def q117_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat")
         )
     )
+
+
+@register(
+    "q128_anomaly_hours",
+    """
+    WITH hrs AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events WHERE user_id % 20 = 0
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT user_id, count(*) AS nh,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM hrs GROUP BY user_id
+    ),
+    thr AS (
+      SELECT user_id, nh,
+             s1 * 1.0 / nh AS mean_c,
+             CASE WHEN nh > 1
+                  THEN sqrt((s2 - s1 * 1.0 * s1 / nh) / (nh - 1))
+                  ELSE 0.0 END AS sd_c
+      FROM st
+    )
+    SELECT h.user_id,
+           t.nh AS n_hours,
+           CAST(sum(CASE WHEN h.c > round(t.mean_c + 2 * t.sd_c, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+    FROM hrs h JOIN thr t ON t.user_id = h.user_id
+    GROUP BY h.user_id, t.nh
+    """,
+)
+def q128_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-anomaly screen: hours whose event count
+    exceeds that user's mean + 2 sigma over their observed hourly
+    counts — the traffic-spike/bot-burst detector of the event
+    analytics family (q77's z-outliers over values; this is over
+    RATES).
+
+    Determinism note: the variance is spelled as the explicit moment
+    formula over EXACT integer sums (sum(c), sum(c*c) are bigint), so
+    both engines derive the identical double threshold — the built-in
+    stddev_samp accumulates in engine-specific order and could flip a
+    knife-edge comparison. The threshold is rounded at 6 dp before
+    the strict compare for the same reason.
+
+    Scale: two shuffles on user_id (hour rollup, then the stats
+    join-back), both map-side combined; the user filter stands in for
+    the segment under investigation."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    hrs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    st = hrs.groupBy("user_id").agg(
+        F.count("*").alias("nh"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    thr = st.select(
+        "user_id",
+        "nh",
+        (F.col("s1") * 1.0 / F.col("nh")).alias("mean_c"),
+        F.when(
+            F.col("nh") > 1,
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("nh"))
+                / (F.col("nh") - 1)
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("sd_c"),
+    )
+    return (
+        hrs.join(thr, "user_id")
+        .groupBy("user_id", F.col("nh").alias("n_hours"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c") > F.round(F.col("mean_c") + 2 * F.col("sd_c"), 6), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalous")
+        )
+    )
