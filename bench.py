@@ -34,6 +34,10 @@ HEADLINE = [
     "q70_decontaminate",  # n-gram inverted-index join
     "q84_priority_exists",  # EXISTS-semi over orders x lineitem
     "q74_ann_ivf_cell",  # IVF candidate equi-join
+    # round-3 shapes: iterative star-contraction CC and a global
+    # ranked window — the two new plan families worth watching
+    "q116_dedup_clusters",  # connected components over LSH pairs
+    "q125_gini_tokens",  # global-rank concentration stat
 ]
 
 

@@ -77,6 +77,20 @@ PROBES = [
     "q102_arrival_percentiles",
     "q104_quality_report",
     "q105_share_of_total",
+    # round-3 additions (session 3)
+    "q116_dedup_clusters",
+    "q117_ks_drift",
+    "q118_pmi_cooccur",
+    "q119_quantile_bins",
+    "q120_zipf_slope",
+    "q121_power_iteration",
+    "q122_retention_funnel",
+    "q123_contamination_coverage",
+    "q124_mode_per_group",
+    "q125_gini_tokens",
+    "q126_label_separation",
+    "q127_token_shards",
+    "q128_anomaly_hours",
 ]
 
 

@@ -1,0 +1,98 @@
+"""Quantile-grid KS drift monitor (operators/drift.py): agreement
+with the exact KS within the grid's error bound, sensitivity to a
+planted shift, and the streaming foreachBatch drive."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_appender_spark.operators.drift import (
+    binned_ks,
+    ks_monitor_batch,
+    quantile_grid,
+    reference_cum,
+)
+from file_appender_spark.sources.catalog import load_table
+
+
+def _sides(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    return (
+        o.filter(F.col("o_orderdate") < cut).select("o_totalprice"),
+        o.filter(F.col("o_orderdate") >= cut).select("o_totalprice"),
+    )
+
+
+def test_binned_ks_tracks_exact_ks(spark, sf_dir):
+    """The grid KS must sit within ~1 bin mass of the exact KS
+    (q117's value on the same split)."""
+    from file_appender_spark.queries import QUERIES
+
+    a, b = _sides(spark, sf_dir)
+    grid = quantile_grid(a, "o_totalprice", n_bins=32)
+    approx = binned_ks(a, b, "o_totalprice", grid)
+    exact = QUERIES["q117_ks_drift"].spark_fn(spark, sf_dir).collect()[0]["ks_stat"]
+    assert abs(approx - exact) <= 1.0 / 32 + 1e-9
+    # and never overestimates: the sup over a subset of evaluation
+    # points is <= the true sup
+    assert approx <= exact + 1e-9
+
+
+def test_binned_ks_zero_on_identical_and_big_on_shift(spark):
+    base = spark.range(2000).select((F.col("id") % 100).cast("double").alias("x"))
+    shifted = base.select((F.col("x") + 50.0).alias("x"))
+    grid = quantile_grid(base, "x", n_bins=16)
+    assert binned_ks(base, base, "x", grid) == 0.0
+    assert binned_ks(base, shifted, "x", grid) > 0.4
+
+
+def test_ks_monitor_batch_report(spark):
+    base = spark.range(1000).select((F.col("id") % 97).cast("double").alias("x"))
+    grid = quantile_grid(base, "x", n_bins=8)
+    ref = reference_cum(base, "x", grid)
+    same = ks_monitor_batch(base, "x", grid, ref)
+    assert same["n_rows"] == 1000 and same["ks"] == 0.0
+    empty = ks_monitor_batch(base.filter("x < 0"), "x", grid, ref)
+    assert empty["n_rows"] == 0 and empty["ks"] is None
+
+
+def test_ks_monitor_streaming_foreachbatch(spark, tmp_path):
+    """Drive the monitor through a REAL micro-batch stream: reference
+    frozen up front, each file becomes a batch, reports accumulate."""
+    import pandas as pd
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    base = spark.range(500).select((F.col("id") % 50).cast("double").alias("x"))
+    grid = quantile_grid(base, "x", n_bins=8)
+    ref = reference_cum(base, "x", grid)
+
+    pd.DataFrame({"x": [float(i % 50) for i in range(200)]}).to_parquet(
+        src / "b0.parquet"
+    )
+    pd.DataFrame({"x": [float(i % 50) + 40.0 for i in range(200)]}).to_parquet(
+        src / "b1.parquet"
+    )
+
+    reports = []
+
+    def monitor(batch_df, batch_id):
+        reports.append(ks_monitor_batch(batch_df, "x", grid, ref))
+
+    stream = (
+        spark.readStream.schema("x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream.writeStream.foreachBatch(monitor).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(reports) == 2
+    by_drift = sorted(r["ks"] for r in reports)
+    assert by_drift[0] <= 0.01  # the in-distribution batch
+    assert by_drift[1] > 0.4  # the shifted batch screams
