@@ -56,7 +56,7 @@ def _sig_frame(
     v = _as_double(F.col(vec_col))
     # hoisted-coefficient fast path: bit-identical signatures (see
     # _srp_band_sigs_sql), so stores written either way stay comparable
-    base = df.select(F.col(id_col), v.alias("v"))
+    base = _spread(df).select(F.col(id_col), v.alias("v"))
     dim = _vec_dim(base, F.col("v"))
     if dim is None:
         sigs = _srp_band_sigs(F.col("v"), n_bits, n_bands)
@@ -69,6 +69,19 @@ def _sig_frame(
         F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
         *[sigs[bi].alias(f"b{bi}") for bi in range(n_bands)],
     )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a batch across the cluster before the signature
+    computation. Ingest batches typically arrive as ONE scan/arrow
+    partition (no query-path split tuning runs here), which serializes
+    the expensive per-row work — md5 per shingle / per-bit projection
+    folds — onto a single core: measured 13.5s -> 1.1s for a 4000-doc
+    text batch on local[32]. The shuffled payload is the raw batch
+    (small by the micro-batch contract), far cheaper than losing the
+    cores."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
 
 
 def _bands_long(sigs: DataFrame, n_bands: int, id_col: str) -> DataFrame:
@@ -323,14 +336,17 @@ def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         _MH_PARAMS,
         _WS,
         _tok_hash32,
+        let_expr,
         shingle_expr,
     )
 
     words = F.split(F.col(text_col), _WS)
+    # let_expr: bind the split once per row (projection collapse would
+    # re-split inside every shingle element_at — 20x on this stage)
     shingled = (
-        df.select(F.col(id_col), words.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select(id_col, shingle_expr("w").alias("shingles"))
+        _spread(df)
+        .filter(F.size(words) >= 3)
+        .select(id_col, let_expr(words, shingle_expr).alias("shingles"))
     )
     hashed = shingled.select(
         id_col, F.explode("shingles").alias("sh")

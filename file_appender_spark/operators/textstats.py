@@ -15,21 +15,43 @@ def tokens(col, pattern: str = WHITESPACE) -> Column:
     return F.split(col if isinstance(col, Column) else F.col(col), pattern)
 
 
+def let_expr(col, fn) -> Column:
+    """Explicit let-binding for expression trees: evaluate ``col``
+    ONCE per row and reference it freely inside ``fn``.
+
+    Why: Catalyst's CollapseProject inlines a projected expression
+    into every reference site — through exchanges and inside
+    higher-order-function lambdas, where whole-stage-codegen common-
+    subexpression elimination does not reach. N-gramming over an
+    inline ``split(text)`` therefore re-splits the text at every
+    ``element_at``: ~n x (len-n) regex splits per document — measured
+    11.3s -> 0.6s (20x) on a 4000-doc shingling batch at sf0.1 once
+    bound. ``transform``'s lambda variable IS evaluated once per
+    element, so a 1-element array wrap gives the let."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def ngrams(tok_col: Column, n: int) -> Column:
-    """Word n-grams via sequence+transform — JVM-side, no UDF.
+    """Word n-grams via sequence+transform — JVM-side, no UDF, with
+    the token array let-bound (callers pass ``split(text)`` inline;
+    see let_expr for why that would otherwise re-split per gram).
 
     Guarded for short inputs: sequence(1, 0) would DESCEND in Spark
     (default step -1) and index out of range, so fewer than n tokens
     yields an empty array."""
-    return F.when(
-        F.size(tok_col) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tok_col, i + j) for j in range(n)]
+
+    def build(t):
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_expr(tok_col, build)
 
 
 def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -44,6 +44,11 @@ _TOK32_SQL = "CAST(concat('0x', substr(md5({c}), 1, 8)) AS BIGINT)"
 _WS = r"\s+"
 
 
+# let-binding for expression trees (evaluate once, reference many) —
+# canonical definition + rationale live in operators/textstats.py
+from file_appender_spark.operators.textstats import let_expr  # noqa: E402
+
+
 def shingle_expr(w: str = "w"):
     """3-word shingle array over a pre-split words column — the ONE
     definition shared by q52_minhash_lsh and the incremental text
@@ -217,10 +222,12 @@ def q52_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key; bucket skew is bounded by band width."""
     d = _t(spark, sf_dir, "documents")
     words = F.split("text", _WS)
+    # let_expr binds the split ONCE per row — projection collapse
+    # would otherwise re-split the text inside every element_at of
+    # the shingle lambda (see let_expr; ~20x on this stage)
     shingled = (
-        d.select("doc_id", words.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select("doc_id", shingle_expr("w").alias("shingles"))
+        d.filter(F.size(words) >= 3)
+        .select("doc_id", let_expr(words, shingle_expr).alias("shingles"))
     )
     # shingled feeds three plan branches (signatures + both verify
     # sides); persist it so shingling+md5 run once, spilling to disk

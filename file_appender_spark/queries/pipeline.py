@@ -53,6 +53,25 @@ _BUCKET100_SQL = (
 _WS = r"\s+"
 
 
+def _gram_expr(words_col, n: int, distinct: bool = True):
+    """Word n-gram array with the split bound ONCE per row via
+    llm.let_expr — projection collapse would otherwise inline the
+    split(text) into every element_at of the gram lambda (n re-splits
+    per gram; see let_expr's docstring for the measured 20x)."""
+    from file_appender_spark.queries.llm import let_expr
+
+    def build(w):
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + off) for off in range(n)]
+            ),
+        )
+        return F.array_distinct(g) if distinct else g
+
+    return let_expr(words_col, build)
+
+
 # --------------------------------------------------------------------------
 # q67 — deterministic train/val/test split
 # --------------------------------------------------------------------------
@@ -277,22 +296,8 @@ def q70_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     words = F.split("text", _WS)
     grams = (
-        d.select("doc_id", words.alias("w"))
-        .filter(F.size("w") >= _DECON_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("w") - (_DECON_N - 1)),
-                        lambda i: F.concat_ws(
-                            " ",
-                            *[F.element_at("w", i + off) for off in range(_DECON_N)],
-                        ),
-                    )
-                )
-            ).alias("g"),
-        )
+        d.filter(F.size(words) >= _DECON_N)
+        .select("doc_id", F.explode(_gram_expr(words, _DECON_N)).alias("g"))
     )
     eval_g = grams.filter(F.col("doc_id") % 10 == 0)
     train_g = grams.filter(F.col("doc_id") % 10 != 0)
@@ -371,6 +376,8 @@ def q71_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     all (array_distinct on the in-row gram array) — repetition is a
     per-document property, so nothing here shuffles more than one
     row per (doc, token)."""
+    from file_appender_spark.queries.llm import let_expr
+
     d = _t(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split("text", _WS).alias("w")).filter(F.size("w") >= 2)
     cnt = (
@@ -383,14 +390,18 @@ def q71_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("count").alias("top_c"),
         F.count("*").alias("n_uniq"),
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("w") - 1),
-        lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+    # bind the bigram array once (let_expr): projection collapse would
+    # re-split the text inside both size() references otherwise
+    gram_pair = let_expr(
+        _gram_expr(F.col("w"), 2, distinct=False),
+        lambda g: F.struct(
+            F.size(g).alias("nb"), F.size(F.array_distinct(g)).alias("nub")
+        ),
     )
     big = w.select(
         "doc_id",
-        F.size(grams).alias("n_bigrams"),
-        F.size(F.array_distinct(grams)).alias("n_uniq_bigrams"),
+        gram_pair.getField("nb").alias("n_bigrams"),
+        gram_pair.getField("nub").alias("n_uniq_bigrams"),
     )
     return top.join(big, "doc_id").select(
         "doc_id",
@@ -1273,22 +1284,8 @@ def q123_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     words = F.split("text", _WS)
     grams = (
-        d.select("doc_id", words.alias("w"))
-        .filter(F.size("w") >= _DECON_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("w") - (_DECON_N - 1)),
-                        lambda i: F.concat_ws(
-                            " ",
-                            *[F.element_at("w", i + off) for off in range(_DECON_N)],
-                        ),
-                    )
-                )
-            ).alias("g"),
-        )
+        d.filter(F.size(words) >= _DECON_N)
+        .select("doc_id", F.explode(_gram_expr(words, _DECON_N)).alias("g"))
     )
     eval_g = grams.filter(F.col("doc_id") % 10 == 0)
     train_g = grams.filter(F.col("doc_id") % 10 != 0).select("g").distinct()
