@@ -1304,3 +1304,59 @@ def q120_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "q129_containment",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d_sub, b.doc_id AS d_super, count(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d_sub, d_super,
+           round(CAST(i AS DOUBLE) / s.n, 6) AS containment
+    FROM inter JOIN sizes s ON s.doc_id = d_sub
+    WHERE CAST(i AS DOUBLE) / s.n >= 0.9
+    """,
+)
+def q129_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment C(A->B) = |A n B| / |A| >= 0.9: document A
+    whose token set is (nearly) swallowed by B — catches quote/copy
+    INCLUSION that symmetric Jaccard misses (a short doc pasted into
+    a long one scores low Jaccard but containment ~1). The asymmetric
+    member of the dedup family; output is directed pairs.
+
+    Scale: q51's inverted-index shape (token equi-join bounded by
+    posting lists, never all-pairs); at web scale the hot-token cap
+    applies first, and the |A| divisor comes from the tiny per-doc
+    size frame broadcast back."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", _WS))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d_sub"), F.col("b.doc_id").alias("d_super")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    cont = F.col("i").cast("double") / F.col("n")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d_sub"), "n"), "d_sub")
+        .filter(cont >= 0.9)
+        .select("d_sub", "d_super", F.round(cont, 6).alias("containment"))
+    )

@@ -652,3 +652,60 @@ def q128_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalous")
         )
     )
+
+
+@register(
+    "q130_correlation",
+    """
+    WITH j AS (
+      SELECT c.c_nationkey AS nation, c.c_acctbal AS x, o.o_totalprice AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+      SELECT nation, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM j GROUP BY nation
+    )
+    SELECT nation, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS pearson_r
+    FROM m WHERE n > 1
+    """,
+)
+def q130_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Pearson correlation between customer balance and
+    order value, spelled as the explicit moment formula (q97's OLS
+    family member) — the built-in corr() accumulates co-moments in
+    engine-specific order, which can flip the 6th decimal between
+    engines; raw power sums over the same doubles reduce identically
+    here.
+
+    Scale: one join shuffle, then map-side-combined power sums to
+    |nations| groups — the single-pass streaming-moment shape."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_acctbal").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    n = F.count("*")
+    m = j.groupBy("nation").agg(
+        n.alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r = (m["n"] * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(m["n"] * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(m["n"] * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.filter(F.col("n") > 1).select(
+        "nation",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(r, 6).alias("pearson_r"),
+    )
