@@ -48,11 +48,13 @@ def weighted_sample(
     id_col: str,
     seed: str = "ws1",
     stratify_by: str | None = None,
+    keep_key: bool = False,
 ) -> DataFrame:
     """k rows sampled without replacement with probability
     proportional to ``weight_col`` (A-Res key = u^(1/w)), rerun-stable
     by construction. Rows with weight <= 0 are never selected.
-    With ``stratify_by``, k rows per stratum."""
+    With ``stratify_by``, k rows per stratum. ``keep_key`` retains the
+    ``_wkey`` ranking key (the q135 oracle surface inspects it)."""
     key = F.pow(_stable_uniform(id_col, seed), 1.0 / F.col(weight_col))
     ranked = df.filter(F.col(weight_col) > 0).withColumn("_wkey", key)
     if stratify_by is None:
@@ -64,4 +66,4 @@ def weighted_sample(
         out = ranked.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") <= k
         ).drop("_rn")
-    return out.drop("_wkey")
+    return out if keep_key else out.drop("_wkey")

@@ -1360,3 +1360,178 @@ def q129_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.9)
         .select("d_sub", "d_super", F.round(cont, 6).alias("containment"))
     )
+
+
+@register(
+    "q131_bigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    uni AS (
+      SELECT t, count(*) AS c1 FROM (SELECT unnest(w) AS t FROM tok) GROUP BY t
+    ),
+    big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                           i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM tok WHERE len(w) >= 2
+    ),
+    bc AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(bc.c2 * 1.0 / u.c1)), 6) AS avg_logprob
+    FROM big b
+    JOIN bc ON bc.bg = b.bg
+    JOIN uni u ON u.t = split_part(b.bg, ' ', 1)
+    WHERE b.doc_id % 20 = 0
+    GROUP BY b.doc_id
+    """,
+)
+def q131_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score per document: mean ln P(w2|w1) under
+    the corpus bigram model (q107's unigram scorer, one order up —
+    the perplexity-proxy pair quality filters actually use). No
+    smoothing needed: every scored bigram exists in the corpus by
+    construction.
+
+    Scale: bigram and unigram counts are map-side-combined groupBys
+    (vocab- and bigram-bounded); the scoring join is an equi-join on
+    the bigram/token — inverted-index shape, no all-pairs anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    from file_appender_spark.queries.pipeline import _gram_expr
+
+    words = F.split("text", _WS)
+    tok = d.select("doc_id", words.alias("w"))
+    uni = (
+        tok.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = (
+        d.filter(F.size(words) >= 2)
+        .select(
+            "doc_id", F.explode(_gram_expr(words, 2, distinct=False)).alias("bg")
+        )
+    )
+    bc = big.groupBy("bg").agg(F.count("*").alias("c2"))
+    return (
+        big.filter(F.col("doc_id") % 20 == 0)
+        .join(bc, "bg")
+        .join(uni, F.substring_index("bg", " ", 1) == F.col("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c2") * 1.0 / F.col("c1"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+@register(
+    "q136_minhash_calibration",
+    f"""
+    WITH {_Q52_CTES},
+    agree AS (
+      SELECT c.d1, c.d2,
+             sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) * 1.0
+               / {len(_MH_PARAMS)} AS est
+      FROM cand c
+      JOIN sigs s1 ON s1.doc_id = c.d1
+      JOIN sigs s2 ON s2.doc_id = c.d2 AND s2.j = s1.j
+      GROUP BY c.d1, c.d2
+    )
+    SELECT v.d1, v.d2,
+           round(a.est, 6) AS est_jaccard,
+           round(CAST(v.inter AS DOUBLE) / (s1.n + s2.n - v.inter), 6) AS jaccard,
+           round(a.est - CAST(v.inter AS DOUBLE) / (s1.n + s2.n - v.inter), 6)
+             AS est_error
+    FROM verified v
+    JOIN agree a ON a.d1 = v.d1 AND a.d2 = v.d2
+    JOIN ssize s1 ON v.d1 = s1.doc_id
+    JOIN ssize s2 ON v.d2 = s2.doc_id
+    """,
+)
+def q136_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator CALIBRATION report: for every q52 candidate
+    pair, the estimated Jaccard (fraction of agreeing minhash slots —
+    exactly what the incremental text ingest uses as its verifier)
+    against the exact Jaccard, with the signed error. This is how the
+    ingest threshold (textdup_ingest_batch) gets tuned with evidence:
+    sd of the estimator at j is sqrt(j(1-j)/16), and this query shows
+    the realized spread on the actual corpus.
+
+    Scale: same banded candidate generation as q52 (never all-pairs);
+    the slot-agreement join runs on the tiny (doc, slot) signature
+    frame, the exact verify on candidate pairs only."""
+    from pyspark import StorageLevel
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", _WS)
+    shingled = (
+        d.filter(F.size(words) >= 3)
+        .select("doc_id", let_expr(words, shingle_expr).alias("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hashed = shingled.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", _tok_hash32(F.col("sh")).alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P).alias(f"mh{j}")
+            for j, (a, b) in enumerate(_MH_PARAMS)
+        ]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = sigs.select(
+        "doc_id",
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"{bi}, concat_ws(',', mh{4 * bi}, mh{4 * bi + 1}, mh{4 * bi + 2}, mh{4 * bi + 3})"
+                for bi in range(4)
+            )
+            + ") AS (band, sig)"
+        ),
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    n_slots = len(_MH_PARAMS)
+    mh_arr = F.array(*[F.col(f"mh{j}") for j in range(n_slots)])
+    s1 = sigs.select(F.col("doc_id").alias("d1"), mh_arr.alias("mha"))
+    s2 = sigs.select(F.col("doc_id").alias("d2"), mh_arr.alias("mhb"))
+    est = (
+        F.aggregate(
+            F.zip_with("mha", "mhb", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda s, x_: s + x_,
+        )
+        * 1.0
+        / n_slots
+    )
+    sh1 = shingled.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sha"))
+    sh2 = shingled.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .join(sh1, "d1")
+        .join(sh2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(est - jac, 6).alias("est_error"),
+        )
+    )

@@ -1451,3 +1451,43 @@ def q127_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("tt")
     )
+
+
+@register(
+    "q135_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             pow(greatest(
+                   CAST(concat('0x', substr(md5(concat('ws1', chr(31),
+                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                   / 1152921504606846976.0, 1e-18),
+                 1.0 / n_chars) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(k, 6) AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 25
+    """,
+)
+def q135_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement as a QUERY:
+    25 documents drawn with probability proportional to length via
+    the Efraimidis-Spirakis A-Res key u^(1/w), u derived from
+    md5(seed || id) — the oracle-checked face of
+    operators/sampling.py::weighted_sample (previously pytest-only).
+    Rerun-stable on any partitioning because u is a pure function of
+    the data, never an RNG.
+
+    Scale: one projection + a global top-k (TakeOrderedAndProject
+    keeps k rows per partition) — no shuffle beyond the top-k's own."""
+    from file_appender_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_sample(
+        d, k=25, weight_col="n_chars", id_col="doc_id", seed="ws1", keep_key=True
+    )
+    return out.select(
+        "doc_id", "n_chars", F.round("_wkey", 6).alias("sample_key")
+    )

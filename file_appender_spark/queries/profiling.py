@@ -709,3 +709,193 @@ def q130_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.round(r, 6).alias("pearson_r"),
     )
+
+
+@register(
+    "q132_burstiness",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) // 1000000)
+               - (epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) // 1000000) AS g
+      FROM events WHERE user_id % 25 = 0
+    ),
+    m AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(g) AS BIGINT) AS s1,
+             CAST(sum(g * g) AS BIGINT) AS s2
+      FROM gaps WHERE g IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           round(s1 * 1.0 / n, 6) AS mean_gap_s,
+           round(sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1)) / (s1 * 1.0 / n), 6)
+             AS burstiness_cv
+    FROM m WHERE n > 1 AND s1 > 0
+    """,
+)
+def q132_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness: the coefficient of variation
+    of the gaps between consecutive events (CV ~ 1 is Poisson-like,
+    >> 1 is bursty bot/batch traffic, << 1 is metronomic) — the rate-
+    regularity member of the event family (q102 does tail
+    percentiles, q128 hourly spikes).
+
+    Determinism: gaps are exact integer SECONDS, moments are exact
+    integer sums (s2 of second-scale gaps stays far inside i64), and
+    both engines derive the identical double CV — same discipline as
+    q128."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    m = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("g").cast("bigint").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return m.filter((F.col("n") > 1) & (F.col("s1") > 0)).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(sd / mean, 6).alias("burstiness_cv"),
+    )
+
+
+@register(
+    "q133_monthly_bands",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(*) AS n_orders,
+           quantile_disc(o_totalprice, 0.5)  AS p50,
+           quantile_disc(o_totalprice, 0.9)  AS p90,
+           quantile_disc(o_totalprice, 0.99) AS p99
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q133_monthly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly p50/p90/p99 bands of order value — the SLO-style
+    percentile report shape (q19 is global interpolated; these are
+    per-group DISCRETE percentiles: actual data values, so the result
+    is float-exact on both engines with no interpolation arithmetic).
+
+    Scale: one shuffle on month; exact grouped percentiles sort
+    within month partitions. At corpus scale the drop-in is
+    approx_percentile with a declared error bound (or the KLL sketch
+    rollup in operators/sketches.py for mergeable cross-shard
+    bands)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p50"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p90"),
+            F.expr(
+                "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p99"),
+        )
+    )
+
+
+@register(
+    "q134_attribution",
+    """
+    WITH fp AS (
+      SELECT user_id, ts AS pt, event_id AS pid
+      FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    prior AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      WHERE (e.ts, e.event_id) < (fp.pt, fp.pid)
+    ),
+    ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM prior
+    ),
+    touches AS (
+      SELECT f.user_id,
+             coalesce(ff.event_type, 'direct') AS first_touch,
+             coalesce(ll.event_type, 'direct') AS last_touch
+      FROM fp f
+      LEFT JOIN (SELECT user_id, event_type FROM ranked WHERE rn_first = 1) ff
+        ON ff.user_id = f.user_id
+      LEFT JOIN (SELECT user_id, event_type FROM ranked WHERE rn_last = 1) ll
+        ON ll.user_id = f.user_id
+    )
+    SELECT first_touch, last_touch, count(*) AS n_users
+    FROM touches GROUP BY 1, 2
+    """,
+)
+def q134_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for each
+    user's FIRST purchase, which event type opened the journey and
+    which immediately preceded the purchase (users whose first event
+    IS the purchase attribute to 'direct') — the marketing-analytics
+    staple over the same event stream as the funnel (q81).
+
+    Scale: everything partitions by user_id — one shuffle carries the
+    first-purchase window, the strictly-before filter (a struct
+    tuple compare, no epoch arithmetic to overflow), and both
+    touch windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("pt"), F.col("event_id").alias("pid"))
+    )
+    prior = ev.join(fp, "user_id").filter(
+        F.struct("ts", "event_id") < F.struct(F.col("pt"), F.col("pid"))
+    )
+    wd = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = prior.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn_first"),
+        F.row_number().over(wd).alias("rn_last"),
+    )
+    ff = ranked.filter(F.col("rn_first") == 1).select(
+        "user_id", F.col("event_type").alias("ft")
+    )
+    ll = ranked.filter(F.col("rn_last") == 1).select(
+        "user_id", F.col("event_type").alias("lt")
+    )
+    return (
+        fp.select("user_id")
+        .join(ff, "user_id", "left")
+        .join(ll, "user_id", "left")
+        .select(
+            F.coalesce("ft", F.lit("direct")).alias("first_touch"),
+            F.coalesce("lt", F.lit("direct")).alias("last_touch"),
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count("*").alias("n_users"))
+    )
