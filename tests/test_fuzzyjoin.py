@@ -86,3 +86,38 @@ def test_key_df_cap_bounds_candidates_and_keeps_selective_pairs(spark):
     capped = _rows(fuzzy_self_join(df, "id", "nm", max_dist=1, key_df_cap=5))
     # the selective pair (shares a sub-cap key) must survive the cap
     assert (100, 101, 1) in capped
+
+
+def test_blocked_matches_all_pairs_random_corpora(spark):
+    """Randomized recall check: corpora of random short strings plus
+    random single/double edits of some of them — the blocked join
+    must equal all-pairs on every draw. Spark jobs are too slow for
+    per-example hypothesis, so this drives several seeded random
+    corpora in one session (deterministic seeds, no flakes)."""
+    import random
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        alphabet = "abcdef"
+        base = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 10)))
+            for _ in range(30)
+        ]
+        edited = []
+        for s in rng.sample(base, 10):
+            t = list(s)
+            for _ in range(rng.randint(1, 2)):
+                op = rng.choice(["sub", "ins", "del"])
+                if op == "sub" and t:
+                    t[rng.randrange(len(t))] = rng.choice(alphabet)
+                elif op == "ins":
+                    t.insert(rng.randint(0, len(t)), rng.choice(alphabet))
+                elif op == "del" and t:
+                    del t[rng.randrange(len(t))]
+            edited.append("".join(t))
+        rows = [(i, s) for i, s in enumerate(base + edited)]
+        df = spark.createDataFrame(rows, "id int, nm string")
+        for k in (1, 2):
+            got = _rows(fuzzy_self_join(df, "id", "nm", max_dist=k))
+            want = _rows(_all_pairs(df, k))
+            assert got == want, f"seed={seed} k={k}"
