@@ -899,3 +899,45 @@ def q134_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("first_touch", "last_touch")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "q138_weekly_conversion",
+    """
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           count(DISTINCT user_id) AS n_active,
+           count(DISTINCT CASE WHEN event_type = 'purchase'
+                               THEN user_id END) AS n_purchasers,
+           round(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                     THEN user_id END) * 1.0
+                 / count(DISTINCT user_id), 6) AS conversion_rate
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q138_weekly_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly conversion trend: distinct purchasing users over
+    distinct active users per calendar week — the time-series face of
+    q81's one-shot funnel.
+
+    Scale: one groupBy on the week with two distinct aggregates
+    (Spark plans the multi-distinct via Expand — same shape as q79's
+    profile); no joins, no windows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.count_distinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("n_purchasers"),
+        )
+        .select(
+            "week",
+            "n_active",
+            "n_purchasers",
+            F.round(
+                F.col("n_purchasers") * 1.0 / F.col("n_active"), 6
+            ).alias("conversion_rate"),
+        )
+    )

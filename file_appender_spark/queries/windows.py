@@ -315,3 +315,76 @@ def q29_dedup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").agg(
         F.min("o_orderkey").alias("first_order"), F.count("*").alias("n_dups")
     )
+
+
+@register(
+    "q137_running_distinct",
+    """
+    SELECT user_id, ts, event_id,
+           count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_types_seen
+    FROM events
+    WHERE user_id % 25 = 0
+    """,
+)
+def q137_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — a semantic Spark's
+    window functions DO NOT support directly (DISTINCT aggregates are
+    rejected in windows). Re-expressed Spark-first: a row is the
+    FIRST occurrence of its (user, event_type) iff row_number over
+    that pair is 1; the running distinct count is then a plain
+    running SUM of first-occurrence flags over the same (ts,
+    event_id) order. The oracle states the intended semantics
+    verbatim (DuckDB supports windowed DISTINCT), so the emulation is
+    hash-checked against the real thing.
+
+    Scale: two windows on the SAME user_id partitioning (one
+    sub-partitioned by type) — one shuffle total, no joins."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "_is_first", (F.row_number().over(w_first) == 1).cast("long")
+        )
+        .withColumn("n_types_seen", F.sum("_is_first").over(w_run))
+        .select("user_id", "ts", "event_id", "n_types_seen")
+    )
+
+
+@register(
+    "q139_rank_fractions",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q139_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fractional-rank window family (percent_rank, cume_dist,
+    ntile) in one pass over a single sort — completing the window
+    inventory next to q21-q24's rank/offset/frame rows.
+
+    Scale: one shuffle on the partition key; all three functions share
+    the same window sort (SQL WINDOW clause / identical WindowSpec),
+    so the plan has exactly one Window operator."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
