@@ -91,6 +91,20 @@ PROBES = [
     "q126_label_separation",
     "q127_token_shards",
     "q128_anomaly_hours",
+    # q129_containment deliberately NOT probed: on the synthetic
+    # tiny-vocab corpus nearly every doc pair passes containment 0.9
+    # (910k output pairs at sf0.1 alone), so the replica probe measures
+    # output materialization, not plan scaling — see SCALING.md
+    "q130_correlation",
+    "q131_bigram_logprob",
+    "q132_burstiness",
+    "q133_monthly_bands",
+    "q134_attribution",
+    "q135_weighted_sample",
+    "q136_minhash_calibration",
+    "q137_running_distinct",
+    "q138_weekly_conversion",
+    "q139_rank_fractions",
 ]
 
 
