@@ -27,6 +27,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--list", action="store_true", help="list inventory queries")
     ap.add_argument("--limit", type=int, default=100, help="max rows to print")
     ap.add_argument("--explain", action="store_true", help="print the plan, not rows")
+    ap.add_argument(
+        "--curate",
+        metavar="OUT_DIR",
+        help="run the full curation funnel (dedup -> near-dup -> quality "
+        "-> PII -> split) over the sf-dir documents table and write "
+        "train/val/test parquet shards to OUT_DIR",
+    )
     args = ap.parse_args(argv)
 
     from file_appender_spark.queries import QUERIES
@@ -44,13 +51,22 @@ def main(argv: list[str] | None = None) -> int:
             f"{len(QUERIES) - len(green)} pending a driver window (·)"
         )
         return 0
-    if not args.sql and not args.query:
-        ap.error("provide SQL, --query NAME, or --list")
+    if not args.sql and not args.query and not args.curate:
+        ap.error("provide SQL, --query NAME, --curate OUT_DIR, or --list")
 
     from file_appender_spark.session import get_spark
     from file_appender_spark.sources.catalog import register_views
 
     spark = get_spark(app_name="file_appender_spark_cli")
+    if args.curate:
+        import json
+
+        from file_appender_spark.curate import curate
+        from file_appender_spark.sources.catalog import load_table
+
+        report = curate(spark, load_table(spark, args.sf_dir, "documents"), args.curate)
+        print(json.dumps(report, sort_keys=True))
+        return 0
     if args.query:
         if args.query not in QUERIES:
             print(f"unknown query {args.query!r}; try --list", file=sys.stderr)

@@ -1,0 +1,158 @@
+"""End-to-end corpus curation: the inventory's dedup / quality /
+split / packing stages chained into ONE callable that takes a raw
+documents table and writes training shards — the composition a user
+of the engine actually runs, exposed on the CLI as ``--curate``.
+
+Stages (each reusing the exact oracle-checked building block):
+  1. exact dedup         — sha256 content hash, min-doc_id keep (q50)
+  2. near-dup suppression — q52 MinHash-LSH pairs, larger id dropped
+                            (the q122 retention rule)
+  3. quality gate        — alpha ratio >= threshold (q56's metric)
+  4. PII scrub           — digit masking (q69's full-mask rule)
+  5. hash split          — md5(doc_id) 80/10/10 (q67)
+  6. shard write         — parquet partitioned by split
+
+Everything is deterministic (content-derived hashes, no RNG), so a
+re-run over the same input produces byte-identical splits — the
+rerun-stability property the individual queries are oracle-checked
+for, preserved through composition.
+
+Scale: stages 1-2 shuffle on content/band hashes (balanced by
+construction), 3-5 are stateless projections, the write is
+partitioned by split with per-shard file sizing left to AQE; nothing
+collects to the driver except the funnel counts (6 longs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    near_threshold: float = 0.2,
+    min_alpha_ratio: float = 0.45,
+) -> dict:
+    """Run the full curation funnel over ``docs`` (doc_id, text, ...)
+    and write train/val/test parquet under ``out_dir``. Returns the
+    funnel counts dict (one small collect)."""
+    from file_appender_spark.queries.llm import _MH_P, _MH_PARAMS, _WS  # noqa: F401
+    from file_appender_spark.queries.pipeline import _bucket100
+
+    n_input = docs.count()
+
+    # 1. exact dedup: min doc_id per sha256(text)
+    keep = (
+        docs.withColumn("_h", F.sha2("text", 256))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = docs.join(keep, "doc_id")
+    n_exact = d1.count()
+
+    # 2. near-dup suppression: q52 pairs over the SURVIVORS (identical
+    # copies are already gone, so the pair graph is the near-dup one);
+    # the larger id of every verified pair is dropped (q122's rule)
+    pairs = _minhash_pairs(d1, threshold=near_threshold)
+    drop = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    d2 = d1.join(drop, "doc_id", "left_anti")
+    n_near = d2.count()
+
+    # 3. quality gate: alphabetic-character ratio (q56's metric)
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    d3 = d2.filter(alpha >= min_alpha_ratio)
+    n_quality = d3.count()
+
+    # 4. PII scrub (digit masking) + 5. hash split
+    bucket = _bucket100(F.col("doc_id"))
+    d4 = d3.withColumn("text", F.regexp_replace("text", "[0-9]", "*")).withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+
+    # 6. shard write, partitioned by split
+    d4.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    written = spark.read.parquet(out_dir)
+    n_written = written.count()
+    by_split = {
+        r["split"]: r["n"]
+        for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "input": n_input,
+        "after_exact_dedup": n_exact,
+        "after_near_dedup": n_near,
+        "after_quality": n_quality,
+        "written": n_written,
+        "by_split": by_split,
+    }
+
+
+def _minhash_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """q52's banded MinHash-LSH pipeline over an arbitrary documents
+    frame (q52 itself is bound to a sf_dir table): same shingle,
+    hash, 16-slot, 4-band and exact-Jaccard-verify definitions,
+    imported from the one shared source so nothing can drift."""
+    from pyspark import StorageLevel
+
+    from file_appender_spark.queries.llm import (
+        _MH_P,
+        _MH_PARAMS,
+        _WS,
+        _tok_hash32,
+        let_expr,
+        shingle_expr,
+    )
+
+    words = F.split("text", _WS)
+    shingled = (
+        docs.filter(F.size(words) >= 3)
+        .select("doc_id", let_expr(words, shingle_expr).alias("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hashed = shingled.select("doc_id", F.explode("shingles").alias("sh")).select(
+        "doc_id", _tok_hash32(F.col("sh")).alias("h")
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P).alias(f"mh{j}")
+            for j, (a, b) in enumerate(_MH_PARAMS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"{bi}, concat_ws(',', mh{4 * bi}, mh{4 * bi + 1}, "
+                f"mh{4 * bi + 2}, mh{4 * bi + 3})"
+                for bi in range(4)
+            )
+            + ") AS (band, sig)"
+        ),
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    sh1 = shingled.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sa"))
+    sh2 = shingled.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cand.join(sh1, "d1").join(sh2, "d2").filter(jac >= threshold).select("d1", "d2")
+    )
