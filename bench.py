@@ -122,6 +122,12 @@ def main() -> None:
 
         emb = load_table(spark, sf_dir, "embeddings")
         n_bits, n_bands = srp_params_for(emb.count(), threshold=0.95)
+        # same warm-up discipline as the headline loop: one tiny-sf run
+        # pre-compiles the codegen classes for these exact plan shapes
+        # (shape + schema identical across sfs), so the timed number is
+        # steady-state throughput, not a one-off JIT compile
+        warm = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        srp_neardup(warm, threshold=0.95, n_bits=n_bits, n_bands=n_bands).count()
         t0 = time.perf_counter()
         srp_neardup(emb, threshold=0.95, n_bits=n_bits, n_bands=n_bands).count()
         extras["srp_neardup_sec"] = round(time.perf_counter() - t0, 3)
