@@ -325,3 +325,49 @@ def test_ann_sign_ivf_candidates_are_equi_join(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- round-3 plan contracts -------------------------------------------------
+
+
+def test_q118_pmi_df_tables_broadcast(spark, sf_dir):
+    """Document-frequency and corpus-count join-backs must broadcast;
+    the only shuffles belong to the pair groupBy."""
+    plan = plan_of(spark, sf_dir, "q118_pmi_cooccur")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q121_power_iteration_combines_map_side(spark, sf_dir):
+    """The Gram product must reduce via partial aggregation (map-side
+    combine to |dims| groups) — never shuffle raw posexploded rows."""
+    plan = plan_of(spark, sf_dir, "q121_power_iteration")
+    assert "partial_sum" in plan.lower() or "Partial" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q137_windows_share_one_user_shuffle(spark, sf_dir):
+    """Both windows (first-occurrence flag + running sum) partition by
+    user_id — exactly one hashpartitioning exchange on user_id-rooted
+    keys, no join."""
+    plan = plan_of(spark, sf_dir, "q137_running_distinct")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # (user,type) + (user)
+
+
+def test_q139_three_rank_functions_one_window_operator(spark, sf_dir):
+    """percent_rank / cume_dist / ntile share one WindowSpec — the
+    plan must contain a single Window operator (one sort, one pass)."""
+    plan = plan_of(spark, sf_dir, "q139_rank_fractions")
+    assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
+    # one logical window evaluation: no second sort on the same keys
+    assert plan.count("Sort ") <= 2
+
+
+def test_q43_blocked_path_plan_is_equi_join(spark, sf_dir):
+    """q43 now runs the PassJoin blocked path: candidates must come
+    from an equi-join (SortMergeJoin/ShuffledHashJoin/Broadcast on the
+    segment key), never a nested-loop over all pairs."""
+    plan = plan_of(spark, sf_dir, "q43_fuzzy_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
