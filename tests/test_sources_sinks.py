@@ -349,3 +349,29 @@ def test_load_table_memo_invalidates_on_rewrite(spark, tmp_path):
     assert fresh is not first
     assert fresh.count() == 5
     assert set(fresh.columns) == {"o_orderkey", "o_total"}
+
+
+def test_load_table_memo_invalidates_on_deep_partition_rewrite(spark, tmp_path):
+    """A rewrite TWO partition levels deep (a=…/b=…/part.parquet) must
+    bump the path version and invalidate the memo — _path_version
+    walks the full tree, not just immediate children (a round-2
+    advisory found the single-level stat missed exactly this)."""
+    import time as _time
+
+    sf = str(tmp_path)
+    p = os.path.join(sf, "orders.parquet")
+    spark.range(4).selectExpr(
+        "id AS o_orderkey", "id % 2 AS a", "id % 2 AS b"
+    ).write.partitionBy("a", "b").parquet(p)
+    first = load_table(spark, sf, "orders")
+    assert first.count() == 4
+    assert load_table(spark, sf, "orders") is first
+    _time.sleep(0.01)
+    # overwrite ONE leaf partition in place: only files under
+    # a=0/b=0 change; the table dir's own mtime stays put
+    spark.range(10).selectExpr("id + 100 AS o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(p, "a=0", "b=0"))
+    fresh = load_table(spark, sf, "orders")
+    assert fresh is not first, "deep rewrite must invalidate the memo"
+    assert fresh.count() == 12  # 2 untouched rows + 10 rewritten
