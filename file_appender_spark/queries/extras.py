@@ -430,3 +430,82 @@ def q108_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cum_events", F.sum("n_events").over(w).cast("bigint"))
     )
+
+
+@register(
+    "q140_dataset_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, lang, source, n_chars FROM documents
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang,
+             source,
+             n_chars + CASE WHEN doc_id % 13 = 0 THEN 5 ELSE 0 END AS n_chars
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, lang, source, n_chars
+      FROM documents WHERE doc_id % 23 = 0
+    ),
+    j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             o.doc_id IS NULL AS is_added,
+             n.doc_id IS NULL AS is_removed,
+             (o.lang IS DISTINCT FROM n.lang) AS c_lang,
+             (o.n_chars IS DISTINCT FROM n.n_chars) AS c_n_chars,
+             (o.source IS DISTINCT FROM n.source) AS c_source
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN is_added THEN 'added'
+                WHEN is_removed THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CASE WHEN is_added OR is_removed THEN CAST([] AS VARCHAR[])
+                ELSE list_filter(
+                       [CASE WHEN c_lang THEN 'lang' END,
+                        CASE WHEN c_n_chars THEN 'n_chars' END,
+                        CASE WHEN c_source THEN 'source' END],
+                       x -> x IS NOT NULL)
+           END AS changed_cols
+    FROM j
+    WHERE is_added OR is_removed OR c_lang OR c_n_chars OR c_source
+    """,
+)
+def q140_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level dataset reconciliation (operators/datadiff.py
+    ``table_diff``): the "new dump" is derived deterministically from
+    the documents table in-query (deletions: doc_id % 17; mutations:
+    lang for % 11, n_chars for % 13; additions: shifted ids for
+    % 23), so the full added/removed/changed report — including the
+    per-key changed-column list — is oracle-checkable.
+
+    Scale: one full-outer shuffle join on the key; output bounded by
+    true change volume (unchanged keys emit nothing)."""
+    from file_appender_spark.operators.datadiff import table_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", "lang", "source", "n_chars")
+    new = (
+        d.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 == 0, "xx").otherwise(F.col("lang")).alias(
+                "lang"
+            ),
+            "source",
+            (
+                F.col("n_chars")
+                + F.when(F.col("doc_id") % 13 == 0, 5).otherwise(0)
+            ).alias("n_chars"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 23 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    return table_diff(old, new, ["doc_id"])
