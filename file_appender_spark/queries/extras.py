@@ -509,3 +509,47 @@ def q140_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(old, new, ["doc_id"])
+
+
+@register(
+    "q141_debounce",
+    """
+    WITH g AS (
+      SELECT user_id, event_type, ts, event_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id, event_type, count(*) AS n_kept
+    FROM g
+    WHERE gap_us IS NULL OR gap_us > 5000000
+    GROUP BY user_id, event_type
+    HAVING count(*) > 1
+    """,
+)
+def q141_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce dedup: drop events repeating the same (user, type)
+    within 5 seconds of the previous occurrence — the double-click /
+    retry-storm suppressor that runs before event analytics (q29
+    dedups exact duplicates; this dedups by TIME proximity).
+    Microsecond-exact integer gap comparison, so both engines keep
+    identical rows.
+
+    Scale: one window on the (user_id, event_type) partitioning and a
+    stateless filter — the streaming twin is dropDuplicates within a
+    watermark over the same key (tests/test_streaming.py)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    return (
+        g.filter(F.col("gap_us").isNull() | (F.col("gap_us") > 5_000_000))
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_kept"))
+        .filter(F.col("n_kept") > 1)
+    )

@@ -1535,3 +1535,57 @@ def q136_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est - jac, 6).alias("est_error"),
         )
     )
+
+
+@register(
+    "q144_cluster_sizes",
+    f"""
+    WITH RECURSIVE {_Q52_CTES},
+    q52 AS ({_Q52_FINAL}),
+    sym AS (
+      SELECT d1 AS u, d2 AS v FROM q52
+      UNION ALL
+      SELECT d2 AS u, d1 AS v FROM q52
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT x.id, s.v FROM reach x JOIN sym s ON s.u = x.r
+    ),
+    clusters AS (
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q144_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report: the near-dup cluster-size histogram with
+    the removable-document count per size (cluster of k keeps 1,
+    frees k-1) — the number a curation run quotes as "dedup would
+    shrink the corpus by X%". Composes q116's transitive clusters;
+    the oracle composes the same recursive closure.
+
+    Scale: everything after the q52 pair generation operates on the
+    cluster table (|docs| rows collapsing to |sizes| groups)."""
+    from file_appender_spark.operators.components import dedup_clusters
+
+    pairs = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    cl = dedup_clusters(pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    clusters = docs.join(
+        cl.select(F.col("doc").alias("doc_id"), "cluster"), "doc_id", "left"
+    ).select(F.coalesce("cluster", F.col("doc_id")).alias("cluster_id"))
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
+    )

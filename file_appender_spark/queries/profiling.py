@@ -941,3 +941,51 @@ def q138_weekly_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion_rate"),
         )
     )
+
+
+@register(
+    "q142_chi_square",
+    """
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang)   AS rl,
+             sum(o) OVER (PARTITION BY source) AS cs,
+             sum(o) OVER ()                    AS n
+      FROM obs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((o - rl * 1.0 * cs / n) * (o - rl * 1.0 * cs / n)
+                     / (rl * 1.0 * cs / n)), 6) AS chi_square
+    FROM m
+    """,
+)
+def q142_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the (lang, source)
+    contingency table — "is my language mix independent of the
+    source?", the balance check run before q87's mixture rebalance
+    decides what to up/down-sample. Expected counts from the
+    marginals in the standard closed form.
+
+    Determinism: observed counts are exact integers; the marginals
+    come from windows over the TINY contingency aggregate (|langs| x
+    |sources| cells), so both engines compute the identical doubles.
+    Scale: one map-side-combined groupBy to the cell table; the
+    windows and the final sum never touch raw rows."""
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    m = obs.select(
+        "o",
+        F.sum("o").over(W.partitionBy("lang")).alias("rl"),
+        F.sum("o").over(W.partitionBy("source")).alias("cs"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("rl") * 1.0 * F.col("cs") / F.col("n")
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
+            "chi_square"
+        ),
+    )
