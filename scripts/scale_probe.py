@@ -105,6 +105,10 @@ PROBES = [
     "q137_running_distinct",
     "q138_weekly_conversion",
     "q139_rank_fractions",
+    "q140_dataset_diff",
+    "q141_debounce",
+    "q142_chi_square",
+    "q144_cluster_sizes",
 ]
 
 
