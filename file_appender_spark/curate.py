@@ -35,6 +35,7 @@ def curate(
     out_dir: str,
     near_threshold: float = 0.2,
     min_alpha_ratio: float = 0.45,
+    pii_mode: str = "digits",
 ) -> dict:
     """Run the full curation funnel over ``docs`` (doc_id, text, ...)
     and write train/val/test parquet under ``out_dir``. Returns the
@@ -69,9 +70,19 @@ def curate(
     d3 = d2.filter(alpha >= min_alpha_ratio)
     n_quality = d3.count()
 
-    # 4. PII scrub (digit masking) + 5. hash split
+    # 4. PII scrub + 5. hash split. "digits" is q69's full digit
+    # mask (structured-identifier discipline); "typed" is the
+    # free-text regex tier (operators/pii.py class tokens)
+    if pii_mode == "digits":
+        scrubbed = F.regexp_replace("text", "[0-9]", "*")
+    elif pii_mode == "typed":
+        from file_appender_spark.operators.pii import pii_scrub
+
+        scrubbed = pii_scrub("text")
+    else:
+        raise ValueError(f"pii_mode must be 'digits' or 'typed', got {pii_mode!r}")
     bucket = _bucket100(F.col("doc_id"))
-    d4 = d3.withColumn("text", F.regexp_replace("text", "[0-9]", "*")).withColumn(
+    d4 = d3.withColumn("text", scrubbed).withColumn(
         "split",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
     )

@@ -68,3 +68,25 @@ def test_curate_cli(spark, sf_dir, tmp_path, capsys):
         "val",
         "test",
     }
+
+
+def test_curate_typed_pii_mode(spark, tmp_path):
+    """pii_mode='typed' applies the free-text class-token scrub: a
+    planted email survives as [EMAIL]; unknown modes are rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"word salad number {i} reach me at user{i}@mail.example today")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    r = curate(spark, docs, str(tmp_path / "typed"), pii_mode="typed")
+    assert r["written"] > 0
+    written = spark.read.parquet(str(tmp_path / "typed"))
+    assert written.filter(F.col("text").contains("[EMAIL]")).count() == r["written"]
+    assert written.filter(F.col("text").contains("@")).count() == 0
+    with _pytest.raises(ValueError, match="pii_mode"):
+        curate(spark, docs, str(tmp_path / "bad"), pii_mode="nope")
