@@ -163,7 +163,9 @@ def q18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q19_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (approx variants are bench-only,
+    """Exact interpolated percentiles (the global-EXACT no-sort scale
+    path is operators/selection.py's value-domain bisection; approx
+    variants are bench-only,
     SURVEY.md Part B agg row)."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(

@@ -792,10 +792,11 @@ def q133_monthly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     is float-exact on both engines with no interpolation arithmetic).
 
     Scale: one shuffle on month; exact grouped percentiles sort
-    within month partitions. At corpus scale the drop-in is
-    approx_percentile with a declared error bound (or the KLL sketch
-    rollup in operators/sketches.py for mergeable cross-shard
-    bands)."""
+    within month partitions. At corpus scale the drop-ins are
+    approx_percentile with a declared error bound, the KLL sketch
+    rollup (operators/sketches.py) for mergeable cross-shard bands,
+    or operators/selection.py's exact bisection when the answer must
+    stay EXACT with no global sort."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
