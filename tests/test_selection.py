@@ -45,3 +45,20 @@ def test_nulls_ignored_and_bounds_checked(spark):
         kth_smallest(df, "x", 3)
     with pytest.raises(ValueError, match="outside"):
         exact_quantile(df, "x", 1.5)
+
+
+def test_random_corpora_match_percentile_disc(spark):
+    """Seeded random corpora (duplicates + spread magnitudes): the
+    bisection must agree with percentile_disc on every draw."""
+    import random
+
+    for seed in (11, 97):
+        rng = random.Random(seed)
+        vals = [round(rng.choice([1, 10, 100]) * rng.random(), 3) for _ in range(500)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        for q in (0.1, 0.5, 0.95):
+            want = df.agg(
+                F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY x)").alias("v")
+            ).first()["v"]
+            got = exact_quantile(df, "x", q, refine_rows=50)
+            assert got == want, (seed, q, got, want)
