@@ -83,6 +83,43 @@ def oracle_decimal_columns(oracle_sql: str, sf_dir: str) -> list[str]:
     return [f.name for f in tbl.schema if pa.types.is_decimal(f.type)]
 
 
+def oracle_nonscalar_columns(oracle_sql: str, sf_dir: str) -> list[str]:
+    """Names of output columns the oracle SQL produces as an arrow
+    list/struct/map type.
+
+    The driver canonicalizes EVERY query's result with a pandas
+    ``sort_values`` over all columns; a list-typed column arrives as
+    numpy arrays, which are unhashable, so the canonicalizer crashes
+    (``TypeError: unhashable type: 'numpy.ndarray'`` — the root cause
+    of round 3's q66 and q140 reds). Same sweep shape as
+    :func:`oracle_decimal_columns`: pure DuckDB, no Spark session."""
+    import pyarrow as pa
+
+    con = duckdb_connection(sf_dir)
+    try:
+        tbl = con.execute(oracle_sql).arrow()
+    finally:
+        con.close()
+    return [
+        f.name
+        for f in tbl.schema
+        if pa.types.is_nested(f.type)  # list / large_list / struct / map / union
+    ]
+
+
+def spark_nonscalar_columns(spark_df) -> list[str]:
+    """Names of Spark result columns with array/struct/map type — the
+    Spark-side half of the non-scalar tripwire (q66 had NO oracle, so
+    an oracle-only sweep would have missed it)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def _decimal_mismatch(spark_df, duck_cols, duck_rows) -> str | None:
     """Data-level tripwire: a column where exactly one side is Decimal
     is a guaranteed driver hash-mismatch even if values are equal."""

@@ -102,23 +102,31 @@ _DRIVER_PRIORITY = [
     # ---- position 51+ (checked next round if the cap is 50) ----
     "q65_minmax_by",
     "q90_rowwise_udf",
-    "q66_approx_aggs",  # rows-only check by design — weakest evidence
+    # rows-only by design BUT still canonicalized by the driver —
+    # r3 proved "never canonicalized" false, so its outputs must be
+    # scalar like everyone else's (udf_suite.py q66 docstring).
+    "q66_approx_aggs",
 ]
 
 
 def _reorder_registry() -> None:
-    from file_appender_spark.queries.ledger import green_queries
+    from file_appender_spark.queries.ledger import green_queries, last_green_round
 
     missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
     if missing:
         raise ValueError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
     green = green_queries()
+    last = last_green_round()
     prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
     names = list(QUERIES)
     reg = {n: i for i, n in enumerate(names)}
     # never-green first (hand-ranked tranche order, then registration
-    # order), green behind in registration order — fully deterministic
-    names.sort(key=lambda n: (n in green, prio.get(n, len(prio)), reg[n]))
+    # order); green behind, STALEST last-green round first (so once
+    # everything is green the window rotates re-verification through
+    # the oldest evidence), ties in registration order — deterministic
+    names.sort(
+        key=lambda n: (n in green, last.get(n, ""), prio.get(n, len(prio)), reg[n])
+    )
     snapshot = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update({n: snapshot[n] for n in names})

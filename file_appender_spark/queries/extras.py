@@ -461,13 +461,14 @@ def q108_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN is_added THEN 'added'
                 WHEN is_removed THEN 'removed'
                 ELSE 'changed' END AS change_type,
-           CASE WHEN is_added OR is_removed THEN CAST([] AS VARCHAR[])
-                ELSE list_filter(
-                       [CASE WHEN c_lang THEN 'lang' END,
-                        CASE WHEN c_n_chars THEN 'n_chars' END,
-                        CASE WHEN c_source THEN 'source' END],
-                       x -> x IS NOT NULL)
-           END AS changed_cols
+           coalesce(array_to_string(
+             CASE WHEN is_added OR is_removed THEN CAST([] AS VARCHAR[])
+                  ELSE list_filter(
+                         [CASE WHEN c_lang THEN 'lang' END,
+                          CASE WHEN c_n_chars THEN 'n_chars' END,
+                          CASE WHEN c_source THEN 'source' END],
+                         x -> x IS NOT NULL)
+             END, ','), '') AS changed_cols
     FROM j
     WHERE is_added OR is_removed OR c_lang OR c_n_chars OR c_source
     """,
@@ -479,6 +480,12 @@ def q140_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang for % 11, n_chars for % 13; additions: shifted ids for
     % 23), so the full added/removed/changed report — including the
     per-key changed-column list — is oracle-checkable.
+
+    The changed-column list is flattened to a comma-joined STRING in
+    the query projection (array_join here, array_to_string in the
+    oracle): array-typed output columns crash the driver's pandas
+    canonicalizer (r3 verdict), and the element order is already
+    deterministic (table_diff enumerates value columns sorted).
 
     Scale: one full-outer shuffle join on the key; output bounded by
     true change volume (unchanged keys emit nothing)."""
@@ -508,7 +515,9 @@ def q140_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return table_diff(old, new, ["doc_id"])
+    return table_diff(old, new, ["doc_id"]).withColumn(
+        "changed_cols", F.array_join("changed_cols", ",")
+    )
 
 
 @register(

@@ -31,7 +31,10 @@ def is_green(row: object) -> bool:
 def ledger_rows(root: str | None = None) -> dict[str, dict]:
     """Per-query latest-green-wins view of every committed
     CORRECTNESS_r*.json: maps query name -> {"green": bool,
-    "round": basename of the first green round (or last checked)}."""
+    "round": basename of the first green round (or last checked),
+    "last_green": basename of the LATEST green round (or None)} —
+    last_green is what the driver-window ranking uses to re-verify
+    the stalest-green tranche first once everything has a row."""
     root = root or repo_root()
     out: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -44,15 +47,29 @@ def ledger_rows(root: str | None = None) -> dict[str, dict]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            entry = out.setdefault(name, {"green": False, "round": rnd})
-            if is_green(row) and not entry["green"]:
-                entry["green"] = True
-                entry["round"] = rnd
+            entry = out.setdefault(
+                name, {"green": False, "round": rnd, "last_green": None}
+            )
+            if is_green(row):
+                if not entry["green"]:
+                    entry["green"] = True
+                    entry["round"] = rnd
+                entry["last_green"] = rnd
     return out
 
 
 def green_queries(root: str | None = None) -> set[str]:
     return {n for n, e in ledger_rows(root).items() if e["green"]}
+
+
+def last_green_round(root: str | None = None) -> dict[str, str]:
+    """query name -> basename of the latest round with a green row
+    (only queries that have ever been green appear)."""
+    return {
+        n: e["last_green"]
+        for n, e in ledger_rows(root).items()
+        if e["last_green"] is not None
+    }
 
 
 def checked_queries(root: str | None = None) -> set[str]:

@@ -156,12 +156,19 @@ def q66_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL count-distinct, t-digest-style
     quantiles): sketch results are engine-specific, so this query is
     deliberately NOT oracle-checked (SURVEY.md Part B agg row —
-    'approx: bench-only'). The exact twins are q14/q19."""
+    'approx: bench-only'). The exact twins are q14/q19.
+
+    All output columns are SCALAR by contract: the driver
+    canonicalizes every query (including rows-only ones), and
+    array-typed columns crash its pandas sort (r3 verdict) — so the
+    IQR is emitted as two scalar percentile columns rather than one
+    array."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75]).alias("approx_iqr"),
+        F.percentile_approx("l_extendedprice", 0.25).alias("approx_q25"),
+        F.percentile_approx("l_extendedprice", 0.75).alias("approx_q75"),
     )
 
 
