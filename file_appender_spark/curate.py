@@ -58,7 +58,8 @@ def curate(
     # 2. near-dup suppression: q52 pairs over the SURVIVORS (identical
     # copies are already gone, so the pair graph is the near-dup one);
     # the larger id of every verified pair is dropped (q122's rule)
-    pairs = _minhash_pairs(d1, threshold=near_threshold)
+    _persisted: list = []
+    pairs = _minhash_pairs(d1, threshold=near_threshold, persisted=_persisted)
     drop = pairs.select(F.col("d2").alias("doc_id")).distinct()
     d2 = d1.join(drop, "doc_id", "left_anti")
     n_near = d2.count()
@@ -95,6 +96,11 @@ def curate(
         r["split"]: r["n"]
         for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
+    # every downstream consumer of the persisted shingles (near-dup
+    # counts + the shard write) has materialized — release the cache
+    # so repeated curate() calls don't accumulate executor storage
+    for df in _persisted:
+        df.unpersist()
     return {
         "input": n_input,
         "after_exact_dedup": n_exact,
@@ -105,11 +111,19 @@ def curate(
     }
 
 
-def _minhash_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def _minhash_pairs(
+    docs: DataFrame, threshold: float, persisted: list | None = None
+) -> DataFrame:
     """q52's banded MinHash-LSH pipeline over an arbitrary documents
     frame (q52 itself is bound to a sf_dir table): same shingle,
     hash, 16-slot, 4-band and exact-Jaccard-verify definitions,
-    imported from the one shared source so nothing can drift."""
+    imported from the one shared source so nothing can drift.
+
+    The shingled frame is persisted (it feeds both signature build
+    and exact verify); it is appended to ``persisted`` so the caller
+    can unpersist once the returned pairs have been materialized —
+    otherwise repeated curate() calls in a long-lived session
+    accumulate cached blocks until executor storage evicts them."""
     from pyspark import StorageLevel
 
     from file_appender_spark.queries.llm import (
@@ -127,6 +141,8 @@ def _minhash_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .select("doc_id", let_expr(words, shingle_expr).alias("shingles"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persisted is not None:
+        persisted.append(shingled)
     hashed = shingled.select("doc_id", F.explode("shingles").alias("sh")).select(
         "doc_id", _tok_hash32(F.col("sh")).alias("h")
     )

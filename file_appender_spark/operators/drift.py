@@ -42,15 +42,26 @@ def quantile_grid(ref: DataFrame, col: str, n_bins: int = 32) -> list[float]:
 def bin_counts(df: DataFrame, col: str, grid: list[float]) -> DataFrame:
     """Per-bin row counts under the frozen grid: bin i = number of
     boundaries <= value (one O(|grid|) array fold inside codegen —
-    no join, no sort; empty bins are emitted downstream, not here)."""
+    no join, no sort; empty bins are emitted downstream, not here).
+
+    Nulls are EXCLUDED before binning: (col >= b) is NULL for null
+    values, so without the filter the whole fold yields a NULL bin
+    whose rows inflate the _cum_fractions total but never enter the
+    cumulative sums — fractions would never reach 1.0 and the KS
+    would read inflated drift. The filter matches quantile_grid's
+    percentile(), which also ignores nulls, keeping both sides of
+    the statistic consistent."""
     garr = F.array(*[F.lit(float(b)) for b in grid])
     bin_expr = F.aggregate(
         garr,
         F.lit(0),
         lambda acc, b: acc + (F.col(col) >= b).cast("int"),
     )
-    return df.select(bin_expr.alias("bin")).groupBy("bin").agg(
-        F.count("*").alias("n")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
     )
 
 

@@ -246,10 +246,43 @@ def _check_store_params(store_dir: str, expected: dict) -> None:
                 "pass the original parameters"
             )
     else:
+        # a store with parquet files but NO sidecar predates the
+        # params stamp (or lost it): stamping the CURRENT batch's
+        # params would silently bless legacy signatures that may have
+        # been built under different (n_bits, n_bands) — exactly the
+        # incomparable-signature failure this guard exists to catch.
+        # Require an explicit migration instead of guessing.
+        legacy = [
+            f
+            for f in os.listdir(store_dir)
+            if f.endswith(".parquet") or (not f.startswith(("_", "."))
+                                          and os.path.isdir(os.path.join(store_dir, f)))
+        ]
+        if legacy:
+            raise ValueError(
+                f"signature store {store_dir} holds existing data but no "
+                f"{_PARAMS_FILE} sidecar — its LSH params are unknown and "
+                "may not match this batch's. If the store was definitely "
+                "built with the same parameters, stamp it explicitly with "
+                "stamp_store_params(store_dir, params); otherwise rebuild."
+            )
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(expected, f, sort_keys=True)
         os.replace(tmp, path)
+
+
+def stamp_store_params(store_dir: str, params: dict) -> None:
+    """Explicit migration hook for a legacy signature store written
+    before the params sidecar existed: the operator KNOWS which
+    params built it and vouches for them. Overwrites any existing
+    stamp (atomic rename)."""
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, _PARAMS_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f, sort_keys=True)
+    os.replace(tmp, path)
 
 
 def _recover_store(store_dir: str) -> None:

@@ -67,15 +67,24 @@ def kth_smallest(
             local = sorted(r["x"] for r in in_bracket.collect())
             return float(local[k - below - 1])
         mid = lo + (hi - lo) / 2
-        if mid <= lo or mid >= hi:  # bracket at float resolution
-            break
+        if mid <= lo or mid >= hi:
+            # bracket at float resolution: no float strictly between
+            # lo and hi exists, so every remaining value equals hi —
+            # the ONLY path where returning hi is justified
+            return hi
         c = vals.filter(F.col("x") <= mid).count()
         if c >= k:
             hi = mid
         else:
             lo = mid
-    # bracket degenerated to adjacent floats: everything left equals hi
-    return hi
+    # pass budget exhausted while the bracket still spans many floats
+    # (possible when magnitudes span ~2^max_passes ulps): returning hi
+    # here would silently break the exactness contract — fail loudly
+    raise RuntimeError(
+        f"kth_smallest did not converge in {max_passes} passes "
+        f"(bracket ({lo}, {hi}] still holds > refine_rows={refine_rows} "
+        "rows); raise max_passes or refine_rows"
+    )
 
 
 def exact_quantile(

@@ -109,13 +109,22 @@ _DRIVER_PRIORITY = [
 ]
 
 
+# Queries whose SEMANTICS changed since their last green row: their
+# old evidence no longer certifies the current code, so they rank with
+# the never-green tranche until re-verified. Remove entries once the
+# round that re-checked them is committed.
+_FORCE_RECHECK = {
+    "q142_chi_square",  # r4: empty contingency cells now included
+}
+
+
 def _reorder_registry() -> None:
     from file_appender_spark.queries.ledger import green_queries, last_green_round
 
     missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
     if missing:
         raise ValueError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
-    green = green_queries()
+    green = green_queries() - _FORCE_RECHECK
     last = last_green_round()
     prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
     names = list(QUERIES)

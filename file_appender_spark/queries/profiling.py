@@ -950,12 +950,13 @@ def q138_weekly_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH obs AS (
       SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
     ),
+    r AS (SELECT lang, sum(o) AS rl FROM obs GROUP BY 1),
+    c AS (SELECT source, sum(o) AS cs FROM obs GROUP BY 1),
+    t AS (SELECT sum(o) AS n FROM obs),
     m AS (
-      SELECT lang, source, o,
-             sum(o) OVER (PARTITION BY lang)   AS rl,
-             sum(o) OVER (PARTITION BY source) AS cs,
-             sum(o) OVER ()                    AS n
-      FROM obs
+      SELECT r.lang, c.source, coalesce(obs.o, 0) AS o, r.rl, c.cs, t.n
+      FROM r CROSS JOIN c CROSS JOIN t
+      LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source
     )
     SELECT CAST(count(*) AS BIGINT) AS n_cells,
            round(sum((o - rl * 1.0 * cs / n) * (o - rl * 1.0 * cs / n)
@@ -968,20 +969,25 @@ def q142_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency table — "is my language mix independent of the
     source?", the balance check run before q87's mixture rebalance
     decides what to up/down-sample. Expected counts from the
-    marginals in the standard closed form.
+    marginals in the standard closed form, over the FULL lang x
+    source cross product: empty cells contribute (0-E)^2/E = E, so
+    skipping them (the observed-cells-only shortcut) biases the
+    statistic low whenever any combination is absent.
 
     Determinism: observed counts are exact integers; the marginals
-    come from windows over the TINY contingency aggregate (|langs| x
+    are aggregates of the TINY contingency table (|langs| x
     |sources| cells), so both engines compute the identical doubles.
     Scale: one map-side-combined groupBy to the cell table; the
-    windows and the final sum never touch raw rows."""
+    cross product, join-back and final sum never touch raw rows."""
     d = _t(spark, sf_dir, "documents")
     obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
-    m = obs.select(
-        "o",
-        F.sum("o").over(W.partitionBy("lang")).alias("rl"),
-        F.sum("o").over(W.partitionBy("source")).alias("cs"),
-        F.sum("o").over(W.partitionBy()).alias("n"),
+    rl = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    cs = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    m = (
+        rl.crossJoin(F.broadcast(cs))
+        .join(obs, ["lang", "source"], "left")
+        .na.fill({"o": 0})
+        .withColumn("n", F.sum("o").over(W.partitionBy()))
     )
     e = F.col("rl") * 1.0 * F.col("cs") / F.col("n")
     return m.agg(

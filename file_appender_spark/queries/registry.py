@@ -91,6 +91,13 @@ def _with_views(fn: SparkQuery, name: str) -> SparkQuery:
                 if k[1:2] == (sf_dir,) and k[0] == token and k != key
             ]:
                 _REGISTERED.discard(stale)
+            # NOTE: dropping a memoized plan does not unpersist any
+            # intermediate frames its query persisted (q52/q118/q136
+            # shapes) — those blocks stay until executor storage
+            # evicts them. Cached blocks are bounded at one set per
+            # live (session, sf_dir, query); a caller looping table
+            # rewrites can reclaim storage with
+            # spark.catalog.clearCache().
             for stale in [
                 k for k in _DF_MEMO if k[0] == token and k[1] == sf_dir and k[2] != version
             ]:

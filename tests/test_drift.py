@@ -96,3 +96,22 @@ def test_ks_monitor_streaming_foreachbatch(spark, tmp_path):
     by_drift = sorted(r["ks"] for r in reports)
     assert by_drift[0] <= 0.01  # the in-distribution batch
     assert by_drift[1] > 0.4  # the shifted batch screams
+
+
+def test_bin_counts_and_ks_ignore_nulls(spark):
+    """Nulls must be excluded before binning: (col >= b) is NULL for
+    null values, which used to produce a NULL bin whose rows inflated
+    the total without entering the cumulative sums — fractions never
+    reached 1.0 and identical distributions read as drifted."""
+    from file_appender_spark.operators.drift import bin_counts
+
+    clean = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    dirty = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)] * 50, "x double"
+    )
+    grid = quantile_grid(clean, "x", n_bins=8)
+    # no NULL bin may exist
+    bins = {r["bin"] for r in bin_counts(dirty, "x", grid).collect()}
+    assert None not in bins
+    # same values + nulls == same values: zero drift
+    assert binned_ks(clean, dirty, "x", grid) == 0.0

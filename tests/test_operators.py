@@ -777,3 +777,44 @@ def test_srp_hoisted_coefs_bit_identical(spark, sf_dir):
         ],
     )
     assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, hoisted.collect()))
+
+
+def test_neardup_store_legacy_without_stamp_requires_migration(spark, tmp_path):
+    """A store holding parquet data but NO params sidecar (legacy /
+    lost stamp) must not be silently blessed with the current batch's
+    params — that is exactly the incomparable-signature failure the
+    stamp guards against. stamp_store_params is the explicit
+    migration hook."""
+    import os
+
+    import pytest as _pytest
+
+    from file_appender_spark.operators.neardup_ingest import (
+        _PARAMS_FILE,
+        neardup_ingest_batch,
+        stamp_store_params,
+    )
+
+    store = str(tmp_path / "sigstore_legacy")
+    neardup_ingest_batch(
+        spark, _synth_vecs(spark, [1, 2]), store, threshold=0.999, n_bits=16, n_bands=4
+    )
+    # simulate a legacy store: data present, sidecar gone
+    params_path = os.path.join(store, _PARAMS_FILE)
+    with open(params_path) as f:
+        original_stamp = f.read()
+    os.remove(params_path)
+    with _pytest.raises(ValueError, match="no _LSH_PARAMS"):
+        neardup_ingest_batch(
+            spark, _synth_vecs(spark, [3]), store, threshold=0.999,
+            n_bits=16, n_bands=4,
+        )
+    # explicit migration: re-stamp with the known-correct params
+    import json
+
+    stamp_store_params(store, json.loads(original_stamp))
+    a = neardup_ingest_batch(
+        spark, _synth_vecs(spark, [9001], offset=70_000), store,
+        threshold=0.999, n_bits=16, n_bands=4,
+    )
+    assert [r["vec_id"] for r in a.collect()] == [9001]

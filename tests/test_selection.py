@@ -62,3 +62,15 @@ def test_random_corpora_match_percentile_disc(spark):
             ).first()["v"]
             got = exact_quantile(df, "x", q, refine_rows=50)
             assert got == want, (seed, q, got, want)
+
+
+def test_pass_exhaustion_raises_instead_of_wrong_answer(spark):
+    """When the pass budget runs out while the bracket still holds
+    many distinct values, the operator must FAIL (its contract is
+    exactness) rather than silently return the bracket top."""
+    vals = [float(i) for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kth_smallest(df, "x", 500, refine_rows=1, max_passes=2)
+    # the same call with budget converges to the exact statistic
+    assert kth_smallest(df, "x", 500, refine_rows=64) == 499.0
