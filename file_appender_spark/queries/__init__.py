@@ -23,6 +23,7 @@ from file_appender_spark.queries import udf_suite  # noqa: E402,F401
 from file_appender_spark.queries import llm  # noqa: E402,F401
 from file_appender_spark.queries import pipeline  # noqa: E402,F401
 from file_appender_spark.queries import profiling  # noqa: E402,F401
+from file_appender_spark.queries import assurance  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-facing registration order.
