@@ -1332,34 +1332,20 @@ def q129_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a long one scores low Jaccard but containment ~1). The asymmetric
     member of the dedup family; output is directed pairs.
 
-    Scale: q51's inverted-index shape (token equi-join bounded by
-    posting lists, never all-pairs); at web scale the hot-token cap
-    applies first, and the |A| divisor comes from the tiny per-doc
-    size frame broadcast back."""
+    This is the EXACT (uncapped) form — the declared oracle contract,
+    like q51/q54's declared-exact pair space. The 100 TB path is the
+    same operator with ``token_df_cap`` set
+    (operators/containment.py): candidates from rare-token postings
+    only, exact array_intersect verify, recall documented there.
+
+    Scale (this form): q51's inverted-index shape (token equi-join
+    bounded by posting lists, never all-pairs) — but on a Zipf
+    vocabulary the ubiquitous-token postings make it near-quadratic,
+    which is exactly what the capped twin exists for."""
+    from file_appender_spark.operators.containment import containment_pairs
+
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", _WS))).alias("tok")
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d_sub"), F.col("b.doc_id").alias("d_super")
-        )
-        .agg(F.count("*").alias("i"))
-    )
-    cont = F.col("i").cast("double") / F.col("n")
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("d_sub"), "n"), "d_sub")
-        .filter(cont >= 0.9)
-        .select("d_sub", "d_super", F.round(cont, 6).alias("containment"))
-    )
+    return containment_pairs(d, threshold=0.9, token_df_cap=None)
 
 
 @register(
