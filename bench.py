@@ -157,6 +157,58 @@ def main() -> None:
     except Exception as exc:
         print(f"# similarity extras skipped: {exc}", file=sys.stderr)
 
+    # remaining scale twins (VERDICT r3 task 6: keep them honestly
+    # benched every round): the blocked edit-distance self-join (q43's
+    # PassJoin path) and the capped+prefix-filtered containment join
+    # (q129's scale path, new in r4)
+    try:
+        from file_appender_spark.operators.containment import containment_pairs
+        from file_appender_spark.operators.fuzzyjoin import fuzzy_self_join
+
+        # fuzzy: the scale_probe's document-derived string form (the
+        # doc_id suffix keeps strings diverse; uniform-prefix columns
+        # like c_name make every segment collide and measure the
+        # degenerate regime instead of the plan)
+        def _fuzzy_strings(d):
+            return load_table(spark, d, "documents").select(
+                F.col("doc_id").alias("id"),
+                F.concat(
+                    F.lower(F.substring("text", 1, 24)),
+                    F.lit("-"),
+                    F.col("doc_id").cast("string"),
+                ).alias("nm"),
+            )
+
+        fuzzy_self_join(
+            _fuzzy_strings("/root/testdata/sf0.001"), "id", "nm", max_dist=2
+        ).count()  # warm
+        t0 = time.perf_counter()
+        fuzzy_self_join(_fuzzy_strings(sf_dir), "id", "nm", max_dist=2).count()
+        extras["op_fuzzy_blocked_sec"] = round(time.perf_counter() - t0, 3)
+
+        # containment: the driver corpus's ~30-word vocabulary is the
+        # documented degenerate case (every df ~ n_docs), so the
+        # capped path is timed on the probe's deterministic Zipf
+        # corpus at a fixed 20k docs — sf-independent but stable
+        # round-over-round, like the calibration workload
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts.probe_containment import corpus as _zipf_corpus
+
+        zdocs, _ = _zipf_corpus(spark, 20_000)
+        zdocs = zdocs.persist()
+        zdocs.count()
+        t0 = time.perf_counter()
+        containment_pairs(zdocs, threshold=0.9, token_df_cap=100).count()
+        extras["op_containment_capped_sec"] = round(time.perf_counter() - t0, 3)
+        zdocs.unpersist()
+        print(
+            f"# op_fuzzy_blocked {extras['op_fuzzy_blocked_sec']}s, "
+            f"op_containment_capped {extras['op_containment_capped_sec']}s (zipf 20k)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# scale-twin extras skipped: {exc}", file=sys.stderr)
+
     # incremental near-dup ingest throughput: docs/sec through one
     # micro-batch against a pre-populated MinHash signature store
     try:
