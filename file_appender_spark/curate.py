@@ -25,8 +25,39 @@ collects to the driver except the funnel counts (6 longs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def quality_alpha_ratio(text_col: str = "text") -> Column:
+    """Stage-3 quality metric (q56's alphabetic-character ratio) —
+    module-level so the incremental (streaming) curate drive uses the
+    IDENTICAL expression as the batch pipeline."""
+    return F.length(F.regexp_replace(text_col, "[^A-Za-z]", "")) / F.greatest(
+        F.length(text_col), F.lit(1)
+    )
+
+
+def scrub_expr(pii_mode: str, text_col: str = "text") -> Column:
+    """Stage-4 PII scrub expression: 'digits' = q69's full digit mask,
+    'typed' = operators/pii.py's class-token tier."""
+    if pii_mode == "digits":
+        return F.regexp_replace(text_col, "[0-9]", "*")
+    if pii_mode == "typed":
+        from file_appender_spark.operators.pii import pii_scrub
+
+        return pii_scrub(text_col)
+    raise ValueError(f"pii_mode must be 'digits' or 'typed', got {pii_mode!r}")
+
+
+def split_col(id_col: str = "doc_id") -> Column:
+    """Stage-5 deterministic 80/10/10 hash split (q67's md5 buckets)."""
+    from file_appender_spark.queries.pipeline import _bucket100
+
+    bucket = _bucket100(F.col(id_col))
+    return (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
 
 
 def curate(
@@ -40,9 +71,7 @@ def curate(
     """Run the full curation funnel over ``docs`` (doc_id, text, ...)
     and write train/val/test parquet under ``out_dir``. Returns the
     funnel counts dict (one small collect)."""
-    from file_appender_spark.queries.llm import _MH_P, _MH_PARAMS, _WS  # noqa: F401
-    from file_appender_spark.queries.pipeline import _bucket100
-
+    scrub_expr(pii_mode)  # validate before any Spark job runs
     n_input = docs.count()
 
     # 1. exact dedup: min doc_id per sha256(text)
@@ -65,27 +94,13 @@ def curate(
     n_near = d2.count()
 
     # 3. quality gate: alphabetic-character ratio (q56's metric)
-    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.greatest(
-        F.length("text"), F.lit(1)
-    )
-    d3 = d2.filter(alpha >= min_alpha_ratio)
+    d3 = d2.filter(quality_alpha_ratio() >= min_alpha_ratio)
     n_quality = d3.count()
 
-    # 4. PII scrub + 5. hash split. "digits" is q69's full digit
-    # mask (structured-identifier discipline); "typed" is the
-    # free-text regex tier (operators/pii.py class tokens)
-    if pii_mode == "digits":
-        scrubbed = F.regexp_replace("text", "[0-9]", "*")
-    elif pii_mode == "typed":
-        from file_appender_spark.operators.pii import pii_scrub
-
-        scrubbed = pii_scrub("text")
-    else:
-        raise ValueError(f"pii_mode must be 'digits' or 'typed', got {pii_mode!r}")
-    bucket = _bucket100(F.col("doc_id"))
-    d4 = d3.withColumn("text", scrubbed).withColumn(
-        "split",
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    # 4. PII scrub + 5. hash split — the same module-level stage
+    # expressions the incremental (streaming) drive composes
+    d4 = d3.withColumn("text", scrub_expr(pii_mode)).withColumn(
+        "split", split_col()
     )
 
     # 6. shard write, partitioned by split

@@ -109,6 +109,10 @@ PROBES = [
     "q141_debounce",
     "q142_chi_square",
     "q144_cluster_sizes",
+    # round 4
+    "q145_benford",
+    "q146_exact_selection",
+    "q147_pii_scrub",
 ]
 
 

@@ -90,3 +90,133 @@ def test_curate_typed_pii_mode(spark, tmp_path):
     assert written.filter(F.col("text").contains("@")).count() == 0
     with _pytest.raises(ValueError, match="pii_mode"):
         curate(spark, docs, str(tmp_path / "bad"), pii_mode="nope")
+
+
+def test_incremental_streaming_curate_equals_batch(spark, tmp_path):
+    """VERDICT r3 stretch: drive the curation pipeline INCREMENTALLY
+    through a real micro-batch stream (foreachBatch -> exact-hash
+    store -> textdup near-dup ingest -> quality/PII/split -> shard
+    append) and prove the curated output equals one-shot batch
+    curate() over the same corpus.
+
+    Stage expressions are imported from curate.py itself
+    (quality_alpha_ratio / scrub_expr / split_col), so batch and
+    incremental literally share the stage code; dedup state lives in
+    the same persistent stores the ingest operators maintain.
+
+    Corpus design keeps both near-dup verifiers in their agreement
+    regime (curate verifies EXACT shingle Jaccard, the ingest store
+    verifies the 16-slot ESTIMATE): duplicates are exact copies or
+    one-word-appended near-copies (jaccard ~0.875), non-dups share
+    nothing — no borderline pairs. Batches arrive in doc_id order so
+    first-arrival-wins (incremental) equals min-id-keep (batch)."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from file_appender_spark.curate import (
+        quality_alpha_ratio,
+        scrub_expr,
+        split_col,
+    )
+    from file_appender_spark.operators.neardup_ingest import textdup_ingest_batch
+
+    base = (
+        "the quick brown fox jumps over lazy dogs daily while watching "
+        "birds migrate across the valley"
+    )
+    other = (
+        "completely different prose about glacier formation and mineral "
+        "deposits in alpine regions over geological time"
+    )
+    third = (
+        "a third unrelated passage describing harbor logistics container "
+        "cranes and tide schedules for coastal shipping"
+    )
+    b1_rows = [
+        (1, base),
+        (2, other),
+        (3, base),  # exact dup of 1 (within-batch)
+        (4, "1234 5678 9012 !!!! 0000 9999 8888"),  # fails quality gate
+    ]
+    b2_rows = [
+        (11, base),  # exact dup of 1 (cross-batch)
+        (12, base + " suddenly"),  # near-dup of 1 (cross-batch)
+        (13, third),
+        (14, third + " postscript"),  # near-dup of 13 (within-batch)
+    ]
+    schema = "doc_id long, text string"
+    all_docs = spark.createDataFrame(b1_rows + b2_rows, schema)
+
+    # ---- one-shot batch reference ------------------------------------
+    from file_appender_spark.curate import curate
+
+    batch_out = str(tmp_path / "batch_shards")
+    curate(spark, all_docs, batch_out, near_threshold=0.5)
+
+    # ---- incremental drive through a real stream ---------------------
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(b1_rows, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    time.sleep(1.1)  # file-source ordering is mtime-based
+    spark.createDataFrame(b2_rows, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    hash_store = str(tmp_path / "hash_store")
+    sig_store = str(tmp_path / "sig_store")
+    inc_out = str(tmp_path / "inc_shards")
+
+    def handle(batch_df, batch_id):
+        # stage 1: exact dedup — min-id keep within batch, then
+        # first-arrival-wins vs the persistent hash store
+        hashed = batch_df.withColumn("_h", F.sha2("text", 256))
+        keep = (
+            hashed.withColumn("_m", F.min("doc_id").over(W.partitionBy("_h")))
+            .filter(F.col("doc_id") == F.col("_m"))
+            .drop("_m")
+        )
+        if os.path.exists(hash_store):
+            keep = keep.join(
+                spark.read.parquet(hash_store), "_h", "left_anti"
+            )
+        keep = keep.localCheckpoint(eager=True)
+        keep.select("_h").write.mode("append").parquet(hash_store)
+        d1 = keep.drop("_h")
+        # stage 2: near-dup suppression vs the persistent MinHash store
+        admitted = textdup_ingest_batch(spark, d1, sig_store, threshold=0.5)
+        # stages 3-5: the SAME expressions batch curate() uses
+        out = (
+            admitted.filter(quality_alpha_ratio() >= 0.45)
+            .withColumn("text", scrub_expr("digits"))
+            .withColumn("split", split_col())
+        )
+        out.write.mode("append").partitionBy("split").parquet(inc_out)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["doc_id"], r["text"], r["split"])
+        for r in spark.read.parquet(inc_out).collect()
+    }
+    want = {
+        (r["doc_id"], r["text"], r["split"])
+        for r in spark.read.parquet(batch_out).collect()
+    }
+    assert got == want
+    # the funnel genuinely suppressed things: survivors are exactly
+    # the first copy of each text family that also passed quality
+    assert {d for d, _, _ in want} == {1, 2, 13}
