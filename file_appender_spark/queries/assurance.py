@@ -10,7 +10,9 @@ Oracle strategy per query:
 - q145 mirrors the leading-digit extraction in DuckDB SQL (the
   string-based first-nonzero-digit rule is rendering-robust on both
   engines, unlike a log10/floor arithmetic that can flip at powers
-  of ten).
+  of ten; translate-then-first-char, since scientific notation keeps
+  the mantissa's leading digit first in every rendering either
+  engine produces).
 - q146 relies on DuckDB's ``quantile_disc`` sharing the standard
   PERCENTILE_DISC convention (smallest element whose cumulative
   count reaches ceil(q*n)) with operators/selection.py.
@@ -48,7 +50,7 @@ _BENFORD_VALUES = ", ".join(f"({d}, {BENFORD_P[d]!r})" for d in range(1, 10))
     ),
     lead AS (
       SELECT TRY_CAST(
-               regexp_replace(CAST(v AS VARCHAR), '[^1-9]*([1-9]).*', '\\1')
+               substring(translate(CAST(v AS VARCHAR), '0.-eE+', ''), 1, 1)
                AS INTEGER) AS digit
       FROM vals
     ),
