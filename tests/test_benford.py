@@ -44,3 +44,40 @@ def test_benford_empty_raises(spark):
     df = spark.createDataFrame([(0.0,), (None,)], "v double")
     with pytest.raises(ValueError, match="Benford"):
         benford_deviation(df, "v")
+
+
+def test_leading_digit_matches_math_across_magnitudes(spark):
+    """Pin the translate-then-first-char extraction against the
+    MATHEMATICAL leading digit floor(|x| / 10^floor(log10 |x|))
+    across 30 orders of magnitude — covers every rendering Spark
+    produces (plain decimal, scientific with E+/E- exponents) so a
+    future rendering change cannot silently skew the profile."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vals = []
+    for mag in range(-15, 16):
+        for _ in range(20):
+            vals.append(rng.uniform(1.0, 9.9999) * (10.0 ** mag))
+    vals += [1.0, 9.999999999999998, 1e-15, 1e15, 123456.789, 0.001, 0.0001]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["v"]: r["d"]
+        for r in df.select(
+            "v",
+            F.substring(
+                F.translate(F.abs(F.col("v")).cast("string"), "0.-eE+", ""), 1, 1
+            )
+            .cast("int")
+            .alias("d"),
+        ).collect()
+    }
+    for v in vals:
+        want = int(math.floor(abs(v) / 10.0 ** math.floor(math.log10(abs(v)))))
+        # float log10 can misplace the exponent at exact powers; the
+        # digit itself is what matters
+        want = min(max(want, 1), 9)
+        assert got[v] == want, (v, got[v], want)
