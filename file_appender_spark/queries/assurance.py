@@ -1,10 +1,13 @@
-"""Oracle-checked exposure for the assurance-tier operators that
-round 3 shipped with pytest-only evidence: Benford conformance
+"""Oracle-checked exposure for operators that previously shipped
+with pytest-only evidence: Benford conformance
 (operators/benford.py), exact global selection
-(operators/selection.py) and the typed free-text PII tier
-(operators/pii.py). Each was a first-class brief component resting on
-self-written tests alone — these queries put them under the driver's
-DuckDB hash-compare like every other inventory row.
+(operators/selection.py), the typed free-text PII tier
+(operators/pii.py), SCD2/CDC merge (operators/scd2.py), the salted
+two-phase aggregation (operators/skew.py), and the distributed
+global prefix sum (operators/prefix_sum.py). Each was a first-class
+component resting on self-written tests alone — these queries put
+them under the driver's DuckDB hash-compare like every other
+inventory row.
 
 Oracle strategy per query:
 - q145 mirrors the leading-digit extraction in DuckDB SQL (the
@@ -237,3 +240,192 @@ def q147_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_flagged").alias("n_flagged"),
         F.sum("c_residual").alias("n_residual"),
     )
+
+
+@register(
+    "q148_scd2_merge",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             TIMESTAMP '2020-01-01' AS eff_ts,
+             CAST(NULL AS TIMESTAMP) AS end_ts,
+             TRUE AS is_current
+      FROM customer
+    ),
+    hist AS (
+      SELECT c_custkey, 'OLDSEG', c_nationkey,
+             TIMESTAMP '2019-01-01', TIMESTAMP '2020-01-01', FALSE
+      FROM customer WHERE c_custkey % 17 = 0
+    ),
+    dim AS (SELECT * FROM cur UNION ALL SELECT * FROM hist),
+    upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 11 = 0
+                  THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+                  ELSE c_nationkey END AS c_nationkey
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEWSEG', CAST(0 AS INTEGER)
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    chg AS (
+      SELECT u.c_custkey, u.c_mktsegment, u.c_nationkey
+      FROM upd u
+      LEFT JOIN (SELECT * FROM dim WHERE is_current) d
+        ON d.c_custkey = u.c_custkey
+      WHERE d.c_custkey IS NULL
+         OR NOT (u.c_mktsegment IS NOT DISTINCT FROM d.c_mktsegment
+                 AND u.c_nationkey IS NOT DISTINCT FROM d.c_nationkey)
+    )
+    SELECT d.c_custkey, d.c_mktsegment, d.c_nationkey, d.eff_ts,
+           CASE WHEN d.is_current AND k.c_custkey IS NOT NULL
+                THEN TIMESTAMP '2021-06-01' ELSE d.end_ts END AS end_ts,
+           CASE WHEN d.is_current AND k.c_custkey IS NOT NULL
+                THEN FALSE ELSE d.is_current END AS is_current
+    FROM dim d
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM chg) k
+      ON k.c_custkey = d.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_nationkey,
+           TIMESTAMP '2021-06-01', CAST(NULL AS TIMESTAMP), TRUE
+    FROM chg
+    """,
+)
+def q148_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 / CDC merge (operators/scd2.py ``scd2_merge``) with the
+    updates batch derived in-query from the customer table (the
+    q140/q147 derive-the-other-input pattern): segment moves for
+    key % 7, nation shifts for key % 11, brand-new keys for % 13,
+    and a no-op tranche (key % 3 rows with neither change) proving
+    the null-safe change detector leaves unchanged keys alone.
+    Pre-existing HISTORICAL rows (key % 17) pass through untouched,
+    exercising every branch of the merge: close-out, passthrough,
+    historical-passthrough, insert-changed, insert-new.
+
+    Scale: one shuffle on the business key (semi/anti joins against
+    the changed-key set) — the classic parquet-only MERGE INTO
+    emulation; with Delta/Iceberg on the classpath this delegates to
+    native MERGE."""
+    from file_appender_spark.operators.scd2 import scd2_merge
+
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    eff2020 = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    cur = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        eff2020.alias("eff_ts"),
+        F.lit(None).cast("timestamp").alias("end_ts"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = c.filter(key % 17 == 0).select(
+        "c_custkey",
+        F.lit("OLDSEG").alias("c_mktsegment"),
+        "c_nationkey",
+        F.lit("2019-01-01 00:00:00").cast("timestamp").alias("eff_ts"),
+        eff2020.alias("end_ts"),
+        F.lit(False).alias("is_current"),
+    )
+    dim = cur.unionByName(hist)
+    upd = (
+        c.filter(key % 3 == 0)
+        .select(
+            "c_custkey",
+            F.when(key % 7 == 0, "MOVED")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.when(key % 11 == 0, ((F.col("c_nationkey") + 1) % 25).cast("int"))
+            .otherwise(F.col("c_nationkey"))
+            .alias("c_nationkey"),
+        )
+        .unionByName(
+            c.filter(key % 13 == 0).select(
+                (key + 1000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0).cast("int").alias("c_nationkey"),
+            )
+        )
+    )
+    return scd2_merge(
+        dim,
+        upd,
+        key="c_custkey",
+        compare_cols=["c_mktsegment", "c_nationkey"],
+        effective_col="eff_ts",
+        run_ts="2021-06-01 00:00:00",
+    )
+
+
+@register(
+    "q149_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(min(l_orderkey) AS BIGINT) AS min_order,
+           CAST(max(l_orderkey) AS BIGINT) AS max_order
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q149_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation (operators/skew.py
+    ``salted_agg``) under the oracle: results must be hash-identical
+    to the plain GROUP BY the oracle states, proving the skew scale
+    path is a pure physical rewrite (partial per (key, salt), final
+    per key) with zero semantic drift. l_returnflag has only 3
+    values over ~600k rows at sf0.1 — exactly the
+    hot-key-per-reducer shape the salt exists for.
+
+    All aggregates chosen decomposable and exact (integer sum,
+    count, min/max) so cross-engine equality is bit-exact."""
+    from file_appender_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.sum(F.col("l_quantity").cast("bigint")).alias("_s"),
+            F.count("*").alias("_n"),
+            F.min("l_orderkey").alias("_mn"),
+            F.max("l_orderkey").alias("_mx"),
+        ],
+        final_aggs=[
+            F.sum("_s").cast("bigint").alias("sum_qty"),
+            F.sum("_n").cast("bigint").alias("n_items"),
+            F.min("_mn").cast("bigint").alias("min_order"),
+            F.max("_mx").cast("bigint").alias("max_order"),
+        ],
+    )
+
+
+@register(
+    "q150_prefix_sum",
+    """
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (ORDER BY o_orderkey) AS BIGINT) AS running_sum
+    FROM orders
+    """,
+)
+def q150_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running total (operators/prefix_sum.py
+    ``global_running_sum``): the oracle states the naive
+    single-partition window (fine for DuckDB at gate scale), the
+    Spark side runs the TWO-PHASE distributed form — range partition
+    + per-partition Arrow cumsum + offsets from an
+    O(n_partitions)-row window — so the hash match proves the scale
+    path computes exactly the single-reducer semantics without the
+    single-reducer plan. Money int-scaled to cents (the q01
+    discipline) for cross-engine exactness."""
+    from file_appender_spark.operators.prefix_sum import global_running_sum
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    return global_running_sum(o, "o_orderkey", "cents", out_col="running_sum")

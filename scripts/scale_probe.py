@@ -113,6 +113,9 @@ PROBES = [
     "q145_benford",
     "q146_exact_selection",
     "q147_pii_scrub",
+    "q148_scd2_merge",
+    "q149_salted_agg",
+    "q150_prefix_sum",
 ]
 
 
