@@ -38,6 +38,11 @@ HEADLINE = [
     # ranked window — the two new plan families worth watching
     "q116_dedup_clusters",  # connected components over LSH pairs
     "q125_gini_tokens",  # global-rank concentration stat
+    # round-4 shapes: SCD2 merge (semi/anti vs changed keys) and the
+    # two-phase distributed running total — the warehouse-maintenance
+    # plan families added this round
+    "q148_scd2_merge",  # MERGE INTO emulation
+    "q150_prefix_sum",  # two-phase global running sum
 ]
 
 
