@@ -429,3 +429,72 @@ def q150_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
     )
     return global_running_sum(o, "o_orderkey", "cents", out_col="running_sum")
+
+
+@register(
+    "q151_boilerplate",
+    """
+    WITH docs2 AS (
+      SELECT doc_id,
+             text || chr(10) ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'subscribe to our newsletter today'
+                  ELSE 'ref line ' || CAST(doc_id AS VARCHAR) END ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || 'cookie policy applies here'
+                  ELSE '' END AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2)
+    ),
+    ldf AS (SELECT line, count(DISTINCT doc_id) AS n FROM lines GROUP BY 1),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l JOIN ldf ON ldf.line = l.line
+      WHERE ldf.n <= 10
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY 1
+    ),
+    tot AS (
+      SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM docs2
+    )
+    SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+    """,
+)
+def q151_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/boilerplate.py, the
+    CCNet/RefinedWeb cleanup) over a corpus with PLANTED boilerplate
+    derived in-query: every even doc gains a subscribe prompt
+    (df ~ n/2, stripped), every doc_id % 3 a cookie banner (df ~ n/3,
+    stripped), odd docs a unique 'ref line <id>' (df = 1, kept), and
+    the original single-line body is document-unique (kept). The
+    hash match pins line splitting, distinct-doc df counting, the
+    df <= max_df keep rule, and order-preserving reassembly.
+
+    Scale: explode + vocabulary-bounded line-df aggregate + one
+    equi-join back + per-doc reassembly — no windows over raw rows,
+    no driver collect."""
+    from file_appender_spark.operators.boilerplate import strip_boilerplate
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.when(did % 2 == 0, F.lit("subscribe to our newsletter today"))
+            .otherwise(F.concat(F.lit("ref line "), did.cast("string"))),
+            F.when(
+                did % 3 == 0, F.concat(F.lit("\n"), F.lit("cookie policy applies here"))
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return strip_boilerplate(planted, max_df=10)

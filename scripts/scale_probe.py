@@ -116,6 +116,7 @@ PROBES = [
     "q148_scd2_merge",
     "q149_salted_agg",
     "q150_prefix_sum",
+    "q151_boilerplate",
 ]
 
 
