@@ -1,0 +1,152 @@
+"""Byte-pair-encoding vocabulary induction over a distributed corpus
+— the subword-merge training step of the standard LLM tokenizer
+stack (Sennrich et al. 2016's algorithm, re-expressed Spark-first).
+
+The key scale fact: BPE trains on the WORD-FREQUENCY table, not raw
+text. One pass collapses the corpus to (word, count) — vocabulary-
+bounded (Heaps' law: millions of rows at 100 TB, not trillions) —
+and every merge iteration is then one pair-count aggregate plus one
+symbol-array rewrite over that table. The driver holds only the
+(a, b) merge list, one row per iteration.
+
+Determinism: the winning pair is argmax by (count DESC, a ASC,
+b ASC) — a total order, so training is bit-reproducible across
+partitionings and engines. Merge application is the classic greedy
+left-to-right non-overlapping rewrite, expressed as a single
+``aggregate`` fold (the merged symbol ``a||b`` is strictly longer
+than ``a``, so a fresh merge can never chain with itself within the
+same rule pass — the fold needs no lookahead flag).
+
+Lineage: each iteration ``localCheckpoint``s the symbol table —
+without it, iteration k's plan nests k aggregate folds and analysis
+time grows quadratically (the connected-components lesson from
+operators/components.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+END = "</w>"
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", ws: str = r"\s+"
+) -> DataFrame:
+    """(w, c): corpus word counts under the declared tokenizer."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), ws)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def _char_symbols() -> Column:
+    """Column expr: word 'w' -> its character array plus the
+    end-of-word marker (['l','o','w','</w>'] for 'low')."""
+    return F.expr(
+        "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)), "
+        f"array('{END}'))"
+    )
+
+
+def pair_counts(sym_table: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair counts over a (c, syms)
+    symbol table, weighted by word frequency."""
+    pairs = sym_table.select(
+        "c",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(element_at(syms, i) AS a, "
+                "element_at(syms, i + 1) AS b))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("c").cast("bigint").alias("cnt")
+    )
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping rewrite of adjacent
+    (a, b) into a||b, as one fold."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    ws: str = r"\s+",
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges; stops early when the best pair
+    falls under ``min_freq``. Returns the ordered merge list."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    wf = word_frequencies(docs, text_col, ws)
+    state = wf.select("c", _char_symbols().alias("syms")).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            pair_counts(state)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_freq:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        state = state.select(
+            "c", _apply_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def _word_to_syms(w: Column) -> Column:
+    """word -> char array + end marker, pure Column ops (usable
+    inside nested lambdas, where expr() cannot bind the variable)."""
+    return F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.substring(w, i, F.lit(1)),
+        ),
+        F.array(F.lit(END)),
+    )
+
+
+def bpe_segment(
+    text: Column, merges: list[tuple[str, str]], ws: str = r"\s+"
+) -> Column:
+    """Tokenize a text column with a trained merge list: per word,
+    char symbols + end marker, then each merge applied in training
+    order. Returns array<string> of subword tokens (end markers
+    kept, matching the training representation)."""
+    def _merge_fn(a: str, b: str):
+        # a factory, not a default-arg lambda: pyspark reads the
+        # lambda's ARITY to build the HOF, so extra bound params
+        # would be misread as lambda variables
+        return lambda s: _apply_merge(s, a, b)
+
+    toks = F.filter(F.split(text, ws), lambda w: w != "")
+    syms_per_word = F.transform(toks, _word_to_syms)
+    for a, b in merges:
+        syms_per_word = F.transform(syms_per_word, _merge_fn(a, b))
+    return F.flatten(syms_per_word)

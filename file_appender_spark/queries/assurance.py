@@ -498,3 +498,54 @@ def q151_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return strip_boilerplate(planted, max_df=10)
+
+
+@register(
+    "q152_bpe_pairs",
+    """
+    WITH words AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY w),
+    sy AS (
+      SELECT c, list_concat(list_transform(range(1, length(w) + 1),
+                                           i -> substring(w, i, 1)),
+                            ['</w>']) AS syms
+      FROM wf
+    ),
+    pairs AS (
+      SELECT c,
+             unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS a,
+             unnest(list_transform(range(1, len(syms)), i -> syms[i + 1])) AS b
+      FROM sy
+    )
+    SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt
+    FROM pairs GROUP BY a, b
+    ORDER BY cnt DESC, a, b LIMIT 10
+    """,
+)
+def q152_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, the oracle face (operators/bpe.py):
+    the weighted adjacent-symbol pair counts over the corpus
+    word-frequency table — i.e. the exact argmax table the FIRST
+    merge is chosen from — top 10 under the training total order
+    (count DESC, a, b). The iterative trainer (bpe_merges) is
+    pinned against a pure-Python Sennrich-style reference in
+    tests/test_bpe.py; this row pins its distributed counting stage
+    cross-engine.
+
+    Scale: BPE trains on (word, count) — vocabulary-bounded, not
+    corpus-bounded — so every merge iteration is one map-side
+    combined aggregate over millions of rows at 100 TB, never
+    trillions; the driver holds one (a, b) row per merge."""
+    from file_appender_spark.operators.bpe import pair_counts, word_frequencies
+    from file_appender_spark.operators.bpe import _char_symbols
+
+    d = _t(spark, sf_dir, "documents")
+    wf = word_frequencies(d)
+    sym = wf.select("c", _char_symbols().alias("syms"))
+    return (
+        pair_counts(sym)
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(10)
+    )

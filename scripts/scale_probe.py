@@ -117,6 +117,7 @@ PROBES = [
     "q149_salted_agg",
     "q150_prefix_sum",
     "q151_boilerplate",
+    "q152_bpe_pairs",
 ]
 
 
