@@ -1,0 +1,410 @@
+"""Corpus-mining tranche (round 4): exact substring-granularity
+dedup, model-based quality filtering plumbing, exact heavy hitters
+with a sketch-pruned scale path, SemDeDup-style embedding dedup, and
+a k-anonymity governance audit.
+
+Each query is the oracle-checkable face of a named training-data
+technique from the public literature:
+
+- q153: duplicated n-gram spans — the signal behind exact substring
+  deduplication ("Deduplicating Training Data Makes Language Models
+  Better", Lee et al., arXiv:2107.06499), at fixed 8-token
+  granularity so it is a pure hash-groupBy (the suffix-array variant
+  generalizes the span length; same per-doc report).
+- q154: hashed-feature linear quality scorer — the fastText-style
+  (Joulin et al., arXiv:1607.01759) feature-hashing + linear-model
+  shape used for model-based corpus filtering. Weights here are a
+  declared arithmetic function of the bucket id so the oracle can
+  reproduce scoring exactly; swapping in trained weights changes a
+  broadcast literal, not the plan.
+- q155: exact heavy hitters via per-partition Misra-Gries candidates
+  (operators/heavyhitters.py) + exact verify — output identical to
+  GROUP BY ... HAVING, which is what the oracle states.
+- q156: SemDeDup-shaped semantic dedup (Abbas et al.,
+  arXiv:2303.09540): coarse cells, exact within-cell cosine, keep
+  the lowest id per near-dup link. The fixed sign-cell quantizer
+  exists for oracle checkability (q74's pattern); production uses
+  ``operators/similarity.ann_sign_ivf``'s sized cells.
+- q157: k-anonymity risk audit over declared quasi-identifiers
+  (Sweeney, 2002) — the governance counterpart of the PII tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_appender_spark.operators.heavyhitters import exact_heavy_hitters
+from file_appender_spark.operators.textstats import let_expr
+from file_appender_spark.queries.llm import _TOK32_SQL, _WS, _tok_hash32
+from file_appender_spark.queries.registry import register
+from file_appender_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q153 — duplicated n-gram spans (exact substring dedup signal)
+# --------------------------------------------------------------------------
+
+_NGRAM_K = 8
+# DuckDB 8-gram text at position i over 1-indexed word list w
+_Q153_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(_NGRAM_K))
+
+
+@register(
+    "q153_dup_ngram_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(hs) AS h
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(w) - {_NGRAM_K - 2}),
+                              i -> md5({_Q153_GRAM})) AS hs
+        FROM t WHERE len(w) >= {_NGRAM_K}
+      )
+    ),
+    duph AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY h
+      ) WHERE nd >= 2
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM pos GROUP BY doc_id),
+    dup AS (
+      SELECT doc_id, count(*) AS n_dup
+      FROM pos JOIN duph USING (h) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_shingles,
+           coalesce(d.n_dup, 0) AS n_dup,
+           round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / t.n_shingles, 6)
+             AS dup_frac
+    FROM tot t LEFT JOIN dup d USING (doc_id)
+    """,
+)
+def q153_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span report at 8-token granularity: a
+    shingle position is "duplicated" when its 8-gram also occurs in
+    at least one OTHER document (Lee et al., arXiv:2107.06499's
+    exact-substring signal at fixed span length).
+
+    Scale: pure hash relational algebra — positions carry a 128-bit
+    md5 of the 8-gram, never the text; the dup set comes from ONE
+    groupBy on the hash; the join back to positions is an equi-join
+    on the same hash key, so both shuffles partition identically.
+    Shuffled bytes are O(total token positions x 32B), independent of
+    document length skew; no pair explosion anywhere (contrast q51's
+    inverted index, which emits doc PAIRS)."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", _WS)
+
+    def gram_hashes(t):
+        return F.when(
+            F.size(t) >= _NGRAM_K,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (_NGRAM_K - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(t, i + j) for j in range(_NGRAM_K)]
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    pos = (
+        d.filter(F.size(w) >= _NGRAM_K)
+        .select("doc_id", let_expr(w, gram_hashes).alias("hs"))
+        .select("doc_id", F.explode("hs").alias("h"))
+    )
+    # ">= 2 distinct docs" as min != max — plain partial-aggregable
+    # min/max instead of per-hash distinct state (same predicate)
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    per_doc = pos.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    per_dup = (
+        pos.join(dup_h, "h").groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    return per_doc.join(per_dup, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_dup.alias("n_dup"),
+        F.round(n_dup.cast("double") / F.col("n_shingles"), 6).alias("dup_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q154 — hashed-feature linear quality scorer
+# --------------------------------------------------------------------------
+
+_QS_BUCKETS = 4096
+_QS_MIX = 2654435761  # Knuth multiplicative-hash constant
+_QS_MOD = 2001  # integer weights in [-1000, 1000]
+
+_Q154_W_SQL = (
+    f"(({_TOK32_SQL.format(c='tok')} % {_QS_BUCKETS}) * {_QS_MIX})"
+    f" % {_QS_MOD} - 1000"
+)
+
+
+@register(
+    "q154_quality_classifier",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, string_split_regex(text, '\\s+') AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, len(w) AS n_tokens,
+             list_reduce(
+               list_transform(w, tok -> {_Q154_W_SQL}),
+               (a, b) -> a + b) AS s
+      FROM t WHERE len(w) >= 1
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           round(CAST(s AS DOUBLE) / (n_tokens * 1000.0), 6)
+             AS quality_score,
+           CAST(s > 0 AS INTEGER) AS keep
+    FROM scored
+    """,
+)
+def q154_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering plumbing: every token is hashed
+    into one of 4096 feature buckets (the shared md5-derived 32-bit
+    token hash), each bucket carries an integer weight in
+    [-1000, 1000] declared as arithmetic on the bucket id, and the
+    document score is the mean weight. ``keep`` is the sign of the
+    INTEGER weight sum, so the filter decision is exact on both
+    engines — no float accumulation can flip it; the one float
+    division happens after the integer aggregate.
+
+    This is the fastText-style linear scorer shape
+    (arXiv:1607.01759) used for corpus filtering: swapping the
+    declared weight function for trained weights replaces one
+    expression (or a 4096-row broadcast literal) and changes nothing
+    about the plan. Scale: the whole score is a per-row array fold in
+    codegen — zero shuffle, zero UDF; 100 TB scoring is an
+    embarrassingly parallel scan."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", _WS)
+
+    def weight(tok):
+        bucket = F.pmod(_tok_hash32(tok), F.lit(_QS_BUCKETS))
+        return F.pmod(bucket * F.lit(_QS_MIX), F.lit(_QS_MOD)) - F.lit(1000)
+
+    def score_sum(t):
+        return F.aggregate(
+            F.transform(t, weight),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    scored = (
+        d.filter(F.size(w) >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(w).alias("n_tokens"),
+            let_expr(w, score_sum).alias("s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("s").cast("double") / (F.col("n_tokens") * F.lit(1000.0)), 6
+        ).alias("quality_score"),
+        (F.col("s") > 0).cast("int").alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q155 — exact heavy hitters (Misra-Gries candidates + exact verify)
+# --------------------------------------------------------------------------
+
+_HH_K = 200
+
+
+@register(
+    "q155_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+    ),
+    tot AS (SELECT count(*) AS total FROM tok),
+    c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok)
+    SELECT c.tok, c.cnt,
+           round(CAST(c.cnt AS DOUBLE) / t.total, 6) AS freq
+    FROM c CROSS JOIN tot t
+    WHERE c.cnt * {_HH_K} > t.total
+    """,
+)
+def q155_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tokens with frequency > 1/200 of the corpus, computed
+    the scale way (operators/heavyhitters.py): one Misra-Gries
+    summary per partition bounds candidates at partitions x k rows
+    (Misra & Gries 1982; merge rule of Agarwal et al., PODS 2012),
+    then an exact count restricted to the candidates. The MG superset
+    guarantee makes the output IDENTICAL to the oracle's full
+    GROUP BY ... HAVING — the sketch only prunes the shuffle, never
+    the answer. At 100 TB the naive plan shuffles one row per
+    distinct token (billions); this one shuffles the pre-filtered
+    candidate matches only."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", _WS)).alias("tok"))
+    return exact_heavy_hitters(tok, "tok", _HH_K)
+
+
+# --------------------------------------------------------------------------
+# q156 — SemDeDup-style within-cell embedding dedup
+# --------------------------------------------------------------------------
+
+_SD_DIMS = 6  # sign cells over the first 6 dims -> 64 cells
+_SD_TAU = 0.4  # q62's declared near-dup threshold, on the same data
+
+# "(((b1)*2+b2)*2+...)" — the same left-fold bit packing as the
+# Spark column below, so cell ids agree by construction
+_Q156_CELL = "(CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END)"
+for _j in range(1, _SD_DIMS):
+    _Q156_CELL = (
+        f"({_Q156_CELL} * 2 + (CASE WHEN e[{_j + 1}] >= 0 THEN 1 ELSE 0 END))"
+    )
+
+
+@register(
+    "q156_semantic_dedup",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, e,
+             sqrt(list_dot_product(e, e)) AS nrm,
+             CAST({_Q156_CELL} AS INTEGER) AS cell
+      FROM v
+      WHERE list_dot_product(e, e) > 0
+    ),
+    rm AS (
+      SELECT DISTINCT b.vec_id AS rid
+      FROM c a JOIN c b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+       AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)
+             >= {_SD_TAU}
+    )
+    SELECT c.vec_id, c.cell,
+           CASE WHEN rm.rid IS NULL THEN 1 ELSE 0 END AS kept
+    FROM c LEFT JOIN rm ON c.vec_id = rm.rid
+    """,
+)
+def q156_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (arXiv:2303.09540):
+    embeddings are bucketed into coarse cells, near-duplicate pairs
+    are found by EXACT cosine within each cell only, and within every
+    near-dup link the lowest vec_id wins (a vector is dropped iff
+    some lower-id vector in its cell is within the threshold).
+    Output: every non-degenerate vector with its cell and kept flag.
+
+    The fixed 64-cell sign quantizer exists for oracle checkability
+    (q74's trick); the production quantizer is
+    ``operators/similarity.ann_sign_ivf``'s sized sign-cells (cells ~
+    n_rows / target_cell_size), which keeps within-cell pair work
+    flat as the corpus grows — the join plan (shuffle both sides on
+    cell, equi-join, bounded verify) is identical. Norms are
+    precomputed per row, one fold per PAIR at verify (q62's
+    optimization)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+
+    cell = (F.element_at("e", 1) >= 0).cast("int")
+    for j in range(1, _SD_DIMS):
+        cell = cell * 2 + (F.element_at("e", j + 1) >= 0).cast("int")
+    c = v.withColumn("sq", dot(F.col("e"), F.col("e"))).filter(
+        F.col("sq") > 0
+    ).select(
+        "vec_id", "e", F.sqrt("sq").alias("nrm"), cell.alias("cell")
+    )
+    a = c.select(
+        F.col("vec_id").alias("id1"),
+        F.col("e").alias("e1"),
+        F.col("nrm").alias("n1"),
+        F.col("cell").alias("cl"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("id2"),
+        F.col("e").alias("e2"),
+        F.col("nrm").alias("n2"),
+        F.col("cell").alias("cl"),
+    )
+    cos = F.round(dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 6)
+    removed = (
+        a.join(b, "cl")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(cos >= _SD_TAU)
+        .select(F.col("id2").alias("vec_id"))
+        .distinct()
+        .withColumn("is_rm", F.lit(1))
+    )
+    return c.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("is_rm").isNull(), 1).otherwise(0).alias("kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q157 — k-anonymity risk audit
+# --------------------------------------------------------------------------
+
+_KA_K = 20
+
+
+@register(
+    "q157_k_anonymity",
+    f"""
+    SELECT lang, source,
+           n_chars // 100 AS len_bucket,
+           count(*) AS group_size,
+           CAST(count(*) < {_KA_K} AS INTEGER) AS risky
+    FROM documents
+    GROUP BY lang, source, n_chars // 100
+    """,
+)
+def q157_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the declared
+    quasi-identifier tuple (lang, source, length bucket): a released
+    row is re-identifiable when its quasi-identifier group has fewer
+    than k=20 members. Output: every group with its size and risk
+    flag — the governance report consumed alongside the PII tier
+    (operators/pii.py) before a corpus release.
+
+    Scale: one partial-aggregated groupBy; group count is bounded by
+    the quasi-identifier domain, not the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+    ).agg(
+        F.count("*").alias("group_size"),
+        (F.count("*") < _KA_K).cast("int").alias("risky"),
+    )
