@@ -118,6 +118,16 @@ PROBES = [
     "q150_prefix_sum",
     "q151_boilerplate",
     "q152_bpe_pairs",
+    # round 4, mining tranche
+    "q153_dup_ngram_spans",
+    "q154_quality_classifier",
+    "q155_heavy_hitters",
+    # q156_semantic_dedup probed knowingly: the FIXED 64-cell oracle
+    # quantizer makes within-cell pairs grow quadratically with the
+    # corpus (q74's adjudicated pattern); the sized-cell production
+    # path (ann_sign_ivf) is probed separately in bench extras
+    "q156_semantic_dedup",
+    "q157_k_anonymity",
 ]
 
 
