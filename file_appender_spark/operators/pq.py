@@ -1,0 +1,243 @@
+"""Product quantization (PQ) for embedding columns — the compression
+and ANN-serving standard of IVF-PQ (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+A D-dim vector is split into ``m`` subvectors; each subvector is
+replaced by the index of its nearest codeword in a per-subspace
+codebook of ``k`` entries. Storage drops from D floats to m small
+ints (64 dims -> 4 bytes at m=4, k=16), and search runs on the codes
+via asymmetric distance computation (ADC): per query, one
+(m x k) lookup table of exact query-to-codeword distances, then each
+candidate scores as m table lookups instead of a D-dim dot product.
+
+Spark mapping:
+- **encode** is a generated-SQL per-row expression (the similarity.py
+  lesson: literal codebooks + HOF folds stay in codegen; no join, no
+  shuffle, no UDF). Encoding 100 TB of vectors is an embarrassingly
+  parallel scan, like q88's scalar quantizer.
+- **train** is Lloyd's algorithm as repeated (assign -> mean)
+  aggregations: assignment reuses the encode expression with the
+  current codebook; the update is one groupBy(code) over each
+  subspace. Each iteration is one job; the codebook (m x k x D/m
+  floats) lives on the driver and broadcasts as literals — there is
+  never a shuffle keyed on anything but the code id.
+- **ADC search** is an Arrow-batched ``mapInPandas`` over the code
+  table with the per-query LUT computed once per batch in numpy —
+  the blocked_topk pattern with m lookups per candidate instead of a
+  D-dim BLAS row.
+
+Determinism: codeword assignment folds subvector distances
+dim-by-dim IN ORDER (the q88 contract), ties break on the lower
+codeword index, and the seed codebook is the subvectors of the k
+lowest-id vectors — so encode is bit-reproducible across engines,
+runs, and partitionings, which is what q158 hash-checks. Trained
+codebooks additionally average floats per cluster (order-noise below
+1e-12); training determinism is pinned by the monotone-distortion
+test, not by bit equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sql_double(x: float) -> str:
+    return f"{x!r}D"
+
+
+def seed_codebook(
+    df: DataFrame, vec_col: str, m: int, k: int
+) -> list[list[list[float]]]:
+    """Deterministic initial codebook: the subvectors of the ``k``
+    lowest-id vectors (id = first column of ``df``). Bounded collect
+    of k rows by contract."""
+    id_col = df.columns[0]
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least {k} vectors to seed, got {len(rows)}")
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(r[vec_col][s * sub + j]) for j in range(sub)] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _dist_sql(vec_col: str, s: int, sub: int, codeword: list[float]) -> str:
+    """Squared L2 distance of subspace ``s`` of ``vec_col`` to one
+    literal codeword, as a Spark SQL expression: slice, zip_with
+    squared diffs, left-fold sum — dim-by-dim in order."""
+    arr = "array(" + ",".join(_sql_double(c) for c in codeword) + ")"
+    sl = f"slice({vec_col}, {s * sub + 1}, {sub})"
+    return (
+        f"aggregate(zip_with({sl}, {arr}, (x, c) -> (x - c) * (x - c)), "
+        f"0.0D, (acc, d) -> acc + d)"
+    )
+
+
+def pq_assign_exprs(
+    vec_col: str, codebook: list[list[list[float]]]
+) -> list[tuple[F.Column, F.Column]]:
+    """Per subspace: (code, squared distance) columns — argmin over
+    the codebook via array_min on (dist, idx) structs, ties to the
+    lower index. One generated expression per subspace; the whole
+    assignment stays in codegen."""
+    m = len(codebook)
+    k = len(codebook[0])
+    sub = len(codebook[0][0])
+    out = []
+    for s in range(m):
+        structs = ", ".join(
+            f"named_struct('d', {_dist_sql(vec_col, s, sub, codebook[s][c])}, "
+            f"'i', {c})"
+            for c in range(k)
+        )
+        best = F.expr(f"array_min(array({structs}))")
+        out.append((best.getField("i"), best.getField("d")))
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebook: list[list[list[float]]],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Encode every vector: ``code{s}`` per subspace plus the total
+    squared reconstruction error (= sum of subspace distances, summed
+    in subspace order)."""
+    keep = keep_cols if keep_cols is not None else [df.columns[0]]
+    pairs = pq_assign_exprs(vec_col, codebook)
+    err = F.lit(0.0)
+    for _, d in pairs:
+        err = err + d
+    return df.select(
+        *keep,
+        *[code.alias(f"code{s}") for s, (code, _) in enumerate(pairs)],
+        err.alias("recon_err2"),
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+) -> list[list[list[float]]]:
+    """Lloyd's k-means per subspace, all subspaces in one pass per
+    iteration: assign with the current codebook (generated-SQL argmin,
+    no shuffle), then ONE groupBy per subspace over (code) computing
+    the mean subvector via ``avg`` on posexploded dims. Empty clusters
+    keep their previous codeword. Returns the trained codebook."""
+    codebook = seed_codebook(df, vec_col, m, k)
+    sub = len(codebook[0][0])
+    for _ in range(iters):
+        pairs = pq_assign_exprs(vec_col, codebook)
+        assigned = df.select(
+            vec_col, *[code.alias(f"code{s}") for s, (code, _) in enumerate(pairs)]
+        )
+        new_cb = [[list(cw) for cw in cbs] for cbs in codebook]
+        # one aggregation per subspace: mean of each dim per code.
+        # k*sub cells per subspace — a tiny result, but the scan and
+        # partial aggregation are distributed
+        for s in range(m):
+            rows = (
+                assigned.select(
+                    f"code{s}",
+                    F.posexplode(
+                        F.slice(vec_col, s * sub + 1, sub)
+                    ).alias("j", "x"),
+                )
+                .groupBy(f"code{s}", "j")
+                .agg(F.avg("x").alias("mu"))
+                .collect()
+            )
+            for r in rows:
+                new_cb[s][r[f"code{s}"]][r["j"]] = float(r["mu"])
+        codebook = new_cb
+    return codebook
+
+
+def pq_distortion(df: DataFrame, vec_col: str, codebook) -> float:
+    """Mean squared reconstruction error over the dataset."""
+    row = (
+        pq_encode(df, vec_col, codebook)
+        .agg(F.avg("recon_err2").alias("d"))
+        .first()
+    )
+    return float(row["d"])
+
+
+def adc_topk(
+    queries: list[tuple[int, list[float]]],
+    encoded: DataFrame,
+    codebook: list[list[list[float]]],
+    k_results: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k: for each (query_id, vector), build
+    the (m x k) exact query-to-codeword distance LUT once, score every
+    encoded row as m LUT lookups (numpy fancy indexing over Arrow
+    batches), keep the per-batch top-k, then resolve the global top-k
+    with one tiny aggregation. Approximation error is exactly PQ's
+    reconstruction error; recall is pinned by test vs exact search."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    id_col = encoded.columns[0]
+    luts = []  # (qid, m x k ndarray)
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        lut = np.stack(
+            [
+                ((np.asarray(codebook[s], dtype=np.float64)
+                  - q[s * sub:(s + 1) * sub]) ** 2).sum(axis=1)
+                for s in range(m)
+            ]
+        )
+        luts.append((qid, lut))
+
+    code_cols = [f"code{s}" for s in range(m)]
+
+    def score(batches):
+        for pdf in batches:
+            codes = pdf[code_cols].to_numpy()
+            out = []
+            for qid, lut in luts:
+                d2 = np.zeros(len(pdf))
+                for s in range(m):
+                    d2 += lut[s][codes[:, s]]
+                idx = np.argsort(d2, kind="stable")[: k_results * 2]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_col: pdf[id_col].iloc[idx].to_numpy(),
+                            "adc_dist2": d2[idx],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    spark = encoded.sparkSession
+    partial = encoded.select(id_col, *code_cols).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, adc_dist2 double"
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy("adc_dist2", id_col)
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_results)
+        .drop("rn")
+    )

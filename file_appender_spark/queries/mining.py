@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from file_appender_spark.operators.heavyhitters import exact_heavy_hitters
+from file_appender_spark.operators.pq import pq_encode, seed_codebook
 from file_appender_spark.operators.textstats import let_expr
 from file_appender_spark.queries.llm import _TOK32_SQL, _WS, _tok_hash32
 from file_appender_spark.queries.registry import register
@@ -407,4 +408,80 @@ def q157_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("group_size"),
         (F.count("*") < _KA_K).cast("int").alias("risky"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q158 — product-quantization encode (seed codebook)
+# --------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces (64 dims -> 16 per subspace)
+_PQ_K = 16  # codewords per subspace
+_PQ_SUB = 16
+
+_Q158_CASES = " + ".join(
+    f"max(CASE WHEN s = {s} THEN d2 END)" for s in range(_PQ_M)
+)
+_Q158_CODES = ",\n           ".join(
+    f"CAST(max(CASE WHEN s = {s} THEN cw END) AS INTEGER) AS code{s}"
+    for s in range(_PQ_M)
+)
+
+
+@register(
+    "q158_pq_encode",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, e
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    sp AS (SELECT unnest(range({_PQ_M})) AS s),
+    d AS (
+      SELECT v.vec_id, sp.s, cb.cw,
+             list_reduce(
+               list_transform(range(1, {_PQ_SUB + 1}),
+                 j -> (v.e[sp.s * {_PQ_SUB} + j] - cb.e[sp.s * {_PQ_SUB} + j])
+                    * (v.e[sp.s * {_PQ_SUB} + j] - cb.e[sp.s * {_PQ_SUB} + j])),
+               (a, b) -> a + b) AS d2
+      FROM v CROSS JOIN sp CROSS JOIN cb
+    ),
+    best AS (
+      SELECT vec_id, s, cw, d2,
+             row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cw) AS rn
+      FROM d
+    )
+    SELECT vec_id,
+           {_Q158_CODES},
+           round(0.0 + {_Q158_CASES}, 6) AS recon_err2
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def q158_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., TPAMI 2011) of
+    the embedding table with the DETERMINISTIC seed codebook (the
+    subvectors of the 16 lowest-id vectors — what makes a trained-
+    model technique oracle-checkable; ``operators/pq.pq_train`` swaps
+    in Lloyd-trained codewords without changing this plan): 4
+    subspaces x 16 codewords, nearest codeword per subspace with
+    dim-by-dim in-order distance folds and lower-index tie-break,
+    plus the per-vector squared reconstruction error.
+
+    Scale: encode is a zero-shuffle generated-SQL projection over
+    literal codebooks — 100 TB of vectors encode as an embarrassingly
+    parallel scan (64 floats -> 4 nibbles, a 64x storage cut). The
+    oracle's cross join is the DECLARED test-scale form; the Spark
+    side never joins at all. ADC search over the codes is
+    ``operators/pq.adc_topk`` (recall pinned by test)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    codebook = seed_codebook(v, "e", _PQ_M, _PQ_K)
+    enc = pq_encode(v, "e", codebook, keep_cols=["vec_id"])
+    return enc.select(
+        "vec_id",
+        *[F.col(f"code{s}").cast("int").alias(f"code{s}") for s in range(_PQ_M)],
+        F.round("recon_err2", 6).alias("recon_err2"),
     )

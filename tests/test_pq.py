@@ -1,0 +1,108 @@
+"""Product quantization (operators/pq.py): encode determinism,
+Lloyd training distortion, and ADC search recall."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_appender_spark.operators.pq import (
+    adc_topk,
+    pq_distortion,
+    pq_encode,
+    pq_train,
+    seed_codebook,
+)
+
+
+def _clustered_vecs(n: int, dim: int, n_clusters: int, seed: int):
+    """Vectors around n_clusters well-separated centers — the regime
+    where PQ codes should preserve neighborhoods."""
+    rng = random.Random(seed)
+    centers = [
+        [rng.uniform(-10, 10) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.3) for x in c]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = _clustered_vecs(400, 32, 8, seed=11)
+    return spark.createDataFrame(
+        rows, "vec_id long, e array<double>"
+    ).cache()
+
+
+def test_encode_deterministic_across_partitionings(spark, vecs):
+    cb = seed_codebook(vecs, "e", m=4, k=16)
+    a = pq_encode(vecs, "e", cb).orderBy("vec_id").collect()
+    b = (
+        pq_encode(vecs.repartition(13), "e", cb)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_encode_separates_clusters(spark, vecs):
+    """Code tuples never straddle well-separated clusters (Lloyd may
+    legitimately SPLIT a cluster across two codewords when k exceeds
+    the true cluster count, so within-cluster purity is not asserted
+    — cross-cluster separation is the property ADC relies on)."""
+    cb = pq_train(vecs, "e", m=4, k=16, iters=3)
+    enc = pq_encode(vecs, "e", cb).collect()
+    tuple_clusters = {}
+    for r in enc:
+        t = tuple(r[f"code{s}"] for s in range(4))
+        tuple_clusters.setdefault(t, set()).add(r["vec_id"] % 8)
+    shared = {t: cls for t, cls in tuple_clusters.items() if len(cls) > 1}
+    assert not shared, f"code tuples shared across clusters: {shared}"
+
+
+def test_train_distortion_nonincreasing(spark, vecs):
+    seed_cb = seed_codebook(vecs, "e", m=4, k=16)
+    d0 = pq_distortion(vecs, "e", seed_cb)
+    prev = d0
+    for iters in (1, 3):
+        cb = pq_train(vecs, "e", m=4, k=16, iters=iters)
+        d = pq_distortion(vecs, "e", cb)
+        assert d <= prev * (1 + 1e-9), (iters, d, prev)
+        prev = d
+    assert prev < d0 * 0.9, "training should improve distortion materially"
+
+
+def test_adc_topk_recall_vs_exact(spark, vecs):
+    cb = pq_train(vecs, "e", m=4, k=16, iters=3)
+    enc = pq_encode(vecs, "e", cb)
+    queries = [
+        (int(r["vec_id"]), list(r["e"]))
+        for r in vecs.filter(F.col("vec_id") < 5).collect()
+    ]
+    got = adc_topk(queries, enc, cb, k_results=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # PQ collapses WITHIN-cluster distances (every member of a tight
+    # cluster can share one code tuple, making exact-top-10 recall
+    # under ties arbitrary), so the pinned property is cluster-level:
+    # every ADC neighbor belongs to the query's true cluster
+    for qid, _ in queries:
+        assert len(by_q[qid]) == 10
+        wrong = {vid for vid in by_q[qid] if vid % 8 != qid % 8}
+        assert not wrong, (qid, wrong)
+
+
+def test_seed_codebook_validation(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, e array<double>"
+    )
+    with pytest.raises(ValueError):
+        seed_codebook(df, "e", m=2, k=1)  # dim 3 not divisible by 2
+    with pytest.raises(ValueError):
+        seed_codebook(df, "e", m=1, k=16)  # not enough vectors
