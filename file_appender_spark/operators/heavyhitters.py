@@ -108,3 +108,58 @@ def exact_heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
             F.round(F.col("cnt") / F.col("total"), 6).alias("freq"),
         )
     )
+
+
+def streaming_heavy_hitter_candidates(
+    tokens: DataFrame, col: str, k: int, n_shards: int = 8
+) -> DataFrame:
+    """Streaming Misra-Gries: one MG summary per hash shard, carried
+    across micro-batches via ``applyInPandasWithState``.
+
+    A value always hashes to the same shard, so the shard's summary
+    sees the value's ENTIRE stream — the guarantee strengthens over
+    the batch pass: global count > N/k implies count > N_shard/k
+    (N_shard <= N), so every true heavy hitter of the whole stream so
+    far is present in its shard's state after every batch. Emits each
+    shard's current candidates in update mode; exactness still
+    requires the batch verify (exact_heavy_hitters) over the stored
+    corpus — the stream gives the live, bounded-memory watchlist.
+
+    State is bounded at k-1 (value, count) entries per shard; the
+    shuffle per batch is the grouping on n_shards keys only."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        (shard,) = key
+        if state.exists:
+            # GroupState.get is a PROPERTY returning the state tuple
+            # (calling it raises "'tuple' object is not callable")
+            keys, counts = state.get
+            counters = Counter(dict(zip(keys, counts)))
+        else:
+            counters = Counter()
+        for pdf in pdfs:
+            _mg_fold(counters, pdf[col].dropna(), k)
+        state.update((list(counters.keys()), [int(c) for c in counters.values()]))
+        yield pd.DataFrame(
+            {
+                "shard": shard,
+                col: list(counters.keys()),
+                "mg_count": [int(c) for c in counters.values()],
+            }
+        )
+
+    return (
+        tokens.select(F.col(col).cast("string").alias(col))
+        .withColumn("shard", F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"shard long, {col} string, mg_count long",
+            stateStructType="keys array<string>, counts array<long>",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

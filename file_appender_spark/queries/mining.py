@@ -485,3 +485,79 @@ def q158_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"code{s}").cast("int").alias(f"code{s}") for s in range(_PQ_M)],
         F.round("recon_err2", 6).alias("recon_err2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q159 — exact weighted Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q159_weighted_jaccard",
+    """
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents WHERE doc_id % 3 = 0
+      ) GROUP BY doc_id, tok
+    ),
+    sizes AS (SELECT doc_id, sum(tf) AS sz FROM tf GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             sum(least(a.tf, b.tf)) AS inter
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS wjac
+    FROM shared
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
+    """,
+)
+def q159_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED Jaccard near-dup pairs (>= 0.5): multiset
+    similarity over term frequencies, sum(min tf)/sum(max tf) — the
+    frequency-aware refinement of q51's set Jaccard (identity:
+    sum max = |A| + |B| - sum min over shared tokens, so only shared
+    tokens ever join). The sketch twin in the literature is ICWS
+    (Ioffe, ICDM 2010) consistent weighted sampling; q52's banded
+    MinHash structure applies unchanged with ICWS hashes.
+
+    Scale: identical plan shape to q51 — inverted tf index, posting-
+    list equi-join, partial-agg min sums; no cross product. At 100 TB
+    the hot-token postings cap (q129/fuzzyjoin's token_df_cap
+    pattern) bounds the join, at the documented recall cost."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", _WS)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    sizes = tf.groupBy("doc_id").agg(F.sum("tf").alias("sz"))
+    a = tf.alias("a")
+    b = tf.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.sum(F.least("a.tf", "b.tf")).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    wjac = F.col("inter").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("inter")
+    )
+    return (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(wjac >= 0.5)
+        .select("d1", "d2", F.round(wjac, 6).alias("wjac"))
+    )

@@ -110,7 +110,10 @@ def running_totals_with_state(events: DataFrame) -> DataFrame:
 
     def update(key, pdfs: Iterable["pd.DataFrame"], state):
         (user_id,) = key
-        n, total = state.get() if state.exists else (0, 0.0)
+        # GroupState.get is a PROPERTY (unlike transformWithState's
+        # ValueState.get() method below): calling it raises
+        # "'tuple' object is not callable" on the second micro-batch
+        n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())

@@ -27,7 +27,10 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     file has ns timestamps a stream source can't use directly)."""
     d = str(tmp_path_factory.mktemp("events_stream"))
     ev = load_table(spark, sf_dir, "events").limit(2000)
-    ev.coalesce(2).write.mode("overwrite").parquet(d)
+    # repartition, not coalesce: limit() yields ONE partition and
+    # coalesce cannot grow it — the dir must hold 2 files so
+    # maxFilesPerTrigger=1 drives can force 2 micro-batches
+    ev.repartition(2).write.mode("overwrite").parquet(d)
     return d
 
 
@@ -108,21 +111,43 @@ def test_streaming_dedup(spark, events_dir, tmp_path):
 
 
 def test_running_totals_with_state(spark, events_dir):
-    stream = read_event_stream(spark, events_dir)
-    got = run_stream(
-        spark, running_totals_with_state(stream), "run_totals", mode="update"
+    # maxFilesPerTrigger=1 over the 2-file dir forces TWO micro-batches
+    # so the state.exists branch actually runs (GroupState.get is a
+    # property — calling it only failed on the SECOND batch, which a
+    # single-batch drive never reached)
+    from file_appender_spark.streaming.ops import EVENT_SCHEMA
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(events_dir)
     )
+    q = (
+        running_totals_with_state(stream)
+        .writeStream.format("memory")
+        .queryName("run_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    assert n_batches >= 2, "two-file source must produce >= 2 micro-batches"
+    got = spark.sql("SELECT * FROM run_totals")
     ev = spark.read.parquet(events_dir)
     batch = ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
     )
-    # memory sink in update mode keeps every update; the LAST row per
-    # user is the final state
-    final = {
-        r["user_id"]: (r["n_events"], r["total_value"])
-        for r in got.collect()  # single batch -> one row per user
-    }
+    # memory sink in update mode keeps every update; the row with the
+    # highest n_events per user is the final state
+    final = {}
+    for r in got.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
     expected = {
         r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()
     }
