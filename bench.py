@@ -43,6 +43,11 @@ HEADLINE = [
     # plan families added this round
     "q148_scd2_merge",  # MERGE INTO emulation
     "q150_prefix_sum",  # two-phase global running sum
+    # round-4 mining shapes: the substring-dedup hash pipeline, the
+    # sketch-pruned exact frequent-items plan, and the PQ encode scan
+    "q153_dup_ngram_spans",  # 8-gram position-hash dedup signal
+    "q155_heavy_hitters",  # Misra-Gries candidates + exact verify
+    "q158_pq_encode",  # zero-shuffle PQ codebook encode
 ]
 
 

@@ -241,3 +241,138 @@ def adc_topk(
         .filter(F.col("rn") <= k_results)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: sign-cell coarse index + ADC scoring over codes — the
+# production ANN serving architecture (IVFADC in Jégou et al. 2011)
+# --------------------------------------------------------------------------
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell_size: int = 1024,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Build the serving index: every vector gets its sign-IVF cell
+    (operators/similarity's sized-cell quantizer — cells ~
+    n_rows/target_cell_size) and its PQ codes. One zero-join
+    projection; the index is (id, cell, code0..codeM) — m bytes per
+    vector plus the cell id, the 100 TB-resident form of the corpus.
+
+    Returns the index DataFrame plus cell metadata via attributes on
+    the return (n_bits stored by the caller through ivf_pq_bits)."""
+    from file_appender_spark.operators.similarity import (
+        _srp_coefs,
+        _srp_cell_sql,
+        ivf_bits_for,
+    )
+
+    if n_rows is None:
+        n_rows = corpus.count()
+    n_bits = ivf_bits_for(n_rows, target_cell_size)
+    v = corpus.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+    dim = len(codebook) * len(codebook[0][0])
+    coefs = _srp_coefs(corpus.sparkSession, n_bits, dim)
+    cells = v.withColumn("cell", _srp_cell_sql("v", n_bits, coefs))
+    enc = pq_encode(cells, "v", codebook, keep_cols=[id_col, "cell"])
+    return enc.drop("recon_err2"), n_bits, coefs
+
+
+def _py_cell(qv: list[float], n_bits: int, coefs: list[list[float]]) -> int:
+    """Driver-side cell of a plain Python vector: the same left-fold
+    dot products as the SQL path (Python floats ARE IEEE doubles and
+    the fold order matches, so signs agree bit-for-bit)."""
+    cell = 0
+    for b in range(n_bits):
+        s = 0.0
+        for x, c in zip(qv, coefs[b]):
+            s += x * c
+        cell = cell * 2 + (1 if s >= 0 else 0)
+    return cell
+
+
+def ivf_pq_search(
+    index: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    codebook: list[list[list[float]]],
+    n_bits: int,
+    coefs: list[list[float]],
+    k_results: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVFADC search: per query probe its cell (plus ``nprobe - 1``
+    single-bit-flip neighbor cells), equi-join the probes against the
+    index on the cell id, then score candidates with the per-query
+    ADC lookup table (m lookups per candidate, numpy over Arrow
+    batches). Per-query work is ~cell_size * nprobe LUT rows
+    regardless of corpus size; the scored-candidate stream resolves
+    to the global top-k with one bounded window."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    id_col = index.columns[0]
+    spark = index.sparkSession
+
+    probe_rows = []
+    luts = {}
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        luts[qid] = np.stack(
+            [
+                ((np.asarray(codebook[s], dtype=np.float64)
+                  - q[s * sub:(s + 1) * sub]) ** 2).sum(axis=1)
+                for s in range(m)
+            ]
+        )
+        cell = _py_cell(qv, n_bits, coefs)
+        probe_rows.append((qid, cell))
+        for b in range(min(nprobe - 1, n_bits)):
+            probe_rows.append((qid, cell ^ (1 << (n_bits - 1 - b))))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+
+    code_cols = [f"code{s}" for s in range(m)]
+    cand = index.join(F.broadcast(probes), "cell")
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for qid, grp in pdf.groupby("query_id"):
+                lut = luts[int(qid)]
+                codes = grp[code_cols].to_numpy()
+                d2 = np.zeros(len(grp))
+                for s in range(m):
+                    d2 += lut[s][codes[:, s]]
+                idx = np.argsort(d2, kind="stable")[: k_results * 2]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": int(qid),
+                            id_col: grp[id_col].iloc[idx].to_numpy(),
+                            "adc_dist2": d2[idx],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = cand.select("query_id", id_col, *code_cols).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, adc_dist2 double"
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy("adc_dist2", id_col)
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_results)
+        .drop("rn")
+    )

@@ -128,6 +128,14 @@ PROBES = [
     # path (ann_sign_ivf) is probed separately in bench extras
     "q156_semantic_dedup",
     "q157_k_anonymity",
+    "q158_pq_encode",
+    # q159 weighted-jaccard deliberately NOT probed (the q51/q129
+    # caveat): on the tiny-vocab synthetic corpus nearly every doc
+    # pair shares tokens, so the tf-postings join output is quadratic
+    # BY CORPUS CONSTRUCTION — a 10x replica run measured >9.5 min
+    # before being cut, all of it pair materialization. The declared
+    # scale mitigation is the token_df_cap postings cap
+    # (operators/containment.py pattern); see SCALING.md.
 ]
 
 

@@ -371,3 +371,37 @@ def test_q43_blocked_path_plan_is_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q43_fuzzy_match")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q154_scorer_is_zero_shuffle(spark, sf_dir):
+    """The hashed-feature score is a per-row fold: any Exchange here
+    means the plan regressed to an explode+groupBy."""
+    plan = plan_of(spark, sf_dir, "q154_quality_classifier")
+    assert "Exchange" not in plan
+
+
+def test_q158_pq_encode_is_zero_shuffle_scan(spark, sf_dir):
+    """PQ encode must stay an embarrassingly parallel projection over
+    literal codebooks — no join against a codebook table, no shuffle."""
+    plan = plan_of(spark, sf_dir, "q158_pq_encode")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_q155_verify_count_broadcasts_candidates(spark, sf_dir):
+    """The exact-verify join must broadcast the bounded MG candidate
+    set (partitions x k rows) — shuffling the full token stream
+    against it would erase the operator's point."""
+    plan = plan_of(spark, sf_dir, "q155_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q153_and_q156_no_cartesian(spark, sf_dir):
+    """Dup-span join-back and within-cell pair generation are
+    equi-joins on hash/cell keys — never nested-loop."""
+    for name in ("q153_dup_ngram_spans", "q156_semantic_dedup"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

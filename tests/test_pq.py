@@ -106,3 +106,44 @@ def test_seed_codebook_validation(spark):
         seed_codebook(df, "e", m=2, k=1)  # dim 3 not divisible by 2
     with pytest.raises(ValueError):
         seed_codebook(df, "e", m=1, k=16)  # not enough vectors
+
+
+def test_ivf_pq_search_finds_cluster_neighbors(spark, vecs):
+    """IVFADC end-to-end: sized sign-cells + PQ codes + per-query ADC
+    over the probed cell only. Tight clusters land in one cell (sign
+    bits of near-identical vectors agree), so cluster-level recall
+    must hold even at nprobe=1; nprobe=2 must never reduce it."""
+    from file_appender_spark.operators.pq import ivf_pq_index, ivf_pq_search
+
+    cb = pq_train(vecs, "e", m=4, k=16, iters=3)
+    index, n_bits, coefs = ivf_pq_index(
+        vecs, cb, id_col="vec_id", vec_col="e", target_cell_size=64
+    )
+    queries = [
+        (int(r["vec_id"]), list(r["e"]))
+        for r in vecs.filter(F.col("vec_id") < 4).collect()
+    ]
+    for nprobe in (1, 2):
+        got = ivf_pq_search(
+            index, queries, cb, n_bits, coefs, k_results=10, nprobe=nprobe
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for qid, _ in queries:
+            assert len(by_q.get(qid, set())) == 10, (nprobe, qid)
+            wrong = {v for v in by_q[qid] if v % 8 != qid % 8}
+            assert not wrong, (nprobe, qid, wrong)
+
+
+def test_ivf_pq_index_is_projection_only(spark, vecs):
+    """The index build must stay a zero-join, zero-shuffle scan."""
+    from file_appender_spark.operators.pq import ivf_pq_index
+
+    cb = seed_codebook(vecs, "e", m=4, k=16)
+    index, _, _ = ivf_pq_index(
+        vecs, cb, id_col="vec_id", vec_col="e", target_cell_size=64
+    )
+    plan = index._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
