@@ -38,6 +38,27 @@ def quality_alpha_ratio(text_col: str = "text") -> Column:
     )
 
 
+def quality_keep(quality_mode: str, min_alpha_ratio: float, text_col: str = "text") -> Column:
+    """Stage-3 keep predicate. 'alpha' = the heuristic alphabetic
+    ratio gate; 'model' = the hashed-feature linear scorer (q154's
+    shared expressions, queries/mining.py) — keep iff the integer
+    weight sum is positive, the sign-exact model-based-filtering
+    decision. Both are per-row JVM expressions; swapping modes never
+    changes the plan shape."""
+    if quality_mode == "alpha":
+        return quality_alpha_ratio(text_col) >= min_alpha_ratio
+    if quality_mode == "model":
+        from file_appender_spark.operators.textstats import let_expr
+        from file_appender_spark.queries.llm import _WS
+        from file_appender_spark.queries.mining import qs_score_sum
+
+        w = F.split(text_col, _WS)
+        return (F.size(w) >= 1) & (let_expr(w, qs_score_sum) > 0)
+    raise ValueError(
+        f"quality_mode must be 'alpha' or 'model', got {quality_mode!r}"
+    )
+
+
 def scrub_expr(pii_mode: str, text_col: str = "text") -> Column:
     """Stage-4 PII scrub expression: 'digits' = q69's full digit mask,
     'typed' = operators/pii.py's class-token tier."""
@@ -67,11 +88,13 @@ def curate(
     near_threshold: float = 0.2,
     min_alpha_ratio: float = 0.45,
     pii_mode: str = "digits",
+    quality_mode: str = "alpha",
 ) -> dict:
     """Run the full curation funnel over ``docs`` (doc_id, text, ...)
     and write train/val/test parquet under ``out_dir``. Returns the
     funnel counts dict (one small collect)."""
     scrub_expr(pii_mode)  # validate before any Spark job runs
+    quality_keep(quality_mode, min_alpha_ratio)
     n_input = docs.count()
 
     # 1. exact dedup: min doc_id per sha256(text)
@@ -93,8 +116,8 @@ def curate(
     d2 = d1.join(drop, "doc_id", "left_anti")
     n_near = d2.count()
 
-    # 3. quality gate: alphabetic-character ratio (q56's metric)
-    d3 = d2.filter(quality_alpha_ratio() >= min_alpha_ratio)
+    # 3. quality gate: heuristic alpha ratio or the q154 model scorer
+    d3 = d2.filter(quality_keep(quality_mode, min_alpha_ratio))
     n_quality = d3.count()
 
     # 4. PII scrub + 5. hash split — the same module-level stage

@@ -157,6 +157,22 @@ _Q154_W_SQL = (
 )
 
 
+def qs_weight(tok):
+    """Integer weight of one token — module-level so curate()'s
+    model-quality gate uses the IDENTICAL expression as q154 (the
+    quality_alpha_ratio sharing pattern)."""
+    bucket = F.pmod(_tok_hash32(tok), F.lit(_QS_BUCKETS))
+    return F.pmod(bucket * F.lit(_QS_MIX), F.lit(_QS_MOD)) - F.lit(1000)
+
+
+def qs_score_sum(t):
+    """Integer weight sum over a pre-split words array (exact — no
+    float accumulation; the keep decision is its sign)."""
+    return F.aggregate(
+        F.transform(t, qs_weight), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+
+
 @register(
     "q154_quality_classifier",
     f"""
@@ -197,18 +213,6 @@ def q154_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel scan."""
     d = _t(spark, sf_dir, "documents")
     w = F.split("text", _WS)
-
-    def weight(tok):
-        bucket = F.pmod(_tok_hash32(tok), F.lit(_QS_BUCKETS))
-        return F.pmod(bucket * F.lit(_QS_MIX), F.lit(_QS_MOD)) - F.lit(1000)
-
-    def score_sum(t):
-        return F.aggregate(
-            F.transform(t, weight),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-
     scored = (
         d.filter(F.size(w) >= 1)
         .select(
@@ -216,7 +220,7 @@ def q154_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             F.size(w).alias("n_tokens"),
-            let_expr(w, score_sum).alias("s"),
+            let_expr(w, qs_score_sum).alias("s"),
         )
     )
     return scored.select(

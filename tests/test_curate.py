@@ -220,3 +220,34 @@ def test_incremental_streaming_curate_equals_batch(spark, tmp_path):
     # the funnel genuinely suppressed things: survivors are exactly
     # the first copy of each text family that also passed quality
     assert {d for d, _, _ in want} == {1, 2, 13}
+
+
+def test_curate_model_quality_gate_matches_q154_decision(spark, sf_dir, tmp_path):
+    """quality_mode='model' must keep exactly the stage-2 survivors
+    whose q154 keep flag is 1 — the gate and the query share one
+    expression, so the sets cannot drift."""
+    from file_appender_spark.curate import curate
+    from file_appender_spark.queries import QUERIES
+    from file_appender_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "curated_model")
+    funnel = curate(spark, docs, out, quality_mode="model")
+    assert funnel["after_quality"] <= funnel["after_near_dedup"]
+
+    written = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    q154 = QUERIES["q154_quality_classifier"].spark_fn(spark, sf_dir)
+    keep_ids = {r["doc_id"] for r in q154.filter("keep = 1").collect()}
+    # written ids passed dedup THEN the model gate: every written id
+    # must be model-kept; and no model-dropped id may appear
+    assert written <= keep_ids
+    assert funnel["written"] == funnel["after_quality"]
+
+
+def test_curate_quality_mode_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    from file_appender_spark.curate import quality_keep
+
+    with _pytest.raises(ValueError):
+        quality_keep("nope", 0.5)
