@@ -219,6 +219,65 @@ def main() -> None:
     except Exception as exc:
         print(f"# scale-twin extras skipped: {exc}", file=sys.stderr)
 
+    # Bloom semi-join pruning (operators/bloom.py) on the q70-shaped
+    # contamination join: gram-level inverted join where the eval side
+    # is selective — the exact join after the prefilter returns the
+    # same rows while the pruned side never enters the shuffle
+    try:
+        from file_appender_spark.operators.bloom import bloom_prefilter
+
+        # half the corpus keeps the extra under ~30s total; the
+        # exact-vs-pruned comparison is unaffected (same data both paths)
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 2 == 0
+        )
+        words = F.split("text", r"\s+")
+        grams = d.filter(F.size(words) >= 13).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 12),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.split("text", r"\s+"), i + j) for j in range(13)]
+                    ),
+                )
+            ).alias("g"),
+        )
+        eval_g = grams.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
+        train_g = grams.filter(F.col("doc_id") % 100 != 0)
+        n_eval = eval_g.count()
+        # the big-big regime is where the operator matters: with the
+        # small side broadcastable, AQE's broadcast join never shuffles
+        # the big side and a prefilter only adds probe cost. Disable
+        # broadcast for BOTH measurements to emulate a key set past the
+        # broadcast threshold (the honest 100 TB scenario), identical
+        # join plan either way.
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            t0 = time.perf_counter()
+            exact_n = train_g.join(eval_g, "g").count()
+            t_exact = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            pruned_n = (
+                bloom_prefilter(train_g, "g", eval_g, "g", n_keys=n_eval)
+                .join(eval_g, "g")
+                .count()
+            )
+            t_bloom = time.perf_counter() - t0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        assert exact_n == pruned_n, (exact_n, pruned_n)
+        extras["bloom_join_exact_sec"] = round(t_exact, 3)
+        extras["bloom_join_pruned_sec"] = round(t_bloom, 3)
+        print(
+            f"# bloom pruning (no-broadcast regime): exact {t_exact:.3f}s vs "
+            f"pruned {t_bloom:.3f}s ({exact_n} rows, identical)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# bloom extra skipped: {exc}", file=sys.stderr)
+
     # incremental near-dup ingest throughput: docs/sec through one
     # micro-batch against a pre-populated MinHash signature store
     try:

@@ -86,17 +86,19 @@ def bloom_might_contain(
     col: str, words: list[int], k_hashes: int
 ) -> Column:
     """Membership probe as ONE generated expression over the literal
-    word array: k bit tests ANDed, all inside codegen."""
+    word array: the k positions are computed ONCE into an array, then
+    ``forall`` runs the bit test per position — k xxhash64 calls per
+    row total, all inside codegen."""
     m_bits = len(words) * 64
     arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
-    tests = []
-    for i in range(k_hashes):
-        p = _pos_expr(col, i, m_bits)
-        tests.append(
-            f"((shiftright(element_at({arr}, cast(({p}) DIV 64 as int) + 1), "
-            f"cast(pmod({p}, 64) as int)) & 1L) = 1L)"
-        )
-    return F.expr(" AND ".join(tests))
+    pos_arr = "array(" + ",".join(
+        _pos_expr(col, i, m_bits) for i in range(k_hashes)
+    ) + ")"
+    return F.expr(
+        f"forall({pos_arr}, p -> "
+        f"(shiftright(element_at({arr}, cast(p DIV 64 as int) + 1), "
+        f"cast(pmod(p, 64) as int)) & 1L) = 1L)"
+    )
 
 
 def bloom_prefilter(

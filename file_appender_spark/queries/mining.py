@@ -565,3 +565,66 @@ def q159_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(wjac >= 0.5)
         .select("d1", "d2", F.round(wjac, 6).alias("wjac"))
     )
+
+
+# --------------------------------------------------------------------------
+# q160 — temperature-based mixture sampling weights
+# --------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3
+_MIX_BUDGET = 1_000_000.0  # declared token budget for expected epochs
+
+
+@register(
+    "q160_temperature_mixture",
+    f"""
+    WITH t AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_docs, n_tokens,
+             pow(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA}) AS pw
+      FROM t
+    ),
+    tot AS (SELECT sum(pw) AS spw FROM p)
+    SELECT source, n_docs, n_tokens,
+           round(pw / spw, 6) AS mix_weight,
+           round(pw / spw * {_MIX_BUDGET!r} / n_tokens, 6)
+             AS expected_epochs
+    FROM p CROSS JOIN tot
+    """,
+)
+def q160_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixture sampling weights: per source,
+    w_s proportional to n_tokens^alpha (alpha=0.3) — the standard
+    corpus-mixing recipe that upweights small high-quality sources
+    relative to proportional sampling (alpha=1 is proportional,
+    alpha=0 uniform), plus the expected epochs each source runs at a
+    declared token budget (epochs > 1 flags sources the mixture will
+    repeat). Complements q87's explicit-rate rebalance: q87 applies
+    GIVEN rates; this query DERIVES the rates from corpus statistics.
+
+    Scale: one groupBy(source) with map-side partial aggregation
+    (token counts via a per-row size(), no explode) and a broadcast
+    1-row total; output is bounded by the source domain."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", _WS))).alias("n_tokens"),
+    )
+    p = t.withColumn("pw", F.pow(F.col("n_tokens").cast("double"), _MIX_ALPHA))
+    tot = p.agg(F.sum("pw").alias("spw"))
+    return p.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("pw") / F.col("spw"), 6).alias("mix_weight"),
+        F.round(
+            F.col("pw") / F.col("spw") * F.lit(_MIX_BUDGET) / F.col("n_tokens"),
+            6,
+        ).alias("expected_epochs"),
+    )

@@ -129,6 +129,7 @@ PROBES = [
     "q156_semantic_dedup",
     "q157_k_anonymity",
     "q158_pq_encode",
+    "q160_temperature_mixture",
     # q159 weighted-jaccard deliberately NOT probed (the q51/q129
     # caveat): on the tiny-vocab synthetic corpus nearly every doc
     # pair shares tokens, so the tf-postings join output is quadratic
