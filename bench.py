@@ -231,17 +231,14 @@ def main() -> None:
         # vs 13.37s) — the win grows with shuffled volume, which is
         # the point; ~55s of bench time buys the honest number
         d = load_table(spark, sf_dir, "documents")
+        # _gram_expr binds the split once per row (let_expr) — inlining
+        # the split into the gram lambda re-splits 13x per position
+        from file_appender_spark.queries.pipeline import _gram_expr
+
         words = F.split("text", r"\s+")
         grams = d.filter(F.size(words) >= 13).select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - 12),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at(F.split("text", r"\s+"), i + j) for j in range(13)]
-                    ),
-                )
-            ).alias("g"),
+            F.explode(_gram_expr(words, 13, distinct=False)).alias("g"),
         )
         eval_g = grams.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
         train_g = grams.filter(F.col("doc_id") % 100 != 0)
@@ -275,6 +272,10 @@ def main() -> None:
             f"pruned {t_bloom:.3f}s ({exact_n} rows, identical)",
             file=sys.stderr,
         )
+    except AssertionError:
+        # a row-count mismatch is a CORRECTNESS violation (a Bloom
+        # false negative) — never downgrade it to a benign skip
+        raise
     except Exception as exc:
         print(f"# bloom extra skipped: {exc}", file=sys.stderr)
 

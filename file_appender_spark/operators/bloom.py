@@ -112,7 +112,23 @@ def bloom_prefilter(
     """Semi-join reduction: keep only ``df`` rows whose ``col`` MIGHT
     be in ``keys[key_col]``. No false negatives — following with the
     exact join gives identical results to the unpruned plan; the win
-    is that the pruned rows never enter the join's shuffle."""
+    is that the pruned rows never enter the join's shuffle.
+
+    Both sides hash their values AS STRINGS, so the two columns must
+    already share one type: a double 1.0 probing a filter built from
+    int 1 would hash '1.0' vs '1' and produce a FALSE NEGATIVE even
+    though the join's numeric coercion would match the rows. Raising
+    here is the only safe behavior — silently casting would hide the
+    same class of bug one level down."""
+    lt = df.schema[col].dataType
+    rt = keys.schema[key_col].dataType
+    if lt != rt:
+        raise ValueError(
+            f"bloom_prefilter key types must match exactly "
+            f"({col}: {lt.simpleString()} vs {key_col}: {rt.simpleString()}) "
+            "— string-hashing differs where join coercion would not; "
+            "cast both sides to one type first"
+        )
     if n_keys is None:
         n_keys = keys.count()
     m_bits, k_hashes = bloom_params(n_keys, fpp)

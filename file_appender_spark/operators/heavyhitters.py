@@ -136,18 +136,26 @@ def streaming_heavy_hitter_candidates(
         if state.exists:
             # GroupState.get is a PROPERTY returning the state tuple
             # (calling it raises "'tuple' object is not callable")
-            keys, counts = state.get
+            keys, counts, upd = state.get
             counters = Counter(dict(zip(keys, counts)))
         else:
-            counters = Counter()
+            counters, upd = Counter(), 0
         for pdf in pdfs:
             _mg_fold(counters, pdf[col].dropna(), k)
-        state.update((list(counters.keys()), [int(c) for c in counters.values()]))
+        upd += 1
+        state.update(
+            ((list(counters.keys()), [int(c) for c in counters.values()], upd))
+        )
+        # `upd` is the shard's update sequence number: in an
+        # update-mode sink (which keeps every emission) the rows with
+        # the shard's max upd ARE its final state — consumers and the
+        # coverage test select on it instead of unioning history
         yield pd.DataFrame(
             {
                 "shard": shard,
                 col: list(counters.keys()),
                 "mg_count": [int(c) for c in counters.values()],
+                "upd": upd,
             }
         )
 
@@ -157,8 +165,8 @@ def streaming_heavy_hitter_candidates(
         .groupBy("shard")
         .applyInPandasWithState(
             update,
-            outputStructType=f"shard long, {col} string, mg_count long",
-            stateStructType="keys array<string>, counts array<long>",
+            outputStructType=f"shard long, {col} string, mg_count long, upd long",
+            stateStructType="keys array<string>, counts array<long>, upd long",
             outputMode="update",
             timeoutConf="NoTimeout",
         )

@@ -143,26 +143,32 @@ def pq_train(
     for _ in range(iters):
         pairs = pq_assign_exprs(vec_col, codebook)
         assigned = df.select(
-            vec_col, *[code.alias(f"code{s}") for s, (code, _) in enumerate(pairs)]
+            vec_col,
+            F.array(*[code for code, _ in pairs]).alias("_codes"),
+        )
+        # ONE aggregation job per iteration: posexplode the full
+        # vector, derive (subspace, local dim) from the position and
+        # the subspace's code from the codes array, mean per cell —
+        # m*k*sub result cells, a single scan + shuffle (a per-subspace
+        # loop here would rescan and re-assign m times per iteration)
+        rows = (
+            assigned.select("_codes", F.posexplode(vec_col).alias("j", "x"))
+            .select(
+                (F.col("j") / sub).cast("int").alias("s"),
+                F.pmod(F.col("j"), F.lit(sub)).alias("jl"),
+                F.element_at(
+                    "_codes", (F.col("j") / sub).cast("int") + 1
+                ).alias("code"),
+                "x",
+            )
+            .groupBy("s", "code", "jl")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
         )
         new_cb = [[list(cw) for cw in cbs] for cbs in codebook]
-        # one aggregation per subspace: mean of each dim per code.
-        # k*sub cells per subspace — a tiny result, but the scan and
-        # partial aggregation are distributed
-        for s in range(m):
-            rows = (
-                assigned.select(
-                    f"code{s}",
-                    F.posexplode(
-                        F.slice(vec_col, s * sub + 1, sub)
-                    ).alias("j", "x"),
-                )
-                .groupBy(f"code{s}", "j")
-                .agg(F.avg("x").alias("mu"))
-                .collect()
-            )
-            for r in rows:
-                new_cb[s][r[f"code{s}"]][r["j"]] = float(r["mu"])
+        # empty clusters keep their previous codeword (no row emitted)
+        for r in rows:
+            new_cb[r["s"]][r["code"]][r["jl"]] = float(r["mu"])
         codebook = new_cb
     return codebook
 
@@ -212,17 +218,23 @@ def adc_topk(
     def score(batches):
         for pdf in batches:
             codes = pdf[code_cols].to_numpy()
+            ids = pdf[id_col].to_numpy()
             out = []
             for qid, lut in luts:
                 d2 = np.zeros(len(pdf))
                 for s in range(m):
                     d2 += lut[s][codes[:, s]]
-                idx = np.argsort(d2, kind="stable")[: k_results * 2]
+                # PQ makes exact distance ties the norm (one code tuple
+                # per tight cluster) — truncate on (d2, id), the SAME
+                # order the final window ranks by, or the per-batch cut
+                # keeps arbitrary Arrow-row-order ids and the output
+                # becomes partitioning-dependent
+                idx = np.lexsort((ids, d2))[:k_results]
                 out.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
-                            id_col: pdf[id_col].iloc[idx].to_numpy(),
+                            id_col: ids[idx],
                             "adc_dist2": d2[idx],
                         }
                     )
@@ -263,8 +275,9 @@ def ivf_pq_index(
     projection; the index is (id, cell, code0..codeM) — m bytes per
     vector plus the cell id, the 100 TB-resident form of the corpus.
 
-    Returns the index DataFrame plus cell metadata via attributes on
-    the return (n_bits stored by the caller through ivf_pq_bits)."""
+    Returns a ``(index_df, n_bits, coefs)`` tuple: the index frame
+    plus the cell-quantizer metadata that ``ivf_pq_search`` needs to
+    assign query cells identically (pass both through verbatim)."""
     from file_appender_spark.operators.similarity import (
         _srp_coefs,
         _srp_cell_sql,
@@ -349,15 +362,19 @@ def ivf_pq_search(
             for qid, grp in pdf.groupby("query_id"):
                 lut = luts[int(qid)]
                 codes = grp[code_cols].to_numpy()
+                ids = grp[id_col].to_numpy()
                 d2 = np.zeros(len(grp))
                 for s in range(m):
                     d2 += lut[s][codes[:, s]]
-                idx = np.argsort(d2, kind="stable")[: k_results * 2]
+                # truncate on (d2, id) — the final window's order —
+                # so tied candidates resolve identically whatever the
+                # partitioning (see adc_topk)
+                idx = np.lexsort((ids, d2))[:k_results]
                 out.append(
                     pd.DataFrame(
                         {
                             "query_id": int(qid),
-                            id_col: grp[id_col].iloc[idx].to_numpy(),
+                            id_col: ids[idx],
                             "adc_dist2": d2[idx],
                         }
                     )

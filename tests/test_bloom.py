@@ -88,3 +88,12 @@ def test_build_validates_word_alignment(spark):
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError):
         bloom_build(df, "v", 100, 3)
+
+
+def test_prefilter_rejects_mismatched_key_types(spark):
+    """String-hashing double 1.0 vs int 1 would be a silent false
+    negative — the operator must refuse mismatched types outright."""
+    bdf = spark.createDataFrame([(1.0,)], "g double")
+    sdf = spark.createDataFrame([(1,)], "g int")
+    with pytest.raises(ValueError, match="types must match"):
+        bloom_prefilter(bdf, "g", sdf, "g")

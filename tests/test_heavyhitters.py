@@ -114,22 +114,20 @@ def test_streaming_candidates_cover_true_heavy_hitters(spark, tmp_path):
     q.stop()
     assert n_batches >= 2, "maxFilesPerTrigger must force >= 2 batches"
 
-    # update-mode memory sink keeps every emission; the final state of
-    # each shard is its last emitted rows — approximate by taking all
-    # emitted candidates (a superset of the final watchlist is fine
-    # for the coverage property only if the final state kept the HHs,
-    # so check the candidate set from a fresh batch replay instead:
-    # every true HH must be in the LAST emission of its shard, which
-    # for an always-growing MG count means it appears in SOME emission
-    # with the full stream folded — assert against the union, then
-    # tighten: per shard take rows from the final micro-batch only.
+    # update-mode memory sink keeps EVERY emission; the operator's
+    # guarantee is about each shard's FINAL state, so select only the
+    # rows carrying the shard's max update sequence number — a union
+    # over history would mask a later batch evicting a true HH
     all_vals = [v for b in batches for v in b]
     import pandas as pd
 
     counts = pd.Series(all_vals).value_counts()
     true_hh = {t for t, c in counts.items() if c > len(all_vals) / k}
     assert true_hh
-    emitted = spark.sql("SELECT tok FROM hh_stream")
-    got = {r["tok"] for r in emitted.collect()}
+    rows = spark.sql("SELECT shard, tok, upd FROM hh_stream").collect()
+    max_upd: dict = {}
+    for r in rows:
+        max_upd[r["shard"]] = max(max_upd.get(r["shard"], 0), r["upd"])
+    got = {r["tok"] for r in rows if r["upd"] == max_upd[r["shard"]]}
     missing = true_hh - got
-    assert not missing, f"streaming MG lost heavy hitters: {missing}"
+    assert not missing, f"final MG state lost heavy hitters: {missing}"
