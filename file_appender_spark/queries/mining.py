@@ -628,3 +628,105 @@ def q160_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("expected_epochs"),
     )
+
+
+# --------------------------------------------------------------------------
+# q161 — Count-Min sketch with exact error accounting
+# --------------------------------------------------------------------------
+
+_CMS_W = 512  # width (cells per row)
+_CMS_D = 4  # depth (independent hash rows)
+
+# cross-engine cell hash: md5-derived 32-bit hash of "row:token";
+# {i}/{tok} are format slots so each SQL context can qualify them
+_CMS_CELL_TPL = (
+    "CAST(concat('0x', substr(md5(CAST({i} AS VARCHAR) || ':' || {tok}), 1, 8)) "
+    f"AS BIGINT) % {_CMS_W}"
+)
+
+
+@register(
+    "q161_cms_estimates",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+    ),
+    truec AS (SELECT tok, count(*) AS true_cnt FROM tok GROUP BY tok),
+    cells AS (
+      SELECT r.i, {_CMS_CELL_TPL.format(i='r.i', tok='tok')} AS cell,
+             count(*) AS cnt
+      FROM tok CROSS JOIN (SELECT unnest(range({_CMS_D})) AS i) r
+      GROUP BY r.i, {_CMS_CELL_TPL.format(i='r.i', tok='tok')}
+    ),
+    probes AS (
+      SELECT t.tok, t.true_cnt, c.cnt
+      FROM truec t
+      CROSS JOIN (SELECT unnest(range({_CMS_D})) AS i) r
+      JOIN cells c
+        ON c.i = r.i
+       AND c.cell = {_CMS_CELL_TPL.format(i='r.i', tok='t.tok')}
+    )
+    SELECT tok,
+           CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(min(cnt) AS BIGINT) AS cms_est,
+           CAST(min(cnt) - true_cnt AS BIGINT) AS overestimate
+    FROM probes
+    WHERE true_cnt >= 200
+    GROUP BY tok, true_cnt
+    """,
+)
+def q161_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) with EXACT
+    error accounting: build a {d} x {w} CMS over the token stream
+    (cell counts are plain exact aggregates — the sketch's content is
+    deterministic, which is what makes an approximate structure
+    oracle-checkable), then for every token with true count >= 200
+    report the CMS estimate (min over its d cells) and the
+    overestimate, which CMS guarantees is >= 0. Complements q155's
+    Misra-Gries: MG answers "which items are frequent", CMS answers
+    "how frequent is ANY item" in w*d cells of memory.
+
+    Scale: the sketch build is one groupBy over d x positions rows
+    with map-side combine into at most d*w = {cells} cells — the
+    shuffle is bounded by the SKETCH size, not the vocabulary; the
+    probe side joins each queried token against its d cells only."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", _WS)).alias("tok"))
+
+    def cell(i_col, tok_col):
+        return F.pmod(
+            _tok_hash32(F.concat(i_col.cast("string"), F.lit(":"), tok_col)),
+            F.lit(_CMS_W),
+        )
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("i")
+    cells = (
+        tok.select("tok", rows)
+        .select("i", cell(F.col("i"), F.col("tok")).alias("cell"))
+        .groupBy("i", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+    truec = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("true_cnt"))
+        .filter(F.col("true_cnt") >= 200)
+    )
+    probes = truec.select(
+        "tok", "true_cnt", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("i")
+    ).withColumn("cell", cell(F.col("i"), F.col("tok")))
+    return (
+        probes.join(cells, ["i", "cell"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "tok",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
+        )
+    )
+
+
+q161_cms_estimates.__doc__ = q161_cms_estimates.__doc__.format(
+    d=_CMS_D, w=_CMS_W, cells=_CMS_D * _CMS_W
+)

@@ -130,6 +130,7 @@ PROBES = [
     "q157_k_anonymity",
     "q158_pq_encode",
     "q160_temperature_mixture",
+    "q161_cms_estimates",
     # q159 weighted-jaccard deliberately NOT probed (the q51/q129
     # caveat): on the tiny-vocab synthetic corpus nearly every doc
     # pair shares tokens, so the tf-postings join output is quadratic
