@@ -1,10 +1,5 @@
-"""Corpus-mining tranche (round 4): exact substring-granularity
-dedup, model-based quality filtering plumbing, exact heavy hitters
-with a sketch-pruned scale path, SemDeDup-style embedding dedup, and
-a k-anonymity governance audit.
-
-Each query is the oracle-checkable face of a named training-data
-technique from the public literature:
+"""Corpus-mining tranche (round 4) — each query the oracle-checkable
+face of a named training-data technique from the public literature:
 
 - q153: duplicated n-gram spans — the signal behind exact substring
   deduplication ("Deduplicating Training Data Makes Language Models
@@ -16,7 +11,8 @@ technique from the public literature:
   shape used for model-based corpus filtering. Weights here are a
   declared arithmetic function of the bucket id so the oracle can
   reproduce scoring exactly; swapping in trained weights changes a
-  broadcast literal, not the plan.
+  broadcast literal, not the plan. curate(quality_mode='model')
+  shares these exact expressions as its stage-3 gate.
 - q155: exact heavy hitters via per-partition Misra-Gries candidates
   (operators/heavyhitters.py) + exact verify — output identical to
   GROUP BY ... HAVING, which is what the oracle states.
@@ -27,6 +23,16 @@ technique from the public literature:
   ``operators/similarity.ann_sign_ivf``'s sized cells.
 - q157: k-anonymity risk audit over declared quasi-identifiers
   (Sweeney, 2002) — the governance counterpart of the PII tier.
+- q158: product-quantization encode (Jégou et al., TPAMI 2011) with
+  the deterministic seed codebook; operators/pq.py adds Lloyd
+  training, ADC search, and the composed IVFADC serving path.
+- q159: exact weighted Jaccard pairs (multiset tf similarity; ICWS
+  is the cited sketch twin).
+- q160: temperature-based mixture sampling weights (tokens^alpha) —
+  derives the rates q87's rebalance applies.
+- q161: Count-Min sketch with exact error accounting (Cormode &
+  Muthukrishnan 2005) — complements q155: which items are frequent
+  vs how frequent is any item.
 """
 
 from __future__ import annotations
