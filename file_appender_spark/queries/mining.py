@@ -736,3 +736,113 @@ def q161_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 q161_cms_estimates.__doc__ = q161_cms_estimates.__doc__.format(
     d=_CMS_D, w=_CMS_W, cells=_CMS_D * _CMS_W
 )
+
+
+# --------------------------------------------------------------------------
+# q162 — winnowing fingerprints (MOSS document fingerprinting)
+# --------------------------------------------------------------------------
+
+_WIN_K = 4  # gram size
+_WIN_W = 5  # winnowing window (guaranteed density 2/(w+1))
+
+_Q162_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(_WIN_K))
+
+
+@register(
+    "q162_winnowing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w) - {_WIN_K - 2}),
+                            i -> {_TOK32_SQL.format(c=f"({_Q162_GRAM})")}) AS hs
+      FROM t WHERE len(w) >= {_WIN_K + _WIN_W - 1}
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, len(hs) - {_WIN_W - 2}),
+                              j -> list_min(hs[j:j+{_WIN_W - 1}]))) AS fps
+      FROM h
+    ),
+    pos AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+    dupfp AS (
+      SELECT fp FROM (
+        SELECT fp, min(doc_id) AS lo, max(doc_id) AS hi FROM pos GROUP BY fp
+      ) WHERE lo <> hi
+    ),
+    tot AS (SELECT doc_id, len(fps) AS n_fingerprints FROM s),
+    dup AS (
+      SELECT doc_id, count(*) AS n_dup FROM pos JOIN dupfp USING (fp)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_fingerprints,
+           coalesce(d.n_dup, 0) AS n_shared_fp,
+           round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / t.n_fingerprints, 6)
+             AS shared_frac
+    FROM tot t LEFT JOIN dup d USING (doc_id)
+    """,
+)
+def q162_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    the MOSS algorithm, SIGMOD 2003): hash every 4-gram, then keep
+    the MINIMUM hash of each sliding window of 5 — selected
+    fingerprints have guaranteed density 2/(w+1) yet any shared
+    substring of length w+k-1 is always detected on both documents.
+    Per doc: fingerprint count, fingerprints shared with at least one
+    other doc (q153's min!=max test — no pair join), shared fraction.
+
+    Scale: fingerprinting is a per-row nested HOF fold (two let-bound
+    arrays, zero shuffle until the bounded fingerprint groupBy); the
+    winnowed fingerprint stream is ~2/(w+1) the density of q153's
+    every-position stream — the technique's entire point is shrinking
+    the index a document-overlap system must store and shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", _WS)
+
+    def build(t):
+        n_h = F.size(t) - (_WIN_K - 1)
+        hs = F.transform(
+            F.sequence(F.lit(1), n_h),
+            lambda i: _tok_hash32(
+                F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(_WIN_K)]
+                )
+            ),
+        )
+
+        def winnow(h):
+            fps = F.transform(
+                F.sequence(F.lit(1), F.size(h) - (_WIN_W - 1)),
+                lambda j: F.array_min(F.slice(h, j, _WIN_W)),
+            )
+            return F.array_distinct(fps)
+
+        return let_expr(hs, winnow)
+
+    sel = (
+        d.filter(F.size(w) >= _WIN_K + _WIN_W - 1)
+        .select("doc_id", let_expr(w, build).alias("fps"))
+    )
+    pos = sel.select("doc_id", F.explode("fps").alias("fp"))
+    dup_fp = (
+        pos.groupBy("fp")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("fp")
+    )
+    tot = sel.select("doc_id", F.size("fps").alias("n_fingerprints"))
+    dup = pos.join(dup_fp, "fp").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup")
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    return tot.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_fingerprints",
+        n_dup.alias("n_shared_fp"),
+        F.round(n_dup.cast("double") / F.col("n_fingerprints"), 6).alias(
+            "shared_frac"
+        ),
+    )

@@ -131,6 +131,7 @@ PROBES = [
     "q158_pq_encode",
     "q160_temperature_mixture",
     "q161_cms_estimates",
+    "q162_winnowing",
     # q159 weighted-jaccard deliberately NOT probed (the q51/q129
     # caveat): on the tiny-vocab synthetic corpus nearly every doc
     # pair shares tokens, so the tf-postings join output is quadratic
