@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from file_appender_spark.operators.heavyhitters import exact_heavy_hitters
 from file_appender_spark.operators.pq import pq_encode, seed_codebook
-from file_appender_spark.operators.textstats import let_expr
+from file_appender_spark.operators.textstats import let_expr, ngrams
 from file_appender_spark.queries.llm import _TOK32_SQL, _WS, _tok_hash32
 from file_appender_spark.queries.registry import register
 from file_appender_spark.sources.catalog import load_table
@@ -52,13 +52,65 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _dup_share_report(pos, totals, total_col, dup_col, frac_col, key="h"):
+    """Per-doc shared-hash report, the shape q153 and q162 share:
+    (doc_id, key) position stream -> min!=max distinct-doc test (plain
+    partial-aggregable min/max instead of per-key distinct state) ->
+    per-doc shared counts joined back to per-doc totals."""
+    dup_keys = (
+        pos.groupBy(key)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select(key)
+    )
+    dup = pos.join(dup_keys, key).groupBy("doc_id").agg(
+        F.count("*").alias(dup_col)
+    )
+    nd = F.coalesce(F.col(dup_col), F.lit(0))
+    return totals.join(dup, "doc_id", "left").select(
+        "doc_id",
+        total_col,
+        nd.alias(dup_col),
+        F.round(nd.cast("double") / F.col(total_col), 6).alias(frac_col),
+    )
+
+
+def _dup_share_sql(total_col, dup_col, frac_col, key="h"):
+    """DuckDB twin of _dup_share_report: the CTE chain after a ``pos``
+    (doc_id, key) CTE and a ``tot`` (doc_id, total) CTE exist."""
+    return f"""
+    dupk AS (
+      SELECT {key} FROM (
+        SELECT {key}, min(doc_id) AS lo, max(doc_id) AS hi
+        FROM pos GROUP BY {key}
+      ) WHERE lo <> hi
+    ),
+    dup AS (
+      SELECT doc_id, count(*) AS {dup_col}
+      FROM pos JOIN dupk USING ({key}) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.{total_col},
+           coalesce(d.{dup_col}, 0) AS {dup_col},
+           round(CAST(coalesce(d.{dup_col}, 0) AS DOUBLE) / t.{total_col}, 6)
+             AS {frac_col}
+    FROM tot t LEFT JOIN dup d USING (doc_id)"""
+
+
 # --------------------------------------------------------------------------
 # q153 — duplicated n-gram spans (exact substring dedup signal)
 # --------------------------------------------------------------------------
 
 _NGRAM_K = 8
-# DuckDB 8-gram text at position i over 1-indexed word list w
-_Q153_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(_NGRAM_K))
+
+
+def _gram_sql(k: int) -> str:
+    """DuckDB k-gram text at position i over 1-indexed word list w —
+    the one definition shared by q153's shingles and q162's
+    fingerprint grams."""
+    return " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+
+
+_Q153_GRAM = _gram_sql(_NGRAM_K)
 
 
 @register(
@@ -76,22 +128,8 @@ _Q153_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(_NGRAM_K))
         FROM t WHERE len(w) >= {_NGRAM_K}
       )
     ),
-    duph AS (
-      SELECT h FROM (
-        SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY h
-      ) WHERE nd >= 2
-    ),
     tot AS (SELECT doc_id, count(*) AS n_shingles FROM pos GROUP BY doc_id),
-    dup AS (
-      SELECT doc_id, count(*) AS n_dup
-      FROM pos JOIN duph USING (h) GROUP BY doc_id
-    )
-    SELECT t.doc_id,
-           t.n_shingles,
-           coalesce(d.n_dup, 0) AS n_dup,
-           round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / t.n_shingles, 6)
-             AS dup_frac
-    FROM tot t LEFT JOIN dup d USING (doc_id)
+    {_dup_share_sql("n_shingles", "n_dup", "dup_frac")}
     """,
 )
 def q153_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,44 +147,16 @@ def q153_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index, which emits doc PAIRS)."""
     d = _t(spark, sf_dir, "documents")
     w = F.split("text", _WS)
-
-    def gram_hashes(t):
-        return F.when(
-            F.size(t) >= _NGRAM_K,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - (_NGRAM_K - 1)),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ", *[F.element_at(t, i + j) for j in range(_NGRAM_K)]
-                    )
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
+    # ngrams() carries the short-input guard and the let-binding
     pos = (
         d.filter(F.size(w) >= _NGRAM_K)
-        .select("doc_id", let_expr(w, gram_hashes).alias("hs"))
-        .select("doc_id", F.explode("hs").alias("h"))
-    )
-    # ">= 2 distinct docs" as min != max — plain partial-aggregable
-    # min/max instead of per-hash distinct state (same predicate)
-    dup_h = (
-        pos.groupBy("h")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-        .filter(F.col("lo") != F.col("hi"))
-        .select("h")
+        .select(
+            "doc_id",
+            F.explode(F.transform(ngrams(w, _NGRAM_K), F.md5)).alias("h"),
+        )
     )
     per_doc = pos.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    per_dup = (
-        pos.join(dup_h, "h").groupBy("doc_id").agg(F.count("*").alias("n_dup"))
-    )
-    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
-    return per_doc.join(per_dup, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        n_dup.alias("n_dup"),
-        F.round(n_dup.cast("double") / F.col("n_shingles"), 6).alias("dup_frac"),
-    )
+    return _dup_share_report(pos, per_doc, "n_shingles", "n_dup", "dup_frac")
 
 
 # --------------------------------------------------------------------------
@@ -643,11 +653,12 @@ def q160_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_W = 512  # width (cells per row)
 _CMS_D = 4  # depth (independent hash rows)
 
-# cross-engine cell hash: md5-derived 32-bit hash of "row:token";
+# cross-engine cell hash: the SHARED md5-derived 32-bit token hash
+# (_TOK32_SQL / _tok_hash32) over "row:token", mod the width;
 # {i}/{tok} are format slots so each SQL context can qualify them
 _CMS_CELL_TPL = (
-    "CAST(concat('0x', substr(md5(CAST({i} AS VARCHAR) || ':' || {tok}), 1, 8)) "
-    f"AS BIGINT) % {_CMS_W}"
+    _TOK32_SQL.replace("{c}", "CAST({i} AS VARCHAR) || ':' || {tok}")
+    + f" % {_CMS_W}"
 )
 
 
@@ -683,7 +694,7 @@ _CMS_CELL_TPL = (
 )
 def q161_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) with EXACT
-    error accounting: build a {d} x {w} CMS over the token stream
+    error accounting: build a 4 x 512 CMS over the token stream
     (cell counts are plain exact aggregates — the sketch's content is
     deterministic, which is what makes an approximate structure
     oracle-checkable), then for every token with true count >= 200
@@ -693,7 +704,7 @@ def q161_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "how frequent is ANY item" in w*d cells of memory.
 
     Scale: the sketch build is one groupBy over d x positions rows
-    with map-side combine into at most d*w = {cells} cells — the
+    with map-side combine into at most d*w = 2048 cells — the
     shuffle is bounded by the SKETCH size, not the vocabulary; the
     probe side joins each queried token against its d cells only."""
     d = _t(spark, sf_dir, "documents")
@@ -733,10 +744,6 @@ def q161_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q161_cms_estimates.__doc__ = q161_cms_estimates.__doc__.format(
-    d=_CMS_D, w=_CMS_W, cells=_CMS_D * _CMS_W
-)
-
 
 # --------------------------------------------------------------------------
 # q162 — winnowing fingerprints (MOSS document fingerprinting)
@@ -745,7 +752,7 @@ q161_cms_estimates.__doc__ = q161_cms_estimates.__doc__.format(
 _WIN_K = 4  # gram size
 _WIN_W = 5  # winnowing window (guaranteed density 2/(w+1))
 
-_Q162_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(_WIN_K))
+_Q162_GRAM = _gram_sql(_WIN_K)
 
 
 @register(
@@ -768,21 +775,8 @@ _Q162_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(_WIN_K))
       FROM h
     ),
     pos AS (SELECT doc_id, unnest(fps) AS fp FROM s),
-    dupfp AS (
-      SELECT fp FROM (
-        SELECT fp, min(doc_id) AS lo, max(doc_id) AS hi FROM pos GROUP BY fp
-      ) WHERE lo <> hi
-    ),
     tot AS (SELECT doc_id, len(fps) AS n_fingerprints FROM s),
-    dup AS (
-      SELECT doc_id, count(*) AS n_dup FROM pos JOIN dupfp USING (fp)
-      GROUP BY doc_id
-    )
-    SELECT t.doc_id, t.n_fingerprints,
-           coalesce(d.n_dup, 0) AS n_shared_fp,
-           round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / t.n_fingerprints, 6)
-             AS shared_frac
-    FROM tot t LEFT JOIN dup d USING (doc_id)
+    {_dup_share_sql("n_fingerprints", "n_shared_fp", "shared_frac", key="fp")}
     """,
 )
 def q162_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,47 +796,22 @@ def q162_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     w = F.split("text", _WS)
 
-    def build(t):
-        n_h = F.size(t) - (_WIN_K - 1)
-        hs = F.transform(
-            F.sequence(F.lit(1), n_h),
-            lambda i: _tok_hash32(
-                F.concat_ws(
-                    " ", *[F.element_at(t, i + j) for j in range(_WIN_K)]
-                )
-            ),
+    def winnow(h):
+        fps = F.transform(
+            F.sequence(F.lit(1), F.size(h) - (_WIN_W - 1)),
+            lambda j: F.array_min(F.slice(h, j, _WIN_W)),
         )
+        return F.array_distinct(fps)
 
-        def winnow(h):
-            fps = F.transform(
-                F.sequence(F.lit(1), F.size(h) - (_WIN_W - 1)),
-                lambda j: F.array_min(F.slice(h, j, _WIN_W)),
-            )
-            return F.array_distinct(fps)
-
-        return let_expr(hs, winnow)
-
+    # ngrams() let-binds the split and guards short inputs; the hash
+    # array is let-bound again so winnow's W slices share it
+    hs = F.transform(ngrams(w, _WIN_K), _tok_hash32)
     sel = (
         d.filter(F.size(w) >= _WIN_K + _WIN_W - 1)
-        .select("doc_id", let_expr(w, build).alias("fps"))
+        .select("doc_id", let_expr(hs, winnow).alias("fps"))
     )
     pos = sel.select("doc_id", F.explode("fps").alias("fp"))
-    dup_fp = (
-        pos.groupBy("fp")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-        .filter(F.col("lo") != F.col("hi"))
-        .select("fp")
-    )
     tot = sel.select("doc_id", F.size("fps").alias("n_fingerprints"))
-    dup = pos.join(dup_fp, "fp").groupBy("doc_id").agg(
-        F.count("*").alias("n_dup")
-    )
-    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
-    return tot.join(dup, "doc_id", "left").select(
-        "doc_id",
-        "n_fingerprints",
-        n_dup.alias("n_shared_fp"),
-        F.round(n_dup.cast("double") / F.col("n_fingerprints"), 6).alias(
-            "shared_frac"
-        ),
+    return _dup_share_report(
+        pos, tot, "n_fingerprints", "n_shared_fp", "shared_frac", key="fp"
     )
