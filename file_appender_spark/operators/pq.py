@@ -239,7 +239,8 @@ def adc_topk(
                         }
                     )
                 )
-            yield pd.concat(out, ignore_index=True)
+            if out:  # empty queries list -> no frames; concat would raise
+                yield pd.concat(out, ignore_index=True)
 
     spark = encoded.sparkSession
     partial = encoded.select(id_col, *code_cols).mapInPandas(
@@ -268,7 +269,7 @@ def ivf_pq_index(
     vec_col: str = "embedding",
     target_cell_size: int = 1024,
     n_rows: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, int, list[list[float]]]:
     """Build the serving index: every vector gets its sign-IVF cell
     (operators/similarity's sized-cell quantizer — cells ~
     n_rows/target_cell_size) and its PQ codes. One zero-join

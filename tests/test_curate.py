@@ -242,6 +242,16 @@ def test_curate_model_quality_gate_matches_q154_decision(spark, sf_dir, tmp_path
     # must be model-kept; and no model-dropped id may appear
     assert written <= keep_ids
     assert funnel["written"] == funnel["after_quality"]
+    # the REVERSE direction (r4 advisory): the gate must not drop
+    # model-kept survivors either. Recover the stage-2 survivor set by
+    # rerunning the same deterministic dedup stages with the quality
+    # gate neutralized (alpha threshold 0 keeps every row), then pin
+    # written == stage-2 survivors INTERSECT model-kept — set equality,
+    # not just the subset direction.
+    out2 = str(tmp_path / "curated_nogate")
+    curate(spark, docs, out2, quality_mode="alpha", min_alpha_ratio=0.0)
+    stage2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert written == stage2 & keep_ids
 
 
 def test_curate_quality_mode_validation(spark, sf_dir):
