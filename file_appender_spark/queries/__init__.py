@@ -115,9 +115,7 @@ _DRIVER_PRIORITY = [
 # old evidence no longer certifies the current code, so they rank with
 # the never-green tranche until re-verified. Remove entries once the
 # round that re-checked them is committed.
-_FORCE_RECHECK = {
-    "q142_chi_square",  # r4: empty contingency cells now included
-}
+_FORCE_RECHECK: set[str] = set()  # r4's q142 re-check landed green (CORRECTNESS_r04)
 
 
 def _reorder_registry() -> None:

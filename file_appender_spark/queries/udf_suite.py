@@ -151,24 +151,72 @@ def q65_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q66_approx_aggs", None)  # bench-only: no oracle by design
+@register(
+    "q66_approx_aggs",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           CAST(1 AS INTEGER) AS cd_ok,
+           CAST(1 AS INTEGER) AS med_ok,
+           CAST(1 AS INTEGER) AS q25_ok,
+           CAST(1 AS INTEGER) AS q75_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q66_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL count-distinct, t-digest-style
-    quantiles): sketch results are engine-specific, so this query is
-    deliberately NOT oracle-checked (SURVEY.md Part B agg row —
-    'approx: bench-only'). The exact twins are q14/q19.
+    """Approximate aggregates (HLL count-distinct, GK quantiles) with a
+    machine-checked ERROR CONTRACT. Sketch values are engine-specific
+    (DuckDB cannot hash-match Spark's HLL/GK output), so what the
+    oracle pins is (a) the exact distinct count and (b) four contract
+    flags the SPARK side computes by comparing its own sketches to its
+    own exact aggregates — the oracle asserts every flag is literally
+    1, so a sketch that ever violated its published error bound turns
+    the row red (r4 verdict task 5: q66 was the lone never-green row
+    as a declared no-oracle query).
 
-    All output columns are SCALAR by contract: the driver
-    canonicalizes every query (including rows-only ones), and
-    array-typed columns crash its pandas sort (r3 verdict) — so the
-    IQR is emitted as two scalar percentile columns rather than one
-    array."""
+    Bounds are generous on purpose (flaky contracts are worse than no
+    contract): HLL at default rsd 0.05 gets a 3-sigma 15% band;
+    percentile_approx at accuracy 10000 has rank error <= n/10000, so
+    a +-10-percentile-point band via exact PERCENTILE_DISC bounds
+    (DISC, not interpolated — interpolated bounds fail legitimately on
+    2-row groups where the disc median sits below the interpolated
+    p40). The exact twins for the VALUES remain q14/q19."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
-        F.percentile_approx("l_extendedprice", 0.25).alias("approx_q25"),
-        F.percentile_approx("l_extendedprice", 0.75).alias("approx_q75"),
+
+    def _disc(q: float) -> F.Column:
+        return F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice)"
+        )
+
+    a = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("_acd"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+        ).alias("_ap"),
+        _disc(0.15).alias("_lo25"),
+        _disc(0.35).alias("_hi25"),
+        _disc(0.40).alias("_lo50"),
+        _disc(0.60).alias("_hi50"),
+        _disc(0.65).alias("_lo75"),
+        _disc(0.85).alias("_hi75"),
+    )
+
+    def _ok(v: F.Column, lo: str, hi: str) -> F.Column:
+        return ((v >= F.col(lo)) & (v <= F.col(hi))).cast("int")
+
+    return a.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_acd") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        )
+        .cast("int")
+        .alias("cd_ok"),
+        _ok(F.element_at("_ap", 2), "_lo50", "_hi50").alias("med_ok"),
+        _ok(F.element_at("_ap", 1), "_lo25", "_hi25").alias("q25_ok"),
+        _ok(F.element_at("_ap", 3), "_lo75", "_hi75").alias("q75_ok"),
     )
 
 

@@ -14,7 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # rows-only queries (no oracle) must be deliberate, listed here
-ROWS_ONLY_ALLOWED = {"q66_approx_aggs"}
+ROWS_ONLY_ALLOWED: set[str] = set()  # r5: q66 gained an error-contract oracle
 
 
 def main() -> int:
