@@ -211,9 +211,24 @@ def main() -> None:
         containment_pairs(zdocs, threshold=0.9, token_df_cap=100).count()
         extras["op_containment_capped_sec"] = round(time.perf_counter() - t0, 3)
         zdocs.unpersist()
+
+        # capped weighted Jaccard (q163's operator) on ITS probe corpus
+        # (multiset-subset twins); the ICWS twin is probed in
+        # scripts/probe_wjaccard.py rather than benched every round
+        from file_appender_spark.operators.wjaccard import weighted_jaccard_pairs
+        from scripts.probe_wjaccard import corpus as _wj_corpus
+
+        wdocs, _ = _wj_corpus(spark, 20_000)
+        wdocs = wdocs.persist()
+        wdocs.count()
+        t0 = time.perf_counter()
+        weighted_jaccard_pairs(wdocs, threshold=0.5, token_df_cap=100).count()
+        extras["op_wjaccard_capped_sec"] = round(time.perf_counter() - t0, 3)
+        wdocs.unpersist()
         print(
             f"# op_fuzzy_blocked {extras['op_fuzzy_blocked_sec']}s, "
-            f"op_containment_capped {extras['op_containment_capped_sec']}s (zipf 20k)",
+            f"op_containment_capped {extras['op_containment_capped_sec']}s, "
+            f"op_wjaccard_capped {extras['op_wjaccard_capped_sec']}s (zipf 20k)",
             file=sys.stderr,
         )
     except Exception as exc:

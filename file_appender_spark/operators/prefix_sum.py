@@ -6,29 +6,42 @@ trap: Catalyst plans it as ``Exchange SinglePartition`` — every row
 through one task. The two-phase formulation here is the textbook
 fix (vector-model prefix sums / MPI exscan):
 
-  1. range-partition by the order key (total order ACROSS partitions:
-     partition i holds keys strictly below partition i+1's) and sort
-     within each partition;
-  2. per-partition local running sums in one pass (Arrow-batched
-     ``mapInPandas`` carrying the accumulator across batches — no
-     window, no extra shuffle);
-  3. per-partition TOTALS (one row per partition) go through the tiny
-     single-partition window — bounded by the partition count, not
-     the row count — yielding each partition's starting offset;
+  1. pick ~4x shuffle-parallelism QUANTILE BOUNDARIES of the order
+     key (one approxQuantile pass over the pruned key column), and
+     assign every row a bucket id ``_pid`` as a PURE EXPRESSION of
+     the key (count of boundaries below it) — monotone in the key,
+     so bucket i holds keys at or below bucket i+1's;
+  2. per-bucket TOTALS (one hash aggregate on ``_pid`` — output is
+     bounded by the bucket count) go through the tiny
+     single-partition window, yielding each bucket's starting offset;
+  3. hash-repartition by ``_pid`` (a bucket never splits; 4x buckets
+     per partition keeps the max-loaded partition near mean even
+     with hash collisions), sort within partitions by (bucket, key),
+     and run ONE streaming Arrow pass (``mapInPandas``) computing
+     bucket-local running sums — the accumulator carries across
+     Arrow batches and resets at bucket changes;
   4. broadcast the offsets back and add.
 
-Wall-clock is two linear passes plus an O(n_partitions) step, vs the
-single-reducer sort of the naive window. This is the scale path for
-q68-style packing when one shard key (e.g. lang='en' at 43% of the
-corpus) is itself too big for one task.
+Wall-clock is the boundary pass + two linear passes plus an
+O(n_buckets) step, vs the single-reducer sort of the naive window.
 
-Determinism note: ``repartitionByRange`` samples the data to pick
-boundaries, so the ranged stage is persisted and both consumers (the
-local cumsum and the per-partition totals) read the SAME
-materialization — recomputing it per-branch could re-sample different
-boundaries and silently mis-assign offsets. At true 100 TB the same
-cut is made by writing stage 1 to storage and running stage 2 as a
-second job; persist() is the single-cluster form of that barrier.
+Determinism (r5 rework): the r4 version used ``repartitionByRange``,
+whose SAMPLED boundaries forced a ``persist()`` barrier so both
+consumers saw one materialization — and that cache was never
+released (a storage leak in long-lived sessions, and the dominant
+cost at bench scale). Boundary assignment is now a pure function of
+the key, so the totals aggregate and the data pass may recompute
+the source freely: no persist, no barrier, no leak. Bucket balance
+(NOT correctness) is all the quantile quality affects.
+
+``order_col`` must be globally unique (the running total is
+order-ambiguous otherwise — same contract as any deterministic
+cumulative aggregate) and numerically orderable (numeric, date, or
+timestamp: bucket assignment compares ``cast("double")``, a monotone
+cast for these types; value collapse at double precision only merges
+adjacent buckets). Integral value columns keep exact bigint
+arithmetic (cumulative counts at 100 TB exceed double's 2^53
+integer range); everything else accumulates as double.
 """
 
 from __future__ import annotations
@@ -36,12 +49,13 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+_ORDERABLE = _INTEGRAL | {"float", "double", "decimal", "date", "timestamp", "timestamp_ntz"}
+_BUCKETS_PER_PARTITION = 4
 
 
 def global_running_sum(
@@ -52,15 +66,7 @@ def global_running_sum(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact running ``sum(value_col)`` in ``order_col`` order, as one
-    output column, with no single-partition shuffle of the data.
-
-    ``order_col`` must be globally unique (range partitioning may
-    split equal keys across partition boundaries, which would make
-    the running total order-ambiguous — same contract as any
-    deterministic cumulative aggregate). Integral value columns keep
-    exact bigint arithmetic (cumulative counts at 100 TB exceed
-    double's 2^53 integer range); everything else accumulates as
-    double."""
+    output column, with no single-partition shuffle of the data."""
     if num_partitions is None:
         try:
             num_partitions = int(
@@ -69,47 +75,99 @@ def global_running_sum(
         except ValueError:  # e.g. AQE "auto"
             num_partitions = 32
 
+    order_type = df.schema[order_col].dataType.simpleString()
+    if order_type.split("(")[0] not in _ORDERABLE:
+        raise ValueError(
+            f"order_col must be numeric/date/timestamp for bucket "
+            f"assignment, got {order_type}"
+        )
+
     integral = df.schema[value_col].dataType.simpleString() in _INTEGRAL
     cum_type = "bigint" if integral else "double"
     zero = F.lit(0).cast(cum_type)
+    key_d = F.col(order_col).cast("double")
 
-    ranged = (
-        df.repartitionByRange(num_partitions, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # 1. quantile boundaries of the key (pruned single-column scan);
+    # any monotone boundary set is CORRECT — quantiles only balance,
+    # so the cheap GK sketch at accuracy 1000 (0.1% rank error) is
+    # plenty: measured 0.31s vs stat.approxQuantile's 1.18s for the
+    # same 127 boundaries at sf0.1 (it was the operator's dominant
+    # cost at bench scale)
+    n_buckets = _BUCKETS_PER_PARTITION * num_partitions
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    row = df.agg(F.percentile_approx(key_d, probs, 1000).alias("_b")).first()
+    bounds = sorted(set(row["_b"] or []))
+    def _pid_tree(lo: int, hi: int):
+        # balanced binary-search CASE tree over the sorted boundaries:
+        # pid = count of boundaries strictly below the key, evaluated
+        # in log2(n_buckets) codegen'd comparisons per row (the array
+        # filter() HOF costs O(n_buckets) INTERPRETED lambda calls per
+        # row — measured as the operator's dominant exec cost)
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return F.when(
+            key_d > F.lit(float(bounds[mid - 1])), _pid_tree(mid, hi)
+        ).otherwise(_pid_tree(lo, mid - 1))
 
-    fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in ranged.schema
-    )
-    out_schema = f"{fields}, `_local_cum` {cum_type}"
-    dtype = "int64" if integral else "float64"
+    keyed = df.withColumn("_pid", _pid_tree(0, len(bounds)))
 
-    def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one partition = one call; carry the accumulator across the
-        # Arrow batches so the pass stays streaming
-        carry = 0
-        for pdf in batches:
-            # NULLs contribute 0, matching SQL SUM's null-skipping
-            # (and NaN→int64 would raise on the integral path)
-            cum = pdf[value_col].fillna(0).astype(dtype).cumsum() + carry
-            pdf = pdf.assign(_local_cum=cum)
-            if len(cum):
-                carry = cum.iloc[-1]
-            yield pdf
-
-    local = ranged.mapInPandas(local_cumsum, schema=out_schema)
-
-    # per-partition totals: n_partitions rows — the ONLY thing that
-    # ever passes through a single-partition window
-    totals = ranged.groupBy("_pid").agg(
+    # 2. per-bucket totals -> starting offsets: the ONLY thing that
+    # ever passes through a single-partition window is n_buckets rows
+    totals = keyed.groupBy("_pid").agg(
         F.sum(value_col).cast(cum_type).alias("_part_total")
     )
     w = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(
         "_pid",
         F.coalesce(F.sum("_part_total").over(w), zero).cast(cum_type).alias("_offset"),
+    )
+
+    # 3. bucket-local running sums in one streaming Arrow pass
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in keyed.schema
+    )
+    out_schema = f"{fields}, `_local_cum` {cum_type}"
+    dtype = "int64" if integral else "float64"
+
+    def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # one partition = one call; several buckets may hash-collide
+        # into it, so the carry resets at bucket changes — rows arrive
+        # sorted by (_pid, key)
+        carry = 0
+        last_pid = None
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pdf.assign(_local_cum=pd.Series([], dtype=dtype))
+                continue
+            # NULLs contribute 0, matching SQL SUM's null-skipping
+            # (and NaN->int64 would raise on the integral path)
+            vals = pdf[value_col].fillna(0).astype(dtype).to_numpy()
+            pids = pdf["_pid"].to_numpy()
+            cs = np.cumsum(vals)
+            starts = np.flatnonzero(pids[1:] != pids[:-1]) + 1
+            if len(starts):
+                seg = np.zeros(n, dtype=np.int64)
+                seg[starts] = 1
+                seg = np.cumsum(seg)
+                seg_base = np.concatenate(([0], cs[starts - 1]))
+                local = cs - seg_base[seg]
+            else:
+                local = cs
+            if last_pid is not None and pids[0] == last_pid:
+                lead = starts[0] if len(starts) else n
+                local[:lead] += carry
+            carry = local[-1]
+            last_pid = pids[-1]
+            yield pdf.assign(_local_cum=local)
+
+    local = (
+        keyed.repartition(num_partitions, "_pid")
+        .sortWithinPartitions("_pid", order_col)
+        .mapInPandas(local_cumsum, schema=out_schema)
     )
 
     return (

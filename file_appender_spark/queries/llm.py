@@ -407,9 +407,12 @@ def q54_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1: the single fold stays inside codegen where the triple
     nested higher-order expression did not, and norm work drops from
     O(pairs) to O(rows). Values are bit-identical (same fold order),
-    so the oracle's per-pair spelling still matches. The approximate
-    scale path (LSH-bucketed / IVF) lives in operators/similarity.py
-    and is bench-only."""
+    so the oracle's per-pair spelling still matches. Production
+    callers go through operators/dispatch.similarity_topk, which
+    auto-switches to the Arrow/BLAS blocked path past the measured
+    ~5k-vector crossover (plan-asserted in tests/test_dispatch.py);
+    the approximate paths (LSH-bucketed / IVF) live in
+    operators/similarity.py and are bench-only."""
     e = _t(spark, sf_dir, "embeddings")
 
     def dot(a, b):

@@ -26,8 +26,12 @@ face of a named training-data technique from the public literature:
 - q158: product-quantization encode (Jégou et al., TPAMI 2011) with
   the deterministic seed codebook; operators/pq.py adds Lloyd
   training, ADC search, and the composed IVFADC serving path.
-- q159: exact weighted Jaccard pairs (multiset tf similarity; ICWS
-  is the cited sketch twin).
+- q159: exact weighted Jaccard pairs (multiset tf similarity),
+  implementation shared with operators/wjaccard.py.
+- q163 (round 5): the CAPPED branch of q159 as its own oracle
+  contract — weighted PPJoin prefix filter + token_df_cap postings +
+  exact verify; the ICWS sketch twin (Ioffe, ICDM 2010) lives beside
+  it in operators/wjaccard.py (pytest + probe evidence).
 - q160: temperature-based mixture sampling weights (tokens^alpha) —
   derives the rates q87's rebalance applies.
 - q161: Count-Min sketch with exact error accounting (Cormode &
@@ -338,11 +342,13 @@ def q156_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: every non-degenerate vector with its cell and kept flag.
 
     The fixed 64-cell sign quantizer exists for oracle checkability
-    (q74's trick); the production quantizer is
-    ``operators/similarity.ann_sign_ivf``'s sized sign-cells (cells ~
-    n_rows / target_cell_size), which keeps within-cell pair work
-    flat as the corpus grows — the join plan (shuffle both sides on
-    cell, equi-join, bounded verify) is identical. Norms are
+    (q74's trick); production callers go through
+    ``operators/dispatch.semantic_dedup``, which auto-switches to
+    sized sign-cells (cells ~ n_rows / target_cell_size,
+    ann_sign_ivf's rule) past the crossover so within-cell pair work
+    stays flat as the corpus grows — the join plan (shuffle both
+    sides on cell, equi-join, bounded verify) is identical, and the
+    fixed mode there is pinned equal to this query. Norms are
     precomputed per row, one fold per PAIR at verify (q62's
     optimization)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -542,45 +548,21 @@ def q159_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity over term frequencies, sum(min tf)/sum(max tf) — the
     frequency-aware refinement of q51's set Jaccard (identity:
     sum max = |A| + |B| - sum min over shared tokens, so only shared
-    tokens ever join). The sketch twin in the literature is ICWS
-    (Ioffe, ICDM 2010) consistent weighted sampling; q52's banded
-    MinHash structure applies unchanged with ICWS hashes.
+    tokens ever join). Implementation lives in operators/wjaccard.py
+    (exact branch); the SAME operator's 100 TB paths — the
+    token_df_cap weighted-prefix branch (q163's oracle contract) and
+    the banded-ICWS sketch twin (Ioffe, ICDM 2010) — are r5 landings
+    of what this docstring previously only cited.
 
     Scale: identical plan shape to q51 — inverted tf index, posting-
-    list equi-join, partial-agg min sums; no cross product. At 100 TB
-    the hot-token postings cap (q129/fuzzyjoin's token_df_cap
-    pattern) bounds the join, at the documented recall cost."""
+    list equi-join, partial-agg min sums; no cross product, but
+    hot-token postings make it near-quadratic on Zipf vocabularies —
+    at 100 TB call weighted_jaccard_pairs(token_df_cap=...) or
+    icws_neardup_pairs instead (probed in scripts/probe_wjaccard.py)."""
+    from file_appender_spark.operators.wjaccard import weighted_jaccard_pairs
+
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", _WS)).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    sizes = tf.groupBy("doc_id").agg(F.sum("tf").alias("sz"))
-    a = tf.alias("a")
-    b = tf.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.sum(F.least("a.tf", "b.tf")).alias("inter"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    wjac = F.col("inter").cast("double") / (
-        F.col("sz1") + F.col("sz2") - F.col("inter")
-    )
-    return (
-        shared.join(s1, "d1")
-        .join(s2, "d2")
-        .filter(wjac >= 0.5)
-        .select("d1", "d2", F.round(wjac, 6).alias("wjac"))
-    )
+    return weighted_jaccard_pairs(d, threshold=0.5)
 
 
 # --------------------------------------------------------------------------
@@ -815,3 +797,85 @@ def q162_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dup_share_report(
         pos, tot, "n_fingerprints", "n_shared_fp", "shared_frac", key="fp"
     )
+
+
+# --------------------------------------------------------------------------
+# q163 — CAPPED weighted Jaccard pairs (the 100 TB branch, oracle-checked)
+# --------------------------------------------------------------------------
+
+_WJ_T = 0.5
+_WJ_CAP_FRAC = 0.2  # token_df_cap = ceil(frac * n_docs)
+
+
+@register(
+    "q163_wjaccard_capped",
+    f"""
+    WITH n AS (
+      SELECT CAST(ceil({_WJ_CAP_FRAC} * count(*)) AS BIGINT) AS cap
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id AS id, tok, count(*) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents
+      ) GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    ranked AS (
+      SELECT tf.id, tf.tok, tf.tf, df.df,
+             sum(tf.tf) OVER (PARTITION BY tf.id ORDER BY df.df, tf.tok) AS cum,
+             sum(tf.tf) OVER (PARTITION BY tf.id) AS sz
+      FROM tf JOIN df USING (tok)
+    ),
+    prefix AS (
+      SELECT id, tok FROM ranked
+      WHERE cum - tf <= (1.0 - {_WJ_T}) * sz + 1e-9
+    ),
+    bside AS (SELECT r.id, r.tok FROM ranked r, n WHERE r.df <= n.cap),
+    cand AS (
+      SELECT DISTINCT least(a.id, b.id) AS d1, greatest(a.id, b.id) AS d2
+      FROM prefix a JOIN bside b ON a.tok = b.tok AND a.id <> b.id
+    ),
+    inter AS (
+      SELECT a.id AS i1, b.id AS i2, sum(least(a.tf, b.tf)) AS inter
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    sizes AS (SELECT id, sum(tf) AS sz FROM tf GROUP BY id)
+    SELECT d1, d2,
+           round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS wjac
+    FROM cand
+    JOIN inter ON d1 = i1 AND d2 = i2
+    JOIN sizes s1 ON d1 = s1.id
+    JOIN sizes s2 ON d2 = s2.id
+    WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {_WJ_T}
+    """,
+)
+def q163_wjaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPPED weighted Jaccard near-dup pairs — q159's declared 100 TB
+    branch as its own oracle contract (r4 verdict task 2). The oracle
+    SQL reimplements the full capped algorithm (weighted prefix
+    filter + df-capped postings + exact verify,
+    operators/wjaccard.py's module docstring carries the proofs), so
+    the hash pins the CANDIDATE SET, not just the final similarity
+    arithmetic: a prefix off-by-one or a cap misapplied flips the row
+    red. token_df_cap = ceil(0.2 * n_docs) — corpus-proportional, the
+    production pattern (an absolute cap ages as the corpus grows).
+
+    On the driver corpus this keeps 20 of 12492 exact pairs at sf0.01
+    — the synthetic ~30-word vocabulary is the documented degenerate
+    case (every token ubiquitous); realistic Zipf recall is probed in
+    scripts/probe_wjaccard.py with planted twins.
+
+    Scale: candidates <= prefix_postings * cap per doc (linear for
+    fixed cap); the verify join ships two doc-length-bounded tf maps
+    per CANDIDATE only. Reference semantics: PPJoin prefix filtering
+    (Xiao et al., WWW 2008) generalized to weighted sets."""
+    import math
+
+    from file_appender_spark.operators.wjaccard import weighted_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    cap = math.ceil(_WJ_CAP_FRAC * d.count())
+    return weighted_jaccard_pairs(d, threshold=_WJ_T, token_df_cap=cap)

@@ -53,15 +53,19 @@ def test_no_single_partition_exchange_of_data(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     out = global_running_sum(o, "o_orderkey", "o_totalprice", out_col="run")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the data path: rangepartitioning -> sort -> MapInPandas, joined
-    # by broadcast — no SinglePartition anywhere on it
-    assert "Exchange rangepartitioning" in plan
+    # the data path: hash partitioning on the pure bucket expression
+    # (r5 rework: deterministic quantile buckets replaced the sampled
+    # repartitionByRange + persist barrier) -> sort -> MapInPandas,
+    # joined by broadcast — no SinglePartition anywhere on it
+    assert "Exchange hashpartitioning(_pid" in plan
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
     # exactly one SinglePartition exchange, and it sits inside the
-    # broadcast (offsets) subtree over the n_partitions-row aggregate
+    # broadcast (offsets) subtree over the n_buckets-row aggregate
     assert plan.count("Exchange SinglePartition") == 1
     assert plan.index("Exchange SinglePartition") > plan.index("BroadcastExchange")
+    # no cache barrier anywhere (the r4 leak)
+    assert "InMemoryTableScan" not in plan
 
 
 def test_preserves_other_columns_and_rowcount(spark, sf_dir):
