@@ -76,21 +76,25 @@ def main() -> None:
         except Exception:
             pass
 
-    # best-of-2 per query: the metric is the engine's steady-state
+    # best-of-N per query: the metric is the engine's steady-state
     # throughput, and a single shot conflates it with whatever else
     # the host is doing at that instant (observed 30%+ swings under
-    # co-tenant load); min-of-2 keeps the data pages' cold first read
-    # out of neither run (both scan the real files) while discarding
-    # one-off scheduler noise
+    # co-tenant load). Sub-200ms queries get best-of-4: the r4 "q50
+    # regressed 2.2x" scare was best-of-2 noise — the r5 bisect
+    # reproduced 0.040s best-of-5 on a 2.3x slower host, with zero
+    # dependence on session state or the r4 warm-up list (SCALING.md
+    # round-5 drift finding); heavier queries keep best-of-2.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
         best = None
-        for _ in range(2):
+        for rep in range(4):
             t0 = time.perf_counter()
             rows = spec.spark_fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
+            if rep >= 1 and best >= 0.2:
+                break
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)

@@ -136,9 +136,13 @@ PROBES = [
     # caveat): on the tiny-vocab synthetic corpus nearly every doc
     # pair shares tokens, so the tf-postings join output is quadratic
     # BY CORPUS CONSTRUCTION — a 10x replica run measured >9.5 min
-    # before being cut, all of it pair materialization. The declared
-    # scale mitigation is the token_df_cap postings cap
-    # (operators/containment.py pattern); see SCALING.md.
+    # before being cut, all of it pair materialization. The scale
+    # mitigation is q163's token_df_cap branch (below) — its REAL
+    # probe is scripts/probe_wjaccard.py's Zipf corpus (x2.84 at 10x,
+    # recall 0.9978); on THIS corpus the corpus-proportional cap
+    # simply empties the postings (every df ~ n_docs > cap), so the
+    # replica row only pins the plan's fixed cost.
+    "q163_wjaccard_capped",
 ]
 
 
