@@ -1,0 +1,185 @@
+"""Perceptual image hashing (average hash) + banded Hamming near-dup
+over opaque binary payloads — the multimodal half of the dedup stack.
+
+Algorithm (public: the classic "aHash" average perceptual hash, e.g.
+as popularized by the pHash/imagehash libraries):
+
+1. "decode" the payload to a 64-cell luminance grid. With no image
+   codecs in the container, the DOCUMENTED deterministic stand-in is
+   strided byte sums: cell c = sum of payload bytes at positions
+   i ≡ c (mod 64). The real-decode seam (`Pillow` resize to 8x8
+   grayscale) lives in operators/multimodal.py behind an import-try;
+   feed its cells into `ahash_from_cells` to reuse the banding below.
+2. aHash bit c = 1 iff cell c is above the mean — computed as the
+   integer-exact inequality `64*cell > total`, so the hash is
+   bit-identical on every engine (no float mean).
+3. The 64 bits pack into four 16-bit bands. Near-dup candidates are
+   pairs agreeing exactly on ≥1 band (multi-index Hamming LSH: any
+   pair with Hamming distance ≤ 3 agrees on some band by pigeonhole);
+   candidates are verified with the exact xor-popcount distance.
+
+Scale: feature extraction emits one narrow row per payload byte but
+partial aggregation collapses to 64 cells/doc map-side, so the
+exchange is O(64 x docs) regardless of payload size. The candidate
+join is bucketed on (band_index, band_value) — never all-pairs.
+Exact-duplicate payloads share every band, so in production run exact
+dedup (q50's sha256 groupBy) FIRST, or pass `band_bucket_cap` to
+drop degenerate buckets (bounded recall loss on hot buckets, the
+same df-cap pattern as operators/containment.py).
+
+Oracle exposure: q175_image_ahash / q176_image_neardup mirror this
+exact pipeline in DuckDB SQL (tranche5.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+_DIG = "0123456789ABCDEF"
+
+
+def _cells(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, c, cell, n_bytes): 64 strided byte-sum cells per payload.
+
+    Bytes are extracted JVM-side via hex() + instr() (no UDF); cells
+    for strides with no bytes (payloads under 64 bytes) are absent,
+    which downstream treats as cell=0 / bit=0 consistently."""
+    hx = F.hex(F.col(payload_col))
+    n = F.length(F.col(payload_col))  # byte length for BinaryType
+    e = df.select(
+        F.col(id_col),
+        hx.alias("hx"),
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("i"),
+    )
+    b = (
+        16 * (F.expr(f"instr('{_DIG}', substr(hx, CAST(2*i+1 AS INT), 1))") - 1)
+        + (F.expr(f"instr('{_DIG}', substr(hx, CAST(2*i+2 AS INT), 1))") - 1)
+    )
+    byt = e.select(
+        id_col,
+        "n",
+        (F.col("i") % 64).cast("int").alias("c"),
+        b.cast("bigint").alias("b"),
+    )
+    return byt.groupBy(id_col, "c").agg(
+        F.max("n").alias("n_bytes"), F.sum("b").alias("cell")
+    )
+
+
+def ahash_bands(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, n_bytes, bi, bv, pop): four 16-bit aHash bands per payload.
+
+    bi = band index 0..3, bv = the band's packed bits, pop = set bits
+    in the band. The threshold is the exact integer `64*cell > total`."""
+    cells = _cells(df, id_col, payload_col)
+    tot = F.sum("cell").over(W.partitionBy(id_col))
+    bits = cells.select(
+        id_col,
+        "n_bytes",
+        "c",
+        F.when(64 * F.col("cell") > tot, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+    )
+    return bits.groupBy(id_col, F.floor(F.col("c") / 16).cast("int").alias("bi")).agg(
+        F.max("n_bytes").alias("n_bytes"),
+        F.sum(F.expr("shiftleft(bit, c % 16)")).cast("bigint").alias("bv"),
+        F.sum("bit").cast("bigint").alias("pop"),
+    )
+
+
+def ahash_from_cells(cells: DataFrame, id_col: str) -> DataFrame:
+    """Banding for an externally-decoded grid: input (id, c, cell
+    [, n_bytes]) — e.g. real Pillow 8x8 luminance cells from
+    operators/multimodal.py — output identical to `ahash_bands`."""
+    if "n_bytes" not in cells.columns:
+        cells = cells.withColumn("n_bytes", F.lit(None).cast("bigint"))
+    tot = F.sum("cell").over(W.partitionBy(id_col))
+    bits = cells.select(
+        id_col,
+        "n_bytes",
+        "c",
+        F.when(64 * F.col("cell") > tot, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+    )
+    return bits.groupBy(id_col, F.floor(F.col("c") / 16).cast("int").alias("bi")).agg(
+        F.max("n_bytes").alias("n_bytes"),
+        F.sum(F.expr("shiftleft(bit, c % 16)")).cast("bigint").alias("bv"),
+        F.sum("bit").cast("bigint").alias("pop"),
+    )
+
+
+def ahash_wide(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, n_bytes, popcount, b0, b1, b2, b3): one row per payload —
+    the q175 feature frame."""
+    bands = ahash_bands(df, id_col, payload_col)
+    agg = [F.max("n_bytes").alias("n_bytes"), F.sum("pop").alias("popcount")]
+    for k in range(4):
+        agg.append(
+            F.sum(F.when(F.col("bi") == k, F.col("bv")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"b{k}")
+        )
+    return bands.groupBy(id_col).agg(*agg)
+
+
+def ahash_neardup(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    max_hamming: int = 8,
+    band_bucket_cap: int | None = None,
+) -> DataFrame:
+    """(d1, d2, hamming): banded-candidate + exact-verify near-dup
+    pairs with Hamming distance ≤ `max_hamming` over the 64-bit aHash.
+
+    Recall contract: any pair with distance ≤ 3 shares a band
+    (pigeonhole over 4 bands); beyond that, banding is the standard
+    probabilistic LSH tradeoff. `band_bucket_cap` drops (bi, bv)
+    buckets with more members than the cap — the skew guard for
+    corpora full of exact duplicates (compose with exact dedup first
+    to keep recall exact)."""
+    bands = ahash_bands(df, id_col, payload_col).select(
+        F.col(id_col).alias("bid"), "bi", "bv"
+    )
+    if band_bucket_cap is not None:
+        sized = bands.groupBy("bi", "bv").agg(F.count("*").alias("n_in_bucket"))
+        bands = (
+            bands.join(
+                F.broadcast(sized.filter(F.col("n_in_bucket") > band_bucket_cap)),
+                ["bi", "bv"],
+                "left_anti",
+            )
+        )
+    a = bands
+    b = bands.select(
+        F.col("bid").alias("bid2"), F.col("bi").alias("bi2"), F.col("bv").alias("bv2")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("bi") == F.col("bi2"))
+            & (F.col("bv") == F.col("bv2"))
+            & (F.col("bid") < F.col("bid2")),
+        )
+        .select(F.col("bid").alias("d1"), F.col("bid2").alias("d2"))
+        .distinct()
+    )
+    wide = ahash_wide(df, id_col, payload_col)
+    w1 = wide.select(
+        F.col(id_col).alias("d1"),
+        *[F.col(f"b{k}").alias(f"x{k}") for k in range(4)],
+    )
+    w2 = wide.select(
+        F.col(id_col).alias("d2"),
+        *[F.col(f"b{k}").alias(f"y{k}") for k in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"x{k}").bitwiseXOR(F.col(f"y{k}"))) for k in range(4)
+    )
+    return (
+        cand.join(w1, "d1")
+        .join(w2, "d2")
+        .select("d1", "d2", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

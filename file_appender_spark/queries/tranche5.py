@@ -321,3 +321,133 @@ def q167_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_gram_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q175/q176 — perceptual image hashing (average hash) + banded near-dup
+# --------------------------------------------------------------------------
+#
+# The multimodal dedup path: opaque binary payload -> deterministic
+# "decode" to a 64-cell luminance grid (strided byte sums — the
+# container has no image codecs, so the decode step is the documented
+# deterministic fake; operators/imagehash.py carries the real-decode
+# seam) -> average hash (aHash: bit c = cell c above the global mean,
+# the classic public perceptual hash) -> 4 x 16-bit bands -> banded
+# LSH candidates -> exact Hamming verify. Every comparison is integer
+# (64*cell > total, shifts, xor popcount), so the whole pipeline is
+# oracle-exact.
+
+_AHASH_CTES = """
+    h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) >= 1
+    ),
+    e AS (SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM h),
+    byt AS (
+      SELECT doc_id, n, CAST(i % 64 AS INTEGER) AS c,
+             16 * (instr('0123456789ABCDEF',
+                         substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1)
+               + (instr('0123456789ABCDEF',
+                        substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1) AS b
+      FROM e
+    ),
+    cells AS (
+      SELECT doc_id, max(n) AS n_bytes, c, sum(b) AS cell
+      FROM byt GROUP BY doc_id, c
+    ),
+    bits AS (
+      SELECT doc_id, n_bytes, c,
+             CASE WHEN 64 * cell > sum(cell) OVER (PARTITION BY doc_id)
+                  THEN 1 ELSE 0 END AS bit
+      FROM cells
+    ),
+    bands AS (
+      SELECT doc_id, max(n_bytes) AS n_bytes,
+             CAST(floor(c / 16.0) AS INTEGER) AS bi,
+             CAST(sum(bit << (c % 16)) AS BIGINT) AS bv,
+             CAST(sum(bit) AS BIGINT) AS pop
+      FROM bits GROUP BY doc_id, CAST(floor(c / 16.0) AS INTEGER)
+    ),
+    wide AS (
+      SELECT doc_id, max(n_bytes) AS n_bytes,
+             CAST(sum(pop) AS BIGINT) AS popcount,
+             CAST(sum(CASE WHEN bi = 0 THEN bv ELSE 0 END) AS BIGINT) AS b0,
+             CAST(sum(CASE WHEN bi = 1 THEN bv ELSE 0 END) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN bi = 2 THEN bv ELSE 0 END) AS BIGINT) AS b2,
+             CAST(sum(CASE WHEN bi = 3 THEN bv ELSE 0 END) AS BIGINT) AS b3
+      FROM bands GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "q175_image_ahash",
+    f"""
+    WITH {_AHASH_CTES}
+    SELECT doc_id, n_bytes, popcount, b0, b1, b2, b3 FROM wide
+    """,
+)
+def q175_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average perceptual hash (aHash) of each document's binary
+    payload: bytes -> 64 strided cell sums -> bit c set iff
+    64*cell_c > total (the integer-exact form of cell > mean) ->
+    four 16-bit bands. The feature-extraction half of the multimodal
+    dedup path; the payload "decode" is the documented deterministic
+    byte-grid fake (no image codecs in the container) with the real
+    Pillow decode seam in operators/imagehash.py.
+
+    Scale: explode emits one narrow (doc, c, byte) row per payload
+    byte, but partial aggregation collapses them to 64 cells/doc
+    map-side BEFORE the shuffle — the exchange carries 64 rows per
+    document regardless of payload size. No pair work here."""
+    from file_appender_spark.operators.imagehash import ahash_wide
+
+    d = _t(spark, sf_dir, "documents")
+    payload = d.filter(F.length(F.encode("text", "UTF-8")) >= 1).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return ahash_wide(payload, "doc_id", "payload")
+
+
+@register(
+    "q176_image_neardup",
+    f"""
+    WITH {_AHASH_CTES},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT d1, d2,
+             bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+           + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3))
+             AS hamming
+      FROM cand
+      JOIN wide w1 ON w1.doc_id = d1
+      JOIN wide w2 ON w2.doc_id = d2
+    )
+    SELECT d1, d2, CAST(hamming AS BIGINT) AS hamming
+    FROM ham WHERE hamming <= 8
+    """,
+)
+def q176_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming near-dup over the q175 aHash: candidates are
+    pairs agreeing EXACTLY on at least one 16-bit band (standard
+    multi-index Hamming LSH — any pair within Hamming 3 of the 64-bit
+    hash must agree on some band by pigeonhole; threshold 8 keeps the
+    verify honest about banding recall), verified with the exact
+    xor-popcount distance.
+
+    Scale: the candidate join is equality on (band_index, band_value)
+    — bucketed, never all-pairs; exact-duplicate payloads share all
+    bands, so run q50's exact dedup FIRST in production (the operator
+    docstring pins that composition and a bucket cap)."""
+    from file_appender_spark.operators.imagehash import ahash_neardup
+
+    d = _t(spark, sf_dir, "documents")
+    payload = d.filter(F.length(F.encode("text", "UTF-8")) >= 1).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return ahash_neardup(payload, "doc_id", "payload", max_hamming=8)
