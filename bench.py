@@ -48,6 +48,11 @@ HEADLINE = [
     "q153_dup_ngram_spans",  # 8-gram position-hash dedup signal
     "q155_heavy_hitters",  # Misra-Gries candidates + exact verify
     "q158_pq_encode",  # zero-shuffle PQ codebook encode
+    # round-5 shapes: the TPC-H two-fact join family and the banded
+    # multimodal near-dup (explode -> 64-cells/doc partial agg ->
+    # band self-join -> xor-popcount verify)
+    "q168_returned_item_revenue",  # Q10: two-fact join + broadcast dims
+    "q176_image_neardup",  # aHash banded Hamming near-dup
 ]
 
 

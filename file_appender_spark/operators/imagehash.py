@@ -18,24 +18,28 @@ as popularized by the pHash/imagehash libraries):
    pair with Hamming distance ≤ 3 agrees on some band by pigeonhole);
    candidates are verified with the exact xor-popcount distance.
 
-Scale: feature extraction emits one narrow row per payload byte but
-partial aggregation collapses to 64 cells/doc map-side, so the
-exchange is O(64 x docs) regardless of payload size. The candidate
-join is bucketed on (band_index, band_value) — never all-pairs.
-Exact-duplicate payloads share every band, so in production run exact
-dedup (q50's sha256 groupBy) FIRST, or pass `band_bucket_cap` to
-drop degenerate buckets (bounded recall loss on hot buckets, the
-same df-cap pattern as operators/containment.py).
+Scale / plan shape: feature extraction is exactly TWO exchanges —
+one keyed (id, cell) where map-side partial aggregation collapses the
+per-byte explode to ≤64 rows/doc before the wire, one keyed (id)
+where the 64 cells gather into an array; threshold, bit-packing and
+banding are then higher-order array functions inside one projection
+(no window, no further shuffle — asserted in tests/test_plans.py
+style via the PLANS.md snapshot). The candidate join is bucketed on
+(band_index, band_value) — never all-pairs. Exact-duplicate payloads
+share every band, so in production run exact dedup (q50's sha256
+groupBy) FIRST, or pass `band_bucket_cap` to drop degenerate buckets
+(bounded recall loss on hot buckets, the same df-cap pattern as
+operators/containment.py).
 
-Oracle exposure: q175_image_ahash / q176_image_neardup mirror this
-exact pipeline in DuckDB SQL (tranche5.py).
+Oracle exposure: q175_image_ahash / q176_image_neardup pin the same
+results through an independent window+groupBy formulation in DuckDB
+SQL (tranche5.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 _DIG = "0123456789ABCDEF"
 
@@ -69,58 +73,65 @@ def _cells(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
 
 
-def ahash_bands(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """(id, n_bytes, bi, bv, pop): four 16-bit aHash bands per payload.
-
-    bi = band index 0..3, bv = the band's packed bits, pop = set bits
-    in the band. The threshold is the exact integer `64*cell > total`."""
-    cells = _cells(df, id_col, payload_col)
-    tot = F.sum("cell").over(W.partitionBy(id_col))
-    bits = cells.select(
-        id_col,
-        "n_bytes",
-        "c",
-        F.when(64 * F.col("cell") > tot, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
-    )
-    return bits.groupBy(id_col, F.floor(F.col("c") / 16).cast("int").alias("bi")).agg(
+def _wide_from_cells(cells: DataFrame, id_col: str) -> DataFrame:
+    """cells (id, c, cell, n_bytes) -> one row per id with the four
+    packed bands, via array HOFs in a single projection (no window)."""
+    g = cells.groupBy(id_col).agg(
         F.max("n_bytes").alias("n_bytes"),
-        F.sum(F.expr("shiftleft(bit, c % 16)")).cast("bigint").alias("bv"),
-        F.sum("bit").cast("bigint").alias("pop"),
+        F.collect_list(F.struct("c", "cell")).alias("a"),
     )
+    tot = F.expr("aggregate(a, 0L, (acc, s) -> acc + s.cell)")
+    withtot = g.select(id_col, "n_bytes", "a", tot.alias("tot"))
+    bit = "IF(64 * s.cell > tot, 1L, 0L)"
+    pop = F.expr(f"aggregate(a, 0L, (acc, s) -> acc + {bit})")
+    bands = [
+        F.expr(
+            f"aggregate(a, 0L, (acc, s) -> acc + IF(CAST(floor(s.c / 16) AS INT) = {k},"
+            f" shiftleft({bit}, s.c % 16), 0L))"
+        ).alias(f"b{k}")
+        for k in range(4)
+    ]
+    return withtot.select(id_col, "n_bytes", pop.alias("popcount"), *bands)
+
+
+def ahash_wide(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, n_bytes, popcount, b0, b1, b2, b3): one row per payload —
+    the q175 feature frame. Exactly two exchanges end-to-end."""
+    return _wide_from_cells(_cells(df, id_col, payload_col), id_col)
 
 
 def ahash_from_cells(cells: DataFrame, id_col: str) -> DataFrame:
     """Banding for an externally-decoded grid: input (id, c, cell
     [, n_bytes]) — e.g. real Pillow 8x8 luminance cells from
-    operators/multimodal.py — output identical to `ahash_bands`."""
+    operators/multimodal.py — output matches `ahash_bands`."""
     if "n_bytes" not in cells.columns:
         cells = cells.withColumn("n_bytes", F.lit(None).cast("bigint"))
-    tot = F.sum("cell").over(W.partitionBy(id_col))
-    bits = cells.select(
+    return _bands_from_wide(_wide_from_cells(cells, id_col), id_col)
+
+
+def _bands_from_wide(wide: DataFrame, id_col: str) -> DataFrame:
+    """wide -> (id, n_bytes, bi, bv, pop) band rows, no extra shuffle
+    (a 4-way stack projection; pop is bit_count of the band)."""
+    stacked = wide.select(
         id_col,
         "n_bytes",
-        "c",
-        F.when(64 * F.col("cell") > tot, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+        F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (bi, bv)"),
     )
-    return bits.groupBy(id_col, F.floor(F.col("c") / 16).cast("int").alias("bi")).agg(
-        F.max("n_bytes").alias("n_bytes"),
-        F.sum(F.expr("shiftleft(bit, c % 16)")).cast("bigint").alias("bv"),
-        F.sum("bit").cast("bigint").alias("pop"),
+    return stacked.select(
+        id_col,
+        "n_bytes",
+        "bi",
+        "bv",
+        F.bit_count("bv").cast("bigint").alias("pop"),
     )
 
 
-def ahash_wide(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """(id, n_bytes, popcount, b0, b1, b2, b3): one row per payload —
-    the q175 feature frame."""
-    bands = ahash_bands(df, id_col, payload_col)
-    agg = [F.max("n_bytes").alias("n_bytes"), F.sum("pop").alias("popcount")]
-    for k in range(4):
-        agg.append(
-            F.sum(F.when(F.col("bi") == k, F.col("bv")).otherwise(F.lit(0)))
-            .cast("bigint")
-            .alias(f"b{k}")
-        )
-    return bands.groupBy(id_col).agg(*agg)
+def ahash_bands(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, n_bytes, bi, bv, pop): four 16-bit aHash bands per payload.
+
+    bi = band index 0..3, bv = the band's packed bits, pop = set bits
+    in the band. The threshold is the exact integer `64*cell > total`."""
+    return _bands_from_wide(ahash_wide(df, id_col, payload_col), id_col)
 
 
 def ahash_neardup(
@@ -139,24 +150,22 @@ def ahash_neardup(
     buckets with more members than the cap — the skew guard for
     corpora full of exact duplicates (compose with exact dedup first
     to keep recall exact)."""
-    bands = ahash_bands(df, id_col, payload_col).select(
+    wide = ahash_wide(df, id_col, payload_col)
+    bands = _bands_from_wide(wide, id_col).select(
         F.col(id_col).alias("bid"), "bi", "bv"
     )
     if band_bucket_cap is not None:
         sized = bands.groupBy("bi", "bv").agg(F.count("*").alias("n_in_bucket"))
-        bands = (
-            bands.join(
-                F.broadcast(sized.filter(F.col("n_in_bucket") > band_bucket_cap)),
-                ["bi", "bv"],
-                "left_anti",
-            )
+        bands = bands.join(
+            F.broadcast(sized.filter(F.col("n_in_bucket") > band_bucket_cap)),
+            ["bi", "bv"],
+            "left_anti",
         )
-    a = bands
     b = bands.select(
         F.col("bid").alias("bid2"), F.col("bi").alias("bi2"), F.col("bv").alias("bv2")
     )
     cand = (
-        a.join(
+        bands.join(
             b,
             (F.col("bi") == F.col("bi2"))
             & (F.col("bv") == F.col("bv2"))
@@ -165,7 +174,6 @@ def ahash_neardup(
         .select(F.col("bid").alias("d1"), F.col("bid2").alias("d2"))
         .distinct()
     )
-    wide = ahash_wide(df, id_col, payload_col)
     w1 = wide.select(
         F.col(id_col).alias("d1"),
         *[F.col(f"b{k}").alias(f"x{k}") for k in range(4)],

@@ -24,6 +24,7 @@ tranche:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -451,3 +452,324 @@ def q176_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return ahash_neardup(payload, "doc_id", "payload", max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# q177 — Unicode normalization (NFC + accent strip) via Arrow UDF
+# --------------------------------------------------------------------------
+
+# Constructed non-NFC tail: combining acute / diaeresis / tilde after
+# their base letters. Identical literal on both engines, so the
+# normalizers have real work to do on every row.
+_UNORM_SUFFIX = " café über mañana"
+
+
+@register(
+    "q177_unicode_normalize",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text || '{_UNORM_SUFFIX}' AS raw FROM documents
+    )
+    SELECT doc_id,
+           length(nfc_normalize(raw)) AS nfc_len,
+           md5(nfc_normalize(raw))    AS nfc_md5,
+           md5(strip_accents(raw))    AS stripped_md5
+    FROM t
+    """,
+)
+def q177_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization — the first step of any web-scale
+    curation pipeline: NFC composition (é as one code point, not
+    e+U+0301) and accent stripping (NFD then drop Mn combining marks,
+    the documented equivalent of DuckDB's strip_accents). Spark has
+    no built-in Unicode normalizer, so this is the inventory's
+    deliberate Arrow-batched pandas UDF surface (unicodedata is
+    C-backed; the batch transfer dominates, not Python).
+
+    Scale: stateless per-row map — zero shuffle; at 100 TB it is
+    scan-bound. Oracle: DuckDB's utf8proc-backed nfc_normalize /
+    strip_accents agree with Python's unicodedata on NFC and on
+    NFD-minus-marks (pinned in tests for the planted char classes)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    @F.pandas_udf(T.StringType())
+    def _strip(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def f(x):
+            if x is None:
+                return None
+            return "".join(
+                c
+                for c in unicodedata.normalize("NFD", x)
+                if unicodedata.category(c) != "Mn"
+            )
+
+        return s.map(f)
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit(_UNORM_SUFFIX))
+    return d.select(
+        "doc_id",
+        F.length(_nfc(raw)).alias("nfc_len"),
+        F.md5(F.encode(_nfc(raw), "UTF-8")).alias("nfc_md5"),
+        F.md5(F.encode(_strip(raw), "UTF-8")).alias("stripped_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q178 — fixed-point PageRank over the event-type transition graph
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 5
+
+
+def _pr_oracle_sql() -> str:
+    """Unrolled fixed-point PageRank: the SAME Python loop emits both
+    this SQL and the Spark plan, so the iteration count and integer
+    arithmetic cannot drift apart."""
+    sql = f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    e AS (
+      SELECT event_type AS src, nxt AS dst, count(*) AS w
+      FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    outd AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, {_PR_SCALE} // n AS r FROM nodes, nn)
+    """
+    for k in range(1, _PR_ITERS + 1):
+        sql += f""",
+    c{k} AS (
+      SELECT e.dst AS node, sum((r{k-1}.r * e.w) // outd.ow) AS s
+      FROM r{k-1} JOIN e ON r{k-1}.node = e.src
+      JOIN outd ON outd.src = e.src
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT nodes.node,
+             (15 * ({_PR_SCALE} // nn.n)) // 100
+               + (85 * coalesce(c{k}.s, 0)) // 100 AS r
+      FROM nodes LEFT JOIN c{k} ON c{k}.node = nodes.node, nn
+    )
+    """
+    sql += f"""
+    SELECT node, r AS rank_fp,
+           CAST(floor(CAST(r AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+             AS rank
+    FROM r{_PR_ITERS}
+    """
+    return sql
+
+
+@register("q178_pagerank_transitions", _pr_oracle_sql())
+def q178_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d=0.85, 5 iterations) over the first-order
+    event-type transition graph (q82's edges), in FIXED-POINT integer
+    arithmetic: ranks live on a 1e-12 grid as BIGINTs and every
+    contribution is `(r*w) // out_weight` — floor division — so the
+    result is exact and engine-independent (float PageRank cannot be
+    hash-compared: summation order drifts the low bits, and 5
+    iterations amplify them).
+
+    Scale: this is the vertex-program shape — each iteration is ONE
+    shuffle keyed on dst plus a broadcast of the (small) rank vector;
+    the edge list is built once and reused. With millions of nodes the
+    same plan holds (ranks co-partition with edges on src); iteration
+    count is fixed, so the plan is a bounded chain, not a driver-side
+    convergence loop."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    e = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        # truncate lineage before iterating: the aggregated edge list
+        # (|event-type vocabulary|^2 rows) is materialized ONCE, so the
+        # 5-iteration chain references checkpointed blocks instead of
+        # re-deriving the events scan + window per iteration (without
+        # this the physical plan repeats the scan 2^k-ish times)
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    outd = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    nn = nodes.agg(F.count("*").alias("n"))
+    r = nodes.join(F.broadcast(nn)).select(
+        "node", F.expr(f"{_PR_SCALE} div n").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            r.join(e, F.col("node") == F.col("src"))
+            .join(outd, "src")
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg(F.sum(F.expr("(r * w) div ow")).alias("s"))
+        )
+        r = (
+            nodes.join(F.broadcast(nn))
+            .join(contrib, F.col("node") == F.col("cnode"), "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"(15 * ({_PR_SCALE} div n)) div 100")
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).alias("r"),
+            )
+        )
+    return r.select(
+        "node",
+        F.col("r").alias("rank_fp"),
+        (
+            F.floor(F.col("r").cast("double") / 1000000.0 + F.lit(0.5)).cast("bigint")
+            / 1000000.0
+        ).alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q179 — l-diversity audit (companion to q157 k-anonymity)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q179_l_diversity",
+    """
+    SELECT lang, source,
+           count(*) AS group_size,
+           count(DISTINCT n_chars // 100) AS l,
+           CASE WHEN count(DISTINCT n_chars // 100) < 3 THEN 1 ELSE 0 END
+             AS low_diversity
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q179_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the standard
+    companion to q157's k-anonymity: a quasi-identifier group (lang,
+    source) is vulnerable to homogeneity attack when its SENSITIVE
+    attribute (here the n_chars/100 length band) takes fewer than l=3
+    distinct values — group size alone (k-anonymity) does not protect
+    against everyone in the group sharing the sensitive value.
+
+    Scale: one groupBy with a distinct-count — Spark rewrites
+    count(DISTINCT) as a two-stage expand+agg with partial
+    aggregation; group count is QI-space bounded, not row bounded."""
+    d = _t(spark, sf_dir, "documents")
+    band = F.expr("n_chars div 100")
+    low = F.when(F.countDistinct(band) < 3, F.lit(1)).otherwise(F.lit(0))
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct(band).alias("l"),
+        low.alias("low_diversity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q180 — rolling + EWMA features over the event stream
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q180_rolling_features",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+      SELECT event_id, user_id, v,
+             sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS c7,
+             list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS a10
+      FROM s
+    )
+    SELECT event_id, user_id,
+           CAST(floor(CAST(s7 AS DOUBLE) / c7 + 0.5) AS BIGINT) / 10000.0
+             AS roll7_avg,
+           CAST(floor(
+             CAST(list_reduce(list_transform(a10, (x, i) -> x << (i - 1)),
+                              (a, b) -> a + b) AS DOUBLE)
+             / ((1 << len(a10)) - 1) + 0.5) AS BIGINT) / 10000.0
+             AS ewma
+    FROM w
+    """,
+)
+def q180_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window features per user over the event stream — the
+    feature-engineering primitives of an online-metrics pipeline:
+    7-row rolling average and an exponentially-weighted moving average
+    with alpha=1/2 over a 10-row lookback. EWMA weights are EXACT
+    powers of two (newest row weight 2^(m-1), denominator 2^m - 1),
+    so numerator and denominator are exact integers on the 1e-4 value
+    grid and the single final division is bit-identical cross-engine
+    — float EWMAs computed recursively cannot be hash-compared.
+
+    Scale: one shuffle+sort on user_id serves all three frames
+    (WindowExec shares the partitioning); frames are constant-width,
+    so state per row is O(10) regardless of stream length."""
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+    s = ev.select("event_id", "user_id", "ts", v.alias("v"))
+    w7 = (
+        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    )
+    w10 = (
+        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    )
+    a10 = F.collect_list("v").over(w10)
+    num = F.expr(
+        "aggregate(transform(a10, (x, i) -> shiftleft(x, i)),"
+        " 0L, (a, b) -> a + b)"
+    )
+    den = F.expr("shiftleft(1L, size(a10)) - 1")
+    base = s.select(
+        "event_id",
+        "user_id",
+        F.sum("v").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("c7"),
+        a10.alias("a10"),
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        (
+            F.floor(F.col("s7").cast("double") / F.col("c7") + F.lit(0.5)).cast(
+                "bigint"
+            )
+            / 10000.0
+        ).alias("roll7_avg"),
+        (
+            F.floor(num.cast("double") / den + F.lit(0.5)).cast("bigint") / 10000.0
+        ).alias("ewma"),
+    )
