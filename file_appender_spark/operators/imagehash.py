@@ -52,15 +52,19 @@ def _cells(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     which downstream treats as cell=0 / bit=0 consistently."""
     hx = F.hex(F.col(payload_col))
     n = F.length(F.col(payload_col))  # byte length for BinaryType
+    # one regex pass chunks the hex string into 2-char pairs BEFORE the
+    # explode — indexing the long hex string per byte (substr(hx, 2i+1))
+    # is O(len) per char under UTF-8 offsets, i.e. O(len^2) per payload
+    # (measured: ~9x the whole pipeline's cost at the 10x probe)
+    pairs = F.split(F.regexp_replace(hx, "(..)", "$1\x01"), "\x01")
     e = df.select(
         F.col(id_col),
-        hx.alias("hx"),
         n.alias("n"),
-        F.explode(F.sequence(F.lit(0), n - 1)).alias("i"),
-    )
+        F.posexplode(pairs).alias("i", "p"),
+    ).filter(F.col("p") != "")
     b = (
-        16 * (F.expr(f"instr('{_DIG}', substr(hx, CAST(2*i+1 AS INT), 1))") - 1)
-        + (F.expr(f"instr('{_DIG}', substr(hx, CAST(2*i+2 AS INT), 1))") - 1)
+        16 * (F.expr(f"instr('{_DIG}', substr(p, 1, 1))") - 1)
+        + (F.expr(f"instr('{_DIG}', substr(p, 2, 1))") - 1)
     )
     byt = e.select(
         id_col,

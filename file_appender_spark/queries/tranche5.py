@@ -773,3 +773,85 @@ def q180_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(num.cast("double") / den + F.lit(0.5)).cast("bigint") / 10000.0
         ).alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------------
+# q181 — BPE tokenization with a fixed merge table
+# --------------------------------------------------------------------------
+
+# Declared merge table (training order). Rules chain (t+a -> ta ->
+# tab -> ... -> table</w>) so the test exercises multi-level merges;
+# no rule starts with the end marker, so merges never cross words.
+_BPE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("table", "</w>"), ("r", "o"), ("ro", "w"), ("row", "</w>"),
+    ("s", "c"), ("sc", "a"), ("h", "a"), ("ha", "s"),
+]
+
+
+def _bpe_oracle_sql() -> str:
+    """Independent string-rewrite formulation of greedy BPE apply:
+    each token is encoded '§tok ' (leading marker + trailing space,
+    so adjacent matches share no characters), and each merge rule is
+    one plain left-to-right non-overlapping replace() pass — which is
+    exactly the fold semantics of operators/bpe._apply_merge (the
+    replacement text is never rescanned within a pass, so a fresh
+    merge cannot chain with itself, and rule order = training order
+    across passes)."""
+    build = (
+        "list_aggregate(list_transform(ws, w -> "
+        "array_to_string(list_transform(range(1, length(w) + 1), "
+        "i -> '§' || w[i] || ' '), '') || '§</w> '), 'string_agg', '')"
+    )
+    sql = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    s0 AS (
+      SELECT doc_id, {build} AS s FROM t WHERE len(ws) >= 1
+    )"""
+    prev = "s0"
+    for k, (a, b) in enumerate(_BPE_MERGES, start=1):
+        sql += f""",
+    s{k} AS (SELECT doc_id, replace(s, '§{a} §{b} ', '§{a}{b} ') AS s FROM {prev})"""
+        prev = f"s{k}"
+    sql += f"""
+    SELECT doc_id,
+           len(string_split(trim(replace(s, '§', '')), ' ')) AS n_tokens,
+           md5(trim(replace(s, '§', ''))) AS tokens_md5
+    FROM {prev}
+    """
+    return sql
+
+
+@register("q181_bpe_tokenize", _bpe_oracle_sql())
+def q181_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization with a declared BPE merge table — the
+    apply half of the tokenizer stack (q152 trains the merges; this
+    segments the corpus with them and reports per-doc subword counts,
+    the number that actually prices a training run). Spark side is
+    operators/bpe.bpe_segment — the greedy left-to-right fold applied
+    per merge in training order, as nested array HOFs entirely inside
+    codegen. The oracle is an INDEPENDENT formulation (delimiter-safe
+    string rewrite, one replace() pass per rule) — two different
+    encodings of the same greedy semantics must agree exactly.
+
+    Scale: zero shuffle — per-row HOF chain, |merges| passes over
+    each word's symbol array; 100 TB tokenization is scan-bound and
+    embarrassingly parallel (the merge table broadcasts as literals
+    in the plan)."""
+    from file_appender_spark.operators.bpe import bpe_segment
+
+    d = _t(spark, sf_dir, "documents")
+    toks = bpe_segment(F.col("text"), _BPE_MERGES)
+    base = d.filter(
+        F.size(F.filter(F.split("text", _WS), lambda w: w != "")) >= 1
+    ).select("doc_id", toks.alias("toks"))
+    joined = F.array_join("toks", " ")
+    return base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.md5(F.encode(joined, "UTF-8")).alias("tokens_md5"),
+    )

@@ -136,6 +136,41 @@ def srp_probe(spark, n: int) -> dict:
     }
 
 
+def ahash_probe(spark, n: int) -> dict:
+    """Banded aHash near-dup over diverse binary payloads (zipf_docs
+    text re-encoded) with the planted exact copies as ground truth.
+    16-bit bands saturate around 2^16 docs (random band collisions
+    ~ n^2/2^16 per band) — the probe RECORDS candidate volume so the
+    banding-policy analogy to srp_params_for (band bits ~ log n) is
+    measured, not asserted."""
+    from file_appender_spark.operators.imagehash import ahash_neardup
+
+    docs = (
+        zipf_docs(spark, n)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        .persist()
+    )
+    n_in = docs.count()
+    t0 = time.time()
+    pairs = ahash_neardup(docs, "doc_id", "payload", max_hamming=3)
+    found = pairs.filter(
+        (F.col("d2") >= PLANT_OFFSET) & (F.col("d1") == F.col("d2") - PLANT_OFFSET)
+    ).count()
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    docs.unpersist()
+    planted = n // 20
+    return {
+        "n_docs": n_in,
+        "wall_sec": round(wall, 2),
+        "pairs": n_pairs,
+        "planted": planted,
+        "planted_found": found,
+        "recall": round(found / planted, 4),
+        "docs_per_sec": int(n_in / wall),
+    }
+
+
 def main():
     spark = get_spark(app_name="probe_100x")
     spark.range(1).count()
@@ -159,6 +194,17 @@ def main():
     print(f"# srp_neardup: {s_small['wall_sec']}s -> {s_big['wall_sec']}s "
           f"(x{out['srp_neardup_policy']['wall_ratio_100x']}), recall "
           f"{s_small['recall']} / {s_big['recall']}", file=sys.stderr)
+    a_small = ahash_probe(spark, 5_000)
+    a_big = ahash_probe(spark, 500_000)
+    out["ahash_neardup"] = {
+        "sf01_equiv": a_small,
+        "x100": a_big,
+        "wall_ratio_100x": round(a_big["wall_sec"] / max(a_small["wall_sec"], 1e-9), 2),
+    }
+    print(f"# ahash_neardup: {a_small['wall_sec']}s -> {a_big['wall_sec']}s "
+          f"(x{out['ahash_neardup']['wall_ratio_100x']}), recall "
+          f"{a_small['recall']} / {a_big['recall']}, pairs "
+          f"{a_small['pairs']} -> {a_big['pairs']}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -143,6 +143,31 @@ PROBES = [
     # simply empties the postings (every df ~ n_docs > cap), so the
     # replica row only pins the plan's fixed cost.
     "q163_wjaccard_capped",
+    # round 5: composition queries, TPC-H shapes, multimodal hash,
+    # UDF normalize, fixed-point PageRank, rolling features.
+    # q164 composes the q52 band join + CC (expect the q144-class
+    # replica artifact: exact-copy clones grow clusters superlinearly);
+    # q176's exact-copy replica fans every band bucket 10-wide, so its
+    # candidate set grows ~45x per duplicate group BY CONSTRUCTION
+    # (pair semantics; production composes exact dedup first / the
+    # band_bucket_cap) — the row pins that documented behavior.
+    "q164_cluster_representatives",
+    "q165_readability",
+    "q166_exact_stratified_split",
+    "q167_source_diversity",
+    "q168_returned_item_revenue",
+    "q169_promo_revenue_share",
+    "q170_top_supplier",
+    "q171_small_quantity_revenue",
+    "q172_large_volume_orders",
+    "q173_disjunctive_revenue",
+    "q174_idle_rich_customers",
+    "q175_image_ahash",
+    "q176_image_neardup",
+    "q177_unicode_normalize",
+    "q178_pagerank_transitions",
+    "q179_l_diversity",
+    "q180_rolling_features",
 ]
 
 
