@@ -10,9 +10,15 @@ as popularized by the pHash/imagehash libraries):
    i ≡ c (mod 64). The real-decode seam (`Pillow` resize to 8x8
    grayscale) lives in operators/multimodal.py behind an import-try;
    feed its cells into `ahash_from_cells` to reuse the banding below.
-2. aHash bit c = 1 iff cell c is above the mean — computed as the
-   integer-exact inequality `64*cell > total`, so the hash is
-   bit-identical on every engine (no float mean).
+2. aHash bit c = 1 iff cell c's MEAN byte value is above the global
+   mean byte value — computed as the integer cross-multiplied
+   inequality `cell*n_bytes > total*k` (k = bytes contributing to the
+   cell), so the hash is bit-identical on every engine (no float
+   mean). Comparing cell SUMS instead is a trap: strides covered by
+   ceil(len/64) bytes always beat floor(len/64) strides, so the hash
+   becomes length-dominated and similar-length corpora collapse into
+   a handful of band buckets (measured: 552M candidate pairs over
+   525k docs before this fix; ~7M after).
 3. The 64 bits pack into four 16-bit bands. Near-dup candidates are
    pairs agreeing exactly on ≥1 band (multi-index Hamming LSH: any
    pair with Hamming distance ≤ 3 agrees on some band by pigeonhole);
@@ -44,12 +50,15 @@ from pyspark.sql import functions as F
 _DIG = "0123456789ABCDEF"
 
 
-def _cells(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """(id, c, cell, n_bytes): 64 strided byte-sum cells per payload.
+def _cells(
+    df: DataFrame, id_col: str, payload_col: str, grid: int = 64
+) -> DataFrame:
+    """(id, c, cell, k, n_bytes): `grid` strided byte cells per
+    payload (value sum + contributing-byte count per stride).
 
     Bytes are extracted JVM-side via hex() + instr() (no UDF); cells
-    for strides with no bytes (payloads under 64 bytes) are absent,
-    which downstream treats as cell=0 / bit=0 consistently."""
+    for strides with no bytes (payloads shorter than the grid) are
+    absent, which downstream treats as bit=0 consistently."""
     hx = F.hex(F.col(payload_col))
     n = F.length(F.col(payload_col))  # byte length for BinaryType
     # one regex pass chunks the hex string into 2-char pairs BEFORE the
@@ -69,48 +78,109 @@ def _cells(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     byt = e.select(
         id_col,
         "n",
-        (F.col("i") % 64).cast("int").alias("c"),
+        (F.col("i") % grid).cast("int").alias("c"),
         b.cast("bigint").alias("b"),
     )
     return byt.groupBy(id_col, "c").agg(
-        F.max("n").alias("n_bytes"), F.sum("b").alias("cell")
+        F.max("n").alias("n_bytes"),
+        F.sum("b").alias("cell"),
+        F.count("*").cast("bigint").alias("k"),
     )
 
 
-def _wide_from_cells(cells: DataFrame, id_col: str) -> DataFrame:
-    """cells (id, c, cell, n_bytes) -> one row per id with the four
-    packed bands, via array HOFs in a single projection (no window)."""
+def _wide_from_cells(
+    cells: DataFrame, id_col: str, grid: int = 64
+) -> DataFrame:
+    """cells (id, c, cell, k, n_bytes) -> one row per id with four
+    packed (grid/4)-bit bands, via array HOFs in a single projection
+    (no window). The bit threshold is the mean comparison
+    cell/k > tot/n cross-multiplied into exact integers (see module
+    docstring)."""
+    if grid % 4 != 0 or grid // 4 > 64:
+        raise ValueError(f"grid must be a multiple of 4, <= 256: {grid}")
+    w = grid // 4  # band width in bits (<= 64: packs into one BIGINT)
     g = cells.groupBy(id_col).agg(
         F.max("n_bytes").alias("n_bytes"),
-        F.collect_list(F.struct("c", "cell")).alias("a"),
+        F.collect_list(F.struct("c", "cell", "k")).alias("a"),
     )
     tot = F.expr("aggregate(a, 0L, (acc, s) -> acc + s.cell)")
     withtot = g.select(id_col, "n_bytes", "a", tot.alias("tot"))
-    bit = "IF(64 * s.cell > tot, 1L, 0L)"
+    bit = "IF(s.cell * n_bytes > tot * s.k, 1L, 0L)"
     pop = F.expr(f"aggregate(a, 0L, (acc, s) -> acc + {bit})")
     bands = [
         F.expr(
-            f"aggregate(a, 0L, (acc, s) -> acc + IF(CAST(floor(s.c / 16) AS INT) = {k},"
-            f" shiftleft({bit}, s.c % 16), 0L))"
+            f"aggregate(a, 0L, (acc, s) -> acc + IF(CAST(floor(s.c / {w}) AS INT) = {k},"
+            f" shiftleft({bit}, s.c % {w}), 0L))"
         ).alias(f"b{k}")
         for k in range(4)
     ]
     return withtot.select(id_col, "n_bytes", pop.alias("popcount"), *bands)
 
 
-def ahash_wide(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+def ahash_wide(
+    df: DataFrame, id_col: str, payload_col: str, grid: int = 64
+) -> DataFrame:
     """(id, n_bytes, popcount, b0, b1, b2, b3): one row per payload —
-    the q175 feature frame. Exactly two exchanges end-to-end."""
-    return _wide_from_cells(_cells(df, id_col, payload_col), id_col)
+    the q175 feature frame (grid=64 is the classic 64-bit aHash; see
+    ahash_params_for when the corpus outgrows 16-bit bands). Exactly
+    two exchanges end-to-end."""
+    return _wide_from_cells(_cells(df, id_col, payload_col, grid), id_col, grid)
+
+
+def ahash_params_for(n_items: int, margin_bits: int = 8) -> int:
+    """Banding policy — the multi-index-Hamming analog of
+    srp_params_for's "bits ~ log n": 4 bands must each carry at least
+    log2(n) + margin bits, or random band collisions alone produce
+    ~n^2/2^band_bits candidate pairs (measured: 4x16-bit bands over
+    525k docs -> 6k-member buckets -> 6.5e8 candidate pairs).
+    Returns the grid size (= 4 x band bits, one of 64/128/256); the
+    Hamming<=3 pigeonhole guarantee holds at every size."""
+    import math
+
+    need = math.log2(max(n_items, 2)) + margin_bits
+    for grid in (64, 128, 256):
+        if grid // 4 >= need:
+            return grid
+    return 256
 
 
 def ahash_from_cells(cells: DataFrame, id_col: str) -> DataFrame:
     """Banding for an externally-decoded grid: input (id, c, cell
-    [, n_bytes]) — e.g. real Pillow 8x8 luminance cells from
-    operators/multimodal.py — output matches `ahash_bands`."""
+    [, k][, n_bytes]) — e.g. real Pillow 8x8 luminance cells from
+    operators/multimodal.py. A decoded grid has one value per cell,
+    so k defaults to 1 and n to the cell count — which reduces the
+    mean inequality to the classic `n*cell > total`."""
+    if "k" not in cells.columns:
+        cells = cells.withColumn("k", F.lit(1).cast("bigint"))
     if "n_bytes" not in cells.columns:
-        cells = cells.withColumn("n_bytes", F.lit(None).cast("bigint"))
+        from pyspark.sql.window import Window as W
+
+        cells = cells.withColumn(
+            "n_bytes", F.sum("k").over(W.partitionBy(id_col))
+        )
     return _bands_from_wide(_wide_from_cells(cells, id_col), id_col)
+
+
+def ahash_neardup_sized(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_items: int,
+    max_hamming: int = 8,
+    band_bucket_cap: int | None = None,
+) -> DataFrame:
+    """ahash_neardup with the corpus-scaled banding policy applied
+    (grid = ahash_params_for(n_items)) — the production entry point
+    for corpora past ~2k items. Note max_hamming is measured on the
+    policy-sized hash (grid bits, not 64)."""
+    return ahash_neardup(
+        df,
+        id_col,
+        payload_col,
+        max_hamming=max_hamming,
+        band_bucket_cap=band_bucket_cap,
+        grid=ahash_params_for(n_items),
+    )
 
 
 def _bands_from_wide(wide: DataFrame, id_col: str) -> DataFrame:
@@ -134,7 +204,8 @@ def ahash_bands(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """(id, n_bytes, bi, bv, pop): four 16-bit aHash bands per payload.
 
     bi = band index 0..3, bv = the band's packed bits, pop = set bits
-    in the band. The threshold is the exact integer `64*cell > total`."""
+    in the band. The threshold is the exact cross-multiplied mean
+    inequality `cell*n_bytes > total*k`."""
     return _bands_from_wide(ahash_wide(df, id_col, payload_col), id_col)
 
 
@@ -144,9 +215,12 @@ def ahash_neardup(
     payload_col: str,
     max_hamming: int = 8,
     band_bucket_cap: int | None = None,
+    grid: int = 64,
 ) -> DataFrame:
     """(d1, d2, hamming): banded-candidate + exact-verify near-dup
-    pairs with Hamming distance ≤ `max_hamming` over the 64-bit aHash.
+    pairs with Hamming distance ≤ `max_hamming` over the grid-bit
+    aHash (default 64 = the classic hash; see ahash_params_for /
+    ahash_neardup_sized for the corpus-scaled banding policy).
 
     Recall contract: any pair with distance ≤ 3 shares a band
     (pigeonhole over 4 bands); beyond that, banding is the standard
@@ -154,7 +228,12 @@ def ahash_neardup(
     buckets with more members than the cap — the skew guard for
     corpora full of exact duplicates (compose with exact dedup first
     to keep recall exact)."""
-    wide = ahash_wide(df, id_col, payload_col)
+    # the wide frame is referenced three times below (band stack +
+    # both verify sides); materialize it ONCE — re-deriving the whole
+    # byte-explode feature pipeline per reference tripled wall and
+    # thrashed the heap at the 500k-doc 100x probe (x36.9 before,
+    # see SCALING.md). 7 ints per doc, bounded.
+    wide = ahash_wide(df, id_col, payload_col, grid).localCheckpoint(eager=True)
     bands = _bands_from_wide(wide, id_col).select(
         F.col(id_col).alias("bid"), "bi", "bv"
     )

@@ -482,3 +482,87 @@ def textdup_ingest_batch(
     admitted_ids = admitted.select(id_col)
     sigs.join(admitted_ids, id_col).write.mode("append").parquet(store_dir)
     return admitted
+
+
+# --------------------------------------------------------------------------
+# Image twin: incremental aHash near-dup ingest for binary payloads
+# --------------------------------------------------------------------------
+
+
+def imagedup_ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Incremental IMAGE near-dup ingest — the third modality on the
+    shared store protocol: aHash 16-bit bands (operators/imagehash,
+    the q175/q176 pipeline) as the signatures, EXACT xor-popcount
+    Hamming distance as the verifier. The store holds one fixed-size
+    row per admitted payload (id + four band ints) — O(items),
+    independent of payload size, and history is only ever touched
+    through the band equi-join.
+
+    Zero-length payloads (no cells, no hash) are admitted
+    unconditionally and not stored — the same contract as documents
+    too short to shingle. Retry semantics are at-least-once exactly
+    as the other modalities: own-id matches are excluded."""
+    from file_appender_spark.operators.imagehash import ahash_wide
+
+    n_bands = 4
+    _recover_store(store_dir)
+    _check_store_params(
+        store_dir, {"modality": "ahash", "grid": 64, "band_bits": 16}
+    )
+    sigs = (
+        ahash_wide(_spread(batch), id_col, payload_col)
+        .select(id_col, "b0", "b1", "b2", "b3")
+        .localCheckpoint(eager=True)
+    )
+    bands = _bands_long(sigs, n_bands, id_col)
+
+    hamming = sum(
+        F.bit_count(F.col(f"nb{k}").bitwiseXOR(F.col(f"ob{k}"))) for k in range(4)
+    )
+
+    cand_pairs = []
+    store_exists = os.path.exists(store_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(store_dir)
+    )
+    old_cols = lambda src: src.select(  # noqa: E731
+        F.col(id_col).alias("old_id"),
+        *[F.col(f"b{k}").alias(f"ob{k}") for k in range(4)],
+    )
+    if store_exists:
+        hist = spark.read.parquet(store_dir)
+        cand_pairs.append(
+            _band_pairs(
+                bands, _bands_long(hist, n_bands, id_col), id_col, within_batch=False
+            ).join(old_cols(hist).dropDuplicates(["old_id"]), "old_id")
+        )
+    cand_pairs.append(
+        _band_pairs(bands, bands, id_col, within_batch=True).join(
+            old_cols(sigs), "old_id"
+        )
+    )
+    cands = cand_pairs[0]
+    for extra in cand_pairs[1:]:
+        cands = cands.unionByName(extra)
+
+    dup_ids = (
+        cands.join(
+            sigs.select(
+                F.col(id_col).alias("new_id"),
+                *[F.col(f"b{k}").alias(f"nb{k}") for k in range(4)],
+            ),
+            "new_id",
+        )
+        .filter(hamming <= max_hamming)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
+    sigs.join(admitted.select(id_col), id_col).write.mode("append").parquet(store_dir)
+    return admitted

@@ -354,12 +354,17 @@ _AHASH_CTES = """
       FROM e
     ),
     cells AS (
-      SELECT doc_id, max(n) AS n_bytes, c, sum(b) AS cell
+      SELECT doc_id, max(n) AS n_bytes, c, sum(b) AS cell,
+             count(*) AS k
       FROM byt GROUP BY doc_id, c
     ),
     bits AS (
+      -- mean comparison cell/k > total/n cross-multiplied to exact
+      -- integers (cell sums alone are length-dominated: ceil(len/64)
+      -- strides always beat floor(len/64) ones)
       SELECT doc_id, n_bytes, c,
-             CASE WHEN 64 * cell > sum(cell) OVER (PARTITION BY doc_id)
+             CASE WHEN cell * n_bytes >
+                       (sum(cell) OVER (PARTITION BY doc_id)) * k
                   THEN 1 ELSE 0 END AS bit
       FROM cells
     ),
@@ -444,7 +449,11 @@ def q176_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the candidate join is equality on (band_index, band_value)
     — bucketed, never all-pairs; exact-duplicate payloads share all
     bands, so run q50's exact dedup FIRST in production (the operator
-    docstring pins that composition and a bucket cap)."""
+    docstring pins that composition and a bucket cap). This oracle row
+    is the classic 64-bit hash; past ~2k items the production entry
+    point is ahash_neardup_sized (ahash_params_for: band bits ~ log n
+    — measured x5.6 at 100x with recall 1.0, SCALE100_PROBE_r5), the
+    same policy-swap pattern as q52 -> srp_params_for."""
     from file_appender_spark.operators.imagehash import ahash_neardup
 
     d = _t(spark, sf_dir, "documents")

@@ -136,23 +136,40 @@ def srp_probe(spark, n: int) -> dict:
     }
 
 
-def ahash_probe(spark, n: int) -> dict:
-    """Banded aHash near-dup over diverse binary payloads (zipf_docs
-    text re-encoded) with the planted exact copies as ground truth.
-    16-bit bands saturate around 2^16 docs (random band collisions
-    ~ n^2/2^16 per band) — the probe RECORDS candidate volume so the
-    banding-policy analogy to srp_params_for (band bits ~ log n) is
-    measured, not asserted."""
-    from file_appender_spark.operators.imagehash import ahash_neardup
-
-    docs = (
-        zipf_docs(spark, n)
-        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-        .persist()
+def synth_payloads(spark, n: int):
+    """n 512-byte high-entropy payloads (md5-chain bytes — the
+    realistic regime: payload >> grid, unlike document text whose
+    ~110 structured bytes give the hash almost no entropy) + every
+    20th an exact copy."""
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.unhex(
+            F.expr(
+                "array_join(transform(sequence(1, 32), "
+                "j -> md5(concat(cast(id AS string), '-', cast(j AS string)))), '')"
+            )
+        ).alias("payload"),
     )
+    copies = base.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "payload"
+    )
+    return base.unionByName(copies)
+
+
+def ahash_probe(spark, n: int) -> dict:
+    """Banded aHash near-dup with the corpus-scaled banding policy
+    (ahash_params_for: band bits ~ log n — 4x16-bit bands saturate
+    past ~65k items exactly like un-scaled SRP banding would)."""
+    from file_appender_spark.operators.imagehash import (
+        ahash_params_for,
+        ahash_neardup_sized,
+    )
+
+    docs = synth_payloads(spark, n).persist()
     n_in = docs.count()
+    grid = ahash_params_for(n_in)
     t0 = time.time()
-    pairs = ahash_neardup(docs, "doc_id", "payload", max_hamming=3)
+    pairs = ahash_neardup_sized(docs, "doc_id", "payload", n_items=n_in, max_hamming=3)
     found = pairs.filter(
         (F.col("d2") >= PLANT_OFFSET) & (F.col("d1") == F.col("d2") - PLANT_OFFSET)
     ).count()
@@ -162,6 +179,7 @@ def ahash_probe(spark, n: int) -> dict:
     planted = n // 20
     return {
         "n_docs": n_in,
+        "grid_bits": grid,
         "wall_sec": round(wall, 2),
         "pairs": n_pairs,
         "planted": planted,

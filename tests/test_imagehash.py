@@ -14,13 +14,18 @@ from file_appender_spark.operators.imagehash import (
 
 
 def _ref_ahash(payload: bytes):
-    """Pure-Python reference of the exact published pipeline: strided
-    byte-sum cells, integer mean threshold, 4 x 16-bit bands."""
+    """Pure-Python reference of the exact declared pipeline: strided
+    byte cells, cross-multiplied MEAN threshold (cell/k > total/n as
+    cell*n > total*k), 4 x 16-bit bands."""
     cells = [0] * 64
+    ks = [0] * 64
     for i, b in enumerate(payload):
         cells[i % 64] += b
-    total = sum(cells)
-    bits = [1 if 64 * c > total else 0 for c in cells]
+        ks[i % 64] += 1
+    total, n = sum(cells), len(payload)
+    bits = [
+        1 if cells[c] * n > total * ks[c] else 0 for c in range(64)
+    ]
     bands = [
         sum(bits[16 * k + j] << j for j in range(16)) for k in range(4)
     ]
@@ -117,3 +122,43 @@ def test_ahash_from_cells_matches_payload_path(spark):
     bands, pop = _ref_ahash(p)
     assert [via_cells[k][0] for k in range(4)] == bands
     assert sum(via_cells[k][1] for k in range(4)) == pop
+
+
+def test_imagedup_ingest_across_batches(spark, tmp_path):
+    """aHash image ingest on the shared store protocol: exact-copy
+    payload of an earlier batch suppressed, fresh payload admitted,
+    empty payload passes through unstored, retry re-emits."""
+    from file_appender_spark.operators.neardup_ingest import imagedup_ingest_batch
+
+    store = str(tmp_path / "imgstore")
+    p1 = b"first image-ish payload with plenty of bytes " * 4
+    p2 = bytes(range(256))
+    b1 = _payload_df(spark, [(1, p1), (2, p2)])
+    a1 = imagedup_ingest_batch(spark, b1, store, id_col="id")
+    assert a1.count() == 2
+
+    p3 = b"a genuinely different payload about something else " * 3
+    b2 = spark.createDataFrame(
+        [(11, bytearray(p1)), (12, bytearray(b"")), (13, bytearray(p3))],
+        "id long, payload binary",
+    )
+    a2 = imagedup_ingest_batch(spark, b2, store, id_col="id")
+    got = sorted(r["id"] for r in a2.collect())
+    assert got == [12, 13]  # exact copy suppressed; empty + fresh admitted
+
+    a2_retry = imagedup_ingest_batch(spark, b2, store, id_col="id")
+    assert sorted(r["id"] for r in a2_retry.collect()) == [12, 13]
+
+    # the empty payload must NOT be in the store (no signature row)
+    stored = spark.read.parquet(store)
+    assert stored.filter(stored["id"] == 12).count() == 0
+
+
+def test_imagedup_within_batch_min_id_wins(spark, tmp_path):
+    from file_appender_spark.operators.neardup_ingest import imagedup_ingest_batch
+
+    store = str(tmp_path / "imgstore2")
+    dup = b"identical bytes across three ids in one batch " * 3
+    b = _payload_df(spark, [(5, dup), (3, dup), (9, dup)])
+    a = imagedup_ingest_batch(spark, b, store, id_col="id")
+    assert sorted(r["id"] for r in a.collect()) == [3]
