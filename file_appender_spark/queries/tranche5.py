@@ -579,7 +579,7 @@ def _pr_oracle_sql() -> str:
     )
     """
     sql += f"""
-    SELECT node, r AS rank_fp,
+    SELECT node, CAST(r AS BIGINT) AS rank_fp,
            CAST(floor(CAST(r AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) / 1000000.0
              AS rank
     FROM r{_PR_ITERS}
@@ -863,4 +863,178 @@ def q181_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").cast("bigint").alias("n_tokens"),
         F.md5(F.encode(joined, "UTF-8")).alias("tokens_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q182 — record linkage (Fellegi-Sunter, blocked, integer weights)
+# --------------------------------------------------------------------------
+
+# Declared agreement weights (scaled integer log-likelihood ratios —
+# the Fellegi-Sunter 1969 decision model) and match threshold.
+_RL_W = {
+    "name_agree": 40, "name_disagree": -10,
+    "bal_agree": 25, "bal_disagree": -15,
+    "nation_agree": 5, "nation_disagree": -5,
+}
+_RL_THRESHOLD = 40
+
+
+@register(
+    "q182_record_linkage",
+    f"""
+    WITH a AS (
+      SELECT c_custkey AS a_key, c_name AS nm,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+             c_nationkey AS nat
+      FROM customer
+    ),
+    b AS (
+      -- the "dirty file": a third of customers re-keyed with the last
+      -- name char dropped and balance nudged one cent, so every b row
+      -- has exactly one true counterpart
+      SELECT c_custkey + 1000000 AS b_key,
+             substr(c_name, 1, length(c_name) - 1) AS nm,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 1 AS bal,
+             c_nationkey AS nat
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    ab AS (SELECT a_key, unnest([bal // 1000, (bal + 500) // 1000]) AS blk FROM a),
+    bb AS (SELECT b_key, unnest([bal // 1000, (bal + 500) // 1000]) AS blk FROM b),
+    cand AS (SELECT DISTINCT a_key, b_key FROM ab JOIN bb USING (blk)),
+    scored AS (
+      SELECT a_key, b_key,
+             CASE WHEN starts_with(a.nm, b.nm)
+                  THEN {_RL_W["name_agree"]} ELSE {_RL_W["name_disagree"]} END
+           + CASE WHEN abs(a.bal - b.bal) <= 2
+                  THEN {_RL_W["bal_agree"]} ELSE {_RL_W["bal_disagree"]} END
+           + CASE WHEN a.nat = b.nat
+                  THEN {_RL_W["nation_agree"]} ELSE {_RL_W["nation_disagree"]} END
+             AS score
+      FROM cand JOIN a USING (a_key) JOIN b USING (b_key)
+    )
+    SELECT a_key, b_key, score,
+           CASE WHEN score >= {_RL_THRESHOLD} THEN 1 ELSE 0 END AS is_match
+    FROM scored
+    """,
+)
+def q182_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution in the Fellegi-Sunter (JASA
+    1969) decision model: candidate pairs from OVERLAPPING blocking
+    keys (two shifted 10-dollar balance buckets — any pair within 5
+    dollars shares at least one key, so the planted one-cent
+    perturbation is co-blocked with certainty), a per-field agreement
+    vector (truncated-name prefix containment, balance within 2
+    cents, nation), and a summed integer log-likelihood-ratio weight
+    against a declared match threshold. The dirty file is derived
+    in-query (drop last name char, nudge balance a cent, re-key), so
+    ground truth is planted and the oracle mirrors the whole
+    pipeline exactly.
+
+    Scale: candidates come from block-key equi-joins — pair work is
+    bounded by block sizes, the standard ER blocking tradeoff (a
+    same-name record outside the balance window is never scored, by
+    declaration); the two-key union is the overlapping-windows
+    variant of sorted-neighborhood blocking. Integer weights keep
+    the classify decision hash-exact."""
+    c = _t(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    a = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_nm"),
+        bal.alias("a_bal"),
+        F.col("c_nationkey").alias("a_nat"),
+    )
+    b = c.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("b_key"),
+        F.expr("substr(c_name, 1, length(c_name) - 1)").alias("b_nm"),
+        (bal + 1).alias("b_bal"),
+        F.col("c_nationkey").alias("b_nat"),
+    )
+
+    def blocks(df, key, balcol):
+        return df.select(
+            key,
+            F.explode(
+                F.array(
+                    F.expr(f"{balcol} div 1000"), F.expr(f"({balcol} + 500) div 1000")
+                )
+            ).alias("blk"),
+        )
+
+    cand = (
+        blocks(a, "a_key", "a_bal")
+        .join(blocks(b, "b_key", "b_bal"), "blk")
+        .select("a_key", "b_key")
+        .distinct()
+    )
+    w = _RL_W
+    score = (
+        F.when(F.expr("startswith(a_nm, b_nm)"), F.lit(w["name_agree"])).otherwise(
+            F.lit(w["name_disagree"])
+        )
+        + F.when(
+            F.abs(F.col("a_bal") - F.col("b_bal")) <= 2, F.lit(w["bal_agree"])
+        ).otherwise(F.lit(w["bal_disagree"]))
+        + F.when(F.col("a_nat") == F.col("b_nat"), F.lit(w["nation_agree"])).otherwise(
+            F.lit(w["nation_disagree"])
+        )
+    )
+    scored = cand.join(a, "a_key").join(b, "b_key").select(
+        "a_key", "b_key", score.alias("score")
+    )
+    return scored.select(
+        "a_key",
+        "b_key",
+        "score",
+        F.when(F.col("score") >= _RL_THRESHOLD, F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_match"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q183 — triangle count over the near-dup pair graph
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q183_neardup_triangles",
+    f"""
+    WITH {_Q52_CTES},
+    e AS (SELECT d1, d2 FROM ({_Q52_FINAL})),
+    tri AS (
+      SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
+      FROM e ab
+      JOIN e bc ON bc.d1 = ab.d2
+      JOIN e ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2
+    )
+    SELECT count(*) AS n_triangles,
+           count(DISTINCT a) AS n_apex_docs
+    FROM tri
+    """,
+)
+def q183_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the q52 near-dup pair graph — the standard
+    graph-density health check on a dedup candidate graph (a clique-
+    heavy graph means boilerplate families; triangle count is the
+    cheapest clique signal). Edges are oriented d1<d2 (q52's
+    contract), so each triangle a<b<c is counted exactly once by the
+    two-path + closing-edge join.
+
+    Scale: the canonical two-join triangle enumeration — both joins
+    are equi-joins on vertex keys, so the plan is two shuffles on the
+    edge list, with AQE free to broadcast when the pair graph is
+    small; no step is quadratic in vertices (only in per-vertex
+    degree, the standard triangle-count bound)."""
+    e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    ab = e.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    bc = e.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    ac = e.select(F.col("d1").alias("a2"), F.col("d2").alias("c2"))
+    tri = ab.join(bc, "b").join(
+        ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2"))
+    )
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.countDistinct("a").alias("n_apex_docs"),
     )

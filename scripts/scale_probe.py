@@ -168,6 +168,9 @@ PROBES = [
     "q178_pagerank_transitions",
     "q179_l_diversity",
     "q180_rolling_features",
+    "q181_bpe_tokenize",
+    "q182_record_linkage",
+    "q183_neardup_triangles",
 ]
 
 

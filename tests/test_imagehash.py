@@ -162,3 +162,37 @@ def test_imagedup_within_batch_min_id_wins(spark, tmp_path):
     b = _payload_df(spark, [(5, dup), (3, dup), (9, dup)])
     a = imagedup_ingest_batch(spark, b, store, id_col="id")
     assert sorted(r["id"] for r in a.collect()) == [3]
+
+
+def test_ahash_params_policy_monotone():
+    from file_appender_spark.operators.imagehash import ahash_params_for
+
+    assert ahash_params_for(200) == 64  # band 16 >= log2(200)+8
+    assert ahash_params_for(100_000) == 128
+    assert ahash_params_for(10_000_000) == 128
+    assert ahash_params_for(10**14) == 256  # 100 TB-of-images territory
+    # monotone nondecreasing in n
+    grids = [ahash_params_for(n) for n in (10, 1_000, 10**5, 10**8, 10**14)]
+    assert grids == sorted(grids)
+
+
+def test_ahash_sized_finds_planted_pair_at_wider_grid(spark):
+    from file_appender_spark.operators.imagehash import (
+        ahash_neardup_sized,
+        ahash_params_for,
+    )
+
+    # force the 128-cell grid by declaring a large corpus size
+    n_items = 100_000
+    assert ahash_params_for(n_items) == 128
+    base = bytes((i * 37 + 11) % 256 for i in range(600))
+    other = bytes((i * 101 + 5) % 256 for i in range(600))
+    df = _payload_df(spark, [(1, base), (2, base), (3, other)])
+    pairs = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in ahash_neardup_sized(
+            df, "id", "payload", n_items=n_items, max_hamming=3
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # exact copy at hamming 0 on the 128-bit hash
+    assert (1, 3) not in pairs and (2, 3) not in pairs
