@@ -334,6 +334,41 @@ def main() -> None:
     except Exception as exc:
         print(f"# ingest extra skipped: {exc}", file=sys.stderr)
 
+    # image-modality ingest throughput: payloads/sec through one
+    # micro-batch against a pre-populated aHash signature store
+    try:
+        import shutil
+        import tempfile
+
+        from file_appender_spark.operators.neardup_ingest import (
+            imagedup_ingest_batch,
+        )
+
+        pay = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        half = pay.filter(F.col("doc_id") % 2 == 0)
+        rest = pay.filter(F.col("doc_id") % 2 == 1)
+        n_batch = rest.count()
+        td = tempfile.mkdtemp()
+        try:
+            store = os.path.join(td, "imgstore")
+            imagedup_ingest_batch(spark, half, store)  # populate
+            t0 = time.perf_counter()
+            admitted = imagedup_ingest_batch(spark, rest, store)
+            n_admitted = admitted.count()
+            dt = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+        extras["imagedup_ingest_docs_per_sec"] = int(n_batch / dt)
+        print(
+            f"# imagedup ingest: {extras['imagedup_ingest_docs_per_sec']} payloads/s "
+            f"({n_admitted} admitted of {n_batch})",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# image ingest extra skipped: {exc}", file=sys.stderr)
+
     # sink throughput extras: the reference's core capability — write
     # lineitem as delimited text via (a) the compat append protocol
     # (A1-A15: election, append-into-files, rotation) and (b) the

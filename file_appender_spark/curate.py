@@ -89,10 +89,27 @@ def curate(
     min_alpha_ratio: float = 0.45,
     pii_mode: str = "digits",
     quality_mode: str = "alpha",
+    image_mode: str = "off",
+    payload_col: str = "payload",
+    image_max_hamming: int = 3,
 ) -> dict:
     """Run the full curation funnel over ``docs`` (doc_id, text, ...)
     and write train/val/test parquet under ``out_dir``. Returns the
-    funnel counts dict (one small collect)."""
+    funnel counts dict (one small collect).
+
+    ``image_mode='ahash'`` adds a multimodal stage between exact and
+    text near-dedup: payload near-duplicates (banded perceptual hash,
+    operators/imagehash with the corpus-scaled banding policy) drop
+    the larger id of every verified pair — so two records carrying
+    the same image under different captions collapse, which neither
+    text stage can see. Rows with a NULL payload pass through."""
+    if image_mode not in ("off", "ahash"):
+        raise ValueError(f"image_mode must be 'off' or 'ahash', got {image_mode!r}")
+    if image_mode == "ahash" and payload_col not in docs.columns:
+        raise ValueError(
+            f"image_mode='ahash' needs a {payload_col!r} column; "
+            f"have {docs.columns}"
+        )
     scrub_expr(pii_mode)  # validate before any Spark job runs
     quality_keep(quality_mode, min_alpha_ratio)
     n_input = docs.count()
@@ -106,6 +123,23 @@ def curate(
     )
     d1 = docs.join(keep, "doc_id")
     n_exact = d1.count()
+
+    # 1b. optional multimodal stage: payload near-dup suppression
+    n_image = None
+    if image_mode == "ahash":
+        from file_appender_spark.operators.imagehash import ahash_neardup_sized
+
+        withp = d1.filter(F.col(payload_col).isNotNull())
+        ipairs = ahash_neardup_sized(
+            withp,
+            "doc_id",
+            payload_col,
+            n_items=n_exact,
+            max_hamming=image_max_hamming,
+        )
+        idrop = ipairs.select(F.col("d2").alias("doc_id")).distinct()
+        d1 = d1.join(idrop, "doc_id", "left_anti")
+        n_image = d1.count()
 
     # 2. near-dup suppression: q52 pairs over the SURVIVORS (identical
     # copies are already gone, so the pair graph is the near-dup one);
@@ -139,7 +173,7 @@ def curate(
     # so repeated curate() calls don't accumulate executor storage
     for df in _persisted:
         df.unpersist()
-    return {
+    out = {
         "input": n_input,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,
@@ -147,6 +181,9 @@ def curate(
         "written": n_written,
         "by_split": by_split,
     }
+    if n_image is not None:
+        out["after_image_dedup"] = n_image
+    return out
 
 
 def _minhash_pairs(

@@ -196,3 +196,120 @@ def test_ahash_sized_finds_planted_pair_at_wider_grid(spark):
     }
     assert pairs.get((1, 2)) == 0  # exact copy at hamming 0 on the 128-bit hash
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_imagedup_ingest_via_streaming_foreachbatch(spark, tmp_path):
+    """End-to-end streaming wiring for the image modality: a parquet
+    file stream drives imagedup_ingest_batch through foreachBatch,
+    admitted payloads land in the sink, exact-copy payloads of
+    earlier batches are suppressed."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from file_appender_spark.operators.neardup_ingest import imagedup_ingest_batch
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    store = str(tmp_path / "imgsigstore")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(df, name):
+        tmp = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / name))
+
+    p1 = b"payload one with plenty of grid-filling bytes " * 4
+    p2 = bytes(range(240))
+    p3 = b"a third, genuinely different payload " * 5
+    add_file(_payload_df(spark, [(1, p1), (2, p2)]), "b1.parquet")
+    add_file(_payload_df(spark, [(201, p2), (202, p3)]), "b2.parquet")
+
+    schema = _payload_df(spark, [(0, b"x")]).schema
+
+    def absorb(batch, batch_id):
+        admitted = imagedup_ingest_batch(spark, batch, store, id_col="id")
+        admitted.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    admitted_ids = {r["id"] for r in spark.read.parquet(out).collect()}
+    # the p2 copy admits exactly one member whichever file came first
+    assert len({2, 201} & admitted_ids) == 1
+    assert {1, 202} <= admitted_ids
+    assert len(admitted_ids) == 3
+
+
+def test_curate_image_stage_drops_payload_neardups(spark, sf_dir, tmp_path):
+    """curate(image_mode='ahash'): two records carrying the SAME
+    payload under different texts collapse (neither text stage can
+    see that), NULL payloads pass through, and the funnel reports
+    the stage count."""
+    from file_appender_spark.curate import curate
+    from file_appender_spark.sources.catalog import load_table
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(6)
+        .select("doc_id", "text", F.encode("text", "UTF-8").alias("payload"))
+    )
+    rows = base.collect()
+    extra = spark.createDataFrame(
+        [
+            # same payload as rows[0], different text: only the image
+            # stage can catch this pair
+            (900_000, "caption rewritten completely differently", bytes(rows[0]["payload"])),
+            # NULL payload: must pass through the image stage
+            (900_001, "a record with no payload attached at all", None),
+        ],
+        "doc_id long, text string, payload binary",
+    )
+    docs = base.unionByName(extra)
+
+    res = curate(
+        spark,
+        docs,
+        str(tmp_path / "curated"),
+        near_threshold=0.99,
+        min_alpha_ratio=0.0,
+        image_mode="ahash",
+    )
+    assert res["after_image_dedup"] == res["after_exact_dedup"] - 1
+    written = spark.read.parquet(str(tmp_path / "curated"))
+    ids = {r["doc_id"] for r in written.collect()}
+    assert 900_000 not in ids  # payload dup dropped (larger id)
+    assert 900_001 in ids  # NULL payload passed through
+    assert rows[0]["doc_id"] in ids  # incumbent kept
+
+    # off mode: dict has no image key, dup survives
+    res2 = curate(
+        spark,
+        docs,
+        str(tmp_path / "curated2"),
+        near_threshold=0.99,
+        min_alpha_ratio=0.0,
+    )
+    assert "after_image_dedup" not in res2
+    ids2 = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "curated2")).collect()
+    }
+    assert 900_000 in ids2
+
+    # unknown mode fails fast before any job
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="image_mode"):
+        curate(spark, docs, str(tmp_path / "x"), image_mode="phash")
