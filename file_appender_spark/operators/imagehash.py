@@ -274,3 +274,57 @@ def ahash_neardup(
         .select("d1", "d2", ham.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# dHash — difference (gradient) hash on the same cell infrastructure
+# --------------------------------------------------------------------------
+
+
+def dhash_wide(
+    df: DataFrame, id_col: str, payload_col: str, grid: int = 64
+) -> DataFrame:
+    """(id, n_bytes, popcount, b0..b3): difference hash — bit c set
+    iff cell c's MEAN exceeds cell c+1's mean (the gradient sign, the
+    standard complement to aHash: aHash sees global brightness
+    structure, dHash sees local transitions, and the pair disagrees
+    on different corruptions). Cross-multiplied integers again
+    (`cell_c * k_{c+1} > cell_{c+1} * k_c`); strides with no bytes
+    read as mean 0. Bit grid-1 has no right neighbor and is always 0,
+    so the hash carries grid-1 informative bits.
+
+    Plan shape: identical to ahash_wide — two exchanges, then one
+    projection that densifies the cell array through a map literal
+    and folds the gradient bits per band."""
+    if grid % 4 != 0 or grid // 4 > 64:
+        raise ValueError(f"grid must be a multiple of 4, <= 256: {grid}")
+    w = grid // 4
+    cells = _cells(df, id_col, payload_col, grid)
+    g = cells.groupBy(id_col).agg(
+        F.max("n_bytes").alias("n_bytes"),
+        F.collect_list(F.struct("c", "cell", "k")).alias("a"),
+    )
+    # dense (cell, k) per stride via a map lookup; absent -> (0, 1)
+    dense = (
+        "transform(sequence(0, {g1}), c -> coalesce("
+        "element_at(map_from_entries(transform(a, s -> struct(s.c, "
+        "struct(s.cell AS cell, s.k AS k)))), c), "
+        "named_struct('cell', 0L, 'k', 1L)))"
+    ).format(g1=grid - 1)
+    withd = g.select(id_col, "n_bytes", F.expr(dense).alias("d"))
+    bit = (
+        "IF(c < {g1} AND d[c].cell * d[c + 1].k > d[c + 1].cell * d[c].k,"
+        " 1L, 0L)"
+    ).format(g1=grid - 1)
+    pop = F.expr(
+        f"aggregate(transform(sequence(0, {grid - 1}), c -> {bit}),"
+        " 0L, (x, y) -> x + y)"
+    )
+    bands = [
+        F.expr(
+            f"aggregate(transform(sequence({k * w}, {(k + 1) * w - 1}),"
+            f" c -> shiftleft({bit}, c % {w})), 0L, (x, y) -> x + y)"
+        ).alias(f"b{k}")
+        for k in range(4)
+    ]
+    return withd.select(id_col, "n_bytes", pop.alias("popcount"), *bands)

@@ -1038,3 +1038,64 @@ def q183_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_triangles"),
         F.countDistinct("a").alias("n_apex_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# q184 — difference hash (dHash) features
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q184_image_dhash",
+    f"""
+    WITH {_AHASH_CTES},
+    ids AS (SELECT doc_id, max(n_bytes) AS n_bytes FROM cells GROUP BY doc_id),
+    dense AS (
+      SELECT ids.doc_id, ids.n_bytes, r.c,
+             coalesce(cells.cell, 0) AS cell, coalesce(cells.k, 1) AS k
+      FROM ids CROSS JOIN range(0, 64) r(c)
+      LEFT JOIN cells ON cells.doc_id = ids.doc_id AND cells.c = r.c
+    ),
+    db AS (
+      SELECT a.doc_id, a.n_bytes, a.c,
+             CASE WHEN a.cell * b.k > b.cell * a.k THEN 1 ELSE 0 END AS bit
+      FROM dense a JOIN dense b ON b.doc_id = a.doc_id AND b.c = a.c + 1
+    ),
+    dbands AS (
+      SELECT doc_id, max(n_bytes) AS n_bytes,
+             CAST(floor(c / 16.0) AS INTEGER) AS bi,
+             CAST(sum(bit << (c % 16)) AS BIGINT) AS bv,
+             CAST(sum(bit) AS BIGINT) AS pop
+      FROM db GROUP BY doc_id, CAST(floor(c / 16.0) AS INTEGER)
+    )
+    SELECT doc_id, max(n_bytes) AS n_bytes,
+           CAST(sum(pop) AS BIGINT) AS popcount,
+           CAST(sum(CASE WHEN bi = 0 THEN bv ELSE 0 END) AS BIGINT) AS b0,
+           CAST(sum(CASE WHEN bi = 1 THEN bv ELSE 0 END) AS BIGINT) AS b1,
+           CAST(sum(CASE WHEN bi = 2 THEN bv ELSE 0 END) AS BIGINT) AS b2,
+           CAST(sum(CASE WHEN bi = 3 THEN bv ELSE 0 END) AS BIGINT) AS b3
+    FROM dbands GROUP BY doc_id
+    """,
+)
+def q184_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference (gradient) perceptual hash of each payload: bit c
+    set iff stride c's mean byte value exceeds stride c+1's — the
+    standard complement to q175's aHash (global-brightness vs
+    local-transition structure; the classic robust-image-dedup stack
+    compares both). Cross-multiplied integer inequality again, so the
+    hash is engine-exact; bit 63 has no right neighbor and is 0.
+
+    Spark side = operators/imagehash.dhash_wide (dense map literal +
+    gradient fold, same two-exchange plan as q175); the oracle is an
+    INDEPENDENT formulation (dense cross join + adjacent self-join),
+    so the gradient semantics are pinned from two directions.
+
+    Scale: identical to q175 — per-byte explode collapsed map-side to
+    <=64 rows/doc, then per-doc HOFs; zero pair work."""
+    from file_appender_spark.operators.imagehash import dhash_wide
+
+    d = _t(spark, sf_dir, "documents")
+    payload = d.filter(F.length(F.encode("text", "UTF-8")) >= 1).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return dhash_wide(payload, "doc_id", "payload")

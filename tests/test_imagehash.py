@@ -313,3 +313,67 @@ def test_curate_image_stage_drops_payload_neardups(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="image_mode"):
         curate(spark, docs, str(tmp_path / "x"), image_mode="phash")
+
+
+def _ref_dhash(payload: bytes, grid: int = 64):
+    """Pure-Python reference of the declared dHash: dense strided
+    (cell, k) with absent -> (0, 1), bit c = mean_c > mean_{c+1}
+    cross-multiplied, last bit always 0."""
+    cells = [0] * grid
+    ks = [0] * grid
+    for i, b in enumerate(payload):
+        cells[i % grid] += b
+        ks[i % grid] += 1
+    dk = [k if k else 1 for k in ks]
+    bits = [
+        1 if c < grid - 1 and cells[c] * dk[c + 1] > cells[c + 1] * dk[c] else 0
+        for c in range(grid)
+    ]
+    w = grid // 4
+    bands = [
+        sum(bits[w * k + j] << j for j in range(w)) for k in range(4)
+    ]
+    return bands, sum(bits)
+
+
+def test_dhash_matches_pure_python_reference(spark):
+    from file_appender_spark.operators.imagehash import dhash_wide
+
+    payloads = [
+        (1, bytes(range(256)) * 3),
+        (2, b"the quick brown fox jumps over the lazy dog" * 7),
+        (3, bytes([7] * 40)),  # shorter than the grid: absent cells
+        (4, bytes([255, 0] * 200)),
+    ]
+    out = {
+        r["id"]: r
+        for r in dhash_wide(_payload_df(spark, payloads), "id", "payload").collect()
+    }
+    for i, p in payloads:
+        bands, pop = _ref_dhash(p)
+        row = out[i]
+        assert [row[f"b{k}"] for k in range(4)] == bands, i
+        assert row["popcount"] == pop
+        assert row["n_bytes"] == len(p)
+
+
+def test_dhash_brightness_shift_invariance(spark):
+    """A uniform brightness shift (+16 on every byte, no clipping)
+    moves every cell mean by exactly +16, so the gradient inequality
+    is unchanged — dHash must be bit-identical, engine and reference
+    alike (the cross-multiplied form makes this exact, not
+    approximate)."""
+    base = bytes((i * 37 + 11) % 200 for i in range(512))
+    shifted = bytes(b + 16 for b in base)  # max 199+16 < 256
+    bands_a, _ = _ref_dhash(base)
+    bands_b, _ = _ref_dhash(shifted)
+    assert bands_a == bands_b  # gradient hash is shift-invariant
+    from file_appender_spark.operators.imagehash import dhash_wide
+
+    out = {
+        r["id"]: [r[f"b{k}"] for k in range(4)]
+        for r in dhash_wide(
+            _payload_df(spark, [(1, base), (2, shifted)]), "id", "payload"
+        ).collect()
+    }
+    assert out[1] == out[2] == bands_a
