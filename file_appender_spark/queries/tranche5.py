@@ -1099,3 +1099,70 @@ def q184_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return dhash_wide(payload, "doc_id", "payload")
+
+
+# --------------------------------------------------------------------------
+# q185 — CDC apply: change log -> final table state
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q185_cdc_apply",
+    """
+    WITH ch AS (
+      SELECT user_id AS k, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    last AS (
+      SELECT k, op, value,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY k) AS n_changes
+      FROM ch
+    )
+    SELECT k AS user_id, n_changes,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_fp
+    FROM last WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q185_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC materialization: apply a change log (upserts + deletes,
+    here derived from events — 'error' rows are the deletes) to
+    produce final table state under last-writer-wins ordered by
+    (ts, event_id); a key whose LAST change is a delete is absent.
+    The other half of warehouse maintenance next to q148's SCD2
+    (which keeps history; this collapses to current state).
+
+    Scale + independence: the Spark plan is ONE aggregate —
+    max_by(struct(op,value), struct(ts,event_id)) per key — so
+    partial aggregation collapses each key's changes map-side
+    (no sort, no window state); the oracle is the row_number window
+    formulation, so the last-writer semantics are pinned from two
+    directions. value_fp is the 1e-4 fixed-point grid."""
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    g = ch.groupBy("k").agg(
+        F.expr(
+            "max_by(named_struct('op', op, 'value', value),"
+            " named_struct('ts', ts, 'event_id', event_id))"
+        ).alias("s"),
+        F.count("*").alias("n_changes"),
+    )
+    return (
+        g.filter(F.col("s.op") == "U")
+        .select(
+            F.col("k").alias("user_id"),
+            "n_changes",
+            F.floor(F.col("s.value") * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("value_fp"),
+        )
+    )

@@ -171,6 +171,8 @@ PROBES = [
     "q181_bpe_tokenize",
     "q182_record_linkage",
     "q183_neardup_triangles",
+    "q184_image_dhash",
+    "q185_cdc_apply",
 ]
 
 
