@@ -304,27 +304,53 @@ def dhash_wide(
         F.max("n_bytes").alias("n_bytes"),
         F.collect_list(F.struct("c", "cell", "k")).alias("a"),
     )
-    # dense (cell, k) per stride via a map lookup; absent -> (0, 1)
-    dense = (
+    # dense (cell, k) per stride via a map literal; absent -> (0, 1).
+    # BOTH the dense array and the bit array are let-bound
+    # (operators/textstats.let_expr): CollapseProject would otherwise
+    # inline the map build into every d[c] access — 64 accesses x 5
+    # consumer expressions rebuilt the map per access (measured 6x the
+    # aHash sibling's wall at the 10x probe before binding).
+    from file_appender_spark.operators.textstats import let_expr
+
+    dense = F.expr(
         "transform(sequence(0, {g1}), c -> coalesce("
         "element_at(map_from_entries(transform(a, s -> struct(s.c, "
         "struct(s.cell AS cell, s.k AS k)))), c), "
-        "named_struct('cell', 0L, 'k', 1L)))"
-    ).format(g1=grid - 1)
-    withd = g.select(id_col, "n_bytes", F.expr(dense).alias("d"))
-    bit = (
-        "IF(c < {g1} AND d[c].cell * d[c + 1].k > d[c + 1].cell * d[c].k,"
-        " 1L, 0L)"
-    ).format(g1=grid - 1)
-    pop = F.expr(
-        f"aggregate(transform(sequence(0, {grid - 1}), c -> {bit}),"
-        " 0L, (x, y) -> x + y)"
+        "named_struct('cell', 0L, 'k', 1L)))".format(g1=grid - 1)
     )
-    bands = [
-        F.expr(
-            f"aggregate(transform(sequence({k * w}, {(k + 1) * w - 1}),"
-            f" c -> shiftleft({bit}, c % {w})), 0L, (x, y) -> x + y)"
-        ).alias(f"b{k}")
-        for k in range(4)
-    ]
-    return withd.select(id_col, "n_bytes", pop.alias("popcount"), *bands)
+    zero = F.lit(0).cast("long")
+
+    def feats(d):
+        def bit_at(c):
+            cur, nxt = F.get(d, c), F.get(d, c + 1)
+            grad = cur["cell"] * nxt["k"] > nxt["cell"] * cur["k"]
+            return (
+                F.when((c < F.lit(grid - 1)) & grad, F.lit(1).cast("long"))
+                .otherwise(zero)
+            )
+
+        bits = F.transform(F.sequence(F.lit(0), F.lit(grid - 1)), bit_at)
+
+        def from_bits(b):
+            pop = F.aggregate(b, zero, lambda x, y: x + y)
+            # band value = sum bit_j << j — folded most-significant-
+            # first as acc*2 + bit, so no column-valued shift is needed
+            bands = [
+                F.aggregate(
+                    F.reverse(F.slice(b, k * w + 1, w)),
+                    zero,
+                    lambda acc, x: acc * 2 + x,
+                ).alias(f"b{k}")
+                for k in range(4)
+            ]
+            return F.struct(pop.alias("pop"), *bands)
+
+        return let_expr(bits, from_bits)
+
+    withf = g.select(id_col, "n_bytes", let_expr(dense, feats).alias("f"))
+    return withf.select(
+        id_col,
+        "n_bytes",
+        F.col("f.pop").alias("popcount"),
+        *[F.col(f"f.b{k}").alias(f"b{k}") for k in range(4)],
+    )
