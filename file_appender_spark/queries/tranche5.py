@@ -841,23 +841,29 @@ def q181_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply half of the tokenizer stack (q152 trains the merges; this
     segments the corpus with them and reports per-doc subword counts,
     the number that actually prices a training run). Spark side is
-    operators/bpe.bpe_segment — the greedy left-to-right fold applied
-    per merge in training order, as nested array HOFs entirely inside
-    codegen. The oracle is an INDEPENDENT formulation (delimiter-safe
-    string rewrite, one replace() pass per rule) — two different
-    encodings of the same greedy semantics must agree exactly.
+    operators/bpe.bpe_tokenize_docs — word-TYPE segmentation: the
+    greedy fold (bpe_segment's nested HOFs) runs once per DISTINCT
+    word, then a broadcast join maps types back to positions. The
+    oracle is an INDEPENDENT per-occurrence formulation
+    (delimiter-safe string rewrite, one replace() pass per rule) —
+    two different encodings of the same greedy semantics must agree
+    exactly, and the type-level plan must reproduce the
+    occurrence-level answer.
 
-    Scale: zero shuffle — per-row HOF chain, |merges| passes over
-    each word's symbol array; 100 TB tokenization is scan-bound and
-    embarrassingly parallel (the merge table broadcasts as literals
-    in the plan)."""
-    from file_appender_spark.operators.bpe import bpe_segment
+    Scale: the merge chain's cost is vocabulary-bounded (Heaps' law),
+    not corpus-bounded; per occurrence only a broadcast lookup and a
+    per-doc position sort remain."""
+    from file_appender_spark.operators.bpe import bpe_tokenize_docs
 
     d = _t(spark, sf_dir, "documents")
-    toks = bpe_segment(F.col("text"), _BPE_MERGES)
-    base = d.filter(
-        F.size(F.filter(F.split("text", _WS), lambda w: w != "")) >= 1
-    ).select("doc_id", toks.alias("toks"))
+    base = bpe_tokenize_docs(
+        d.filter(
+            F.size(F.filter(F.split("text", _WS), lambda w: w != "")) >= 1
+        ),
+        "doc_id",
+        "text",
+        _BPE_MERGES,
+    )
     joined = F.array_join("toks", " ")
     return base.select(
         "doc_id",

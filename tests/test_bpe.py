@@ -127,3 +127,34 @@ def test_validation(spark):
     docs = _corpus(spark, {"ab": 1})
     with pytest.raises(ValueError, match="n_merges"):
         bpe_merges(docs, n_merges=0)
+
+
+def test_type_level_tokenization_equals_occurrence_level(spark, sf_dir):
+    """bpe_tokenize_docs (distinct-word segmentation + position join)
+    must reproduce bpe_segment-per-document exactly — same tokens,
+    same order — including repeated words and multi-level merges."""
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.operators.bpe import bpe_segment, bpe_tokenize_docs
+    from file_appender_spark.sources.catalog import load_table
+
+    merges = [("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+              ("table", "</w>"), ("r", "o"), ("ro", "w")]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(40)
+        .select("doc_id", "text")
+        .filter(F.size(F.filter(F.split("text", r"\s+"), lambda w: w != "")) >= 1)
+    )
+    occ = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", bpe_segment(F.col("text"), merges).alias("t")
+        ).collect()
+    }
+    typ = {
+        r["doc_id"]: r["toks"]
+        for r in bpe_tokenize_docs(docs, "doc_id", "text", merges).collect()
+    }
+    assert occ == typ
