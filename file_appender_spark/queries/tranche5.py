@@ -1178,3 +1178,142 @@ def q185_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q186 — content-defined chunking (rolling-hash boundaries)
+# --------------------------------------------------------------------------
+
+_CDC_W = 4  # boundary decided by the 4-gram ending at the position
+_CDC_D = 8  # boundary when the gram hash's last hex digit % 8 == 0
+
+
+def _cdc_chunk_hashes(t):
+    # one zero-shuffle fold over the bound word array: accumulator
+    # = (closed chunks, current chunk); Column-API lambdas so the
+    # let-bound variable resolves (F.expr strings cannot see it)
+    empty_chunks = F.expr("CAST(array() AS array<array<string>>)")
+    empty_words = F.expr("CAST(array() AS array<string>)")
+    init = F.struct(
+        empty_chunks.alias("chs"), empty_words.alias("cur")
+    )
+
+    def merge(acc, i):
+        wi = F.element_at(t, i + 1)
+        gram = F.array_join(F.slice(t, i - (_CDC_W - 2), _CDC_W), " ")
+        bnd = (i >= F.lit(_CDC_W - 1)) & F.substring(
+            F.md5(gram), 32, 1
+        ).isin("0", "8")
+        closed = F.struct(
+            F.concat(
+                acc["chs"], F.array(F.concat(acc["cur"], F.array(wi)))
+            ).alias("chs"),
+            empty_words.alias("cur"),
+        )
+        grown = F.struct(
+            acc["chs"].alias("chs"),
+            F.concat(acc["cur"], F.array(wi)).alias("cur"),
+        )
+        return F.when(bnd, closed).otherwise(grown)
+
+    def finish(acc):
+        return F.when(
+            F.size(acc["cur"]) > 0, F.concat(acc["chs"], F.array(acc["cur"]))
+        ).otherwise(acc["chs"])
+
+    chs = F.aggregate(
+        F.sequence(F.lit(0), F.size(t) - 1), init, merge, finish
+    )
+    return F.transform(chs, lambda ch: F.md5(F.array_join(ch, " ")))
+
+
+
+@register(
+    "q186_cdc_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, len(ws) AS n_words,
+             unnest(range(0, len(ws))) AS pos, ws
+      FROM t WHERE len(ws) >= 1
+    ),
+    f AS (
+      SELECT doc_id, n_words, pos, ws[pos + 1] AS w,
+             CASE WHEN pos >= {_CDC_W - 1} AND substr(
+                    md5(array_to_string(list_slice(ws, pos - {_CDC_W - 2},
+                                                   pos + 1), ' ')),
+                    32, 1) IN ('0', '8')
+                  THEN 1 ELSE 0 END AS bnd
+      FROM p
+    ),
+    cid AS (
+      SELECT doc_id, n_words, pos, w,
+             coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS c
+      FROM f
+    ),
+    chunks AS (
+      SELECT doc_id, max(n_words) AS n_words, c,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS h
+      FROM cid GROUP BY doc_id, c
+    ),
+    shared AS (
+      SELECT h FROM chunks GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id, max(n_words) AS n_words,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared
+    FROM chunks LEFT JOIN shared ON shared.h = chunks.h
+    GROUP BY doc_id
+    """,
+)
+def q186_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary technique
+    of dedup storage — LBFS/rsync lineage — here over word streams):
+    a chunk boundary falls AFTER any position whose trailing 4-gram
+    hash is 0 mod 8 (expected chunk ~8 words), so chunk boundaries
+    move WITH content — an insertion resynchronizes within one
+    window, unlike fixed-size chunking where everything downstream
+    shifts (pinned in tests). Per doc: chunk count and how many of
+    its chunks also appear in other documents (the substring-level
+    dedup-storage signal; q153's fixed n-gram spans can't survive
+    insertions).
+
+    Independence + scale: the Spark side builds each document's
+    chunk-hash array in ONE zero-shuffle HOF fold (struct accumulator
+    over the word array — no explode, no window; the only shuffles
+    are the cross-doc chunk-hash groupBy and the final per-doc agg);
+    the oracle is the explode + running-sum window formulation."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", _WS), lambda w: w != "")
+
+    from file_appender_spark.operators.textstats import let_expr
+
+    base = d.filter(F.size(ws) >= 1).select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        let_expr(ws, _cdc_chunk_hashes).alias("hs"),
+    )
+    ch = base.select(
+        "doc_id", "n_words", F.explode("hs").alias("h")
+    )
+    shared = (
+        ch.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    j = ch.join(F.broadcast(shared.withColumn("_s", F.lit(1))), "h", "left")
+    return j.groupBy("doc_id").agg(
+        F.max("n_words").alias("n_words"),
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("_s").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_shared"),
+    )

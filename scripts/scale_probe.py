@@ -173,6 +173,7 @@ PROBES = [
     "q183_neardup_triangles",
     "q184_image_dhash",
     "q185_cdc_apply",
+    "q186_cdc_chunking",
 ]
 
 

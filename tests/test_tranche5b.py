@@ -100,3 +100,59 @@ def test_ewma_weights_are_exact_powers_of_two(spark, sf_dir):
         ),
     ).collect()
     assert all(abs(r["ewma"] - 3.25) < 1e-12 for r in out)
+
+
+def _ref_cdc_chunks(words, w=4, last_digits=("0", "8")):
+    """Pure-Python reference of q186's declared chunking: boundary
+    AFTER position i when md5 of the trailing w-gram ends in 0/8."""
+    import hashlib
+
+    chunks, cur = [], []
+    for i, word in enumerate(words):
+        cur.append(word)
+        if i >= w - 1:
+            gram = " ".join(words[i - w + 1 : i + 1])
+            if hashlib.md5(gram.encode()).hexdigest()[31] in last_digits:
+                chunks.append(cur)
+                cur = []
+    if cur:
+        chunks.append(cur)
+    return [" ".join(c) for c in chunks]
+
+
+def test_cdc_chunking_matches_reference_and_resynchronizes(spark):
+    """Spark fold == pure-Python reference, and the CDC property: one
+    inserted word only disturbs chunks up to the next boundary — the
+    chunk TAIL re-synchronizes (fixed-size chunking would shift every
+    downstream chunk)."""
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.queries.tranche5 import _cdc_chunk_hashes
+
+    words = [f"tok{(i * 7919) % 101}" for i in range(200)]
+    inserted = words[:5] + ["INSERTED"] + words[5:]
+
+    import hashlib
+
+    for ws in (words, inserted):
+        df = spark.createDataFrame([(1, " ".join(ws))], "id long, text string")
+        got = df.select(
+            _cdc_chunk_hashes(F.split("text", r"\s+")).alias("hs")
+        ).collect()[0]["hs"]
+        ref = [
+            hashlib.md5(c.encode()).hexdigest() for c in _ref_cdc_chunks(ws)
+        ]
+        assert got == ref
+
+    a = _ref_cdc_chunks(words)
+    b = _ref_cdc_chunks(inserted)
+    # tails re-synchronize: once past the disturbed window, the chunk
+    # sequences are IDENTICAL (suffix match — set overlap would be
+    # confounded by the periodic vocabulary's duplicate chunks)
+    suffix = 0
+    while (
+        suffix < min(len(a), len(b)) and a[-1 - suffix] == b[-1 - suffix]
+    ):
+        suffix += 1
+    assert suffix >= len(a) - 3
+    assert a != b  # the insertion did change the head
