@@ -332,11 +332,11 @@ def q167_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "decode" to a 64-cell luminance grid (strided byte sums — the
 # container has no image codecs, so the decode step is the documented
 # deterministic fake; operators/imagehash.py carries the real-decode
-# seam) -> average hash (aHash: bit c = cell c above the global mean,
-# the classic public perceptual hash) -> 4 x 16-bit bands -> banded
-# LSH candidates -> exact Hamming verify. Every comparison is integer
-# (64*cell > total, shifts, xor popcount), so the whole pipeline is
-# oracle-exact.
+# seam) -> average hash (aHash: bit c = cell c's MEAN byte value
+# above the global mean, the classic public perceptual hash) -> 4 x
+# 16-bit bands -> banded LSH candidates -> exact Hamming verify.
+# Every comparison is integer (cell*n > total*k cross-multiplied,
+# shifts, xor popcount), so the whole pipeline is oracle-exact.
 
 _AHASH_CTES = """
     h AS (
@@ -396,9 +396,10 @@ _AHASH_CTES = """
 )
 def q175_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average perceptual hash (aHash) of each document's binary
-    payload: bytes -> 64 strided cell sums -> bit c set iff
-    64*cell_c > total (the integer-exact form of cell > mean) ->
-    four 16-bit bands. The feature-extraction half of the multimodal
+    payload: bytes -> 64 strided cells (sum + byte count) -> bit c
+    set iff cell c's mean beats the global mean byte value
+    (cell*n_bytes > total*k, the cross-multiplied integer-exact
+    form) -> four 16-bit bands. The feature-extraction half of the multimodal
     dedup path; the payload "decode" is the documented deterministic
     byte-grid fake (no image codecs in the container) with the real
     Pillow decode seam in operators/imagehash.py.
