@@ -92,22 +92,40 @@ def curate(
     image_mode: str = "off",
     payload_col: str = "payload",
     image_max_hamming: int = 3,
+    image_band_bucket_cap: int | None = None,
 ) -> dict:
     """Run the full curation funnel over ``docs`` (doc_id, text, ...)
     and write train/val/test parquet under ``out_dir``. Returns the
     funnel counts dict (one small collect).
 
-    ``image_mode='ahash'`` adds a multimodal stage between exact and
-    text near-dedup: payload near-duplicates (banded perceptual hash,
-    operators/imagehash with the corpus-scaled banding policy) drop
-    the larger id of every verified pair — so two records carrying
-    the same image under different captions collapse, which neither
-    text stage can see. Rows with a NULL payload pass through."""
-    if image_mode not in ("off", "ahash"):
-        raise ValueError(f"image_mode must be 'off' or 'ahash', got {image_mode!r}")
-    if image_mode == "ahash" and payload_col not in docs.columns:
+    ``image_mode='ahash'`` / ``'dhash'`` adds a multimodal stage
+    between exact and text near-dedup: payload near-duplicates
+    (banded perceptual hash, operators/imagehash with the
+    corpus-scaled banding policy) drop the larger id of every
+    verified pair — so two records carrying the same image under
+    different captions collapse, which neither text stage can see.
+    Rows with a NULL payload pass through.
+
+    The stage's target case — one hot image under many captions —
+    means exact payload duplicates are EXPECTED, and identical
+    payloads share every band, so the banded join over raw rows would
+    grow quadratically in duplicate-group size (the blowup
+    operators/imagehash.py's docstring warns about). The stage
+    therefore deduplicates by sha256(payload) FIRST and runs near-dup
+    over one representative (min doc_id) per distinct payload; drops
+    map back through the group. Semantics are unchanged: a doc is
+    dropped iff it is not its payload group's min, or its group's
+    rep pairs as the larger side — exactly the pairwise larger-id
+    rule, since hamming is payload-determined. ``image_band_bucket_cap``
+    additionally forwards imagehash's hot-bucket guard for corpora
+    where DISTINCT payloads still collide into degenerate bands."""
+    if image_mode not in ("off", "ahash", "dhash"):
         raise ValueError(
-            f"image_mode='ahash' needs a {payload_col!r} column; "
+            f"image_mode must be 'off', 'ahash' or 'dhash', got {image_mode!r}"
+        )
+    if image_mode != "off" and payload_col not in docs.columns:
+        raise ValueError(
+            f"image_mode={image_mode!r} needs a {payload_col!r} column; "
             f"have {docs.columns}"
         )
     scrub_expr(pii_mode)  # validate before any Spark job runs
@@ -124,20 +142,43 @@ def curate(
     d1 = docs.join(keep, "doc_id")
     n_exact = d1.count()
 
-    # 1b. optional multimodal stage: payload near-dup suppression
+    # 1b. optional multimodal stage: payload near-dup suppression.
+    # Exact-payload pre-dedup first (see docstring): near-dup runs
+    # over ONE representative per distinct payload, drops map back.
     n_image = None
-    if image_mode == "ahash":
-        from file_appender_spark.operators.imagehash import ahash_neardup_sized
+    if image_mode != "off":
+        from file_appender_spark.operators.imagehash import (
+            ahash_neardup_sized,
+            dhash_neardup_sized,
+        )
 
-        withp = d1.filter(F.col(payload_col).isNotNull())
-        ipairs = ahash_neardup_sized(
-            withp,
+        sized = ahash_neardup_sized if image_mode == "ahash" else dhash_neardup_sized
+        withp = d1.filter(F.col(payload_col).isNotNull()).select(
+            "doc_id", F.sha2(F.col(payload_col), 256).alias("_ph")
+        )
+        rep = withp.groupBy("_ph").agg(F.min("doc_id").alias("_repid"))
+        reps = d1.join(
+            rep.select(F.col("_repid").alias("doc_id")), "doc_id"
+        ).select("doc_id", payload_col)
+        n_rep = reps.count()
+        ipairs = sized(
+            reps,
             "doc_id",
             payload_col,
-            n_items=n_exact,
+            n_items=max(n_rep, 2),
             max_hamming=image_max_hamming,
+            band_bucket_cap=image_band_bucket_cap,
         )
-        idrop = ipairs.select(F.col("d2").alias("doc_id")).distinct()
+        # a doc is dropped iff it is not its payload group's min, or
+        # its group's representative is the larger side of a pair —
+        # pairwise larger-id semantics, payload-determined hamming
+        dropped_rep = ipairs.select(F.col("d2").alias("_repid")).distinct()
+        member = withp.join(rep, "_ph")
+        idrop = member.filter(F.col("doc_id") != F.col("_repid")).select(
+            "doc_id"
+        ).unionByName(
+            member.join(dropped_rep, "_repid").select("doc_id")
+        ).distinct()
         d1 = d1.join(idrop, "doc_id", "left_anti")
         n_image = d1.count()
 

@@ -144,12 +144,17 @@ def ahash_params_for(n_items: int, margin_bits: int = 8) -> int:
     return 256
 
 
-def ahash_from_cells(cells: DataFrame, id_col: str) -> DataFrame:
+def ahash_from_cells(cells: DataFrame, id_col: str, grid: int = 64) -> DataFrame:
     """Banding for an externally-decoded grid: input (id, c, cell
     [, k][, n_bytes]) — e.g. real Pillow 8x8 luminance cells from
     operators/multimodal.py. A decoded grid has one value per cell,
     so k defaults to 1 and n to the cell count — which reduces the
-    mean inequality to the classic `n*cell > total`."""
+    mean inequality to the classic `n*cell > total`.
+
+    ``grid`` must cover every cell index: a decoder emitting more
+    cells than the declared grid would otherwise have cells c >= grid
+    silently excluded from every band while still moving the global
+    mean — an inconsistent hash. Out-of-range cells raise instead."""
     if "k" not in cells.columns:
         cells = cells.withColumn("k", F.lit(1).cast("bigint"))
     if "n_bytes" not in cells.columns:
@@ -158,7 +163,13 @@ def ahash_from_cells(cells: DataFrame, id_col: str) -> DataFrame:
         cells = cells.withColumn(
             "n_bytes", F.sum("k").over(W.partitionBy(id_col))
         )
-    return _bands_from_wide(_wide_from_cells(cells, id_col), id_col)
+    bad = cells.filter((F.col("c") < 0) | (F.col("c") >= grid)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"cell index {bad[0]['c']} outside the declared grid "
+            f"[0, {grid}): pass the decoder's grid size explicitly"
+        )
+    return _bands_from_wide(_wide_from_cells(cells, id_col, grid), id_col)
 
 
 def ahash_neardup_sized(
@@ -234,6 +245,19 @@ def ahash_neardup(
     # thrashed the heap at the 500k-doc 100x probe (x36.9 before,
     # see SCALING.md). 7 ints per doc, bounded.
     wide = ahash_wide(df, id_col, payload_col, grid).localCheckpoint(eager=True)
+    return _neardup_from_wide(wide, id_col, max_hamming, band_bucket_cap)
+
+
+def _neardup_from_wide(
+    wide: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    band_bucket_cap: int | None,
+) -> DataFrame:
+    """Banded candidate join + exact xor-popcount verify over any
+    materialized wide hash frame (id, ..., b0..b3) — the shared core
+    of ahash_neardup and dhash_neardup (the two hashes differ only in
+    how the wide frame's bits are derived)."""
     bands = _bands_from_wide(wide, id_col).select(
         F.col(id_col).alias("bid"), "bi", "bv"
     )
@@ -353,4 +377,44 @@ def dhash_wide(
         "n_bytes",
         F.col("f.pop").alias("popcount"),
         *[F.col(f"f.b{k}").alias(f"b{k}") for k in range(4)],
+    )
+
+
+def dhash_neardup(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    max_hamming: int = 8,
+    band_bucket_cap: int | None = None,
+    grid: int = 64,
+) -> DataFrame:
+    """(d1, d2, hamming): banded near-dup pairs over the gradient
+    (difference) hash — ahash_neardup's exact protocol (4 bands,
+    pigeonhole recall ≤ 3, exact verify, hot-bucket cap) with
+    dhash_wide supplying the bits. Useful where corruptions are
+    brightness-like (dHash is shift-invariant) rather than
+    content-structural."""
+    wide = dhash_wide(df, id_col, payload_col, grid).localCheckpoint(eager=True)
+    return _neardup_from_wide(wide, id_col, max_hamming, band_bucket_cap)
+
+
+def dhash_neardup_sized(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_items: int,
+    max_hamming: int = 8,
+    band_bucket_cap: int | None = None,
+) -> DataFrame:
+    """dhash_neardup with the same corpus-scaled banding policy as
+    ahash_neardup_sized (ahash_params_for applies unchanged: band
+    collision volume depends only on band width vs log2 n, not on
+    which perceptual hash fills the bits)."""
+    return dhash_neardup(
+        df,
+        id_col,
+        payload_col,
+        max_hamming=max_hamming,
+        band_bucket_cap=band_bucket_cap,
+        grid=ahash_params_for(n_items),
     )

@@ -496,28 +496,36 @@ def imagedup_ingest_batch(
     max_hamming: int = 8,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    hash_mode: str = "ahash",
 ) -> DataFrame:
     """Incremental IMAGE near-dup ingest — the third modality on the
-    shared store protocol: aHash 16-bit bands (operators/imagehash,
-    the q175/q176 pipeline) as the signatures, EXACT xor-popcount
-    Hamming distance as the verifier. The store holds one fixed-size
-    row per admitted payload (id + four band ints) — O(items),
-    independent of payload size, and history is only ever touched
-    through the band equi-join.
+    shared store protocol: perceptual-hash 16-bit bands
+    (operators/imagehash, the q175/q176 pipeline; ``hash_mode`` picks
+    aHash or the q184 gradient dHash) as the signatures, EXACT
+    xor-popcount Hamming distance as the verifier. The store holds
+    one fixed-size row per admitted payload (id + four band ints) —
+    O(items), independent of payload size, and history is only ever
+    touched through the band equi-join. The chosen hash is pinned
+    into the store's params file, so a store built under one mode
+    rejects ingest under the other (signatures would be
+    incomparable).
 
     Zero-length payloads (no cells, no hash) are admitted
     unconditionally and not stored — the same contract as documents
     too short to shingle. Retry semantics are at-least-once exactly
     as the other modalities: own-id matches are excluded."""
-    from file_appender_spark.operators.imagehash import ahash_wide
+    from file_appender_spark.operators.imagehash import ahash_wide, dhash_wide
 
+    if hash_mode not in ("ahash", "dhash"):
+        raise ValueError(f"hash_mode must be 'ahash' or 'dhash', got {hash_mode!r}")
+    wide_fn = ahash_wide if hash_mode == "ahash" else dhash_wide
     n_bands = 4
     _recover_store(store_dir)
     _check_store_params(
-        store_dir, {"modality": "ahash", "grid": 64, "band_bits": 16}
+        store_dir, {"modality": hash_mode, "grid": 64, "band_bits": 16}
     )
     sigs = (
-        ahash_wide(_spread(batch), id_col, payload_col)
+        wide_fn(_spread(batch), id_col, payload_col)
         .select(id_col, "b0", "b1", "b2", "b3")
         .localCheckpoint(eager=True)
     )

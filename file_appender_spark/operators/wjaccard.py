@@ -278,10 +278,27 @@ def icws_sample_hashes(
     id_col: str = "doc_id",
     text_col: str = "text",
     ws: str = r"\s+",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """One row per (doc, k) with the k-th consistent weighted sample's
-    64-bit hash; P[sh_k equal across two docs] = their exact J_w."""
-    tf = _tf(docs, id_col, text_col, ws)
+    64-bit hash; P[sh_k equal across two docs] = their exact J_w.
+
+    ``seed=0`` is rejected: seed64 = seed * splitmix-gamma would be 0,
+    making (k+1)*seed64 vanish for every hash index — all n_hashes
+    streams would silently collapse to one identical sample and the
+    banding detection-probability contract would be void.
+
+    ``tf`` lets a caller that already built the per-(doc, token)
+    frequency frame (``_tf``'s schema: _id, tok, tf) pass it in, so
+    the tokenize-explode-groupBy scan is not repeated — the dominant
+    pre-sketch cost when the same tf also feeds the exact verify."""
+    if seed % (1 << 64) == 0:
+        raise ValueError(
+            "seed must be nonzero mod 2^64: seed=0 collapses every "
+            "ICWS hash stream into one (seed64 = 0)"
+        )
+    if tf is None:
+        tf = _tf(docs, id_col, text_col, ws)
     lists = tf.groupBy("_id").agg(
         F.collect_list(F.struct("tok", "tf")).alias("_e")
     )
@@ -307,7 +324,11 @@ def icws_neardup_pairs(
     if n_hashes % n_bands != 0:
         raise ValueError(f"n_hashes ({n_hashes}) must divide into n_bands ({n_bands})")
     rows = n_hashes // n_bands
-    sh = icws_sample_hashes(docs, n_hashes, seed, id_col, text_col, ws)
+    # build the per-(doc, token) tf frame ONCE: it feeds both the
+    # sampler and the exact verify (re-deriving it doubled the
+    # dominant tokenize-explode-groupBy scan per call)
+    tf = _tf(docs, id_col, text_col, ws)
+    sh = icws_sample_hashes(docs, n_hashes, seed, id_col, text_col, ws, tf=tf)
     # band signature: xor-mix the band's sample hashes (order-free
     # would undercount — fold with position weights instead)
     bands = (
@@ -331,7 +352,6 @@ def icws_neardup_pairs(
         .select(F.col("a._id").alias("d1"), F.col("b._id").alias("d2"))
         .distinct()
     )
-    tf = _tf(docs, id_col, text_col, ws)
     return _exact_verify(cand, tf, threshold)
 
 

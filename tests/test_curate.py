@@ -261,3 +261,51 @@ def test_curate_quality_mode_validation(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         quality_keep("nope", 0.5)
+
+
+def test_curate_image_dhash_mode_and_hot_image_prededup(spark, tmp_path):
+    """image_mode='dhash' drops the same-payload-different-caption
+    record; a HOT image (one payload under many captions) is handled
+    through the exact-payload pre-dedup (ADVICE r5) with unchanged
+    semantics: survivors = min of each payload group whose group rep
+    is not the larger side of a near-dup pair."""
+    from file_appender_spark.curate import curate
+
+    hot = bytes((i * 37 + 11) % 256 for i in range(600))
+    other = bytes((i * 101 + 5) % 256 for i in range(600))
+    rows = [
+        (10, "caption alpha wholly unlike the others", hot),
+        (11, "caption beta describing the same image", hot),
+        (12, "caption gamma a third distinct caption", hot),
+        (13, "caption delta for the hot image again!", hot),
+        (20, "a record about an unrelated second image", other),
+        (30, "no payload on this record whatsoever ok", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, payload binary")
+    for mode in ("ahash", "dhash"):
+        res = curate(
+            spark,
+            docs,
+            str(tmp_path / f"cur_{mode}"),
+            near_threshold=0.99,
+            min_alpha_ratio=0.0,
+            image_mode=mode,
+        )
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / f"cur_{mode}")).collect()
+        }
+        assert ids == {10, 20, 30}, (mode, ids)
+        assert res["after_image_dedup"] == 3
+
+    # the band_bucket_cap plumbs through (a generous cap changes nothing)
+    res2 = curate(
+        spark,
+        docs,
+        str(tmp_path / "cur_cap"),
+        near_threshold=0.99,
+        min_alpha_ratio=0.0,
+        image_mode="ahash",
+        image_band_bucket_cap=1000,
+    )
+    assert res2["after_image_dedup"] == 3

@@ -377,3 +377,71 @@ def test_dhash_brightness_shift_invariance(spark):
         ).collect()
     }
     assert out[1] == out[2] == bands_a
+
+
+def test_ahash_from_cells_rejects_out_of_grid_cells(spark):
+    """ADVICE r5: a decoder emitting more cells than the declared grid
+    must raise, not silently drop cells >= grid from the bands while
+    they still move the global mean."""
+    import pytest as _pytest
+
+    cells_df = spark.createDataFrame(
+        [(1, c, 10 * c) for c in range(80)], "id long, c int, cell long"
+    )
+    with _pytest.raises(ValueError, match="outside the declared grid"):
+        ahash_from_cells(cells_df, "id")  # default grid=64 < 80 cells
+    # declaring the real grid works and bands all 80 cells
+    wide_ok = ahash_from_cells(cells_df, "id", grid=128).collect()
+    assert {r["bi"] for r in wide_ok} == {0, 1, 2, 3}
+
+
+def test_dhash_neardup_exact_dup_and_mode_separation(spark):
+    """dhash_neardup: exact payload copies pair at hamming 0; a
+    structurally different payload stays unpaired; the sized variant
+    applies the shared banding policy grid."""
+    from file_appender_spark.operators.imagehash import (
+        dhash_neardup,
+        dhash_neardup_sized,
+    )
+
+    base = bytes((i * 37 + 11) % 256 for i in range(600))
+    other = bytes((i * 101 + 5) % 256 for i in range(600))
+    df = _payload_df(spark, [(1, base), (2, base), (3, other)])
+    pairs = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in dhash_neardup(df, "id", "payload", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    sized = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in dhash_neardup_sized(
+            df, "id", "payload", n_items=100_000, max_hamming=3
+        ).collect()
+    }
+    assert sized.get((1, 2)) == 0  # 128-bit grid, same verdict
+
+
+def test_imagedup_ingest_dhash_mode_and_store_pinning(spark, tmp_path):
+    """hash_mode='dhash' runs the ingest protocol on gradient bits;
+    a store stamped dhash rejects a later ahash batch (signatures
+    are incomparable across hash modes)."""
+    import pytest as _pytest
+
+    from file_appender_spark.operators.neardup_ingest import imagedup_ingest_batch
+
+    store = str(tmp_path / "dhashstore")
+    p1 = b"first payload with plenty of grid-filling bytes " * 4
+    p2 = bytes(range(256))
+    b1 = _payload_df(spark, [(1, p1), (2, p2)])
+    a1 = imagedup_ingest_batch(spark, b1, store, id_col="id", hash_mode="dhash")
+    assert a1.count() == 2
+
+    b2 = _payload_df(spark, [(11, p1), (13, b"another different payload " * 5)])
+    a2 = imagedup_ingest_batch(spark, b2, store, id_col="id", hash_mode="dhash")
+    assert sorted(r["id"] for r in a2.collect()) == [13]  # exact copy suppressed
+
+    with _pytest.raises(ValueError, match="incomparable"):
+        imagedup_ingest_batch(spark, b2, store, id_col="id", hash_mode="ahash")
+    with _pytest.raises(ValueError, match="hash_mode"):
+        imagedup_ingest_batch(spark, b2, store, id_col="id", hash_mode="phash")

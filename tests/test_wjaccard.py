@@ -147,3 +147,20 @@ def test_icws_params_policy_bounds():
         assert b * (0.05**r) * n <= 4.0 + 1e-9
     with pytest.raises(ValueError):
         icws_params_for(1000, 0.5, j_rand=0.5)
+
+
+def test_icws_rejects_seed_zero(spark):
+    """ADVICE r5: seed=0 makes seed64 = 0, collapsing every hash
+    stream into one identical sample — must be rejected, not let the
+    banding contract silently degenerate."""
+    import pytest as _pytest
+
+    from file_appender_spark.operators.wjaccard import icws_sample_hashes
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="seed"):
+        icws_sample_hashes(docs, n_hashes=4, seed=0)
+    with _pytest.raises(ValueError, match="seed"):
+        icws_sample_hashes(docs, n_hashes=4, seed=1 << 64)  # 0 mod 2^64
