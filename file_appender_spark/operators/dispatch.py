@@ -11,7 +11,9 @@ point here instead of asking the caller to swap manually.
 Crossovers are MEASURED, not guessed (SCALING.md "Similarity
 scale-path crossover"): exact expression top-k vs Arrow/BLAS blocked
 top-k meet at ~5k vectors (at 20k blocked is 3.3x faster, 2.2s vs
-7.2s); the default SIMILARITY_CROSSOVER sits there. Semantic dedup
+7.2s); the default SIMILARITY_CROSSOVER sits there. Weighted-Jaccard
+near-dup switches from the capped prefix-filter branch to banded ICWS
+at the measured ~10-20k-doc crossover (wjaccard_neardup). Semantic dedup
 switches quantizers at the same corpus size: past it, the fixed
 64-cell layout makes within-cell pair work grow quadratically, while
 sized sign-cells (cells ~ n / target_cell_size) keep expected
@@ -25,6 +27,11 @@ from pyspark.sql import functions as F
 
 SIMILARITY_CROSSOVER = 5_000
 SEMANTIC_CELL_CROSSOVER = 5_000
+# Measured (SCALING.md "weighted-Jaccard scale paths at 100x"): the
+# capped prefix-filter branch owns the sub-~10k-doc regime (16.9s vs
+# ICWS 27.0s at 5k); at 20k ICWS already wins (15.7s vs 20.9s) and its
+# x2.88-at-100x curve beats capped's x8.19 everywhere above.
+WJACCARD_CROSSOVER = 10_000
 
 
 def similarity_topk(
@@ -62,6 +69,82 @@ def similarity_topk(
         )
     return blocked_topk(
         spark, corpus, queries, k, id_col=id_col, vec_col=vec_col, qid_col=qid_col
+    )
+
+
+def wjaccard_neardup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    mode: str = "auto",
+    n_rows: int | None = None,
+    token_df_cap: int = 100,
+    j_rand: float = 0.05,
+    min_recall: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ws: str = r"\s+",
+    seed: int = 17,
+) -> DataFrame:
+    """Weighted-Jaccard near-dup pairs (d1 < d2, exact wjac >=
+    threshold) — one entry point over operators/wjaccard.py's three
+    physical strategies (r5 verdict task 2: the measured crossover,
+    encoded at the operator surface like similarity_topk's):
+
+    - ``exact``: the uncapped inverted-index form (q159's oracle
+      contract) — near-quadratic on Zipf vocabularies, fixture-scale
+      only;
+    - ``capped``: prefix-filter + df-capped postings (q163) — exact
+      precision, recall per the cap contract; wins under ~10k docs
+      where ICWS's fixed per-doc sketch cost dominates;
+    - ``icws``: banded consistent weighted sampling with the
+      corpus-sized banding policy (icws_params_for) — the 100 TB
+      path, measured x2.88 at 100x data vs capped's x8.19;
+    - ``auto`` (default): count the docs (or trust ``n_rows``) and
+      pick capped below WJACCARD_CROSSOVER, icws above.
+
+    Every branch verifies candidates EXACTLY, so emitted pairs always
+    carry the true J_w — branches differ in recall profile only
+    (capped: df-cap contract; icws: banding detection probability
+    >= min_recall at the threshold)."""
+    from file_appender_spark.operators.wjaccard import (
+        icws_neardup_pairs,
+        icws_params_for,
+        weighted_jaccard_pairs,
+    )
+
+    if mode not in ("auto", "exact", "capped", "icws"):
+        raise ValueError(f"mode must be auto|exact|capped|icws, got {mode!r}")
+    if mode == "auto":
+        if n_rows is None:
+            n_rows = docs.count()
+        mode = "icws" if n_rows > WJACCARD_CROSSOVER else "capped"
+    if mode == "exact":
+        return weighted_jaccard_pairs(
+            docs, threshold, token_df_cap=None, id_col=id_col, text_col=text_col, ws=ws
+        )
+    if mode == "capped":
+        return weighted_jaccard_pairs(
+            docs,
+            threshold,
+            token_df_cap=token_df_cap,
+            id_col=id_col,
+            text_col=text_col,
+            ws=ws,
+        )
+    if n_rows is None:
+        n_rows = docs.count()
+    n_hashes, n_bands = icws_params_for(
+        n_rows, threshold, j_rand=j_rand, min_recall=min_recall
+    )
+    return icws_neardup_pairs(
+        docs,
+        threshold,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+        ws=ws,
     )
 
 

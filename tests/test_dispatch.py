@@ -117,3 +117,69 @@ def test_mode_validation(spark, sf_dir):
         similarity_topk(spark, emb, _queries(emb), k=5, mode="nope")
     with pytest.raises(ValueError):
         semantic_dedup(emb, mode="nope")
+
+
+# --------------------------------------------------------------------------
+# wjaccard_neardup dispatch (r5 verdict task 2)
+# --------------------------------------------------------------------------
+
+
+def _wj_docs(spark):
+    """Planted multiset corpus: (1, 2) are heavy-overlap twins at
+    J_w = 8/10 = 0.8, (3) shares only a stopword with them, (4, 5)
+    are a second twin family; 'the' is ubiquitous (df = 5)."""
+    rows = [
+        (1, "the alpha alpha beta gamma delta delta epsilon zeta eta"),
+        (2, "the alpha alpha beta gamma delta delta epsilon theta iota"),
+        (3, "the completely unrelated tokens about harbor cranes tide"),
+        (4, "the mineral mineral glacier deposits formation alpine slope ridge"),
+        (5, "the mineral mineral glacier deposits formation alpine creek basin"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_wjaccard_auto_small_corpus_takes_capped_jvm_path(spark):
+    from file_appender_spark.operators.dispatch import wjaccard_neardup
+
+    out = wjaccard_neardup(_wj_docs(spark), threshold=0.5)  # 5 docs: capped
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan  # pure-JVM prefix-filter branch
+
+
+def test_wjaccard_auto_big_corpus_takes_icws_path(spark):
+    from file_appender_spark.operators.dispatch import (
+        WJACCARD_CROSSOVER,
+        wjaccard_neardup,
+    )
+
+    out = wjaccard_neardup(
+        _wj_docs(spark), threshold=0.5, n_rows=WJACCARD_CROSSOVER + 1
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # the ICWS sampler is Arrow-batched
+
+
+def test_wjaccard_branches_agree_on_planted_corpus(spark):
+    """Output equivalence pinned: all three branches find exactly the
+    two planted twin pairs with the IDENTICAL exact J_w (every branch
+    verifies exactly; they differ only in candidate generation)."""
+    from file_appender_spark.operators.dispatch import wjaccard_neardup
+
+    docs = _wj_docs(spark)
+    want_pairs = {(1, 2), (4, 5)}
+    results = {}
+    for mode in ("exact", "capped", "icws"):
+        got = {
+            (r["d1"], r["d2"]): r["wjac"]
+            for r in wjaccard_neardup(docs, threshold=0.5, mode=mode).collect()
+        }
+        assert set(got) == want_pairs, mode
+        results[mode] = got
+    assert results["exact"] == results["capped"] == results["icws"]
+
+
+def test_wjaccard_mode_validation(spark):
+    from file_appender_spark.operators.dispatch import wjaccard_neardup
+
+    with pytest.raises(ValueError, match="mode"):
+        wjaccard_neardup(_wj_docs(spark), mode="nope")
