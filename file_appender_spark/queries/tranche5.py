@@ -947,7 +947,11 @@ def q182_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     population grows linearly with the corpus (measured x22 at the
     10x replica on the balance bucket alone), so production blocking
     must add dimensions or shrink widths to hold expected block size
-    constant — the declared granularity policy. Integer weights keep
+    constant — the granularity policy is CODE, not prose:
+    operators/blocking.blocking_params_for sizes the width so
+    expected block population stays flat as n grows (the fixed width
+    1000 here is the oracle contract at sf0.01 scale; the 10x probe
+    pins the policy's flat-candidate property). Integer weights keep
     the classify decision hash-exact."""
     c = _t(spark, sf_dir, "customer")
     bal = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
