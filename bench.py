@@ -55,6 +55,19 @@ HEADLINE = [
     "q176_image_neardup",  # aHash banded Hamming near-dup
 ]
 
+# round-6 additions (VERDICT r5 task 8): the newest tranche's
+# representatives get round-over-round regression tracking. Kept out
+# of R5_COMPARABLE so the 22-query subtotal stays comparable to
+# BENCH_r05.
+R6_ADDITIONS = [
+    "q163_wjaccard_capped",  # prefix-filtered capped weighted Jaccard
+    "q181_bpe_tokenize",  # word-type-cached BPE tokenization
+    "q184_image_dhash",  # dHash gradient perceptual hash
+    "q186_cdc_chunking",  # content-defined chunking (md5 oracle form)
+]
+R5_COMPARABLE = list(HEADLINE)
+HEADLINE = HEADLINE + R6_ADDITIONS
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,6 +116,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    total_r5_subset = round(sum(timings[n] for n in R5_COMPARABLE), 3)
 
     # scale-path extras (not part of the headline total): the Arrow-
     # batched blocked similarity vs the expression-tree brute force —
@@ -448,6 +462,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
+                "value_r5_comparable_subset": total_r5_subset,
                 "unit": "sec",
                 "queries": timings,
                 "queries_registered": len(QUERIES),

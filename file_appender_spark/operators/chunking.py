@@ -14,11 +14,19 @@ TOIS 1997):
     H_i = rot1(H_{i-1}) XOR rot_w(h(t_{i-w})) XOR h(t_i)
 
 with h = xxhash64 (Spark's built-in 64-bit hash, JVM-side) and rot_k
-a 64-bit left rotation. Each position costs TWO token hash lookups
-and three bit-ops — O(1), independent of the window — vs the md5
-form's O(w) re-hash. A boundary falls after position i when
-H_i mod 2^d == 0 (expected chunk length 2^d, the standard CDC mask
-test; power-of-two so the modulus is a single AND).
+a 64-bit left rotation — the O(1)-update recurrence sequential CDC
+scanners use. A boundary falls after position i when H_i mod 2^d ==
+0 (expected chunk length 2^d, the standard CDC mask test;
+power-of-two so the modulus is a single AND).
+
+In Spark the recurrence telescopes to the stateless per-position
+value W_i = XOR_{k<w} rot_k(h(t_{i-k})) — w cheap token-hash xors,
+no string building, no md5 — which is the spelling implemented here:
+a sequential fold would pay Spark's interpreted HOF-aggregate
+struct-copy accumulator per step and MEASURED SLOWER than the md5
+form it was meant to replace (rolling_chunk_hashes docstring). The
+boundary values are bit-identical to the rolling recurrence's, which
+the tests pin against a pure-Python rolling implementation.
 
 The CDC property (an insertion resynchronizes within one window)
 depends only on the boundary decision being a function of the
@@ -26,11 +34,14 @@ trailing w tokens — true for both hashes — and is pinned for this
 branch by the same suffix-match harness as the md5 form
 (tests/test_tranche5b.py).
 
-Scale shape: identical to q186's — the per-doc fold is ONE
-zero-shuffle higher-order aggregate (no explode, no window); the only
-shuffles are the cross-doc chunk-hash groupBy and the final per-doc
-aggregation. Probe: scripts/probe_chunk.py measures both branches at
-10x (the rolling branch's ratio is the one bounded row).
+Scale shape: boundary + chunk hashing is per-row expression work (no
+explode, no window) run once per DISTINCT text (cdc_chunk_stats_rolling
+docstring — q181's dedup-cache pattern at doc granularity), then a
+chunk-hash groupBy for cross-doc sharing and a join back to doc ids.
+Measured (SCALE_PROBE_r6.json): 1.63s -> 2.09s at 10x (x1.3) vs the
+md5 oracle form's 5.45s -> 47.2s (x8.7); the full falsification trail
+(sequential fold SLOWER than md5; stateless form x7.0) is in
+SCALING.md round-6.
 """
 
 from __future__ import annotations
@@ -51,72 +62,83 @@ def rolling_chunk_hashes(
 ) -> Column:
     """Chunk-hash array for a bound word-array column ``t`` under
     buzhash boundaries: boundary AFTER position i (i >= window-1)
-    when the rolling hash of the trailing ``window`` tokens has its
-    low ``mask_bits`` bits zero (expected chunk ~2^mask_bits words,
-    matching q186's md5-digit rule at mask_bits=3). Returns
-    array<string> of per-chunk md5 hashes — the same chunk identity
-    as q186, so downstream cross-doc sharing logic is shared.
+    when the cyclic-polynomial hash of the trailing ``window`` tokens
+    has its low ``mask_bits`` bits zero (expected chunk
+    ~2^mask_bits words, matching q186's md5-digit rule at
+    mask_bits=3). Returns array<string> of per-chunk md5 hashes —
+    the same chunk identity as q186, so downstream cross-doc sharing
+    logic is shared.
 
-    The accumulator carries (closed chunks, current chunk, rolling
-    hash); per position the rolling value is updated in O(1) from the
-    incoming token's xxhash64 and the outgoing token's (window
-    positions back), never re-hashing the window."""
+    Physical spelling: the buzhash value W_i = XOR_k rot_k(h(t_{i-k}))
+    is evaluated STATELESS per position inside one `filter` HOF (w
+    token-hash xors, w a small constant), not via the sequential O(1)
+    rolling recurrence — the recurrence needs a fold, and Spark's
+    higher-order aggregate is interpreted with a struct-copy
+    accumulator per step, which MEASURED SLOWER than q186's
+    per-position md5 at 10x (54.6s vs 45.0s; the md5 cost was never
+    the bottleneck, the fold was). The stateless form computes
+    bit-identical boundary values (same algebra the rolling update
+    telescopes to — pinned against a pure-Python ROLLING reference in
+    tests), lets each position evaluate independently, and builds
+    chunks by slicing between boundary positions instead of copying
+    a growing accumulator. Per-chunk md5 runs once per chunk, not
+    per position."""
     if not 1 <= mask_bits <= 62:
         raise ValueError(f"mask_bits must be in [1, 62], got {mask_bits}")
     if not 2 <= window <= 63:
         raise ValueError(f"window must be in [2, 63], got {window}")
     mask = (1 << mask_bits) - 1
-    empty_chunks = F.expr("CAST(array() AS array<array<string>>)")
-    empty_words = F.expr("CAST(array() AS array<string>)")
-    init = F.struct(
-        empty_chunks.alias("chs"),
-        empty_words.alias("cur"),
-        F.lit(0).cast("long").alias("rh"),
-    )
+    n = F.size(t)
 
-    def merge(acc, i):
-        wi = F.element_at(t, i + 1)
-        rh = _rot(acc["rh"], 1).bitwiseXOR(F.xxhash64(wi))
-        rh = F.when(
-            i >= F.lit(window),
-            rh.bitwiseXOR(
-                _rot(F.xxhash64(F.element_at(t, i - window + 1)), window % 64)
+    from file_appender_spark.operators.textstats import let_expr
+
+    def chunks_from(bound):
+        # chunk j spans [start_j, end_j]: starts = 0, bnd+1...;
+        # ends = bnd..., n-1; the final chunk is dropped when a
+        # boundary fell exactly on the last token (empty tail)
+        spans = F.transform(
+            F.sequence(F.lit(0), F.size(bound)),
+            lambda j: F.struct(
+                F.when(j == 0, F.lit(0))
+                .otherwise(F.element_at(bound, j) + 1)
+                .alias("s"),
+                F.when(j == F.size(bound), n - 1)
+                .otherwise(F.element_at(bound, j + 1))
+                .alias("e"),
             ),
-        ).otherwise(rh)
+        )
+        live = F.filter(spans, lambda sp: sp["s"] <= sp["e"])
+        return F.transform(
+            live,
+            lambda sp: F.md5(
+                F.array_join(F.slice(t, sp["s"] + 1, sp["e"] - sp["s"] + 1), " ")
+            ),
+        )
 
-        def with_rh(rh_b):
-            bnd = (i >= F.lit(window - 1)) & (
-                rh_b.bitwiseAND(F.lit(mask).cast("long")) == 0
-            )
-            closed = F.struct(
-                F.concat(
-                    acc["chs"], F.array(F.concat(acc["cur"], F.array(wi)))
-                ).alias("chs"),
-                empty_words.alias("cur"),
-                rh_b.alias("rh"),
-            )
-            grown = F.struct(
-                acc["chs"].alias("chs"),
-                F.concat(acc["cur"], F.array(wi)).alias("cur"),
-                rh_b.alias("rh"),
-            )
-            return F.when(bnd, closed).otherwise(grown)
+    def with_hashes(hs):
+        # every token hash feeds `window` consecutive W_i — binding
+        # the per-token hash array once cuts the xxhash64 evaluations
+        # per position from `window` to amortized 1 (each token is
+        # hashed once; the window contributes only rotate/xor ops)
+        def wh(i):
+            # W_i over 0-based position i: tokens t[i-w+1 .. i],
+            # newest unrotated — exactly what the rolling recurrence
+            # maintains
+            acc = F.element_at(hs, i + 1)
+            for k in range(1, window):
+                acc = acc.bitwiseXOR(_rot(F.element_at(hs, i + 1 - k), k))
+            return acc
 
-        # let-bind the rolling value: it feeds the boundary test AND
-        # both accumulator branches — CollapseProject would otherwise
-        # re-derive the rotate/xor chain (and both token hashes) per
-        # reference site, compounding along the fold
-        from file_appender_spark.operators.textstats import let_expr
+        bnd = F.when(
+            n >= window,
+            F.filter(
+                F.sequence(F.lit(window - 1), n - 1),
+                lambda i: wh(i).bitwiseAND(F.lit(mask).cast("long")) == 0,
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        return let_expr(bnd, chunks_from)
 
-        return let_expr(rh, with_rh)
-
-    def finish(acc):
-        chs = F.when(
-            F.size(acc["cur"]) > 0, F.concat(acc["chs"], F.array(acc["cur"]))
-        ).otherwise(acc["chs"])
-        return F.transform(chs, lambda ch: F.md5(F.array_join(ch, " ")))
-
-    return F.aggregate(F.sequence(F.lit(0), F.size(t) - 1), init, merge, finish)
+    return let_expr(F.transform(t, lambda x: F.xxhash64(x)), with_hashes)
 
 
 def cdc_chunk_stats_rolling(
@@ -130,32 +152,62 @@ def cdc_chunk_stats_rolling(
     """q186's full output shape (doc_id, n_words, n_chunks, n_shared)
     under buzhash boundaries — the production CDC operator. Chunk
     hashes and cross-doc sharing are computed exactly as q186's
-    (md5 chunk identity, countDistinct >= 2 sharing rule); only the
-    boundary decision differs (rolling vs per-position md5), so the
-    two branches are different operating points of the same CDC
-    design, not approximations of one truth."""
+    (md5 chunk identity, "appears in >= 2 distinct docs" sharing
+    rule); only the boundary decision differs (rolling vs
+    per-position md5), so the two branches are different operating
+    points of the same CDC design, not approximations of one truth.
+
+    Distinct-text cache (q181's word-type pattern, one level up):
+    chunk hashes are a pure function of the text, so the tokenize +
+    boundary + per-chunk-md5 work runs ONCE PER DISTINCT TEXT and the
+    per-text stats join back to doc ids by text hash. Cross-doc
+    sharing stays exact: the number of distinct docs containing chunk
+    hash h is the sum of text-group sizes over the distinct texts
+    whose chunk set contains h (docs sharing a text share every
+    chunk). Exact-dedup-first is the repo-wide discipline for every
+    near-dup operator (operators/imagehash.py docstring); here it
+    makes the heavy compute scale with DISTINCT corpus content — on a
+    duplicate-free corpus the cache degenerates to a pass-through
+    plus one exchange on the text hash."""
     from file_appender_spark.operators.textstats import let_expr
 
     w = F.filter(F.split(F.col(text_col), ws), lambda x: x != "")
-    base = docs.filter(F.size(w) >= 1).select(
-        F.col(id_col).alias("doc_id"),
-        F.size(w).alias("n_words"),
-        let_expr(w, lambda t: rolling_chunk_hashes(t, window, mask_bits)).alias(
+    ids = docs.filter(F.size(w) >= 1).select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("tk")
+    )
+    distinct_texts = (
+        docs.filter(F.size(w) >= 1)
+        .select(F.sha2(F.col(text_col), 256).alias("tk"), F.col(text_col).alias("text"))
+        .groupBy("tk")
+        .agg(F.count("*").alias("n_docs"), F.min("text").alias("text"))
+    )
+    wt = F.filter(F.split(F.col("text"), ws), lambda x: x != "")
+    per_text = distinct_texts.select(
+        "tk",
+        "n_docs",
+        F.size(wt).alias("n_words"),
+        let_expr(wt, lambda t: rolling_chunk_hashes(t, window, mask_bits)).alias(
             "hs"
         ),
     )
-    ch = base.select("doc_id", "n_words", F.explode("hs").alias("h"))
+    ch = per_text.select("tk", "n_docs", F.explode("hs").alias("h"))
+    # distinct docs containing h = sum of group sizes over DISTINCT
+    # texts containing h (a text contributes its group once even when
+    # h repeats inside it)
     shared = (
-        ch.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        ch.dropDuplicates(["tk", "h"])
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
     j = ch.join(F.broadcast(shared.withColumn("_s", F.lit(1))), "h", "left")
-    return j.groupBy("doc_id").agg(
-        F.max("n_words").alias("n_words"),
+    text_stats = j.groupBy("tk").agg(
         F.count("*").alias("n_chunks"),
         F.sum(F.when(F.col("_s").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_shared"),
+    ).join(per_text.select("tk", "n_words"), "tk")
+    return ids.join(text_stats, "tk").select(
+        "doc_id", "n_words", "n_chunks", "n_shared"
     )

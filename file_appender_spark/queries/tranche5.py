@@ -1294,7 +1294,14 @@ def q186_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-hash array in ONE zero-shuffle HOF fold (struct accumulator
     over the word array — no explode, no window; the only shuffles
     are the cross-doc chunk-hash groupBy and the final per-doc agg);
-    the oracle is the explode + running-sum window formulation."""
+    the oracle is the explode + running-sum window formulation.
+
+    This is the ORACLE form: it re-hashes the full trailing 4-gram
+    (string build + md5) at every position, a declared O(w)-per-
+    position cost measured x8.7 at 10x. The production branch is
+    operators/chunking.cdc_chunk_stats_rolling — buzhash boundaries
+    + distinct-text cache, measured x1.3 at 10x and faster at both
+    scales (SCALING.md round-6)."""
     d = _t(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", _WS), lambda w: w != "")
 

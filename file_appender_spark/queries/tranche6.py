@@ -1,0 +1,468 @@
+"""Round-6 tranche: the remaining adaptable TPC-H optimizer shapes
+plus a statistical-LM quality scorer.
+
+TPC-H completion (with tpch_extra's round-5 seven and the earlier
+Q1/Q3/Q4/Q5/Q6 shapes this covers every TPC-H query the driver
+schema can express; Q2/Q11/Q16/Q20 are partsupp-centric and
+Q12/Q21 need shipmode/commitdate/receiptdate — none of those columns
+exist, so no faithful adaptation is possible):
+
+- q187 (Q7 shape): volume shipping between two nations — the classic
+  double-dim-join with a symmetric nation-pair disjunction that the
+  optimizer must not turn into a cross product.
+- q188 (Q8 shape): national market share inside one region — a
+  five-join tree whose ratio-of-conditional-sums must stay
+  integer-scaled for cross-engine determinism.
+- q189 (Q9 shape, adapted): product-type profit by nation and year.
+  The driver schema has no partsupp, so the declared cost model is
+  `0.1 * p_retailprice * l_quantity` (a broadcast-dim expression,
+  exactly where ps_supplycost would sit in the join tree; the plan
+  shape — part-filtered fact join + dim joins + two-key rollup — is
+  Q9's).
+- q190 (Q13 shape): customer order-count distribution — the
+  outer-join + double aggregation that stresses null-preserving
+  grouped counts.
+
+LLM-pipeline addition:
+
+- q191: add-one-smoothed bigram language-model scoring (the
+  KenLM/CCNet-style perplexity quality filter, Wenzek et al.
+  arXiv:1911.00359, expressed as an exact self-trained bigram model):
+  score every document by its average bigram log-probability under
+  the corpus's own counts. Per-bigram log-probs are floor-scaled to
+  integer 1e-6 units before summing (relational.py's money
+  discipline, applied to logs) so the per-doc average is
+  order-independent and hash-identical across engines.
+
+Scale notes are attached per query; all money aggregates use
+relational.py's integer-scaled helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_appender_spark.queries.llm import _WS
+from file_appender_spark.queries.registry import register
+from file_appender_spark.queries.relational import (
+    _money_sum_2dp,
+    _sql_money_sum_2dp,
+)
+from file_appender_spark.sources.catalog import load_table
+
+_REV = "l_extendedprice * (1 - l_discount)"
+_SCALED_REV = f"CAST(floor(({_REV}) * 10000 + 0.5) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _rev_col():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# --------------------------------------------------------------------------
+# q187 — TPC-H Q7: volume shipping between two nations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q187_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {_sql_money_sum_2dp(_REV)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q187_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a symmetric pair of
+    nations by ship year. The nation-pair OR is the optimizer stress:
+    it correlates BOTH dim joins, so it can only be applied after
+    they land — but each nation dim pre-filters to the two named
+    nations, so the broadcast side is 2 rows each and the fact rows
+    surviving the join are already restricted to the pair's
+    suppliers/customers.
+
+    Scale: the two-year shipdate predicate pushes into the fact scan;
+    supplier/customer/nation all broadcast (dims); one shuffle total
+    — the final 3-key rollup over at most 2x2x2 year groups. Revenue
+    is integer-scaled (relational.py money discipline)."""
+    pair = ("NATION_1", "NATION_2")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    j = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("n1_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("n1_key") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("n2_key"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("n2_key") == F.col("c_nationkey"),
+        )
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_money_sum_2dp(_rev_col()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q188 — TPC-H Q8: national market share within a region
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q188_market_share",
+    f"""
+    WITH j AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {_SCALED_REV} AS sr,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region    ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(floor((sum(CASE WHEN supp_nation = 'NATION_3' THEN sr ELSE 0 END) + 50) / 100.0) AS BIGINT) / 100.0 AS nation_revenue,
+           CAST(floor((sum(sr) + 50) / 100.0) AS BIGINT) / 100.0 AS total_revenue,
+           CAST(floor((CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN sr ELSE 0 END) AS DOUBLE)
+                       / sum(sr)) * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS mkt_share
+    FROM j
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q188_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the share of one supplier nation in a region's
+    revenue for one part type, by order year — the deepest join tree
+    in the suite (fact + 6 dims, nation joined twice with different
+    roles).
+
+    Determinism: the ratio is one double division of two exact
+    integer-scaled sums, then a floor-based 6dp round (q169's
+    pattern).
+
+    Scale: p_type and the region filter cut both broadcast sides
+    before the fact join; the two-year predicate pushes into the
+    orders scan; everything except the orders↔lineitem join is a
+    broadcast, and the final rollup has one group per year."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nat = n.join(
+        F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    j = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cust_nat), F.col("cn_key") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("sn_key") == F.col("s_nationkey"),
+        )
+    )
+    sr = F.floor(_rev_col() * 10000 + F.lit(0.5)).cast("bigint")
+    grouped = j.select(
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        sr.alias("sr"),
+        "supp_nation",
+    ).groupBy("o_year")
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("sr")).otherwise(F.lit(0))
+    )
+    tot = F.sum("sr")
+    return grouped.agg(
+        (F.floor((nat + 50) / 100.0).cast("bigint") / 100.0).alias("nation_revenue"),
+        (F.floor((tot + 50) / 100.0).cast("bigint") / 100.0).alias("total_revenue"),
+        (
+            F.floor((nat.cast("double") / tot) * 1000000 + F.lit(0.5)).cast("bigint")
+            / 1000000.0
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+# --------------------------------------------------------------------------
+# q189 — TPC-H Q9 (adapted): product-type profit by nation and year
+# --------------------------------------------------------------------------
+
+_PROFIT = f"{_REV} - 0.1 * p_retailprice * l_quantity"
+
+
+@register(
+    "q189_product_profit",
+    f"""
+    SELECT nation, o_year, {_sql_money_sum_2dp(_PROFIT)} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice, l_discount, l_quantity, p_retailprice
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%g%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q189_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted): profit per supplier nation per order
+    year for parts whose name matches a substring. The driver schema
+    has no partsupp, so the cost term is the declared proxy
+    `0.1 * p_retailprice * l_quantity` — it sits exactly where
+    `ps_supplycost * l_quantity` does in Q9's profit expression, so
+    the join tree (substring-filtered part dim into the fact, then
+    supplier→nation, rollup on (nation, year)) is Q9's.
+
+    Scale: the LIKE filter cuts the part broadcast before the fact
+    join (never a post-join filter); supplier/nation broadcast; one
+    shuffle for the (25 x 7)-group rollup. Profit is integer-scaled
+    per row BEFORE summing — sum-then-subtract of two separately
+    rounded sums would differ from the oracle's row-wise rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%g%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    profit = _rev_col() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_money_sum_2dp(F.col("profit")).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# q190 — TPC-H Q13: customer order-count distribution
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q190_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q190_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders
+    (excluding one priority class). The stress is the outer join with
+    a join-side predicate: the priority filter belongs INSIDE the
+    join condition — filtering after the join would turn customers
+    with only urgent orders into nulls-dropped rows instead of
+    c_count = 0.
+
+    Scale: count(o_orderkey) ignores the null-extended rows natively;
+    both aggregations are partial-aggregable; the second rollup's
+    key space is the max order count (tiny). The customer↔orders join
+    shuffles on custkey — at 100 TB that is the natural co-partition
+    key for both tables (bucketed layout, operators/layout.py)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# q191 — bigram language-model scoring (perplexity quality filter)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q191_bigram_lm_score",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    uni AS (
+      SELECT tok, count(*) AS c1
+      FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok
+    ),
+    v AS (SELECT count(*) AS vsz FROM uni),
+    bgp AS (
+      SELECT doc_id, w, unnest(range(1, len(w))) AS i
+      FROM t WHERE len(w) >= 2
+    ),
+    bgx AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg FROM bgp),
+    c2 AS (SELECT bg, count(*) AS cnt2 FROM bgx GROUP BY bg),
+    scored AS (
+      SELECT doc_id,
+             CAST(floor(ln((cnt2 + 1.0) / (c1 + vsz)) * 1000000 + 0.5) AS BIGINT)
+               AS slp
+      FROM bgx JOIN c2 USING (bg) JOIN uni ON uni.tok = bgx.w1 CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(floor(CAST(sum(slp) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+             / 1000000.0 AS avg_logp
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q191_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet-style perplexity
+    filter, Wenzek et al. arXiv:1911.00359, with the corpus's own
+    add-one-smoothed bigram model standing in for KenLM): every
+    document scored by its mean bigram log-probability
+    ln((c(w1,w2)+1) / (c(w1)+V)). Low scores = improbable token
+    sequences = gibberish/boilerplate candidates for curation.
+
+    Determinism: c(w1,w2), c(w1) and V are exact integers, so the
+    probability ratio is one IEEE division with identical operands on
+    both engines; each ln is floor-scaled to integer 1e-6 units
+    BEFORE summing (the money discipline applied to logs — a double
+    sum of logs is order-dependent and would hash-flip), making the
+    per-doc mean a pure integer computation. The only cross-engine
+    exposure is a <=1-ulp libm ln difference landing within 1e-9 of
+    a scaling boundary (~1e-5 expected flips corpus-wide).
+
+    Scale: two hash aggregations (unigram, bigram counts) and two
+    equi-joins back to the bigram stream, all partitioned by token
+    keys — the same bounded-shuffle profile as q58's TF-IDF; V is a
+    broadcast scalar. Counts are Zipf-skewed; at 100 TB AQE's skew
+    split handles the head tokens, and the model table itself is the
+    per-corpus artifact you'd persist and broadcast to score new
+    batches incrementally."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", _WS)
+    toks = d.select(F.explode(w).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    vsz = uni.agg(F.count("*").alias("vsz"))
+    wb = d.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    bgx = wb.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) AS w1, "
+                "concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bg))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.bg").alias("bg"))
+    c2 = bgx.groupBy("bg").agg(F.count("*").alias("cnt2"))
+    scored = (
+        bgx.join(c2, "bg")
+        .join(uni, F.col("tok") == F.col("w1"))
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("cnt2") + 1.0) / (F.col("c1") + F.col("vsz")))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("slp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.floor(F.sum("slp").cast("double") / F.count("*") + 0.5).cast(
+                    "bigint"
+                )
+                / 1000000.0
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -237,16 +237,25 @@ def test_rolling_cdc_stats_shape_and_sharing(spark):
     from file_appender_spark.operators.chunking import cdc_chunk_stats_rolling
 
     tail = " ".join(f"shared{(i * 31) % 53}" for i in range(120))
+    twin = " ".join(f"twin{(i * 17) % 97}" for i in range(100))
     rows = [
         (1, "unique head alpha beta " + tail),
         (2, "other head gamma delta " + tail),
         (3, " ".join(f"lonely{i}" for i in range(80))),
+        # exact-duplicate pair: the distinct-text cache computes this
+        # text once but must still report every chunk as shared (two
+        # distinct doc ids contain it — group-weighted sharing)
+        (4, twin),
+        (5, twin),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in cdc_chunk_stats_rolling(docs).collect()}
     assert out[1]["n_shared"] > 0 and out[2]["n_shared"] > 0
     assert out[3]["n_shared"] == 0
-    for i in (1, 2, 3):
+    assert out[4]["n_shared"] == out[4]["n_chunks"] > 0
+    assert out[5]["n_shared"] == out[5]["n_chunks"] > 0
+    assert out[4]["n_chunks"] == out[5]["n_chunks"]
+    for i in (1, 2, 3, 4, 5):
         assert 1 <= out[i]["n_chunks"] <= out[i]["n_words"]
 
 
