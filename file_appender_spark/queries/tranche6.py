@@ -466,3 +466,417 @@ def q191_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q192 — Gopher-rule quality flags
+# --------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOPS_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+
+
+@register(
+    "q192_gopher_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             (SELECT sum(length(x)) FROM unnest(w) AS u(x)) AS sum_len,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha_words,
+             len(list_filter(w, x -> x IN ({_GOPHER_STOPS_SQL})))
+               AS n_stop_hits,
+             (length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3
+               AS n_symbols
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           CAST(floor(CAST(sum_len AS DOUBLE) * 10000 / n_words + 0.5) AS BIGINT)
+             / 10000.0 AS mean_word_len,
+           CAST(floor(CAST(n_alpha_words AS DOUBLE) * 10000 / n_words + 0.5)
+                AS BIGINT) / 10000.0 AS alpha_word_frac,
+           CAST(floor(CAST(n_symbols AS DOUBLE) * 10000 / n_words + 0.5)
+                AS BIGINT) / 10000.0 AS symbol_ratio,
+           n_stop_hits,
+           CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS flag_word_count,
+           CAST(sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS INTEGER)
+             AS flag_mean_len,
+           CAST(10 * n_alpha_words >= 8 * n_words AS INTEGER) AS flag_alpha,
+           CAST(10 * n_symbols <= n_words AS INTEGER) AS flag_symbol,
+           CAST(n_stop_hits >= 2 AS INTEGER) AS flag_stop,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                AND 10 * n_alpha_words >= 8 * n_words
+                AND 10 * n_symbols <= n_words
+                AND n_stop_hits >= 2 AS INTEGER) AS gopher_pass
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def q192_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher corpus-filter rules (Rae et al. arXiv:2112.11446,
+    Appendix A1.1) as machine-checkable flags per document: word
+    count in [50, 100000], mean word length in [3, 10], >= 80% of
+    words contain an alphabetic character, symbol-to-word ratio
+    ('#' or '...') <= 0.1, and at least 2 hits from the published
+    8-word stop list. The composite gate is the standard pre-training
+    admission rule; q56's ratio profile feeds human review, this one
+    is the yes/no production filter.
+
+    Determinism: every threshold is evaluated on exact integers
+    (cross-multiplied — `sum_len >= 3*n_words` not `mean >= 3.0`);
+    the reported ratios are floor-scaled integer divisions.
+
+    Scale: zero shuffles — one pass of per-row expressions (the
+    ORDER BY is presentation only); the filter composes into
+    curate() as a stage expression exactly like q154's scorer."""
+    from file_appender_spark.operators.textstats import let_expr
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", _WS)
+
+    def build(t):
+        n_words = F.size(t)
+        sum_len = F.aggregate(
+            t, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+        )
+        n_alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+        n_stop = F.size(F.filter(t, lambda x: x.isin(*_GOPHER_STOPS)))
+        n_sym = (
+            F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+        ) + (
+            F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+        ) / F.lit(3)
+        n_sym = n_sym.cast("bigint")
+
+        def frac4(num):
+            return (
+                F.floor(num.cast("double") * 10000 / n_words + F.lit(0.5)).cast(
+                    "bigint"
+                )
+                / 10000.0
+            )
+
+        f_wc = ((n_words >= 50) & (n_words <= 100000)).cast("int")
+        f_ml = ((sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)).cast("int")
+        f_al = (10 * n_alpha >= 8 * n_words).cast("int")
+        f_sy = (10 * n_sym <= n_words).cast("int")
+        f_st = (n_stop >= 2).cast("int")
+        return F.struct(
+            n_words.alias("n_words"),
+            frac4(sum_len).alias("mean_word_len"),
+            frac4(n_alpha).alias("alpha_word_frac"),
+            frac4(n_sym).alias("symbol_ratio"),
+            n_stop.alias("n_stop_hits"),
+            f_wc.alias("flag_word_count"),
+            f_ml.alias("flag_mean_len"),
+            f_al.alias("flag_alpha"),
+            f_sy.alias("flag_symbol"),
+            f_st.alias("flag_stop"),
+            (f_wc * f_ml * f_al * f_sy * f_st).alias("gopher_pass"),
+        )
+
+    return d.select("doc_id", let_expr(w, build).alias("g")).select(
+        "doc_id", "g.*"
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q193 — t-closeness audit (ordered EMD), completing the governance trio
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q193_t_closeness",
+    """
+    WITH s AS (
+      SELECT lang, source, n_chars // 100 AS band FROM documents
+    ),
+    dom AS (SELECT band, count(*) AS cg FROM s GROUP BY band),
+    tot AS (SELECT count(*) AS n FROM s),
+    mm AS (SELECT count(*) AS m FROM dom),
+    grp AS (SELECT lang, source, count(*) AS n_g FROM s GROUP BY lang, source),
+    cell AS (
+      SELECT lang, source, band, count(*) AS c
+      FROM s GROUP BY lang, source, band
+    ),
+    grid AS (
+      SELECT g.lang, g.source, g.n_g, d.band, d.cg, coalesce(c.c, 0) AS c
+      FROM grp g CROSS JOIN dom d
+      LEFT JOIN cell c
+        ON c.lang = g.lang AND c.source = g.source AND c.band = d.band
+    ),
+    cum AS (
+      SELECT lang, source, n_g, band,
+             sum(c * n - cg * n_g)
+               OVER (PARTITION BY lang, source ORDER BY band) AS cd
+      FROM grid CROSS JOIN tot
+    )
+    SELECT lang, source, n_g AS group_size,
+           CAST(floor((CAST(sum(abs(cd)) AS DOUBLE) * 1000000
+                       + (CAST(n_g AS DOUBLE) * n * (m - 1)) / 2)
+                      / (CAST(n_g AS DOUBLE) * n * (m - 1))) AS BIGINT)
+             / 1000000.0 AS t_closeness,
+           CAST(sum(abs(cd)) * 5 > CAST(n_g AS BIGINT) * n * (m - 1)
+                AS INTEGER) AS violates_t02
+    FROM cum CROSS JOIN tot CROSS JOIN mm
+    GROUP BY lang, source, n_g, n, m
+    ORDER BY lang, source
+    """,
+)
+def q193_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the third leg of the governance trio after k-anonymity (q157) and
+    l-diversity (q179): a quasi-identifier group leaks when the
+    DISTRIBUTION of its sensitive attribute (ordered length band)
+    sits far from the global distribution. Distance is the ordered
+    Earth-Mover's Distance: EMD = (1/(m-1)) * sum_i |cum_i(P - Q)|
+    over the m global bands.
+
+    Determinism: P - Q per band has the exact common denominator
+    n_g * n, so the cumulative differences are exact BIGINTs
+    (c*n - cg*n_g summed in band order); EMD's final division is one
+    floor-scaled 6dp op, and the t > 0.2 violation flag is the exact
+    cross-multiplied integer test 5*sum|cum| > n_g*n*(m-1).
+
+    Scale: the heavy inputs are two bounded groupBys (QI-space and
+    QI x band); the dense grid is groups x global-bands — QI-domain
+    bounded, never row bounded — and the window cumsum runs inside
+    each group's m-row partition."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    s = d.select("lang", "source", F.expr("n_chars div 100").alias("band"))
+    dom = s.groupBy("band").agg(F.count("*").alias("cg"))
+    grp = s.groupBy("lang", "source").agg(F.count("*").alias("n_g"))
+    cell = s.groupBy("lang", "source", "band").agg(F.count("*").alias("c"))
+    tot = s.agg(F.count("*").alias("n"))
+    mm = dom.agg(F.count("*").alias("m"))
+    grid = (
+        grp.crossJoin(F.broadcast(dom))
+        .join(cell, ["lang", "source", "band"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    cum = grid.withColumn(
+        "cd",
+        F.sum(F.col("c") * F.col("n") - F.col("cg") * F.col("n_g")).over(
+            W.partitionBy("lang", "source").orderBy("band")
+        ),
+    )
+    denom = F.col("n_g").cast("double") * F.col("n") * (F.col("m") - 1)
+    return (
+        cum.groupBy("lang", "source", "n_g", "n")
+        .agg(F.sum(F.abs("cd")).alias("sabs"))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "lang",
+            "source",
+            F.col("n_g").alias("group_size"),
+            (
+                F.floor(
+                    (F.col("sabs").cast("double") * 1000000 + denom / 2) / denom
+                ).cast("bigint")
+                / 1000000.0
+            ).alias("t_closeness"),
+            (
+                F.col("sabs") * 5
+                > F.col("n_g").cast("bigint") * F.col("n") * (F.col("m") - 1)
+            )
+            .cast("int")
+            .alias("violates_t02"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q194 — Pareto frontier (2-D skyline)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q194_pareto_frontier",
+    """
+    SELECT p_partkey, p_retailprice AS price, p_size
+    FROM part p1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p2
+      WHERE p2.p_retailprice <= p1.p_retailprice
+        AND p2.p_size >= p1.p_size
+        AND (p2.p_retailprice < p1.p_retailprice OR p2.p_size > p1.p_size)
+    )
+    ORDER BY price, p_partkey
+    """,
+)
+def q194_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline operator, Börzsönyi et al. ICDE
+    2001): the parts not dominated on (minimize price, maximize
+    size). A part is dominated when another part is no worse on both
+    dimensions and strictly better on at least one.
+
+    The oracle states the DEFINITION (quadratic NOT EXISTS); the
+    Spark plan uses the sort-based 2-D skyline: per price level the
+    max size (only it can survive), then a running max of size over
+    strictly-cheaper levels — a row is on the frontier iff it
+    carries its level max AND beats every cheaper level's max.
+    Duplicate (price, size) pairs are BOTH kept (no strict part),
+    which the level formulation preserves naturally.
+
+    Scale: two bounded aggregations + one window over price LEVELS
+    (distinct prices, not rows) + a broadcast join back — O(n) data
+    movement vs the definition's O(n^2); for d > 2 dimensions the
+    block-nested-loops refinement applies but the 2-D case is the
+    common (cost, quality) curation trade-off."""
+    from pyspark.sql.window import Window as W
+
+    p = _t(spark, sf_dir, "part")
+    lvl = p.groupBy("p_retailprice").agg(F.max("p_size").alias("lvlmax"))
+    run = lvl.withColumn(
+        "prevmax",
+        F.max("lvlmax").over(
+            W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    j = p.join(F.broadcast(run), "p_retailprice")
+    return (
+        j.filter(
+            (F.col("p_size") == F.col("lvlmax"))
+            & (F.col("prevmax").isNull() | (F.col("prevmax") < F.col("p_size")))
+        )
+        .select(
+            "p_partkey", F.col("p_retailprice").alias("price"), "p_size"
+        )
+        .orderBy("price", "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q195 — KLL mergeable-sketch rollup under an error contract
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q195_kll_error_contract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(1 AS INTEGER) AS q25_ok,
+           CAST(1 AS INTEGER) AS med_ok,
+           CAST(1 AS INTEGER) AS q75_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q195_kll_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch rollup path (operators/sketches.py
+    kll_rollup -> kll_quantiles) under q66's error-contract scheme —
+    the first ORACLE row for the sketch tier, which was pytest-only:
+    per-(event_type, shard) KLL(k=200) sketches are MERGED up to
+    event_type (the incremental-metrics pattern: shards stand in for
+    per-day partial sketches) and the merged estimates must land
+    inside generous exact PERCENTILE_DISC bands (+-10 percentile
+    points; KLL k=200's published normalized rank error is ~1.65%,
+    so a violation means the merge or the sketch broke, not luck).
+    Sketch values are engine-specific, so the oracle pins the exact
+    count and asserts every contract flag is literally 1.
+
+    Scale: the sketch table is the 100 TB artifact — per-shard
+    sketches are bytes, merge is associative, and re-estimating after
+    new shards arrive never rescans history."""
+    from file_appender_spark.operators.sketches import kll_quantiles, kll_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "shard", (F.col("user_id") % 8).cast("int")
+    )
+    roll = kll_rollup(ev, ["event_type", "shard"], "value")
+    est = kll_quantiles(roll, ["event_type"], [0.25, 0.5, 0.75])
+
+    def _disc(q: float) -> F.Column:
+        return F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)")
+
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        _disc(0.15).alias("_lo25"),
+        _disc(0.35).alias("_hi25"),
+        _disc(0.40).alias("_lo50"),
+        _disc(0.60).alias("_hi50"),
+        _disc(0.65).alias("_lo75"),
+        _disc(0.85).alias("_hi75"),
+    )
+
+    j = exact.join(F.broadcast(est), "event_type")
+
+    def _ok(col: str, lo: str, hi: str) -> F.Column:
+        return ((F.col(col) >= F.col(lo)) & (F.col(col) <= F.col(hi))).cast(
+            "int"
+        )
+
+    return j.select(
+        "event_type",
+        "n_events",
+        _ok("p25", "_lo25", "_hi25").alias("q25_ok"),
+        _ok("p50", "_lo50", "_hi50").alias("med_ok"),
+        _ok("p75", "_lo75", "_hi75").alias("q75_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q196 — exact running median over the event stream
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q196_running_median",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+             ) AS fr
+      FROM events
+    )
+    SELECT event_id, user_id,
+           len(fr) AS n_frame,
+           list_sort(fr)[CAST((len(fr) + 1) // 2 AS INTEGER)] AS med5
+    FROM w
+    ORDER BY user_id, event_id
+    """,
+)
+def q196_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact running median (lower-middle PERCENTILE_DISC rule) of
+    each user's last-5 event values — the robust-location companion
+    to q180's rolling mean/EWMA (a median survives the value spikes
+    q128 hunts). The DISC rule (sorted frame, element (n+1)//2) is
+    deliberate: it selects an EXISTING value, so both engines compare
+    bit-identical parquet doubles and no interpolation arithmetic can
+    ulp-flip a hash (the q66 lesson).
+
+    Scale: one window sort per user partition carries the frame;
+    the frame list is bounded (5 rows) so state per row is O(5) — the
+    exact-median-over-unbounded-frame problem (which needs the
+    two-heap trick and is not expressible as a bounded frame) is
+    declared out of scope here."""
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    fr = F.array_sort(F.collect_list("value").over(w))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.size(fr).alias("n_frame"),
+            F.element_at(fr, ((F.size(fr) + 1) / 2).cast("int")).alias("med5"),
+        )
+        .orderBy("user_id", "event_id")
+    )
