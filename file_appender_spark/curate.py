@@ -43,8 +43,10 @@ def quality_keep(quality_mode: str, min_alpha_ratio: float, text_col: str = "tex
     ratio gate; 'model' = the hashed-feature linear scorer (q154's
     shared expressions, queries/mining.py) — keep iff the integer
     weight sum is positive, the sign-exact model-based-filtering
-    decision. Both are per-row JVM expressions; swapping modes never
-    changes the plan shape."""
+    decision; 'gopher' = the composite Gopher A1.1 admission gate
+    (q192's shared expressions, queries/tranche6.py — all five rules
+    as cross-multiplied integer tests). All are per-row JVM
+    expressions; swapping modes never changes the plan shape."""
     if quality_mode == "alpha":
         return quality_alpha_ratio(text_col) >= min_alpha_ratio
     if quality_mode == "model":
@@ -54,8 +56,15 @@ def quality_keep(quality_mode: str, min_alpha_ratio: float, text_col: str = "tex
 
         w = F.split(text_col, _WS)
         return (F.size(w) >= 1) & (let_expr(w, qs_score_sum) > 0)
+    if quality_mode == "gopher":
+        from file_appender_spark.operators.textstats import let_expr
+        from file_appender_spark.queries.llm import _WS
+        from file_appender_spark.queries.tranche6 import gopher_pass_bool
+
+        w = F.split(text_col, _WS)
+        return let_expr(w, lambda t: gopher_pass_bool(t, text_col))
     raise ValueError(
-        f"quality_mode must be 'alpha' or 'model', got {quality_mode!r}"
+        f"quality_mode must be 'alpha', 'model' or 'gopher', got {quality_mode!r}"
     )
 
 

@@ -174,6 +174,18 @@ PROBES = [
     "q184_image_dhash",
     "q185_cdc_apply",
     "q186_cdc_chunking",
+    # round 6: TPC-H completion shapes, LM scoring, governance EMD,
+    # skyline, sketch contract, running median
+    "q187_volume_shipping",
+    "q188_market_share",
+    "q189_product_profit",
+    "q190_customer_distribution",
+    "q191_bigram_lm_score",
+    "q192_gopher_rules",
+    "q193_t_closeness",
+    "q194_pareto_frontier",
+    "q195_kll_error_contract",
+    "q196_running_median",
 ]
 
 

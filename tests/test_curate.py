@@ -254,6 +254,28 @@ def test_curate_model_quality_gate_matches_q154_decision(spark, sf_dir, tmp_path
     assert written == stage2 & keep_ids
 
 
+def test_curate_gopher_quality_gate_matches_q192_decision(spark, sf_dir, tmp_path):
+    """quality_mode='gopher' must keep exactly the stage-2 survivors
+    whose q192 gopher_pass flag is 1 — gate and query share
+    _gopher_parts, so the sets cannot drift (the q154 test's scheme)."""
+    from file_appender_spark.curate import curate
+    from file_appender_spark.queries import QUERIES
+    from file_appender_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "curated_gopher")
+    funnel = curate(spark, docs, out, quality_mode="gopher")
+    written = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    q192 = QUERIES["q192_gopher_rules"].spark_fn(spark, sf_dir)
+    keep_ids = {r["doc_id"] for r in q192.filter("gopher_pass = 1").collect()}
+    assert written <= keep_ids
+    out2 = str(tmp_path / "curated_nogate_g")
+    curate(spark, docs, out2, quality_mode="alpha", min_alpha_ratio=0.0)
+    stage2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert written == stage2 & keep_ids
+    assert funnel["written"] == funnel["after_quality"]
+
+
 def test_curate_quality_mode_validation(spark, sf_dir):
     import pytest as _pytest
 
