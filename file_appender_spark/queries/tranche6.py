@@ -911,3 +911,283 @@ def q196_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q197 — per-source token-distribution drift (Jensen-Shannon divergence)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q197_jsd_sources",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(text, '\\s+')) AS t
+      FROM documents
+    ),
+    sc AS (SELECT source, t, count(*) AS cs FROM tok GROUP BY source, t),
+    gc AS (SELECT t, count(*) AS cg FROM tok GROUP BY t),
+    ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY source),
+    ng AS (SELECT count(*) AS n FROM tok),
+    grid AS (
+      SELECT ns.source, ns.n_s, gc.cg, coalesce(sc.cs, 0) AS cs, ng.n
+      FROM gc
+      JOIN ns ON TRUE
+      LEFT JOIN sc ON sc.t = gc.t AND sc.source = ns.source
+      CROSS JOIN ng
+    ),
+    terms AS (
+      SELECT source,
+             CAST(floor((
+               CASE WHEN cs > 0 THEN
+                 (CAST(cs AS DOUBLE) / n_s)
+                 * ln((CAST(cs AS DOUBLE) / n_s)
+                      / ((CAST(cs AS DOUBLE) / n_s
+                          + CAST(cg AS DOUBLE) / n) / 2))
+               ELSE 0 END
+               + (CAST(cg AS DOUBLE) / n)
+                 * ln((CAST(cg AS DOUBLE) / n)
+                      / ((CAST(cs AS DOUBLE) / n_s
+                          + CAST(cg AS DOUBLE) / n) / 2))
+             ) * 1000000000 + 0.5) AS BIGINT) AS term9
+      FROM grid
+    )
+    SELECT source,
+           CAST(floor(CAST(sum(term9) AS DOUBLE) / 2000 + 0.5) AS BIGINT)
+             / 1000000.0 AS jsd
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def q197_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift: Jensen-Shannon divergence between each
+    source's token distribution P_s and the global distribution Q —
+    the mixture-tuning signal (a source with high JSD is
+    idiosyncratic; q87/q160's rebalancing consumes exactly this kind
+    of score). JSD = 0.5*KL(P||M) + 0.5*KL(Q||M), M=(P+Q)/2, summed
+    over the source's token union (a token absent from the source
+    contributes only the Q-side term, handled by the dense
+    global-vocab grid with cs=0).
+
+    Determinism: q191's integer-log discipline, one level deeper —
+    each token's KL contribution is computed from exactly-rounded
+    rationals (cs/n_s, cg/n: IEEE divisions of exact integers) and
+    floor-scaled to 1e-9 units BEFORE the order-sensitive sum; the
+    final /2 and 6dp rounding happen on the exact integer sum.
+
+    Scale: two token-keyed counts (source-level and global) and one
+    equi-join of the source grid against the global vocabulary —
+    bounded by |sources| x |vocab|, the same stationary-key profile
+    as q58's TF-IDF; no pair explosion, nothing driver-side."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", _WS)).alias("t"))
+    sc = tok.groupBy("source", "t").agg(F.count("*").alias("cs"))
+    gc = tok.groupBy("t").agg(F.count("*").alias("cg"))
+    ns = tok.groupBy("source").agg(F.count("*").alias("n_s"))
+    ng = tok.agg(F.count("*").alias("n"))
+    grid = (
+        gc.crossJoin(F.broadcast(ns))
+        .join(sc, ["source", "t"], "left")
+        .withColumn("cs", F.coalesce(F.col("cs"), F.lit(0)))
+        .crossJoin(F.broadcast(ng))
+    )
+    p = F.col("cs").cast("double") / F.col("n_s")
+    q = F.col("cg").cast("double") / F.col("n")
+    m = (p + q) / 2
+    contrib = (
+        F.when(F.col("cs") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + q * F.log(q / m)
+    )
+    terms = grid.select(
+        "source",
+        F.floor(contrib * 1000000000 + F.lit(0.5)).cast("bigint").alias("term9"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            (
+                F.floor(F.sum("term9").cast("double") / 2000 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+                / 1000000.0
+            ).alias("jsd")
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q198 — Heaps'-law vocabulary growth exponent
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q198_heaps_law",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+      FROM documents
+    ),
+    firsts AS (SELECT t, min(doc_id) AS fd FROM tok GROUP BY t),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+    ),
+    new_types AS (SELECT fd AS doc_id, count(*) AS nt FROM firsts GROUP BY fd),
+    curve AS (
+      SELECT p.doc_id,
+             sum(p.n_tok) OVER (ORDER BY p.doc_id) AS cum_tokens,
+             sum(coalesce(n.nt, 0)) OVER (ORDER BY p.doc_id) AS cum_types
+      FROM per_doc p LEFT JOIN new_types n ON n.doc_id = p.doc_id
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * 10000 + 0.5)
+                  AS BIGINT) AS x,
+             CAST(floor(ln(CAST(cum_types AS DOUBLE)) * 10000 + 0.5)
+                  AS BIGINT) AS y
+      FROM curve
+    ),
+    moms AS (
+      SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    )
+    SELECT (SELECT max(cum_tokens) FROM curve) AS total_tokens,
+           (SELECT max(cum_types) FROM curve) AS total_types,
+           CAST(floor(
+             (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS heaps_beta
+    FROM moms
+    """,
+)
+def q198_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent of the corpus: fit V(n) ~ K * n^beta by
+    OLS over the log-log vocabulary-growth curve (docs in doc_id
+    order; V = distinct tokens seen, n = tokens seen). The repo's own
+    scale arguments lean on Heaps' law (q181's word-type cache, the
+    probe corpora's growing vocabularies) — this query MEASURES it
+    for the corpus at hand.
+
+    Determinism: each curve point's (ln n, ln V) is floor-scaled to
+    integer 1e-4 units (1e-6 overflowed BIGINT in the x*y moment at
+    the 10x probe — sum bounds are n_docs * (1e4*ln N)^2, safe to
+    ~2e8 docs at this scale; beyond that, center the points per
+    bucket and merge, same algebra); the OLS moments are exact BIGINT
+    sums and the closed-form slope is scalar double arithmetic on
+    those exact moments — no order-sensitive double sum anywhere.
+
+    Scale: first-occurrence via one token-keyed min; the growth curve
+    is ONE window cumsum over per-doc aggregates (rows = docs, not
+    tokens); moments are a 5-cell aggregate. The single-partition
+    window is doc-count bounded and feeds a scalar — at 100 TB the
+    curve would be computed per range-bucket and the moments merged
+    (sum-of-sums), same algebra."""
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", _WS)).alias("t"))
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    new_types = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").alias("nt")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    curve = (
+        per_doc.join(new_types, "doc_id", "left")
+        .withColumn("nt", F.coalesce(F.col("nt"), F.lit(0)))
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum("nt").over(w).alias("cum_types"),
+        )
+    )
+    pts = curve.select(
+        F.floor(F.log(F.col("cum_tokens").cast("double")) * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("cum_types").cast("double")) * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+        "cum_tokens",
+        "cum_types",
+    )
+    moms = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("cum_types").alias("total_types"),
+    )
+    kd = F.col("k").cast("double")
+    beta = (kd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        kd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return moms.select(
+        "total_tokens",
+        "total_types",
+        (F.floor(beta * 1000000 + F.lit(0.5)).cast("bigint") / 1000000.0).alias(
+            "heaps_beta"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q199 — Good-Turing frequency spectrum
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q199_good_turing",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS t FROM documents
+    ),
+    tf AS (SELECT t, count(*) AS r FROM tok GROUP BY t),
+    spec AS (SELECT r, count(*) AS n_r FROM tf GROUP BY r)
+    SELECT s.r, s.n_r,
+           CASE WHEN s2.n_r IS NOT NULL THEN
+             CAST(floor(CAST((s.r + 1) * s2.n_r AS DOUBLE) / s.n_r * 1000000
+                        + 0.5) AS BIGINT) / 1000000.0
+           END AS r_star
+    FROM spec s LEFT JOIN spec s2 ON s2.r = s.r + 1
+    ORDER BY s.r
+    """,
+)
+def q199_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency spectrum: N_r = how many token types
+    occur exactly r times, with the adjusted count
+    r* = (r+1) * N_{r+1} / N_r (null when N_{r+1} = 0 — the classic
+    estimator is undefined there and smoothing variants diverge, so
+    the query reports the raw Turing estimate only where it exists).
+    Feeds unseen-mass estimation (P0 = N_1/N) for q191's LM family.
+
+    Determinism: r, N_r are exact; r* is one IEEE division of exact
+    integers, floor-scaled to 6dp.
+
+    Scale: two hash aggregations (token counts, then
+    frequency-of-frequencies — output rows bounded by max frequency)
+    and a self-join on consecutive r over that tiny spectrum."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", _WS)).alias("t"))
+    tf = tok.groupBy("t").agg(F.count("*").alias("r"))
+    spec = tf.groupBy("r").agg(F.count("*").alias("n_r"))
+    s2 = spec.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r2"))
+    return (
+        spec.join(s2, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.when(
+                F.col("n_r2").isNotNull(),
+                F.floor(
+                    ((F.col("r") + 1) * F.col("n_r2")).cast("double")
+                    / F.col("n_r")
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / 1000000.0,
+            ).alias("r_star"),
+        )
+        .orderBy("r")
+    )

@@ -186,6 +186,9 @@ PROBES = [
     "q194_pareto_frontier",
     "q195_kll_error_contract",
     "q196_running_median",
+    "q197_jsd_sources",
+    "q198_heaps_law",
+    "q199_good_turing",
 ]
 
 
