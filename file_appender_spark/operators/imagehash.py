@@ -329,19 +329,32 @@ def dhash_wide(
         F.collect_list(F.struct("c", "cell", "k")).alias("a"),
     )
     # dense (cell, k) per stride via a map literal; absent -> (0, 1).
-    # BOTH the dense array and the bit array are let-bound
+    # The MAP, the dense array AND the bit array are each let-bound
     # (operators/textstats.let_expr): CollapseProject would otherwise
     # inline the map build into every d[c] access — 64 accesses x 5
     # consumer expressions rebuilt the map per access (measured 6x the
-    # aHash sibling's wall at the 10x probe before binding).
+    # aHash sibling's wall at the 10x probe before binding). The map
+    # bind is the round-6 find: the sequence lambda is its own scope,
+    # so an inline map_from_entries was still rebuilt once per CELL
+    # (64x/row) even with the dense array bound — 2.82s -> 1.49s at
+    # sf0.1 once hoisted, exact parity with ahash_wide (the remaining
+    # cost is the shared per-byte cells path).
     from file_appender_spark.operators.textstats import let_expr
 
-    dense = F.expr(
-        "transform(sequence(0, {g1}), c -> coalesce("
-        "element_at(map_from_entries(transform(a, s -> struct(s.c, "
-        "struct(s.cell AS cell, s.k AS k)))), c), "
-        "named_struct('cell', 0L, 'k', 1L)))".format(g1=grid - 1)
+    mapcol = F.expr(
+        "map_from_entries(transform(a, s -> struct(s.c, "
+        "struct(s.cell AS cell, s.k AS k))))"
     )
+
+    def dense_from(m):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(grid - 1)),
+            lambda c: F.coalesce(
+                F.element_at(m, c),
+                F.expr("named_struct('cell', 0L, 'k', 1L)"),
+            ),
+        )
+
     zero = F.lit(0).cast("long")
 
     def feats(d):
@@ -371,7 +384,13 @@ def dhash_wide(
 
         return let_expr(bits, from_bits)
 
-    withf = g.select(id_col, "n_bytes", let_expr(dense, feats).alias("f"))
+    withf = g.select(
+        id_col,
+        "n_bytes",
+        let_expr(
+            mapcol, lambda m: let_expr(dense_from(m), feats)
+        ).alias("f"),
+    )
     return withf.select(
         id_col,
         "n_bytes",
