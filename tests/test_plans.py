@@ -405,3 +405,118 @@ def test_q153_and_q156_no_cartesian(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# round 6: TPC-H completion shapes + tranche plan contracts
+# --------------------------------------------------------------------------
+
+
+def test_q187_pair_filter_pushes_and_dims_broadcast(spark, sf_dir):
+    """Q7 shape: the two-year shipdate predicate must reach the
+    lineitem scan, the nation/supplier dims must broadcast, and the
+    symmetric pair disjunction must never degrade to a nested loop."""
+    plan = plan_of(spark, sf_dir, "q187_volume_shipping")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q188_region_and_type_filters_cut_broadcast_sides(spark, sf_dir):
+    """Q8 shape: p_type and r_name are dim-side scan filters (pushed),
+    never post-join residuals over the fact."""
+    plan = plan_of(spark, sf_dir, "q188_market_share")
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q189_part_like_filter_pushes_to_dim_scan(spark, sf_dir):
+    """Q9 shape: the substring part filter must sit on the part scan
+    (StringContains pushdown), with part broadcast into the fact."""
+    plan = plan_of(spark, sf_dir, "q189_product_profit")
+    assert "StringContains(p_name,g)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q190_priority_predicate_inside_outer_join(spark, sf_dir):
+    """Q13 shape: the orders-side priority filter must prune the
+    orders SCAN (join-side predicate), not filter after the left
+    join — post-join filtering would destroy the c_count=0 class."""
+    plan = plan_of(spark, sf_dir, "q190_customer_distribution")
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_q191_lm_joins_are_equi_no_cartesian(spark, sf_dir):
+    """Bigram-LM scoring: counts join back to the bigram stream by
+    token keys; the scalar V rides a 1-row broadcast."""
+    plan = plan_of(spark, sf_dir, "q191_bigram_lm_score")
+    assert "CartesianProduct" not in plan
+
+
+def test_q192_gopher_is_zero_shuffle(spark, sf_dir):
+    """The admission gate is per-row expression work; the only
+    allowed exchange is the presentation ORDER BY's range partition."""
+    plan = plan_of(spark, sf_dir, "q192_gopher_rules")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1  # the final sort only
+
+
+def test_q193_t_closeness_grid_is_broadcast(spark, sf_dir):
+    """The dense QI x band grid composes broadcasts of the bounded
+    dom/tot/m sides — no sort-merge join anywhere."""
+    plan = plan_of(spark, sf_dir, "q193_t_closeness")
+    assert "SortMergeJoin" not in plan
+
+
+def test_q194_skyline_level_join_broadcasts(spark, sf_dir):
+    """The join back from price levels to parts must broadcast the
+    level table; dominance never evaluates as a nested loop."""
+    plan = plan_of(spark, sf_dir, "q194_pareto_frontier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q196_median_window_is_user_partitioned(spark, sf_dir):
+    """The frame window must partition by user_id — a global window
+    here would single-partition the whole event stream."""
+    plan = plan_of(spark, sf_dir, "q196_running_median")
+    assert "partitionBy=[user_id]" in plan or "user_id" in plan.split("Window")[1][:200]
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """DPP coverage: joining a partitioned fact against a filtered dim
+    must inject a dynamicpruning subquery on the partition column so
+    only matching partitions are scanned at runtime."""
+    import os
+
+    out = str(tmp_path / "orders_by_status")
+    from file_appender_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    # the dim filter sits on a DIFFERENT column than the join key, so
+    # the surviving status values are unknowable statically (a filter
+    # on the key itself gets constraint-propagated into a STATIC
+    # partition filter — no DPP needed, verified) — runtime pruning is
+    # the only way to skip partitions here
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderstatus")
+        .distinct()
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        j = fact.join(dim, "o_orderstatus").groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        n = j.count()
+        assert n >= 1
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
