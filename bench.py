@@ -317,6 +317,27 @@ def main() -> None:
     except Exception as exc:
         print(f"# bloom extra skipped: {exc}", file=sys.stderr)
 
+    # CDC chunking production branch (operators/chunking.py): buzhash
+    # boundaries + distinct-text cache — the q186 scale twin, benched
+    # so its round-over-round wall is tracked beside the oracle form
+    try:
+        from file_appender_spark.operators.chunking import cdc_chunk_stats_rolling
+
+        d = load_table(spark, sf_dir, "documents")
+        cdc_chunk_stats_rolling(
+            load_table(spark, "/root/testdata/sf0.001", "documents")
+        ).collect()  # warm codegen
+        t0 = time.perf_counter()
+        n_cdc = cdc_chunk_stats_rolling(d).count()
+        extras["op_cdc_rolling_sec"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# op_cdc_rolling: {extras['op_cdc_rolling_sec']}s ({n_cdc} rows; "
+            f"vs q186 md5 oracle form {timings.get('q186_cdc_chunking')}s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# cdc extra skipped: {exc}", file=sys.stderr)
+
     # incremental near-dup ingest throughput: docs/sec through one
     # micro-batch against a pre-populated MinHash signature store
     try:

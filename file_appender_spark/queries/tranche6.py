@@ -1050,8 +1050,9 @@ def q197_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(x * y) AS sxy, sum(x * x) AS sxx
       FROM pts
     )
-    SELECT (SELECT max(cum_tokens) FROM curve) AS total_tokens,
-           (SELECT max(cum_types) FROM curve) AS total_types,
+    SELECT (SELECT CAST(max(cum_tokens) AS BIGINT) FROM curve)
+             AS total_tokens,
+           (SELECT CAST(max(cum_types) AS BIGINT) FROM curve) AS total_types,
            CAST(floor(
              (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
              / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
@@ -1190,4 +1191,80 @@ def q199_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r_star"),
         )
         .orderBy("r")
+    )
+
+
+# --------------------------------------------------------------------------
+# q200 — weighted percentiles (quantity-weighted price quantiles)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q200_weighted_percentile",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS f,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    g AS (SELECT f, c, sum(w) AS w FROM s GROUP BY f, c),
+    t AS (SELECT f, sum(w) AS tot FROM s GROUP BY f),
+    cum AS (
+      SELECT f, c, sum(w) OVER (PARTITION BY f ORDER BY c) AS cumw FROM g
+    )
+    SELECT cum.f AS l_returnflag,
+           CAST(min(CASE WHEN cumw * 100 >= 50 * tot THEN c END) AS DOUBLE)
+             / 100.0 AS wp50,
+           CAST(min(CASE WHEN cumw * 100 >= 90 * tot THEN c END) AS DOUBLE)
+             / 100.0 AS wp90
+    FROM cum JOIN t ON t.f = cum.f
+    GROUP BY cum.f
+    ORDER BY l_returnflag
+    """,
+)
+def q200_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles: the quantity-weighted p50/p90 of
+    extended price per return flag — the weighted PERCENTILE_DISC
+    (smallest value whose cumulative weight reaches p of the total),
+    which no built-in percentile covers (they weight rows equally;
+    inventory/revenue quantiles must weight by units).
+
+    Determinism: values and weights integer-scaled to cents; the
+    threshold test cumw*100 >= p*tot is exact BIGINT arithmetic; the
+    one double division is presentation.
+
+    Scale: ties collapse FIRST (groupBy (flag, cents) — the window
+    then runs over distinct values per group, not raw rows), one
+    window cumsum per flag partition, and a 3-row broadcast of the
+    totals. The raw fact is touched exactly once."""
+    from pyspark.sql.window import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("f"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c"),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint").alias("w"),
+    )
+    g = s.groupBy("f", "c").agg(F.sum("w").alias("w"))
+    t = s.groupBy("f").agg(F.sum("w").alias("tot"))
+    cum = g.withColumn(
+        "cumw", F.sum("w").over(W.partitionBy("f").orderBy("c"))
+    )
+    j = cum.join(F.broadcast(t), "f")
+
+    def wp(p: int):
+        return (
+            F.min(
+                F.when(F.col("cumw") * 100 >= p * F.col("tot"), F.col("c"))
+            ).cast("double")
+            / 100.0
+        )
+
+    return (
+        j.groupBy(F.col("f").alias("l_returnflag"))
+        .agg(wp(50).alias("wp50"), wp(90).alias("wp90"))
+        .orderBy("l_returnflag")
     )

@@ -189,6 +189,7 @@ PROBES = [
     "q197_jsd_sources",
     "q198_heaps_law",
     "q199_good_turing",
+    "q200_weighted_percentile",
 ]
 
 
