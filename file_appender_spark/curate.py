@@ -212,12 +212,19 @@ def curate(
 
     # 6. shard write, partitioned by split
     d4.write.mode("overwrite").partitionBy("split").parquet(out_dir)
-    written = spark.read.parquet(out_dir)
-    n_written = written.count()
-    by_split = {
-        r["split"]: r["n"]
-        for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()
-    }
+    if n_quality == 0:
+        # a fully-filtered corpus writes only _SUCCESS — reading the
+        # empty partitioned dir back raises UNABLE_TO_INFER_SCHEMA,
+        # so the funnel reports zero written instead of crashing
+        # (curate() must survive a gate that admits nothing)
+        n_written, by_split = 0, {}
+    else:
+        written = spark.read.parquet(out_dir)
+        n_written = written.count()
+        by_split = {
+            r["split"]: r["n"]
+            for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
     # every downstream consumer of the persisted shingles (near-dup
     # counts + the shard write) has materialized — release the cache
     # so repeated curate() calls don't accumulate executor storage

@@ -69,7 +69,12 @@ def blocking_params_for(
         raise ValueError(f"tolerance must be >= 0, got {tolerance}")
     ideal = target_block_size * n_coblock * value_range / n_rows
     floor = max(1.0, 2.0 * tolerance)
-    width = max(1, math.floor(max(ideal, floor)))
+    # ceil on the tolerance floor, never floor(): flooring a binding
+    # fractional floor (e.g. 2*tolerance = 20.6 -> 20) would hand out
+    # a width whose guaranteed co-block window width/2 is SMALLER than
+    # the caller's declared tolerance — silent recall loss, the exact
+    # failure the floor exists to prevent
+    width = max(1, math.floor(ideal), math.ceil(floor))
     expected = n_rows * width / (n_coblock * value_range)
     return BlockingParams(
         width=width,

@@ -201,7 +201,13 @@ def cdc_chunk_stats_rolling(
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    j = ch.join(F.broadcast(shared.withColumn("_s", F.lit(1))), "h", "left")
+    # no broadcast hint: the shared-hash set grows with distinct
+    # corpus content (unbounded at the 100 TB scale this branch is
+    # for) — forcing the build would OOM the driver instead of
+    # degrading to a shuffle join; AQE still broadcasts when the set
+    # is actually small (the q186 oracle form keeps the hint as its
+    # declared fixture-scale contract)
+    j = ch.join(shared.withColumn("_s", F.lit(1)), "h", "left")
     text_stats = j.groupBy("tk").agg(
         F.count("*").alias("n_chunks"),
         F.sum(F.when(F.col("_s").isNotNull(), 1).otherwise(0))

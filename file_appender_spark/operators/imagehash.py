@@ -163,12 +163,29 @@ def ahash_from_cells(cells: DataFrame, id_col: str, grid: int = 64) -> DataFrame
         cells = cells.withColumn(
             "n_bytes", F.sum("k").over(W.partitionBy(id_col))
         )
-    bad = cells.filter((F.col("c") < 0) | (F.col("c") >= grid)).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"cell index {bad[0]['c']} outside the declared grid "
-            f"[0, {grid}): pass the decoder's grid size explicitly"
-        )
+    # plan-embedded range check: an eager collect() here cost a full
+    # extra scan (plus the derived-n_bytes window) on EVERY call and
+    # made construction block on a Spark job. The check rides the
+    # consumed `cell` column as a raise_error branch — it must live
+    # in a branch whose arms genuinely DIFFER (a first attempt used
+    # `when(assert_true(..).isNull(), c).otherwise(c)`, which
+    # SimplifyConditionals collapsed to `c`, silently deleting the
+    # assertion — caught by the out-of-grid test)
+    msg = F.concat(
+        F.lit("cell index "),
+        F.col("c").cast("string"),
+        F.lit(
+            f" outside the declared grid [0, {grid}): pass the "
+            "decoder's grid size explicitly"
+        ),
+    )
+    cells = cells.withColumn(
+        "cell",
+        F.when(
+            (F.col("c") < 0) | (F.col("c") >= grid),
+            F.raise_error(msg).cast("long"),
+        ).otherwise(F.col("cell")),
+    )
     return _bands_from_wide(_wide_from_cells(cells, id_col, grid), id_col)
 
 

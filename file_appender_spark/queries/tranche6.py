@@ -49,22 +49,17 @@ from file_appender_spark.queries.relational import (
     _money_sum_2dp,
     _sql_money_sum_2dp,
 )
-from file_appender_spark.sources.catalog import load_table
 
-_REV = "l_extendedprice * (1 - l_discount)"
-_SCALED_REV = f"CAST(floor(({_REV}) * 10000 + 0.5) AS BIGINT)"
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
-
-
-def _rev_col():
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
-
-
-def _ts(s: str):
-    return F.lit(s).cast("timestamp")
+# one definition of the revenue expression / money scaling / table
+# loader across both TPC-H tranches — two copies of the scaling
+# formula could drift independently (review finding r6)
+from file_appender_spark.queries.tpch_extra import (  # noqa: F401
+    _REV,
+    _SCALED_REV,
+    _rev_col,
+    _t,
+    _ts,
+)
 
 
 # --------------------------------------------------------------------------
@@ -492,27 +487,40 @@ def _gopher_parts(t, text_col: str = "text"):
     n_words = F.size(t)
     sum_len = F.length(F.regexp_replace(text_col, r"\s", "")).cast("bigint")
     n_alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))).cast("bigint")
-    n_stop = F.size(F.filter(t, lambda x: x.isin(*_GOPHER_STOPS))).cast("bigint")
-    n_sym = (
-        (F.length(text_col) - F.length(F.regexp_replace(text_col, "#", "")))
-        + (F.length(text_col) - F.length(F.regexp_replace(text_col, r"\.\.\.", "")))
+    # "at least two of the following words": DISTINCT membership (a
+    # doc containing only "the the" has ONE of the listed words), so
+    # the count runs over the stop LIST, testing presence in the doc
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            lambda s: F.exists(t, lambda x: x == s),
+        )
+    ).cast("bigint")
+    # the hash and ellipsis ratios are tested SEPARATELY (A1.1: "for
+    # either the hash symbol or the ellipsis"), so both counts return
+    n_hash = (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, "#", ""))
+    ).cast("bigint")
+    n_ell = (
+        (F.length(text_col) - F.length(F.regexp_replace(text_col, r"\.\.\.", "")))
         / F.lit(3)
     ).cast("bigint")
-    return n_words, sum_len, n_alpha, n_stop, n_sym
+    return n_words, sum_len, n_alpha, n_stop, n_hash, n_ell
 
 
 def gopher_pass_bool(t, text_col: str = "text"):
     """Composite Gopher admission decision (all five rules) as one
     boolean Column over a bound token array — exact cross-multiplied
     integer tests, no floating thresholds."""
-    n_words, sum_len, n_alpha, n_stop, n_sym = _gopher_parts(t, text_col)
+    n_words, sum_len, n_alpha, n_stop, n_hash, n_ell = _gopher_parts(t, text_col)
     return (
         (n_words >= 50)
         & (n_words <= 100000)
         & (sum_len >= 3 * n_words)
         & (sum_len <= 10 * n_words)
         & (10 * n_alpha >= 8 * n_words)
-        & (10 * n_sym <= n_words)
+        & (10 * n_hash <= n_words)
+        & (10 * n_ell <= n_words)
         & (n_stop >= 2)
     )
 
@@ -530,11 +538,10 @@ def gopher_pass_bool(t, text_col: str = "text"):
              (SELECT sum(length(x)) FROM unnest(w) AS u(x)) AS sum_len,
              len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
                AS n_alpha_words,
-             len(list_filter(w, x -> x IN ({_GOPHER_STOPS_SQL})))
-               AS n_stop_hits,
-             (length(text) - length(replace(text, '#', '')))
-             + (length(text) - length(replace(text, '...', ''))) / 3
-               AS n_symbols
+             len(list_filter([{_GOPHER_STOPS_SQL}],
+                             s -> list_contains(w, s))) AS n_stop_hits,
+             (length(text) - length(replace(text, '#', ''))) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
       FROM t
     )
     SELECT doc_id, n_words,
@@ -542,19 +549,22 @@ def gopher_pass_bool(t, text_col: str = "text"):
              / 10000.0 AS mean_word_len,
            CAST(floor(CAST(n_alpha_words AS DOUBLE) * 10000 / n_words + 0.5)
                 AS BIGINT) / 10000.0 AS alpha_word_frac,
-           CAST(floor(CAST(n_symbols AS DOUBLE) * 10000 / n_words + 0.5)
-                AS BIGINT) / 10000.0 AS symbol_ratio,
+           CAST(floor(CAST(n_hash AS DOUBLE) * 10000 / n_words + 0.5)
+                AS BIGINT) / 10000.0 AS hash_ratio,
+           CAST(floor(CAST(n_ell AS DOUBLE) * 10000 / n_words + 0.5)
+                AS BIGINT) / 10000.0 AS ellipsis_ratio,
            n_stop_hits,
            CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS flag_word_count,
            CAST(sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS INTEGER)
              AS flag_mean_len,
            CAST(10 * n_alpha_words >= 8 * n_words AS INTEGER) AS flag_alpha,
-           CAST(10 * n_symbols <= n_words AS INTEGER) AS flag_symbol,
+           CAST(10 * n_hash <= n_words AND 10 * n_ell <= n_words AS INTEGER)
+             AS flag_symbol,
            CAST(n_stop_hits >= 2 AS INTEGER) AS flag_stop,
            CAST(n_words >= 50 AND n_words <= 100000
                 AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
                 AND 10 * n_alpha_words >= 8 * n_words
-                AND 10 * n_symbols <= n_words
+                AND 10 * n_hash <= n_words AND 10 * n_ell <= n_words
                 AND n_stop_hits >= 2 AS INTEGER) AS gopher_pass
     FROM m
     ORDER BY doc_id
@@ -565,8 +575,9 @@ def q192_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Appendix A1.1) as machine-checkable flags per document: word
     count in [50, 100000], mean word length in [3, 10], >= 80% of
     words contain an alphabetic character, symbol-to-word ratio
-    ('#' or '...') <= 0.1, and at least 2 hits from the published
-    8-word stop list. The composite gate is the standard pre-training
+    <= 0.1 for the hash symbol AND for the ellipsis (tested
+    separately, per the paper), and at least 2 DISTINCT words from
+    the published 8-word stop list present. The composite gate is the standard pre-training
     admission rule; q56's ratio profile feeds human review, this one
     is the yes/no production filter.
 
@@ -583,7 +594,7 @@ def q192_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split("text", _WS)
 
     def build(t):
-        n_words, sum_len, n_alpha, n_stop, n_sym = _gopher_parts(t, "text")
+        n_words, sum_len, n_alpha, n_stop, n_hash, n_ell = _gopher_parts(t, "text")
 
         def frac4(num):
             return (
@@ -596,13 +607,14 @@ def q192_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_wc = ((n_words >= 50) & (n_words <= 100000)).cast("int")
         f_ml = ((sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)).cast("int")
         f_al = (10 * n_alpha >= 8 * n_words).cast("int")
-        f_sy = (10 * n_sym <= n_words).cast("int")
+        f_sy = ((10 * n_hash <= n_words) & (10 * n_ell <= n_words)).cast("int")
         f_st = (n_stop >= 2).cast("int")
         return F.struct(
             n_words.alias("n_words"),
             frac4(sum_len).alias("mean_word_len"),
             frac4(n_alpha).alias("alpha_word_frac"),
-            frac4(n_sym).alias("symbol_ratio"),
+            frac4(n_hash).alias("hash_ratio"),
+            frac4(n_ell).alias("ellipsis_ratio"),
             n_stop.alias("n_stop_hits"),
             f_wc.alias("flag_word_count"),
             f_ml.alias("flag_mean_len"),

@@ -294,6 +294,13 @@ def main() -> None:
     # non-replicated dim)
     from file_appender_spark.operators.fuzzyjoin import fuzzy_self_join
 
+    # suffix = hex of xxhash64(doc_id), NOT the raw doc_id: the 10x
+    # replica remaps ids as id*10+rep, so raw-id suffixes put every
+    # replica group within edit distance 1-2 of itself and the TRUE
+    # RESULT explodes 7500x (30 -> 225k pairs measured) — the wall
+    # then prices result materialization, not the plan. Hashed
+    # suffixes keep replicas ~unrelated so the ratio measures the
+    # pigeonhole join itself.
     op_probe(
         "op_fuzzy_blocked",
         lambda d: fuzzy_self_join(
@@ -302,7 +309,7 @@ def main() -> None:
                 F.concat(
                     F.lower(F.substring("text", 1, 24)),
                     F.lit("-"),
-                    F.col("doc_id").cast("string"),
+                    F.hex(F.xxhash64("doc_id")),
                 ).alias("nm"),
             ),
             "id",

@@ -254,26 +254,46 @@ def test_curate_model_quality_gate_matches_q154_decision(spark, sf_dir, tmp_path
     assert written == stage2 & keep_ids
 
 
-def test_curate_gopher_quality_gate_matches_q192_decision(spark, sf_dir, tmp_path):
-    """quality_mode='gopher' must keep exactly the stage-2 survivors
-    whose q192 gopher_pass flag is 1 — gate and query share
-    _gopher_parts, so the sets cannot drift (the q154 test's scheme)."""
+def test_curate_gopher_quality_gate_planted_decisions(spark, sf_dir, tmp_path):
+    """quality_mode='gopher' applies the published A1.1 rules; the
+    expectations here are HAND-COMPUTED per rule (not re-derived from
+    the shared expressions), so a drift in either the gate or
+    _gopher_parts breaks the pin. The driver corpus itself contains
+    only ONE distinct listed stop word ('the'), so the faithful
+    two-DISTINCT-stops rule rejects all of it — also pinned."""
     from file_appender_spark.curate import curate
     from file_appender_spark.queries import QUERIES
     from file_appender_spark.sources.catalog import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    rows = [
+        # 60 words alternating two DISTINCT stop words: every rule
+        # passes (mean word len exactly 3 hits the >= 3 bound)
+        (1, "the and " * 30),
+        # 60 words, zero stop words -> flag_stop fails
+        (2, "zz1 zz2 " * 30),
+        # 30 words with stops -> word count fails
+        (3, "the and " * 15),
+        # 60 words, <80% alphabetic words -> flag_alpha fails
+        (4, "the and " + "123 456 " * 29),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
     out = str(tmp_path / "curated_gopher")
     funnel = curate(spark, docs, out, quality_mode="gopher")
     written = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert written == {1}
+    assert funnel["after_quality"] == 1 == funnel["written"]
+
+    # driver corpus: one distinct stop word only -> zero admissions,
+    # and q192 agrees (its gopher_pass column is all 0)
     q192 = QUERIES["q192_gopher_rules"].spark_fn(spark, sf_dir)
-    keep_ids = {r["doc_id"] for r in q192.filter("gopher_pass = 1").collect()}
-    assert written <= keep_ids
-    out2 = str(tmp_path / "curated_nogate_g")
-    curate(spark, docs, out2, quality_mode="alpha", min_alpha_ratio=0.0)
-    stage2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
-    assert written == stage2 & keep_ids
-    assert funnel["written"] == funnel["after_quality"]
+    assert q192.filter("gopher_pass = 1").count() == 0
+    sf_docs = load_table(spark, sf_dir, "documents")
+    funnel2 = curate(
+        spark, sf_docs, str(tmp_path / "curated_gopher_sf"), quality_mode="gopher"
+    )
+    assert funnel2["after_quality"] == 0 == funnel2["written"]
 
 
 def test_curate_quality_mode_validation(spark, sf_dir):

@@ -388,8 +388,10 @@ def test_ahash_from_cells_rejects_out_of_grid_cells(spark):
     cells_df = spark.createDataFrame(
         [(1, c, 10 * c) for c in range(80)], "id long, c int, cell long"
     )
-    with _pytest.raises(ValueError, match="outside the declared grid"):
-        ahash_from_cells(cells_df, "id")  # default grid=64 < 80 cells
+    # plan-embedded assert_true raises at EXECUTION (no eager extra
+    # scan at construction) as a Spark runtime error
+    with _pytest.raises(Exception, match="outside the declared grid"):
+        ahash_from_cells(cells_df, "id").collect()  # default grid=64 < 80
     # declaring the real grid works and bands all 80 cells
     wide_ok = ahash_from_cells(cells_df, "id", grid=128).collect()
     assert {r["bi"] for r in wide_ok} == {0, 1, 2, 3}
