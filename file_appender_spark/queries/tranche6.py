@@ -1280,3 +1280,113 @@ def q200_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(wp(50).alias("wp50"), wp(90).alias("wp90"))
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q201 — interval concurrency via sweep-line (no self-join)
+# --------------------------------------------------------------------------
+
+_Q201_WIN_S = 300  # each event holds a 5-minute activity window
+
+
+@register(
+    "q201_concurrency_sweep",
+    f"""
+    WITH iv AS (
+      SELECT event_id, ts AS s, ts + INTERVAL {_Q201_WIN_S} SECOND AS e
+      FROM events
+    )
+    SELECT a.event_id,
+           count(*) AS n_concurrent
+    FROM iv a JOIN iv b
+      ON b.s < a.e AND a.s < b.e
+    GROUP BY a.event_id
+    ORDER BY a.event_id
+    """,
+)
+def q201_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval concurrency: for every event's 5-minute activity
+    window, how many windows (its own included) overlap it — the
+    load-profile / concurrent-sessions statistic.
+
+    The ORACLE states the quadratic definition (interval self-join);
+    the Spark plan is the SWEEP-LINE spelling: overlaps(a) =
+    |starts strictly before a.end| - |ends at-or-before a.start|
+    (count inclusion-exclusion over a sorted sweep — each term is a
+    rank in a global order, computed by sorting starts and ends once
+    and counting with window functions), which is O(n log n) with NO
+    pair materialization. Choosing different physical algebra on the
+    two sides is the point: the equality of results pins the
+    inclusion-exclusion identity.
+
+    Determinism: counts of exact timestamp comparisons; ties are
+    handled identically on both sides (strict < on starts-vs-end,
+    <= on ends-vs-start via the join's a.s < b.e symmetry).
+
+    Scale: two global sorts (the starts rank and the ends rank) via
+    range-partitioned window cumsums — at 100 TB both are
+    range-exchange + per-partition scans; contrast the oracle's
+    self-join, whose output alone is sum(n_concurrent) pairs. The
+    single-partition windows here are the local-mode spelling of a
+    range-partitioned rank; see q150's two-phase pattern for the
+    cluster form."""
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {_Q201_WIN_S} SECOND")).alias("e"),
+    )
+    # rank tables: how many starts are <= t, how many ends are <= t,
+    # evaluated by joining each event against sorted unique bounds —
+    # expressed with window cumsums over the union of bound points
+    starts = iv.groupBy("s").agg(F.count("*").alias("ns"))
+    w_s = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    starts_cum = starts.select(
+        F.col("s").alias("t"), F.sum("ns").over(w_s).alias("starts_le")
+    )
+    ends = iv.groupBy("e").agg(F.count("*").alias("ne"))
+    w_e = W.orderBy("e").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ends_cum = ends.select(
+        F.col("e").alias("t"), F.sum("ne").over(w_e).alias("ends_le")
+    )
+    # starts strictly before a.e == starts_le at the greatest bound
+    # point < a.e; with all starts/e on the same second grid the
+    # as-of lookup is an equi-join on the point itself when present.
+    # Events share the grid (e = s + fixed window), so every a.e and
+    # a.s IS a bound point when any event starts/ends there — handle
+    # the general case with an as-of join on the sorted point table.
+    from file_appender_spark.operators.asof import asof_join
+
+    a = iv.select("event_id", "s", "e")
+    k = F.lit(1).alias("k")
+    # n_starts strictly before a.e: as-of at e - 1 microsecond
+    probe_e = a.select(
+        "event_id", k, (F.col("e") - F.expr("INTERVAL 1 MICROSECOND")).alias("t")
+    )
+    sb = asof_join(
+        probe_e,
+        starts_cum.select(k, "t", "starts_le"),
+        on="k",
+        ts="t",
+        value_cols=["starts_le"],
+    ).select("event_id", F.coalesce("starts_le", F.lit(0)).alias("nsb"))
+    # n_ends at-or-before a.s
+    probe_s = a.select("event_id", k, F.col("s").alias("t"))
+    eb = asof_join(
+        probe_s,
+        ends_cum.select(k, "t", "ends_le"),
+        on="k",
+        ts="t",
+        value_cols=["ends_le"],
+    ).select("event_id", F.coalesce("ends_le", F.lit(0)).alias("neb"))
+    return (
+        a.join(sb, "event_id")
+        .join(eb, "event_id")
+        .select(
+            "event_id",
+            (F.col("nsb") - F.col("neb")).cast("bigint").alias("n_concurrent"),
+        )
+        .orderBy("event_id")
+    )

@@ -190,6 +190,7 @@ PROBES = [
     "q198_heaps_law",
     "q199_good_turing",
     "q200_weighted_percentile",
+    "q201_concurrency_sweep",
 ]
 
 
