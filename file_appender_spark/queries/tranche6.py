@@ -1390,3 +1390,107 @@ def q201_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q202 — clamped running balance (bounded-state sequential fold)
+# --------------------------------------------------------------------------
+
+_Q202_CAP = 100_000  # balance ceiling in cents ($1000); floor is 0
+
+
+@register(
+    "q202_clamped_balance",
+    f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT)
+               * (CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS d,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, rn,
+             CAST(least(greatest(d, 0), {_Q202_CAP}) AS BIGINT) AS bal
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.rn,
+             CAST(least(greatest(r.bal + e.d, 0), {_Q202_CAP}) AS BIGINT)
+      FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, bal AS balance_cents
+    FROM r ORDER BY user_id, event_id
+    """,
+)
+def q202_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance per user: credits (any event) and
+    debits ('error' events) accumulate, saturating at [0, $1000] —
+    inventory/wallet semantics. The clamp makes every step depend on
+    the SATURATED previous value, so no window frame or prefix
+    decomposition expresses it (the textbook case for custom
+    sequential state); the oracle states it as a recursive CTE, the
+    Spark side as one per-user HOF fold — two independent sequential
+    formulations.
+
+    Scale contract: state is PER USER and per-user event counts are
+    business-bounded (replication adds users, not depth — the 10x
+    replica remaps user ids), so the fold's input array stays small
+    no matter the corpus; the groupBy shuffles each user's events
+    once. The fold appends to its output array per step (O(n^2)
+    copies per user) — priced and fine at bounded n; the streaming
+    production form of the same state machine is
+    transformWithState/applyInPandasWithState (streaming/ops.py
+    carries the harness)."""
+    from file_appender_spark.operators.textstats import let_expr
+
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        * F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
+    )
+    g = ev.select(
+        "user_id", F.struct("ts", "event_id", d.alias("d")).alias("s")
+    ).groupBy("user_id").agg(F.collect_list("s").alias("a"))
+
+    def fold(arr):
+        init = F.struct(
+            F.lit(0).cast("bigint").alias("bal"),
+            F.expr(
+                "CAST(array() AS array<struct<event_id: bigint, bal: bigint>>)"
+            ).alias("out"),
+        )
+
+        def merge(acc, s):
+            nb = F.least(
+                F.greatest(acc["bal"] + s["d"], F.lit(0).cast("bigint")),
+                F.lit(_Q202_CAP).cast("bigint"),
+            )
+
+            def with_nb(b):
+                return F.struct(
+                    b.alias("bal"),
+                    F.concat(
+                        acc["out"],
+                        F.array(
+                            F.struct(
+                                s["event_id"].alias("event_id"),
+                                b.alias("bal"),
+                            )
+                        ),
+                    ).alias("out"),
+                )
+
+            return let_expr(nb, with_nb)
+
+        return F.aggregate(F.array_sort(arr), init, merge, lambda a: a["out"])
+
+    return (
+        g.select("user_id", F.explode(fold(F.col("a"))).alias("o"))
+        .select(
+            "user_id",
+            F.col("o.event_id").alias("event_id"),
+            F.col("o.bal").alias("balance_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )

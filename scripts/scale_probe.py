@@ -191,6 +191,7 @@ PROBES = [
     "q199_good_turing",
     "q200_weighted_percentile",
     "q201_concurrency_sweep",
+    "q202_clamped_balance",
 ]
 
 
