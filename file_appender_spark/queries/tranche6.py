@@ -1439,9 +1439,9 @@ def q202_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     no matter the corpus; the groupBy shuffles each user's events
     once. The fold appends to its output array per step (O(n^2)
     copies per user) — priced and fine at bounded n; the streaming
-    production form of the same state machine is
-    transformWithState/applyInPandasWithState (streaming/ops.py
-    carries the harness)."""
+    production form of the same state machine IS implemented:
+    streaming/ops.py::clamped_balance_with_state, batch==streaming
+    equivalence pinned in tests/test_streaming.py."""
     from file_appender_spark.operators.textstats import let_expr
 
     ev = _t(spark, sf_dir, "events")

@@ -245,3 +245,56 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def clamped_balance_with_state(events: DataFrame) -> DataFrame:
+    """q202's saturated wallet state machine as a STREAMING operator
+    (the production form the batch query's docstring promises):
+    per-user balance clamped to [0, cap] carried across micro-batches
+    via ``applyInPandasWithState``, emitting one row per event.
+
+    Semantics are q202_clamped_balance's exactly — delta =
+    floor(value*100+0.5) cents, negated for 'error' events; balance
+    saturates at [0, _Q202_CAP] — and the batch==streaming
+    equivalence is pinned in tests (the stream must deliver each
+    user's events in event-time order across batches, which
+    time-split input files provide; within a batch the update
+    function sorts by (ts, event_id) itself)."""
+    import pandas as pd
+
+    from file_appender_spark.queries.tranche6 import _Q202_CAP
+
+    output_schema = "user_id long, event_id long, balance_cents long"
+    state_schema = "bal long"
+
+    def update(key, pdfs: Iterable["pd.DataFrame"], state):
+        (user_id,) = key
+        (bal,) = state.get if state.exists else (0,)
+        out_eid, out_bal = [], []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        import math
+
+        for _, row in pdf.iterrows():
+            d = int(math.floor(float(row["value"]) * 100 + 0.5))
+            if row["event_type"] == "error":
+                d = -d
+            bal = min(max(bal + d, 0), _Q202_CAP)
+            out_eid.append(int(row["event_id"]))
+            out_bal.append(bal)
+        state.update((bal,))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_eid),
+                "event_id": out_eid,
+                "balance_cents": out_bal,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

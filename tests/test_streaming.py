@@ -333,3 +333,70 @@ def test_progress_collector_captures_metrics(spark, events_dir):
         assert totals["max_batch_ms"] is not None
     finally:
         collector.detach(spark)
+
+
+def test_clamped_balance_stream_equals_batch_q202(spark, sf_dir, tmp_path):
+    """The streaming clamp state machine must reproduce q202's batch
+    answer exactly when events arrive in time order across
+    micro-batches (time-split files + maxFilesPerTrigger=1 force the
+    state to genuinely carry balances between batches)."""
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.queries import QUERIES
+    from file_appender_spark.streaming.ops import (
+        EVENT_SCHEMA,
+        clamped_balance_with_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # any time split works (midpoint of the range): the point is two
+    # time-ordered batches, not an exact median
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    d = str(tmp_path / "ev_timesplit")
+    # two time-ordered files -> two micro-batches, second depends on
+    # first's carried state
+    ev.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/p1")
+    ev.filter(F.col("ts") > F.lit(mid)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/p2")
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "ev_flat")
+    os.makedirs(flat, exist_ok=True)
+    # 0-prefixed names keep listing order == time order
+    for i, part in enumerate(
+        sorted(glob.glob(d + "/p1/part-*.parquet"))
+        + sorted(glob.glob(d + "/p2/part-*.parquet"))
+    ):
+        shutil.copy(part, os.path.join(flat, f"{i:02d}.parquet"))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(flat)
+    )
+    q = (
+        clamped_balance_with_state(stream)
+        .writeStream.format("memory")
+        .queryName("clamp_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["event_id"]): r["balance_cents"]
+        for r in spark.sql("SELECT * FROM clamp_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["balance_cents"]
+        for r in QUERIES["q202_clamped_balance"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) == ev.count()
