@@ -1,8 +1,9 @@
 """TPC-H optimizer-shape tranche (round 5) — the classic Catalyst
 stress tests the inventory did not yet cover, adapted to the driver
 schema (no partsupp / shipmode / commitdate columns, so Q2/Q11/Q12/
-Q16/Q20/Q21 have no faithful adaptation; Q1/Q3/Q4/Q5/Q6 shapes landed
-in rounds 1-3 as q01/q01b/q01c/q83/q84):
+Q16/Q20/Q21 have no faithful adaptation — they landed in round 6 as
+declared SHAPE adaptations, tranche7.py q203-q208; Q1/Q3/Q4/Q5/Q6
+shapes landed in rounds 1-3 as q01/q01b/q01c/q83/q84):
 
 - q168 (Q10 shape): returned-item revenue per customer — 3-way fact
   join + broadcast dim, quarter predicate pushed to both scans.

@@ -3,9 +3,10 @@ plus a statistical-LM quality scorer.
 
 TPC-H completion (with tpch_extra's round-5 seven and the earlier
 Q1/Q3/Q4/Q5/Q6 shapes this covers every TPC-H query the driver
-schema can express; Q2/Q11/Q16/Q20 are partsupp-centric and
-Q12/Q21 need shipmode/commitdate/receiptdate — none of those columns
-exist, so no faithful adaptation is possible):
+schema can express faithfully; Q2/Q11/Q16/Q20 are partsupp-centric
+and Q12/Q21 need shipmode/commitdate/receiptdate — those landed
+later in round 6 as declared SHAPE adaptations, tranche7.py
+q203-q208, completing all 22):
 
 - q187 (Q7 shape): volume shipping between two nations — the classic
   double-dim-join with a symmetric nation-pair disjunction that the
