@@ -64,6 +64,11 @@ R6_ADDITIONS = [
     "q181_bpe_tokenize",  # word-type-cached BPE tokenization
     "q184_image_dhash",  # dHash gradient perceptual hash
     "q186_cdc_chunking",  # content-defined chunking (md5 oracle form)
+    # tranche 7/8 representatives: the decorrelated EXISTS/NOT-EXISTS
+    # pair (heaviest of the six TPC-H shape adaptations) and the
+    # corpus-wide token-marginal G2 keyword plan
+    "q208_sole_late_supplier",  # Q21 shape: per-order aggregate decorrelation
+    "q212_dunning_keywords",  # Dunning G2 distinctive keywords
 ]
 R5_COMPARABLE = list(HEADLINE)
 HEADLINE = HEADLINE + R6_ADDITIONS

@@ -520,3 +520,127 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
         assert n >= 1
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+
+
+# ---------------------------------------------------------------------------
+# round-6 tranche 7 (TPC-H shape adaptations q203-q208)
+# ---------------------------------------------------------------------------
+
+
+def test_q203_dim_filters_push_and_broadcast(spark, sf_dir):
+    """Q2 shape: region/part predicates are scan filters, every dim
+    broadcasts, and the min re-join never degrades to a nested loop."""
+    plan = plan_of(spark, sf_dir, "q203_min_cost_supplier")
+    assert "EqualTo(r_name,EUROPE)" in plan
+    assert "GreaterThanOrEqual(p_size,20)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q204_scalar_subquery_is_single_onerow_broadcast(spark, sf_dir):
+    """Q11 shape: the global total rides ONE 1-row broadcast nested
+    loop (the declared scalar-subquery spelling); everything else is
+    hash joins — no second pass over partsupp."""
+    plan = plan_of(spark, sf_dir, "q204_important_stock")
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q205_year_window_pushes_to_lineitem_scan(spark, sf_dir):
+    """Q12 shape: the one-year shipdate range must reach the lineitem
+    scan; the cross-column lag predicate is join-level by nature."""
+    plan = plan_of(spark, sf_dir, "q205_late_ship_priority")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q206_not_in_is_broadcast_anti_join(spark, sf_dir):
+    """Q16 shape: the NOT IN exclusion plans as a broadcast LeftAnti
+    (keys non-null), and the IN size-list pushes into the part scan."""
+    plan = plan_of(spark, sf_dir, "q206_supplier_part_counts")
+    assert "LeftAnti" in plan
+    # the part predicates sit on the scan (the filter list prints
+    # truncated, so assert the brand term that survives elision)
+    assert "Brand#13" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q207_semi_join_chain(spark, sf_dir):
+    """Q20 shape: the nested IN subqueries plan as LeftSemi joins and
+    the part-name prefix filter pushes into the part scan."""
+    plan = plan_of(spark, sf_dir, "q207_excess_stock_suppliers")
+    assert "LeftSemi" in plan
+    assert "StringStartsWith(p_name,large)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q208_decorrelated_no_self_join_pair(spark, sf_dir):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair is decorrelated into one
+    per-order distinct aggregate — the plan must carry the status
+    pushdown and NO nested-loop/cartesian self-joins; the distinct
+    aggregate over (supplier, late-supplier) is the whole mechanism."""
+    plan = plan_of(spark, sf_dir, "q208_sole_late_supplier")
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Spark plans the two countDistincts as one Expand + two-phase count
+    assert "Expand" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-6 tranche 8 (sequence analytics + corpus mining q209-q214)
+# ---------------------------------------------------------------------------
+
+
+def test_q209_streak_window_is_user_partitioned(spark, sf_dir):
+    """Gaps-and-islands: the rank window must partition by user —
+    a global sort here would funnel the event stream through one
+    partition."""
+    plan = plan_of(spark, sf_dir, "q209_activity_streaks")
+    assert "partitionBy=[user_id" in plan or (
+        "Window" in plan and "user_id" in plan.split("Window")[1][:200]
+    )
+
+
+def test_q210_acf_joins_stay_bounded(spark, sf_dir):
+    """ACF: the lag table is a 7-row broadcast and the series self
+    join is day-level — nothing may evaluate as a cartesian product."""
+    plan = plan_of(spark, sf_dir, "q210_daily_acf")
+    assert "CartesianProduct" not in plan
+
+
+def test_q211_cusum_scalars_broadcast(spark, sf_dir):
+    """CUSUM: the total and max scalars ride 1-row broadcasts back
+    onto the day-level frame."""
+    plan = plan_of(spark, sf_dir, "q211_cusum_changepoint")
+    assert "CartesianProduct" not in plan
+    # two declared 1-row scalars; the total's subtree prints twice
+    # because the max derives from the already-joined cus frame
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_q212_g2_marginals_join_by_key(spark, sf_dir):
+    """Dunning G2: source totals broadcast, token totals join on the
+    token key, the grand total is the one declared 1-row broadcast."""
+    plan = plan_of(spark, sf_dir, "q212_dunning_keywords")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q213_triangles_are_equi_joins(spark, sf_dir):
+    """Clustering coefficient: triangle enumeration is two equi-joins
+    on vertex keys — never a nested loop over the edge list."""
+    plan = plan_of(spark, sf_dir, "q213_clustering_coefficient")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q214_novelty_single_gram_join(spark, sf_dir):
+    """Novelty curve: one equi-join on the gram hash; grams travel as
+    md5 (no raw text in the shuffle)."""
+    plan = plan_of(spark, sf_dir, "q214_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
