@@ -129,6 +129,13 @@ HEADLINE = [
     "q212_dunning_keywords",
     "q213_clustering_coefficient",
     "q214_ngram_novelty",
+    # round-6 tranche 9: inference statistics + curation planning
+    "q215_mann_whitney",
+    "q216_wilson_source_rank",
+    "q217_source_overlap",
+    "q218_kaplan_meier",
+    "q219_cluster_size_histogram",
+    "q220_session_dwell",
 ]
 
 

@@ -644,3 +644,48 @@ def test_q214_novelty_single_gram_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q214_ngram_novelty")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-6 tranche 9 (inference statistics + curation planning q215-q220)
+# ---------------------------------------------------------------------------
+
+
+def test_q215_rank_window_is_distinct_value_level(spark, sf_dir):
+    """Mann-Whitney: no global per-row sort — the only window runs
+    over the distinct-length aggregate, and no join exists at all."""
+    plan = plan_of(spark, sf_dir, "q215_mann_whitney")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q216_wilson_is_one_aggregate_plus_rank(spark, sf_dir):
+    """Wilson ranking: one source aggregate, one |sources|-row rank
+    window — no joins."""
+    plan = plan_of(spark, sf_dir, "q216_wilson_source_rank")
+    assert "Join" not in plan
+
+
+def test_q217_overlap_joins_on_gram_hash(spark, sf_dir):
+    """Source overlap: the self-join is an equi-join on the gram md5
+    (never a nested loop); marginals broadcast."""
+    plan = plan_of(spark, sf_dir, "q217_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q218_km_horizon_is_onerow_broadcast(spark, sf_dir):
+    """Kaplan-Meier: the horizon scalar rides one 1-row broadcast;
+    the user join is an equi left join."""
+    plan = plan_of(spark, sf_dir, "q218_kaplan_meier")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q220_session_windows_are_user_partitioned(spark, sf_dir):
+    """Dwell stats: sessionization windows partition by user; the
+    median windows partition by entry type — nothing global."""
+    plan = plan_of(spark, sf_dir, "q220_session_dwell")
+    assert "windowspecdefinition(user_id" in plan
+    assert "windowspecdefinition(entry_type" in plan
+    assert "CartesianProduct" not in plan
