@@ -136,6 +136,13 @@ HEADLINE = [
     "q218_kaplan_meier",
     "q219_cluster_size_histogram",
     "q220_session_dwell",
+    # round-6 tranche 10: robust statistics + dataset management
+    "q221_theil_sen",
+    "q222_spearman",
+    "q223_kruskal_wallis",
+    "q224_corpus_fingerprint",
+    "q225_source_hhi",
+    "q226_degree_powerlaw",
 ]
 
 

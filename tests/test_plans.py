@@ -689,3 +689,41 @@ def test_q220_session_windows_are_user_partitioned(spark, sf_dir):
     assert "windowspecdefinition(user_id" in plan
     assert "windowspecdefinition(entry_type" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-6 tranche 10 (robust statistics + dataset management q221-q226)
+# ---------------------------------------------------------------------------
+
+
+def test_q221_pair_join_is_day_level(spark, sf_dir):
+    """Theil-Sen: the O(days²) pair join is the DECLARED day-level
+    nested loop — each side is the day aggregate (Spark materializes
+    it from its own scan, so two scans feed two tiny aggregates; the
+    pair join itself never touches raw events)."""
+    plan = plan_of(spark, sf_dir, "q221_theil_sen")
+    assert plan.count("Scan parquet") <= 2
+    assert "BroadcastNestedLoopJoin" in plan  # day-frame pair join
+    assert plan.count("HashAggregate") >= 2  # both sides pre-aggregated
+
+
+def test_q222_rank_joins_are_equi(spark, sf_dir):
+    """Spearman: rank frames join back on the value keys — no nested
+    loop anywhere."""
+    plan = plan_of(spark, sf_dir, "q222_spearman")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q224_fingerprint_is_single_aggregate(spark, sf_dir):
+    """Fingerprint: one scan, one aggregate, no joins, no window."""
+    plan = plan_of(spark, sf_dir, "q224_corpus_fingerprint")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_q225_hhi_is_two_aggregates(spark, sf_dir):
+    """HHI: two nested aggregates, no joins."""
+    plan = plan_of(spark, sf_dir, "q225_source_hhi")
+    assert "Join" not in plan
