@@ -32,6 +32,7 @@ from file_appender_spark.queries import tranche7  # noqa: E402,F401
 from file_appender_spark.queries import tranche8  # noqa: E402,F401
 from file_appender_spark.queries import tranche9  # noqa: E402,F401
 from file_appender_spark.queries import tranche10  # noqa: E402,F401
+from file_appender_spark.queries import tranche11  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-facing registration order.

@@ -298,3 +298,39 @@ def clamped_balance_with_state(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def corpus_fingerprint_stream(docs: DataFrame) -> DataFrame:
+    """q224's corpus fingerprint as a STREAMING aggregation: per-source
+    XOR of 60-bit md5 prefixes plus doc/char counts, maintained
+    incrementally across micro-batches by Spark's stateful aggregation
+    (run with outputMode 'complete' or 'update'). XOR's commutativity
+    is what makes the fingerprint legitimately streamable — ANY
+    arrival order over any batch split folds to the same value, so
+    batch == streaming equality is exact, not order-lucky (pinned in
+    tests/test_streaming.py).
+
+    Scale: state is |sources| rows of three longs; per-batch work is
+    one map-side-combined partial aggregate — the cheapest possible
+    continuous dataset-version tripwire over an ingest stream."""
+    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return (
+        docs.select("source", "n_chars", h60.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+            F.expr("bit_xor(h)").cast("long").alias("fingerprint"),
+        )
+    )

@@ -143,6 +143,12 @@ HEADLINE = [
     "q224_corpus_fingerprint",
     "q225_source_hhi",
     "q226_degree_powerlaw",
+    # round-6 tranche 11: sequence mining + stylometry
+    "q227_markov_entropy",
+    "q228_burrows_delta",
+    "q229_transition_lift",
+    "q230_session_basket",
+    "q231_stopword_discovery",
 ]
 
 

@@ -727,3 +727,44 @@ def test_q225_hhi_is_two_aggregates(spark, sf_dir):
     """HHI: two nested aggregates, no joins."""
     plan = plan_of(spark, sf_dir, "q225_source_hhi")
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-6 tranche 11 (sequence mining + stylometry q227-q231)
+# ---------------------------------------------------------------------------
+
+
+def test_q227_transition_window_is_user_partitioned(spark, sf_dir):
+    """Entropy rate: the lead window partitions by user; N rides a
+    1-row broadcast."""
+    plan = plan_of(spark, sf_dir, "q227_markov_entropy")
+    assert "windowspecdefinition(user_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q228_delta_grid_is_broadcast_sized(spark, sf_dir):
+    """Burrows' Delta: the top-word list and grid joins broadcast —
+    no sort-merge join should survive at dashboard sizes; the one
+    nested-loop is the declared |sources| x 20 dense grid."""
+    plan = plan_of(spark, sf_dir, "q228_burrows_delta")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # ONE logical |sources| x 20 dense-grid cross join; its subtree
+    # prints four times (fi feeds ws AND z; z sits on both pair sides)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_q230_basket_join_is_equi_on_basket_key(spark, sf_dir):
+    """Market basket: the pair self-join is an equi-join on
+    (user, day) — never a nested loop over baskets."""
+    plan = plan_of(spark, sf_dir, "q230_session_basket")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row n scalar
+
+
+def test_q231_stopwords_single_aggregate(spark, sf_dir):
+    """Stopword discovery: one token groupBy + a 1-row broadcast —
+    no other join, no window."""
+    plan = plan_of(spark, sf_dir, "q231_stopword_discovery")
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -400,3 +400,60 @@ def test_clamped_balance_stream_equals_batch_q202(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) == ev.count()
+
+
+def test_corpus_fingerprint_stream_equals_batch_q224(spark, sf_dir, tmp_path):
+    """The streaming per-source fingerprint must equal q224's batch
+    answer after consuming the corpus in two micro-batches — XOR's
+    commutativity makes the equality exact for ANY split, so the
+    split here is arbitrary (doc_id parity)."""
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.queries import QUERIES
+    from file_appender_spark.streaming.ops import (
+        DOC_SCHEMA,
+        corpus_fingerprint_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = str(tmp_path / "docs_stream")
+    os.makedirs(d, exist_ok=True)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "_a")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "_b")
+    import glob
+    import shutil
+
+    for i, part in enumerate(
+        sorted(glob.glob(d + "_a/part-*.parquet"))
+        + sorted(glob.glob(d + "_b/part-*.parquet"))
+    ):
+        shutil.copy(part, os.path.join(d, f"{i:02d}.parquet"))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    q = (
+        corpus_fingerprint_stream(stream)
+        .writeStream.format("memory")
+        .queryName("fp_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["source"]: (r["n_docs"], r["n_chars_total"], r["fingerprint"])
+        for r in spark.table("fp_stream").collect()
+    }
+    want = {
+        r["source"]: (r["n_docs"], r["n_chars_total"], r["fingerprint"])
+        for r in QUERIES["q224_corpus_fingerprint"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == want
