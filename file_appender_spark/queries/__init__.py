@@ -33,6 +33,8 @@ from file_appender_spark.queries import tranche8  # noqa: E402,F401
 from file_appender_spark.queries import tranche9  # noqa: E402,F401
 from file_appender_spark.queries import tranche10  # noqa: E402,F401
 from file_appender_spark.queries import tranche11  # noqa: E402,F401
+from file_appender_spark.queries import tranche12  # noqa: E402,F401
+from file_appender_spark.queries import tranche13  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-facing registration order.

@@ -1,0 +1,295 @@
+"""Round-6 tranche 12: embedding-space evaluation operators
+(q232-q234) — the "is this embedding column any good" audit a
+training-data pipeline runs before trusting vectors for dedup/ANN.
+
+- q232: nearest-centroid confusion matrix — assign every vector to
+  its closest label centroid (L2); off-diagonal mass = labels the
+  space cannot separate (the classifier-free cousin of a probe
+  accuracy; q126 reports centroid-pair similarity, this reports
+  per-vector consequences).
+- q233: simplified silhouette per label (Rousseeuw 1987, centroid
+  form): s = (b - a) / max(a, b) with a = distance to own centroid,
+  b = nearest other centroid — the standard cluster-quality score.
+- q234: embedding health audit per label — norm min/max/mean and
+  zero-vector count (collapsed-encoder and dead-row detector).
+
+Determinism: centroid distances are round(.., 6)ed on both engines
+before ANY comparison (the q126 family's declared embedding
+discipline — double accumulation order differs cross-engine below
+1e-15, rounding absorbs it); argmin ties break by label; silhouette
+and norm means floor-scale per row to 1e-6 integers before
+averaging.
+
+Spark shape: centroids are a BOUNDED collect (|labels| x dims = 640
+doubles — pq.py's broadcast-codebook-as-literals contract), so the
+per-vector work is a zero-join zip_with/aggregate fold in one scan;
+only the final confusion/rollup groupBy shuffles (|labels|²-sized).
+The oracle spells the same math as a dim-join + group-sum.
+
+Reference parity: the reference engine (a CDAP batch sink) has no
+query surface; these extend SURVEY.md §2 Part B's embedding
+analytics family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_appender_spark.queries.registry import register
+from file_appender_spark.queries.tpch_extra import _t
+
+_DIMS = 64
+
+_CENTROID_SQL = """
+    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    flat AS (
+      SELECT label, i.i AS dim, avg(e[i.i]) AS c
+      FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+      GROUP BY label, i.i
+    )
+"""
+
+
+def _centroid_literals(spark: SparkSession, sf_dir: str) -> list[tuple[int, list]]:
+    """Label centroids as driver-side literals — a BOUNDED collect
+    (|labels| x 64 doubles), the pq.py codebook contract."""
+    e = _t(spark, sf_dir, "embeddings")
+    flat = (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("c"))
+    )
+    rows = flat.collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], [0.0] * _DIMS)[r["pos"]] = r["c"]
+    return sorted(by_label.items())
+
+
+def _d2_raw(cent: list) -> Column:
+    """sum((e_i - c_i)^2) as a sequential JVM fold (fixed left-to-
+    right order) against a literal centroid array — UNROUNDED, so
+    callers round exactly once at the same point the oracle does."""
+    lit = F.array(*[F.lit(float(x)) for x in cent])
+    diffs = F.zip_with(F.col("e"), lit, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _d2_col(cent: list) -> Column:
+    """round(sum((e_i - c_i)^2), 6) — q232's comparison key."""
+    return F.round(_d2_raw(cent), 6)
+
+
+# ---------------------------------------------------------------------------
+# q232 — nearest-centroid confusion matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q232_centroid_confusion",
+    f"""
+    WITH {_CENTROID_SQL},
+    vd AS (
+      SELECT v.vec_id, v.label, flat.label AS cand,
+             round(sum((v.e[flat.dim] - flat.c) * (v.e[flat.dim] - flat.c)), 6)
+               AS d2
+      FROM v JOIN flat ON true
+      GROUP BY v.vec_id, v.label, flat.label
+    ),
+    asg AS (
+      SELECT vec_id, label, cand AS assigned FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand)
+                 AS rn
+        FROM vd) WHERE rn = 1
+    )
+    SELECT label, assigned, CAST(count(*) AS BIGINT) AS n
+    FROM asg GROUP BY label, assigned
+    """,
+)
+def q232_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix: every vector assigned to the
+    label centroid with minimum (rounded) squared L2 distance, ties
+    by label id; output (true label, assigned, count). Diagonal mass
+    = how linearly separable the labels are in this space.
+
+    Scale: centroids collapse to a bounded driver-side literal (the
+    pq.py codebook contract); each vector then evaluates 10 fixed
+    zip_with folds in ONE scan with an array_min struct pick — no
+    join, no explode; the only shuffle is the |labels|²-row confusion
+    groupBy. The oracle spells the identical math as a dim join."""
+    cents = _centroid_literals(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cand = F.array(
+        *[
+            F.struct(_d2_col(c).alias("d2"), F.lit(lbl).alias("cand"))
+            for lbl, c in cents
+        ]
+    )
+    asg = e.select(
+        "label", F.array_min(cand).getField("cand").alias("assigned")
+    )
+    return asg.groupBy("label", "assigned").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q233 — simplified silhouette per label
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q233_silhouette",
+    f"""
+    WITH {_CENTROID_SQL},
+    vd AS (
+      SELECT v.vec_id, v.label, flat.label AS cand,
+             round(sqrt(sum((v.e[flat.dim] - flat.c)
+                            * (v.e[flat.dim] - flat.c))), 6) AS d
+      FROM v JOIN flat ON true
+      GROUP BY v.vec_id, v.label, flat.label
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             min(CASE WHEN cand = label THEN d END) AS a,
+             min(CASE WHEN cand <> label THEN d END) AS b
+      FROM vd GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT vec_id, label,
+             CAST(floor((b - a) / (CASE WHEN a > b THEN a ELSE b END)
+                        * 1000000 + 0.5) AS BIGINT) AS s_micro
+      FROM ab WHERE a > 0 OR b > 0
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(s_micro) AS DOUBLE) / count(*) / 1000000, 6)
+             AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+)
+def q233_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid) silhouette per label: s = (b - a) /
+    max(a, b) with a = rounded L2 distance to the own-label centroid
+    and b = the nearest other centroid; per-vector scores floor-scale
+    to 1e-6 integers before the label mean (order-independent). Mean
+    near 0 = the label adds no geometric structure; negative = its
+    members sit closer to someone else's centroid.
+
+    Scale: q232's zero-join literal-centroid fold; the rollup is one
+    |labels|-row aggregate."""
+    cents = _centroid_literals(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # round EXACTLY where the oracle does: round(sqrt(raw d2), 6)
+    dist_cols = [(lbl, F.round(F.sqrt(_d2_raw(c)), 6)) for lbl, c in cents]
+    # a = own-label distance; b = min over the others — both as
+    # struct-array mins over the same rounded distances.
+    b_struct = F.array_min(
+        F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        dc.alias("d"), F.lit(lbl).alias("cand")
+                    )
+                    for lbl, dc in dist_cols
+                ]
+            ),
+            lambda s: s.getField("cand") != F.col("label"),
+        )
+    ).getField("d")
+    a_struct = F.array_min(
+        F.filter(
+            F.array(
+                *[
+                    F.struct(dc.alias("d"), F.lit(lbl).alias("cand"))
+                    for lbl, dc in dist_cols
+                ]
+            ),
+            lambda s: s.getField("cand") == F.col("label"),
+        )
+    ).getField("d")
+    ab = e.select("label", a_struct.alias("a"), b_struct.alias("b")).filter(
+        (F.col("a") > 0) | (F.col("b") > 0)
+    )
+    s_micro = F.floor(
+        (F.col("b") - F.col("a"))
+        / F.when(F.col("a") > F.col("b"), F.col("a")).otherwise(F.col("b"))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        ab.select("label", s_micro.alias("s_micro"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum("s_micro").cast("double") / F.count("*") / 1000000, 6
+            ).alias("mean_silhouette"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q234 — embedding health audit per label
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q234_embedding_health",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x))), 6) AS nrm
+      FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           min(nrm) AS min_norm, max(nrm) AS max_norm,
+           round(CAST(sum(CAST(floor(nrm * 1000000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / count(*) / 1000000, 6) AS mean_norm,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM v GROUP BY label
+    """,
+)
+def q234_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding health per label: L2-norm min/max/mean (rounded,
+    floor-scaled mean) and zero-vector count — the collapsed-encoder
+    / dead-row tripwire run before any cosine-based operator trusts
+    the column (a zero vector makes cosine undefined; wildly varying
+    norms mean someone forgot to normalize).
+
+    Scale: one zero-join, zero-explode scan (per-row JVM fold over
+    the 64 dims) + a |labels|-row aggregate."""
+    e = _t(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col("embedding").cast("array<double>"), lambda x: x * x
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    v = e.select("label", nrm.alias("nrm"))
+    return v.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.round(
+            F.sum(F.floor(F.col("nrm") * 1000000 + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.count("*")
+            / 1000000,
+            6,
+        ).alias("mean_norm"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+    )

@@ -149,6 +149,13 @@ HEADLINE = [
     "q229_transition_lift",
     "q230_session_basket",
     "q231_stopword_discovery",
+    # round-6 tranche 12: embedding-space evaluation
+    "q232_centroid_confusion",
+    "q233_silhouette",
+    "q234_embedding_health",
+    # round-6 tranche 13: clustering/graph evaluation
+    "q235_cluster_purity",
+    "q236_degree_assortativity",
 ]
 
 

@@ -768,3 +768,45 @@ def test_q231_stopwords_single_aggregate(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q231_stopword_discovery")
     assert "Window" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+# ---------------------------------------------------------------------------
+# round-6 tranche 12 (embedding-space evaluation q232-q234)
+# ---------------------------------------------------------------------------
+
+
+def test_q232_confusion_per_row_path_is_joinless(spark, sf_dir):
+    """Nearest-centroid assignment folds literal centroids per row —
+    the assignment path has no join; the only shuffle is the
+    |labels|²-row confusion aggregate."""
+    plan = plan_of(spark, sf_dir, "q232_centroid_confusion")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q234_health_is_single_scan_fold(spark, sf_dir):
+    """Norm audit: one scan, per-row fold, one label aggregate —
+    no join, no explode-shaped Generate."""
+    plan = plan_of(spark, sf_dir, "q234_embedding_health")
+    assert "Join" not in plan
+    assert "Generate" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-6 tranche 13 (clustering/graph evaluation q235-q236)
+# ---------------------------------------------------------------------------
+
+
+def test_q236_assortativity_joins_are_equi(spark, sf_dir):
+    """Assortativity: degree attach is two equi-joins on vertex keys;
+    nothing nested-loop beyond the 1-row moment broadcast."""
+    plan = plan_of(spark, sf_dir, "q236_degree_assortativity")
+    assert "CartesianProduct" not in plan
+
+
+def test_q235_purity_scalars_broadcast(spark, sf_dir):
+    """Purity/NMI: the four scalar frames (n, MI, H(C), H(S)) ride
+    1-row broadcasts onto the stats row — no sort-merge join of
+    scalar frames."""
+    plan = plan_of(spark, sf_dir, "q235_cluster_purity")
+    assert "CartesianProduct" not in plan
