@@ -151,10 +151,12 @@ def q221_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(b * b) AS BIGINT) AS sbb
       FROM r
     )
-    SELECT n, round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
-           / (sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
-              * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
-             AS rho
+    SELECT n,
+           CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+             round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+             / (sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
+           ELSE NULL END AS rho
     FROM mom
     """,
 )
@@ -202,14 +204,19 @@ def q222_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
     )
     n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
-    rho = F.round(
-        (n.cast("double") * F.col("sab") - sa.cast("double") * sb)
-        / (
-            F.sqrt(n.cast("double") * F.col("saa") - sa.cast("double") * sa)
-            * F.sqrt(n.cast("double") * F.col("sbb") - sb.cast("double") * sb)
+    # guarded: constant x or y (zero rank variance) zeroes a sqrt —
+    # ANSI-mode Spark raises where the oracle yields NULL
+    rho = F.when(
+        (n * F.col("saa") - sa * sa > 0) & (n * F.col("sbb") - sb * sb > 0),
+        F.round(
+            (n.cast("double") * F.col("sab") - sa.cast("double") * sb)
+            / (
+                F.sqrt(n.cast("double") * F.col("saa") - sa.cast("double") * sa)
+                * F.sqrt(n.cast("double") * F.col("sbb") - sb.cast("double") * sb)
+            ),
+            6,
         ),
-        6,
-    )
+    ).otherwise(F.lit(None).cast("double"))
     return mom.select("n", rho.alias("rho"))
 
 
@@ -314,6 +321,24 @@ def q223_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def fingerprint_agg(docs: DataFrame) -> DataFrame:
+    """The ONE fingerprint definition (60-bit md5-prefix XOR + doc and
+    char counts per source) — shared by q224 and the streaming twin
+    (streaming/ops.py::corpus_fingerprint_stream) so the two cannot
+    drift apart (review finding); the batch==streaming equivalence
+    test pins them equal."""
+    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return (
+        docs.select("source", "n_chars", h60.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+            F.expr("bit_xor(h)").cast("long").alias("fingerprint"),
+        )
+    )
+
+
 @register(
     "q224_corpus_fingerprint",
     """
@@ -336,17 +361,7 @@ def q224_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: a pure map-side-combined aggregate — ONE scan, one 20-row
     output; the md5 is the only per-row work."""
-    d = _t(spark, sf_dir, "documents")
-    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
-    return (
-        d.select("source", "n_chars", h60.alias("h"))
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("n_chars_total"),
-            F.expr("bit_xor(h)").cast("long").alias("fingerprint"),
-        )
-    )
+    return fingerprint_agg(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

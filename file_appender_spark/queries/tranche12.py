@@ -51,9 +51,17 @@ _CENTROID_SQL = """
 """
 
 
+_CENT_MEMO: dict[tuple[str, str], list] = {}
+
+
 def _centroid_literals(spark: SparkSession, sf_dir: str) -> list[tuple[int, list]]:
     """Label centroids as driver-side literals — a BOUNDED collect
-    (|labels| x 64 doubles), the pq.py codebook contract."""
+    (|labels| x 64 doubles), the pq.py codebook contract. Memoized
+    per (session, sf_dir) so q232 and q233 in one run share a single
+    embeddings scan (review finding)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CENT_MEMO:
+        return _CENT_MEMO[key]
     e = _t(spark, sf_dir, "embeddings")
     flat = (
         e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
@@ -64,7 +72,9 @@ def _centroid_literals(spark: SparkSession, sf_dir: str) -> list[tuple[int, list
     by_label: dict[int, list] = {}
     for r in rows:
         by_label.setdefault(r["label"], [0.0] * _DIMS)[r["pos"]] = r["c"]
-    return sorted(by_label.items())
+    out = sorted(by_label.items())
+    _CENT_MEMO[key] = out
+    return out
 
 
 def _d2_raw(cent: list) -> Column:
@@ -184,35 +194,27 @@ def q233_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    # round EXACTLY where the oracle does: round(sqrt(raw d2), 6)
-    dist_cols = [(lbl, F.round(F.sqrt(_d2_raw(c)), 6)) for lbl, c in cents]
-    # a = own-label distance; b = min over the others — both as
-    # struct-array mins over the same rounded distances.
-    b_struct = F.array_min(
-        F.filter(
-            F.array(
-                *[
-                    F.struct(
-                        dc.alias("d"), F.lit(lbl).alias("cand")
-                    )
-                    for lbl, dc in dist_cols
-                ]
-            ),
-            lambda s: s.getField("cand") != F.col("label"),
-        )
+    # round EXACTLY where the oracle does: round(sqrt(raw d2), 6).
+    # The distance struct array MATERIALIZES ONCE as a column (review
+    # finding: two inline copies meant 2x the 64-dim folds unless
+    # codegen CSE saved us); a and b both derive from that column.
+    dists = F.array(
+        *[
+            F.struct(
+                F.round(F.sqrt(_d2_raw(c)), 6).alias("d"),
+                F.lit(lbl).alias("cand"),
+            )
+            for lbl, c in cents
+        ]
+    )
+    withd = e.select("label", dists.alias("dists"))
+    a_col = F.array_min(
+        F.filter(F.col("dists"), lambda s: s.getField("cand") == F.col("label"))
     ).getField("d")
-    a_struct = F.array_min(
-        F.filter(
-            F.array(
-                *[
-                    F.struct(dc.alias("d"), F.lit(lbl).alias("cand"))
-                    for lbl, dc in dist_cols
-                ]
-            ),
-            lambda s: s.getField("cand") == F.col("label"),
-        )
+    b_col = F.array_min(
+        F.filter(F.col("dists"), lambda s: s.getField("cand") != F.col("label"))
     ).getField("d")
-    ab = e.select("label", a_struct.alias("a"), b_struct.alias("b")).filter(
+    ab = withd.select("label", a_col.alias("a"), b_col.alias("b")).filter(
         (F.col("a") > 0) | (F.col("b") > 0)
     )
     s_micro = F.floor(

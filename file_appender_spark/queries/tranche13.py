@@ -90,9 +90,12 @@ from file_appender_spark.queries.tpch_extra import _t
            nd AS n_docs,
            round(CAST((SELECT sum(maj) FROM per_cluster) AS DOUBLE) / nd, 6)
              AS purity,
-           round(CAST((SELECT sum(t) FROM mi_terms) AS DOUBLE)
-                 / sqrt(CAST((SELECT sum(t) FROM hc_terms) AS DOUBLE)
-                        * (SELECT sum(t) FROM hs_terms)), 6) AS nmi
+           CASE WHEN (SELECT sum(t) FROM hc_terms) > 0
+                     AND (SELECT sum(t) FROM hs_terms) > 0 THEN
+             round(CAST((SELECT sum(t) FROM mi_terms) AS DOUBLE)
+                   / sqrt(CAST((SELECT sum(t) FROM hc_terms) AS DOUBLE)
+                          * (SELECT sum(t) FROM hs_terms)), 6)
+           ELSE NULL END AS nmi
     FROM n
     """,
 )
@@ -189,11 +192,18 @@ def q235_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("maj_sum").cast("double") / F.col("nd"), 6).alias(
                 "purity"
             ),
-            F.round(
-                F.col("mi").cast("double")
-                / F.sqrt(F.col("hc").cast("double") * F.col("hs")),
-                6,
-            ).alias("nmi"),
+            # guarded: one cluster (H(C)=0) or one source (H(S)=0)
+            # zeroes the sqrt — ANSI Spark raises, oracle yields NULL
+            F.when(
+                (F.col("hc") > 0) & (F.col("hs") > 0),
+                F.round(
+                    F.col("mi").cast("double")
+                    / F.sqrt(F.col("hc").cast("double") * F.col("hs")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("nmi"),
         )
     )
 

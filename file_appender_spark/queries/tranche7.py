@@ -192,6 +192,13 @@ def q204_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction and integer-exact via cross-multiplication
     (value * n_parts > 2 * total — no division anywhere).
 
+    Declared bound (review finding): the cross-product value*n_parts
+    overflows BIGINT once n_parts * max_part_value_cents approaches
+    2^63 (~SF 1e4 with this data shape). Past that, spell the
+    threshold as value > 2.0 * total / n_parts in DOUBLE — the
+    integer form is the ORACLE-EXACT spelling at checkable scales,
+    same declared-bound class as q222/q223's rank moments.
+
     Scale: one shuffle to the per-part aggregate; the global total is
     a 1-row aggregate OF the aggregate (tiny), broadcast back via
     cross-join — never a second pass over the fact. The region filter

@@ -110,12 +110,18 @@ def q209_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ACF_MAX_LAG = 7
 
+# guarded: a single-pair lag or a zero-variance window makes either
+# sqrt term 0 — ANSI-mode Spark raises DIVIDE_BY_ZERO where the
+# oracle yields NULL (review finding). One shared string = one guard
+# for both engines.
 _ACF_R_SQL = """
-round(
-  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-  / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-     * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
-  6)
+CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+  round(
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+    6)
+ELSE NULL END
 """
 
 

@@ -45,6 +45,7 @@ from file_appender_spark.queries.llm import (
     _WS,
     q116_dedup_clusters,
 )
+from file_appender_spark.queries.mining import _gram_sql
 from file_appender_spark.queries.registry import register
 from file_appender_spark.queries.tpch_extra import _t
 
@@ -78,9 +79,11 @@ from file_appender_spark.queries.tpch_extra import _t
     )
     SELECT na, n - na AS nb, r2a,
            r2a - na * (na + 1) AS u2,
-           round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2
-                  - CAST(na AS DOUBLE) * (n - na) / 2)
-                 / sqrt(CAST(na AS DOUBLE) * (n - na) * (n + 1) / 12), 6) AS z
+           CASE WHEN na > 0 AND na < n THEN
+             round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2
+                    - CAST(na AS DOUBLE) * (n - na) / 2)
+                   / sqrt(CAST(na AS DOUBLE) * (n - na) * (n + 1) / 12), 6)
+           ELSE NULL END AS z
     FROM tot
     """,
 )
@@ -122,11 +125,16 @@ def q215_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na, n, r2a = F.col("na"), F.col("n"), F.col("r2a")
     u2 = r2a - na * (na + 1)
-    z = F.round(
-        (u2.cast("double") / 2 - na.cast("double") * (n - na) / 2)
-        / F.sqrt(na.cast("double") * (n - na) * (n + 1) / 12),
-        6,
-    )
+    # guarded: one empty group => zero denominator, which ANSI-mode
+    # Spark raises on while the oracle yields NULL (review finding)
+    z = F.when(
+        (na > 0) & (na < n),
+        F.round(
+            (u2.cast("double") / 2 - na.cast("double") * (n - na) / 2)
+            / F.sqrt(na.cast("double") * (n - na) * (n + 1) / 12),
+            6,
+        ),
+    ).otherwise(F.lit(None).cast("double"))
     return tot.select(
         na.alias("na"),
         (n - na).alias("nb"),
@@ -216,8 +224,7 @@ _OVL_K = 8
       SELECT DISTINCT source, g FROM (
         SELECT source,
                unnest(list_transform(range(1, len(w) - {_OVL_K - 2}),
-                 i -> md5({" || ' ' || ".join(f"w[i+{j}]" for j in range(_OVL_K))})))
-                 AS g
+                 i -> md5({_gram_sql(_OVL_K)}))) AS g
         FROM t WHERE len(w) >= {_OVL_K})
     ),
     cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg

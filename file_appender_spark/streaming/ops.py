@@ -324,13 +324,7 @@ def corpus_fingerprint_stream(docs: DataFrame) -> DataFrame:
     Scale: state is |sources| rows of three longs; per-batch work is
     one map-side-combined partial aggregate — the cheapest possible
     continuous dataset-version tripwire over an ingest stream."""
-    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
-    return (
-        docs.select("source", "n_chars", h60.alias("h"))
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("n_chars_total"),
-            F.expr("bit_xor(h)").cast("long").alias("fingerprint"),
-        )
-    )
+    # the ONE fingerprint definition, shared with the batch q224
+    from file_appender_spark.queries.tranche10 import fingerprint_agg
+
+    return fingerprint_agg(docs)
