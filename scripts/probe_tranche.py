@@ -57,6 +57,12 @@ TRANCHES: dict[str, list[str]] = {
         "q230_session_basket",
         "q231_stopword_discovery",
     ],
+    "tranche14": [
+        "q237_holt_smoothing",
+        "q238_forecast_error",
+        "q239_rfm_segments",
+        "q240_capture_recapture",
+    ],
     "tranche12_13": [
         "q232_centroid_confusion",
         "q233_silhouette",

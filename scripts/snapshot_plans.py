@@ -156,6 +156,11 @@ HEADLINE = [
     # round-6 tranche 13: clustering/graph evaluation
     "q235_cluster_purity",
     "q236_degree_assortativity",
+    # round-6 tranche 14: forecasting + population estimation
+    "q237_holt_smoothing",
+    "q238_forecast_error",
+    "q239_rfm_segments",
+    "q240_capture_recapture",
 ]
 
 

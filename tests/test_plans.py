@@ -810,3 +810,33 @@ def test_q235_purity_scalars_broadcast(spark, sf_dir):
     scalar frames."""
     plan = plan_of(spark, sf_dir, "q235_cluster_purity")
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-6 tranche 14 (forecasting + population estimation q237-q240)
+# ---------------------------------------------------------------------------
+
+
+def test_q237_holt_fold_is_day_level(spark, sf_dir):
+    """Holt smoothing: one events scan feeds the daily aggregate; the
+    sequential fold runs on the collected day array (single row) —
+    no join, no per-event window."""
+    plan = plan_of(spark, sf_dir, "q237_holt_smoothing")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_q239_rfm_windows_are_user_level(spark, sf_dir):
+    """RFM: the three ntile windows run over the user aggregate (one
+    events scan), never over raw events."""
+    plan = plan_of(spark, sf_dir, "q239_rfm_segments")
+    assert plan.count("Scan parquet") <= 2  # events + the 1-row gmax side
+    assert "CartesianProduct" not in plan
+
+
+def test_q240_chapman_is_distinct_plus_one_aggregate(spark, sf_dir):
+    """Capture-recapture: distinct (capture, gram) then ONE aggregate
+    with the two-phase distinct expand — no joins anywhere."""
+    plan = plan_of(spark, sf_dir, "q240_capture_recapture")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
