@@ -1,0 +1,168 @@
+"""Round-6 tranche 15: dedup-planning + label-QA operators
+(q241-q242).
+
+- q241: dedup threshold sensitivity sweep — the q52 near-dup pair
+  mass bucketed by Jaccard decile with a cumulative
+  pairs-at-or-above count per threshold: the one-pass curve an
+  operator reads BEFORE picking the dedup threshold (how many pairs
+  does 0.8 vs 0.5 actually remove), instead of re-running the
+  pipeline per candidate threshold.
+- q242: language-label confusion per source — q57's stopword-marker
+  language ID aggregated against the labeled lang, per source: the
+  mislabeled-language QA matrix (a source whose labels disagree with
+  the detector is a metadata bug upstream; fixes route to labels or
+  detector depending on which source misbehaves).
+
+Determinism: q241's deciles are integer floor(jaccard*10) buckets of
+the already-6dp-rounded q52 jaccard; the cumulative count is an
+integer suffix sum over <=9 buckets. q242 reuses q57's exact marker
+counts and its declared argmax tie-break order (en > de > fr > es);
+all outputs are integer counts.
+
+Reference parity: the reference engine (a CDAP batch sink) has no
+query surface; these extend SURVEY.md §2 Part B's dedup and
+text-analysis families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from file_appender_spark.queries.llm import (
+    _LANG_MARKERS,
+    _Q52_CTES,
+    _Q52_FINAL,
+    _WS,
+    q52_minhash_lsh,
+)
+from file_appender_spark.queries.registry import register
+from file_appender_spark.queries.tpch_extra import _t
+
+# ---------------------------------------------------------------------------
+# q241 — dedup threshold sensitivity sweep
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q241_threshold_sweep",
+    f"""
+    WITH {_Q52_CTES},
+    q52 AS ({_Q52_FINAL}),
+    binned AS (
+      SELECT CAST(floor(jaccard * 10) AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM q52 GROUP BY 1
+    )
+    SELECT decile, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY decile DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM binned
+    """,
+)
+def q241_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sensitivity of the q52 near-dup pipeline: pair mass
+    per Jaccard decile plus the cumulative pairs retained at each
+    threshold — computed in ONE pass over the pair list, so choosing
+    between dedup thresholds costs a groupBy, not a pipeline re-run
+    per candidate. Deciles floor the already-rounded q52 jaccard;
+    the suffix sum runs over <=9 integer rows.
+
+    Scale: inherits q52's banded candidate generation; the sweep adds
+    one bucket aggregate and a bounded window."""
+    pairs = q52_minhash_lsh(spark, sf_dir).select("jaccard")
+    binned = pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("long").alias("decile")
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return binned.select(
+        "decile",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q242 — language-label confusion per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q242_lang_confusion",
+    """
+    WITH t AS (SELECT doc_id, lang, source,
+                      string_split_regex(text, '\\s+') AS toks
+               FROM documents),
+    scores AS (
+      SELECT source, lang,
+             len(list_filter(toks, w -> w IN ('the','and','is')))  AS s_en,
+             len(list_filter(toks, w -> w IN ('der','und','ist'))) AS s_de,
+             len(list_filter(toks, w -> w IN ('le','et','est')))   AS s_fr,
+             len(list_filter(toks, w -> w IN ('el','y','es')))     AS s_es
+      FROM t
+    ),
+    pred AS (
+      SELECT source, lang AS labeled_lang,
+             CASE greatest(s_en, s_de, s_fr, s_es)
+                  WHEN s_en THEN 'en' WHEN s_de THEN 'de'
+                  WHEN s_fr THEN 'fr' ELSE 'es' END AS predicted_lang
+      FROM scores
+    )
+    SELECT source, labeled_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN labeled_lang = predicted_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+    FROM pred GROUP BY source, labeled_lang, predicted_lang
+    """,
+)
+def q242_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label QA: q57's stopword-marker detector aggregated
+    against the labeled lang PER SOURCE — the (source, labeled,
+    predicted) confusion cells that localize metadata bugs (one
+    source disagreeing = that source's labeler; every source
+    disagreeing on one lang = the detector's markers). Reuses q57's
+    exact marker counts and declared argmax tie-break (en > de >
+    fr > es); note 'zh' has no marker set, so its docs fall to the
+    tie-break floor — the cells still pin detector behavior.
+
+    Scale: one scan with four JVM-side filter counts per row (q57's
+    cost), one map-side-combined groupBy bounded by sources x
+    langs²."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", _WS)
+
+    def marker_count(markers):
+        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+    scores = d.select(
+        "source",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            marker_count(markers).alias(f"s_{lang}")
+            for lang, markers in _LANG_MARKERS.items()
+        ],
+    )
+    top = F.greatest("s_en", "s_de", "s_fr", "s_es")
+    pred = (
+        F.when(F.col("s_en") == top, "en")
+        .when(F.col("s_de") == top, "de")
+        .when(F.col("s_fr") == top, "fr")
+        .otherwise("es")
+    )
+    return (
+        scores.select("source", "labeled_lang", pred.alias("predicted_lang"))
+        .groupBy("source", "labeled_lang", "predicted_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("labeled_lang") == F.col("predicted_lang"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+    )

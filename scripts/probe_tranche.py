@@ -63,6 +63,10 @@ TRANCHES: dict[str, list[str]] = {
         "q239_rfm_segments",
         "q240_capture_recapture",
     ],
+    "tranche15": [
+        "q241_threshold_sweep",
+        "q242_lang_confusion",
+    ],
     "tranche12_13": [
         "q232_centroid_confusion",
         "q233_silhouette",

@@ -161,6 +161,9 @@ HEADLINE = [
     "q238_forecast_error",
     "q239_rfm_segments",
     "q240_capture_recapture",
+    # round-6 tranche 15: dedup planning + label QA
+    "q241_threshold_sweep",
+    "q242_lang_confusion",
 ]
 
 
