@@ -67,6 +67,10 @@ TRANCHES: dict[str, list[str]] = {
         "q241_threshold_sweep",
         "q242_lang_confusion",
     ],
+    "tranche16": [
+        "q243_hill_tail_index",
+        "q244_qq_deciles",
+    ],
     "tranche12_13": [
         "q232_centroid_confusion",
         "q233_silhouette",

@@ -164,6 +164,9 @@ HEADLINE = [
     # round-6 tranche 15: dedup planning + label QA
     "q241_threshold_sweep",
     "q242_lang_confusion",
+    # round-6 tranche 16: distribution-shape diagnostics
+    "q243_hill_tail_index",
+    "q244_qq_deciles",
 ]
 
 

@@ -840,3 +840,25 @@ def test_q240_chapman_is_distinct_plus_one_aggregate(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q240_capture_recapture")
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-6 tranche 16 (distribution-shape diagnostics q243-q244)
+# ---------------------------------------------------------------------------
+
+
+def test_q243_hill_topk_is_take_ordered(spark, sf_dir):
+    """Hill estimator: the top-k order statistics come from
+    TakeOrderedAndProject (per-partition heap), never a global
+    row_number sort."""
+    plan = plan_of(spark, sf_dir, "q243_hill_tail_index")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_q244_decile_windows_are_group_partitioned(spark, sf_dir):
+    """Q-Q deciles: the cumulative windows partition by group — never
+    a global sort of the raw rows."""
+    plan = plan_of(spark, sf_dir, "q244_qq_deciles")
+    assert "windowspecdefinition(grp" in plan
+    assert "CartesianProduct" not in plan
