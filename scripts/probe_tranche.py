@@ -71,6 +71,11 @@ TRANCHES: dict[str, list[str]] = {
         "q243_hill_tail_index",
         "q244_qq_deciles",
     ],
+    "tranche17": [
+        "q245_effective_tokens",
+        "q246_lang_kappa",
+        "q247_daily_tvd",
+    ],
     "tranche12_13": [
         "q232_centroid_confusion",
         "q233_silhouette",

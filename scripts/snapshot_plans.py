@@ -167,6 +167,10 @@ HEADLINE = [
     # round-6 tranche 16: distribution-shape diagnostics
     "q243_hill_tail_index",
     "q244_qq_deciles",
+    # round-6 tranche 17: dedup economics + agreement/drift
+    "q245_effective_tokens",
+    "q246_lang_kappa",
+    "q247_daily_tvd",
 ]
 
 
