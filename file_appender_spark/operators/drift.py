@@ -115,3 +115,39 @@ def reference_cum(ref: DataFrame, col: str, grid: list[float]) -> list[float]:
     """Cumulative fractions of the reference under its own grid —
     compute once alongside the grid, ship both to the monitor."""
     return _cum_fractions(bin_counts(ref, col, grid), len(grid) + 1)
+
+
+# ---------------------------------------------------------------------------
+# categorical mix-shift monitor (TVD) — q247's streaming companion
+# ---------------------------------------------------------------------------
+
+
+def reference_fractions(ref: DataFrame, col: str) -> dict:
+    """Category -> count of the frozen reference window (exact
+    integers; the monitor cross-multiplies, so no fraction rounding
+    enters the comparison). Bounded collect: |categories| rows."""
+    return {r[col]: r["n"] for r in ref.groupBy(col).agg(F.count("*").alias("n")).collect()}
+
+
+def tvd_monitor_batch(batch: DataFrame, col: str, ref_counts: dict) -> dict:
+    """foreachBatch body: total variation distance of one
+    micro-batch's categorical mix against the frozen reference —
+    TVD = sum |c_b * t_ref - c_ref * t_b| / (2 * t_b * t_ref), the
+    exact integer-numerator form q247 uses for day pairs, so the
+    streaming monitor and the batch query CANNOT disagree on the
+    metric (pinned in tests/test_drift.py). Stateless given
+    ref_counts; retries are idempotent. Bounded collect:
+    |categories| rows per batch."""
+    rows = {
+        r[col]: r["n"]
+        for r in batch.groupBy(col).agg(F.count("*").alias("n")).collect()
+    }
+    t_b = sum(rows.values())
+    t_ref = sum(ref_counts.values())
+    if t_b == 0 or t_ref == 0:
+        return {"n_rows": t_b, "tvd": None}
+    cats = set(rows) | set(ref_counts)
+    num = sum(
+        abs(rows.get(c, 0) * t_ref - ref_counts.get(c, 0) * t_b) for c in cats
+    )
+    return {"n_rows": t_b, "tvd": round(num / (2.0 * t_b * t_ref), 6)}

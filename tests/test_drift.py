@@ -115,3 +115,90 @@ def test_bin_counts_and_ks_ignore_nulls(spark):
     assert None not in bins
     # same values + nulls == same values: zero drift
     assert binned_ks(clean, dirty, "x", grid) == 0.0
+
+
+def test_tvd_monitor_matches_q247_day_pair(spark, sf_dir):
+    """The streaming TVD monitor and q247's batch day-pair TVD share
+    one integer-numerator definition: monitoring day 2 against a
+    frozen day-1 reference must reproduce q247's (day1, day2) row
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.operators.drift import (
+        reference_fractions,
+        tvd_monitor_batch,
+    )
+    from file_appender_spark.queries import QUERIES
+    from file_appender_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000))
+        .cast("long")
+        .alias("d"),
+        "event_type",
+    )
+    days = sorted(r["d"] for r in ev.select("d").distinct().collect())
+    d1, d2 = days[0], days[1]
+    ref = reference_fractions(ev.filter(F.col("d") == d1), "event_type")
+    got = tvd_monitor_batch(ev.filter(F.col("d") == d2), "event_type", ref)
+    want = {
+        (r["day_from"], r["day_to"]): r["tvd"]
+        for r in QUERIES["q247_daily_tvd"].spark_fn(spark, sf_dir).collect()
+    }[(d1, d2)]
+    assert got["tvd"] == want
+
+
+def test_tvd_monitor_streaming_foreachbatch(spark, tmp_path):
+    """Drive the TVD monitor as a real foreachBatch stream: identical
+    mix -> 0.0; disjoint mix -> 1.0; empty -> None."""
+    import os
+
+    from file_appender_spark.operators.drift import (
+        reference_fractions,
+        tvd_monitor_batch,
+    )
+
+    ref_df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 4, "event_type string"
+    )
+    ref = reference_fractions(ref_df, "event_type")
+    same = tvd_monitor_batch(ref_df, "event_type", ref)
+    assert same["tvd"] == 0.0
+    disjoint = tvd_monitor_batch(
+        spark.createDataFrame([("c",)] * 5, "event_type string"),
+        "event_type",
+        ref,
+    )
+    assert disjoint["tvd"] == 1.0
+    empty = tvd_monitor_batch(
+        ref_df.filter("event_type = 'zzz'"), "event_type", ref
+    )
+    assert empty["tvd"] is None
+
+    d = str(tmp_path / "tvd_stream")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2, "event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "_src")
+    import glob
+    import shutil
+
+    for i, p in enumerate(sorted(glob.glob(d + "_src/part-*.parquet"))):
+        shutil.copy(p, os.path.join(d, f"{i:02d}.parquet"))
+    reports = []
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_type string")
+        .load(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _i: reports.append(
+                tvd_monitor_batch(b, "event_type", ref)
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert reports and reports[0]["tvd"] == 0.0  # same 6:4 mix ratio
