@@ -76,6 +76,10 @@ TRANCHES: dict[str, list[str]] = {
         "q246_lang_kappa",
         "q247_daily_tvd",
     ],
+    "tranche18": [
+        "q248_charclass_profile",
+        "q249_length_histogram",
+    ],
     "tranche12_13": [
         "q232_centroid_confusion",
         "q233_silhouette",

@@ -171,6 +171,9 @@ HEADLINE = [
     "q245_effective_tokens",
     "q246_lang_kappa",
     "q247_daily_tvd",
+    # round-6 tranche 18: corpus hygiene profiles
+    "q248_charclass_profile",
+    "q249_length_histogram",
 ]
 
 
