@@ -94,3 +94,29 @@ def test_q235_single_source_yields_null_nmi(spark, tmp_path):
     assert got["nmi"] is None and got["purity"] == 1.0
     ok, diag = compare(df, spec.oracle, sf)
     assert ok, diag
+
+
+def test_q243_constant_lengths_yield_null_alpha(spark, tmp_path):
+    """All documents the same length: every tail log term is 0, so
+    the Hill sum is 0 — guarded NULL alpha on both engines."""
+    rows = [(i, "word " * 10, "en", "src0", 50) for i in range(40)]
+    sf = _docs_dir(spark, tmp_path, rows)
+    spec = QUERIES["q243_hill_tail_index"]
+    df = spec.spark_fn(spark, sf)
+    got = df.collect()[0]
+    assert got["hill_alpha"] is None
+    ok, diag = compare(df, spec.oracle, sf)
+    assert ok, diag
+
+
+def test_q246_degenerate_marginals_yield_null_kappa(spark, tmp_path):
+    """One label class AND a constant predictor: pe == 1, so the
+    kappa denominator is 0 — guarded NULL on both engines."""
+    rows = [(i, f"xyzzy{i} quux{i}", "en", "src0", 20) for i in range(10)]
+    sf = _docs_dir(spark, tmp_path, rows)
+    spec = QUERIES["q246_lang_kappa"]
+    df = spec.spark_fn(spark, sf)
+    got = df.collect()[0]
+    assert got["kappa"] is None and got["n_agree"] == 10
+    ok, diag = compare(df, spec.oracle, sf)
+    assert ok, diag
