@@ -35,6 +35,10 @@ QUERIES_PROBED = [
     "q212_dunning_keywords",
     "q214_ngram_novelty",
     "q217_source_overlap",
+    # session-2 extension: the remaining corpus-marginal heavies
+    "q228_burrows_delta",
+    "q231_stopword_discovery",
+    "q240_capture_recapture",
 ]
 
 
