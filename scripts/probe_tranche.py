@@ -80,6 +80,11 @@ TRANCHES: dict[str, list[str]] = {
         "q248_charclass_profile",
         "q249_length_histogram",
     ],
+    "tranche19": [
+        "q250_token_lorenz",
+        "q251_script_consistency",
+        "q252_trimmed_mean",
+    ],
     "tranche12_13": [
         "q232_centroid_confusion",
         "q233_silhouette",

@@ -174,6 +174,10 @@ HEADLINE = [
     # round-6 tranche 18: corpus hygiene profiles
     "q248_charclass_profile",
     "q249_length_histogram",
+    # round-6 tranche 19: budget concentration + robust location
+    "q250_token_lorenz",
+    "q251_script_consistency",
+    "q252_trimmed_mean",
 ]
 
 
