@@ -85,6 +85,9 @@ TRANCHES: dict[str, list[str]] = {
         "q251_script_consistency",
         "q252_trimmed_mean",
     ],
+    "tranche20": [
+        "q253_skipgram_pmi",
+    ],
     "tranche12_13": [
         "q232_centroid_confusion",
         "q233_silhouette",

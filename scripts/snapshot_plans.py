@@ -178,6 +178,8 @@ HEADLINE = [
     "q250_token_lorenz",
     "q251_script_consistency",
     "q252_trimmed_mean",
+    # round-6 tranche 20: collocation mining
+    "q253_skipgram_pmi",
 ]
 
 
