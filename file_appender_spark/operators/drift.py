@@ -125,8 +125,14 @@ def reference_cum(ref: DataFrame, col: str, grid: list[float]) -> list[float]:
 def reference_fractions(ref: DataFrame, col: str) -> dict:
     """Category -> count of the frozen reference window (exact
     integers; the monitor cross-multiplies, so no fraction rounding
-    enters the comparison). Bounded collect: |categories| rows."""
-    return {r[col]: r["n"] for r in ref.groupBy(col).agg(F.count("*").alias("n")).collect()}
+    enters the comparison). NULL categories normalize to '(null)' —
+    the same real-category treatment q247 applies, so the pinned
+    monitor==q247 equivalence holds under NULLs too (review finding).
+    Bounded collect: |categories| rows."""
+    return {
+        (r[col] if r[col] is not None else "(null)"): r["n"]
+        for r in ref.groupBy(col).agg(F.count("*").alias("n")).collect()
+    }
 
 
 def tvd_monitor_batch(batch: DataFrame, col: str, ref_counts: dict) -> dict:
@@ -139,7 +145,7 @@ def tvd_monitor_batch(batch: DataFrame, col: str, ref_counts: dict) -> dict:
     ref_counts; retries are idempotent. Bounded collect:
     |categories| rows per batch."""
     rows = {
-        r[col]: r["n"]
+        (r[col] if r[col] is not None else "(null)"): r["n"]
         for r in batch.groupBy(col).agg(F.count("*").alias("n")).collect()
     }
     t_b = sum(rows.values())

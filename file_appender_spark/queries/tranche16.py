@@ -40,7 +40,10 @@ _HILL_K_CAP = 100
     WITH x AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
                WHERE n_chars > 0),
     n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM x),
-    k AS (SELECT CAST(least({_HILL_K_CAP}, nd / 10) AS BIGINT) AS kk FROM n),
+    -- nd // 10, NOT nd / 10: DuckDB's / is float division and the
+    -- BIGINT cast ROUNDS (46/10 -> 5), while the Spark side floors —
+    -- review-confirmed divergence at any doc count where they differ
+    k AS (SELECT CAST(least({_HILL_K_CAP}, nd // 10) AS BIGINT) AS kk FROM n),
     ranked AS (
       SELECT v, row_number() OVER (ORDER BY v DESC) AS r FROM x
     ),

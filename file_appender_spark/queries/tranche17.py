@@ -136,7 +136,10 @@ def q245_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS po_n FROM pred),
     ma AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM pred GROUP BY a),
     mb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM pred GROUP BY b),
-    pe AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS pe_n2
+    -- coalesce: disjoint label/prediction classes make the join
+    -- empty and sum() NULL, but the true pe is 0 (kappa defined!) —
+    -- review finding
+    pe AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS pe_n2
            FROM ma JOIN mb ON ma.a = mb.b)
     SELECT nn AS n_docs, po_n AS n_agree,
            CASE WHEN nn * nn - pe_n2 > 0
@@ -178,21 +181,30 @@ def q246_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("es")
     )
     pred = scores.select("a", b.alias("b"))
-    n = pred.agg(F.count("*").cast("long").alias("nn"))
-    agree = pred.agg(
-        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+    # ONE document scan: the <=|langs|²-row confusion rollup carries
+    # everything; n/agree/marginals/pe derive from it (review finding:
+    # four independent aggregations re-ran the split+filter scan 4x)
+    cm = pred.groupBy("a", "b").agg(F.count("*").cast("long").alias("c"))
+    stats = cm.agg(
+        F.sum("c").cast("long").alias("nn"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
         .cast("long")
-        .alias("po_n")
+        .alias("po_n"),
     )
-    ma = pred.groupBy("a").agg(F.count("*").cast("long").alias("ca"))
-    mb = pred.groupBy("b").agg(F.count("*").cast("long").alias("cb"))
+    ma = cm.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    mb = cm.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
+    # coalesce: disjoint classes -> empty join -> NULL sum, but the
+    # true pe is 0 and kappa is defined (review finding)
     pe = (
         ma.join(mb, F.col("a") == F.col("b"))
-        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("pe_n2"))
+        .agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("long")
+            .alias("pe_n2")
+        )
     )
     return (
-        n.crossJoin(F.broadcast(agree))
-        .crossJoin(F.broadcast(pe))
+        stats.crossJoin(F.broadcast(pe))
         .select(
             F.col("nn").alias("n_docs"),
             F.col("po_n").alias("n_agree"),
@@ -219,8 +231,12 @@ def q246_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q247_daily_tvd",
     """
     WITH de AS (
+      -- coalesce: a NULL event_type must be a REAL category — the
+      -- bare column would vanish from the numerator's equi-joins
+      -- while still counting in the day totals (review finding)
       SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
-             event_type, CAST(count(*) AS BIGINT) AS c
+             coalesce(event_type, '(null)') AS event_type,
+             CAST(count(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2
     ),
     dt AS (SELECT d, CAST(sum(c) AS BIGINT) AS td FROM de GROUP BY d),
@@ -260,7 +276,7 @@ def q247_daily_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     de = (
         e.select(
             F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("d"),
-            "event_type",
+            F.coalesce("event_type", F.lit("(null)")).alias("event_type"),
         )
         .groupBy("d", "event_type")
         .agg(F.count("*").cast("long").alias("c"))

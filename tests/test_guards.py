@@ -120,3 +120,83 @@ def test_q246_degenerate_marginals_yield_null_kappa(spark, tmp_path):
     assert got["kappa"] is None and got["n_agree"] == 10
     ok, diag = compare(df, spec.oracle, sf)
     assert ok, diag
+
+
+def test_q243_nonmultiple_count_matches_oracle(spark, tmp_path):
+    """46 docs: DuckDB's float / would ROUND 4.6 to k=5 while Spark
+    floors to 4 (review-confirmed divergence); with the oracle on
+    floor division both engines agree."""
+    rows = [
+        (i, "w " * (i + 1), "en", "src0", i + 1) for i in range(46)
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    spec = QUERIES["q243_hill_tail_index"]
+    df = spec.spark_fn(spark, sf)
+    got = df.collect()[0]
+    assert got["k_used"] == 4  # floor(46/10), never round(4.6)=5
+    ok, diag = compare(df, spec.oracle, sf)
+    assert ok, diag
+
+
+def test_q246_disjoint_classes_kappa_zero(spark, tmp_path):
+    """Labels all 'zh' (no marker set) while the detector tie-breaks
+    everything to 'en': the marginal-overlap join is EMPTY, pe = 0,
+    and kappa is a defined 0.0 — not NULL (review finding: the
+    un-coalesced sum propagated NULL)."""
+    rows = [(i, f"xx{i} yy{i} zz{i}", "zh", "src0", 12) for i in range(10)]
+    sf = _docs_dir(spark, tmp_path, rows)
+    spec = QUERIES["q246_lang_kappa"]
+    df = spec.spark_fn(spark, sf)
+    got = df.collect()[0]
+    assert got["kappa"] == 0.0 and got["n_agree"] == 0
+    ok, diag = compare(df, spec.oracle, sf)
+    assert ok, diag
+
+
+def test_q247_and_monitor_agree_on_null_categories(spark, tmp_path):
+    """A NULL event_type must be a real category on BOTH surfaces:
+    q247 coalesces it to '(null)' before the joins and the TVD
+    monitor normalizes dict keys the same way, so the pinned
+    monitor==q247 equivalence survives NULLs (review finding: the
+    bare column vanished from q247's numerator but not its totals)."""
+    import datetime
+
+    from file_appender_spark.operators.drift import (
+        reference_fractions,
+        tvd_monitor_batch,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = (
+        [(i, t0 + datetime.timedelta(minutes=i), 1, "a", 1.0, "{}")
+         for i in range(10)]
+        + [(100 + i, t0 + datetime.timedelta(minutes=30 + i), 1, None, 1.0,
+            "{}") for i in range(5)]
+        + [(200 + i, t0 + datetime.timedelta(days=1, minutes=i), 1, "a", 1.0,
+            "{}") for i in range(10)]
+    )
+    sf = _events_dir(spark, tmp_path, rows)
+    spec = QUERIES["q247_daily_tvd"]
+    df = spec.spark_fn(spark, sf)
+    q247 = {(r["day_from"], r["day_to"]): r["tvd"] for r in df.collect()}
+    (pair, want), = q247.items()
+    # day 1: 10 'a' + 5 NULL; day 2: 10 'a' -> NULL mass must count
+    assert want == 0.333333
+    ok, diag = compare(df, spec.oracle, sf)
+    assert ok, diag
+
+    from pyspark.sql import functions as F
+
+    ev = QUERIES  # noqa: F841  (namespacing clarity only)
+    from file_appender_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf, "events").select(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("d"),
+        "event_type",
+    )
+    days = sorted(r["d"] for r in e.select("d").distinct().collect())
+    ref = reference_fractions(e.filter(F.col("d") == days[0]), "event_type")
+    got = tvd_monitor_batch(
+        e.filter(F.col("d") == days[1]), "event_type", ref
+    )
+    assert got["tvd"] == want
