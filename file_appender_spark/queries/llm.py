@@ -553,57 +553,91 @@ _LANG_MARKERS = {
     "es": ("el", "y", "es"),
 }
 
+# --- the ONE language-marker detector, both engines (q57/q242/q246) ------
+# The marker lists and the argmax tie-break order live HERE only; the
+# SQL fragments are GENERATED from _LANG_MARKERS so the six historic
+# copies (three oracles x two engines) cannot drift (round-6 review).
 
-@register(
-    "q57_lang_id",
-    """
-    WITH t AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks FROM documents),
-    scores AS (
-      SELECT doc_id, lang,
-             len(list_filter(toks, w -> w IN ('the','and','is')))  AS s_en,
-             len(list_filter(toks, w -> w IN ('der','und','ist'))) AS s_de,
-             len(list_filter(toks, w -> w IN ('le','et','est')))   AS s_fr,
-             len(list_filter(toks, w -> w IN ('el','y','es')))     AS s_es
-      FROM t
+
+def _lang_scores_sql(passthrough: str) -> str:
+    """The t+scores CTE pair of the marker detector, with the chosen
+    passthrough columns (e.g. 'doc_id, lang' or 'source, lang')."""
+    score_lines = ",\n             ".join(
+        "len(list_filter(toks, w -> w IN ("
+        + ",".join(f"'{m}'" for m in markers)
+        + f"))) AS s_{lang}"
+        for lang, markers in _LANG_MARKERS.items()
     )
-    SELECT doc_id, lang AS labeled_lang,
-           CASE greatest(s_en, s_de, s_fr, s_es)
-                WHEN s_en THEN 'en' WHEN s_de THEN 'de'
-                WHEN s_fr THEN 'fr' ELSE 'es' END AS predicted_lang,
-           greatest(s_en, s_de, s_fr, s_es)       AS top_score
-    FROM scores
-    """,
+    return f"""t AS (SELECT {passthrough}, string_split_regex(text, '\\s+') AS toks
+               FROM documents),
+    scores AS (
+      SELECT {passthrough},
+             {score_lines}
+      FROM t
+    )"""
+
+
+_LANG_PRED_SQL = (
+    "CASE greatest(s_en, s_de, s_fr, s_es) "
+    "WHEN s_en THEN 'en' WHEN s_de THEN 'de' "
+    "WHEN s_fr THEN 'fr' ELSE 'es' END"
 )
-def q57_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID heuristic with a declared
-    deterministic argmax tie-break order (en > de > fr > es)."""
-    d = _t(spark, sf_dir, "documents")
+
+
+def lang_marker_score_cols() -> list:
+    """Spark marker-count columns (one per language), built over an
+    inline split of `text` — the q57 expressions, shared."""
     toks = F.split("text", _WS)
+
     def marker_count(markers):
         # NB: a plain one-arg lambda per language; default-arg tricks
         # confuse PySpark's higher-order-function arity detection
         return F.size(F.filter(toks, lambda w: w.isin(*markers)))
 
-    scores = d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        *[
-            marker_count(markers).alias(f"s_{lang}")
-            for lang, markers in _LANG_MARKERS.items()
-        ],
-    )
+    return [
+        marker_count(markers).alias(f"s_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+
+
+def lang_pred_expr():
+    """Spark argmax with q57's declared tie-break (en > de > fr > es),
+    over a frame carrying the s_* score columns."""
     top = F.greatest("s_en", "s_de", "s_fr", "s_es")
-    pred = (
+    return (
         F.when(F.col("s_en") == top, "en")
         .when(F.col("s_de") == top, "de")
         .when(F.col("s_fr") == top, "fr")
         .otherwise("es")
     )
+
+
+@register(
+    "q57_lang_id",
+    f"""
+    WITH {_lang_scores_sql("doc_id, lang")}
+    SELECT doc_id, lang AS labeled_lang,
+           {_LANG_PRED_SQL} AS predicted_lang,
+           greatest(s_en, s_de, s_fr, s_es) AS top_score
+    FROM scores
+    """,
+)
+def q57_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID heuristic with a declared
+    deterministic argmax tie-break order (en > de > fr > es). Both
+    engines' detector logic is generated from _LANG_MARKERS — the
+    one definition q242/q246 share."""
+    d = _t(spark, sf_dir, "documents")
+    scores = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *lang_marker_score_cols(),
+    )
     return scores.select(
         "doc_id",
         "labeled_lang",
-        pred.alias("predicted_lang"),
-        top.alias("top_score"),
+        lang_pred_expr().alias("predicted_lang"),
+        F.greatest("s_en", "s_de", "s_fr", "s_es").alias("top_score"),
     )
 
 

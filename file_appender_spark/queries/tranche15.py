@@ -30,10 +30,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from file_appender_spark.queries.llm import (
-    _LANG_MARKERS,
+    _LANG_PRED_SQL,
     _Q52_CTES,
     _Q52_FINAL,
-    _WS,
+    _lang_scores_sql,
+    lang_marker_score_cols,
+    lang_pred_expr,
     q52_minhash_lsh,
 )
 from file_appender_spark.queries.registry import register
@@ -92,23 +94,11 @@ def q241_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q242_lang_confusion",
-    """
-    WITH t AS (SELECT doc_id, lang, source,
-                      string_split_regex(text, '\\s+') AS toks
-               FROM documents),
-    scores AS (
-      SELECT source, lang,
-             len(list_filter(toks, w -> w IN ('the','and','is')))  AS s_en,
-             len(list_filter(toks, w -> w IN ('der','und','ist'))) AS s_de,
-             len(list_filter(toks, w -> w IN ('le','et','est')))   AS s_fr,
-             len(list_filter(toks, w -> w IN ('el','y','es')))     AS s_es
-      FROM t
-    ),
+    f"""
+    WITH {_lang_scores_sql("source, lang")},
     pred AS (
       SELECT source, lang AS labeled_lang,
-             CASE greatest(s_en, s_de, s_fr, s_es)
-                  WHEN s_en THEN 'en' WHEN s_de THEN 'de'
-                  WHEN s_fr THEN 'fr' ELSE 'es' END AS predicted_lang
+             {_LANG_PRED_SQL} AS predicted_lang
       FROM scores
     )
     SELECT source, labeled_lang, predicted_lang,
@@ -132,28 +122,15 @@ def q242_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost), one map-side-combined groupBy bounded by sources x
     langs²."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", _WS)
-
-    def marker_count(markers):
-        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
-
     scores = d.select(
         "source",
         F.col("lang").alias("labeled_lang"),
-        *[
-            marker_count(markers).alias(f"s_{lang}")
-            for lang, markers in _LANG_MARKERS.items()
-        ],
-    )
-    top = F.greatest("s_en", "s_de", "s_fr", "s_es")
-    pred = (
-        F.when(F.col("s_en") == top, "en")
-        .when(F.col("s_de") == top, "de")
-        .when(F.col("s_fr") == top, "fr")
-        .otherwise("es")
+        *lang_marker_score_cols(),
     )
     return (
-        scores.select("source", "labeled_lang", pred.alias("predicted_lang"))
+        scores.select(
+            "source", "labeled_lang", lang_pred_expr().alias("predicted_lang")
+        )
         .groupBy("source", "labeled_lang", "predicted_lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

@@ -28,10 +28,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from file_appender_spark.queries.llm import (
-    _LANG_MARKERS,
+    _LANG_PRED_SQL,
     _Q52_CTES,
     _Q52_FINAL,
     _WS,
+    _lang_scores_sql,
+    lang_marker_score_cols,
+    lang_pred_expr,
     q116_dedup_clusters,
 )
 from file_appender_spark.queries.registry import register
@@ -113,22 +116,11 @@ def q245_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q246_lang_kappa",
-    """
-    WITH t AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
-               FROM documents),
-    scores AS (
-      SELECT doc_id, lang,
-             len(list_filter(toks, w -> w IN ('the','and','is')))  AS s_en,
-             len(list_filter(toks, w -> w IN ('der','und','ist'))) AS s_de,
-             len(list_filter(toks, w -> w IN ('le','et','est')))   AS s_fr,
-             len(list_filter(toks, w -> w IN ('el','y','es')))     AS s_es
-      FROM t
-    ),
+    f"""
+    WITH {_lang_scores_sql("doc_id, lang")},
     pred AS (
       SELECT lang AS a,
-             CASE greatest(s_en, s_de, s_fr, s_es)
-                  WHEN s_en THEN 'en' WHEN s_de THEN 'de'
-                  WHEN s_fr THEN 'fr' ELSE 'es' END AS b
+             {_LANG_PRED_SQL} AS b
       FROM scores
     ),
     n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM pred),
@@ -161,26 +153,10 @@ def q246_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: q57's one-scan marker counts; the marginals are
     |langs|-row aggregates; everything after is scalar."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", _WS)
-
-    def marker_count(markers):
-        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
-
     scores = d.select(
-        F.col("lang").alias("a"),
-        *[
-            marker_count(markers).alias(f"s_{lang}")
-            for lang, markers in _LANG_MARKERS.items()
-        ],
+        F.col("lang").alias("a"), *lang_marker_score_cols()
     )
-    top = F.greatest("s_en", "s_de", "s_fr", "s_es")
-    b = (
-        F.when(F.col("s_en") == top, "en")
-        .when(F.col("s_de") == top, "de")
-        .when(F.col("s_fr") == top, "fr")
-        .otherwise("es")
-    )
-    pred = scores.select("a", b.alias("b"))
+    pred = scores.select("a", lang_pred_expr().alias("b"))
     # ONE document scan: the <=|langs|²-row confusion rollup carries
     # everything; n/agree/marginals/pe derive from it (review finding:
     # four independent aggregations re-ran the split+filter scan 4x)
