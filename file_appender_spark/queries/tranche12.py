@@ -129,6 +129,10 @@ def q232_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, no explode; the only shuffle is the |labels|²-row confusion
     groupBy. The oracle spells the identical math as a dim join."""
     cents = _centroid_literals(spark, sf_dir)
+    if not cents:  # empty corpus: no centroids, no assignments
+        return spark.createDataFrame(
+            [], "label int, assigned int, n long"
+        )
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -191,6 +195,10 @@ def q233_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: q232's zero-join literal-centroid fold; the rollup is one
     |labels|-row aggregate."""
     cents = _centroid_literals(spark, sf_dir)
+    if not cents:  # empty corpus: no centroids, no silhouettes
+        return spark.createDataFrame(
+            [], "label int, n long, mean_silhouette double"
+        )
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
