@@ -88,6 +88,10 @@ TRANCHES: dict[str, list[str]] = {
     "tranche20": [
         "q253_skipgram_pmi",
     ],
+    "tranche21": [
+        "q254_source_dup_exposure",
+        "q255_referential_integrity",
+    ],
     "tranche12_13": [
         "q232_centroid_confusion",
         "q233_silhouette",

@@ -180,6 +180,9 @@ HEADLINE = [
     "q252_trimmed_mean",
     # round-6 tranche 20: collocation mining
     "q253_skipgram_pmi",
+    # round-6 tranche 21: exposure league + integrity audit
+    "q254_source_dup_exposure",
+    "q255_referential_integrity",
 ]
 
 
