@@ -1,0 +1,193 @@
+"""Materialized corpus token statistics — the shared
+tokenize → explode → groupBy(token) prefix that ~40 of the text
+queries each rebuild from scratch (r6 verdict task 5).
+
+At 100 TB the corpus scan dominates every token-marginal query; a
+production pipeline materializes the (source, token) term-frequency /
+document-frequency table ONCE and maintains it incrementally as new
+documents arrive, then answers df/tf/marginal questions from the
+(Zipf-small) stats table instead of re-exploding the corpus. This
+module is that table:
+
+- `corpus_token_stats` / `corpus_source_stats` — the batch
+  definitions (one corpus scan, two map-side-combined aggregations);
+- `build_corpus_stats` — materialize both under a store directory,
+  tokenizer stamped into a params sidecar (stats built under a
+  different tokenizer are incomparable — same guard as the
+  signature stores);
+- `corpusstats_ingest_batch` — incremental maintenance: per-batch
+  partial counts land in a `batch=<id>` partition written with
+  overwrite, so a foreachBatch RETRY of the same epoch rewrites the
+  same partition instead of double-counting (the standard idempotent
+  foreachBatch sink pattern). tf and df are additive across batches
+  because each document arrives in exactly one epoch;
+- `read_token_stats` / `read_source_stats` — the merged view (one
+  groupBy-sum over base + increments);
+- `compact_corpus_stats` — fold accumulated increments back into a
+  single base partition (crash-safe directory swap, the
+  neardup_ingest store discipline).
+
+Consumers opt in via their `stats_dir` parameter (q58 TF-IDF, q212
+Dunning G², q231 stopword discovery) — output equivalence with the
+scan-everything spelling is pinned in tests/test_corpusstats.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_PARAMS_FILE = "_corpusstats_params.json"
+# the one tokenizer every text query shares (queries/llm.py's _WS)
+_TOKENIZER = {"tokenizer": "split_ws", "version": 1}
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    from file_appender_spark.queries.llm import _WS
+
+    return docs.select(
+        "doc_id", "source", F.explode(F.split("text", _WS)).alias("token")
+    )
+
+
+def corpus_token_stats(docs: DataFrame) -> DataFrame:
+    """(source, token, tf, df): total occurrences and distinct-doc
+    counts per source — the exact token stream of the q58/q212/q231
+    family (split on _WS, empties included). Two aggregations, both
+    map-side combined; the (doc_id, token) grain is the only real
+    shuffle and it is the same one every consumer pays today."""
+    per_doc = (
+        _tokens(docs)
+        .groupBy("source", "doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf_doc"))
+    )
+    return per_doc.groupBy("source", "token").agg(
+        F.sum("tf_doc").cast("long").alias("tf"),
+        F.count("*").cast("long").alias("df"),
+    )
+
+
+def corpus_source_stats(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, total_tokens): the per-source marginals the
+    consumers' 1-row broadcasts derive from."""
+    from file_appender_spark.queries.llm import _WS
+
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", _WS))).cast("long").alias("total_tokens"),
+    )
+
+
+def _check_params(store_dir: str) -> None:
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, _PARAMS_FILE)
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = json.load(f)
+        if stored != _TOKENIZER:
+            raise ValueError(
+                f"corpus-stats store {store_dir} was built with tokenizer "
+                f"{stored}, this build uses {_TOKENIZER} — counts are "
+                "incomparable; rebuild the store"
+            )
+    else:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(_TOKENIZER, f, sort_keys=True)
+        os.replace(tmp, path)
+
+
+def _token_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "token_stats")
+
+
+def _source_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "source_stats")
+
+
+def _write_batch(df: DataFrame, base: str, batch_id: str) -> None:
+    # one partition dir per epoch, overwritten on retry — idempotent
+    df.write.mode("overwrite").parquet(os.path.join(base, f"batch={batch_id}"))
+
+
+def build_corpus_stats(
+    spark: SparkSession, docs: DataFrame, store_dir: str
+) -> None:
+    """Materialize the full corpus's stats as the store's `base`
+    partition (one corpus scan). Later increments append next to it."""
+    _recover(store_dir)
+    _check_params(store_dir)
+    _write_batch(corpus_token_stats(docs), _token_dir(store_dir), "base")
+    _write_batch(corpus_source_stats(docs), _source_dir(store_dir), "base")
+
+
+def corpusstats_ingest_batch(
+    spark: SparkSession, batch: DataFrame, store_dir: str, batch_id: int | str
+) -> None:
+    """Incremental maintenance for one micro-batch of NEW documents
+    (each doc in exactly one epoch — the append-only corpus
+    contract). Partial (source, token, tf, df) counts are additive
+    under that contract, so the merged view needs only a sum. Use as
+    `writeStream.foreachBatch(lambda b, i:
+    corpusstats_ingest_batch(spark, b, store, i))` — epoch-id
+    partition overwrite makes retries idempotent."""
+    _recover(store_dir)
+    _check_params(store_dir)
+    _write_batch(corpus_token_stats(batch), _token_dir(store_dir), str(batch_id))
+    _write_batch(corpus_source_stats(batch), _source_dir(store_dir), str(batch_id))
+
+
+def read_token_stats(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(source, token, tf, df): the merged view over base +
+    increments — one map-side-combined groupBy-sum of the stats
+    table, never of the corpus."""
+    df = spark.read.parquet(_token_dir(store_dir))
+    return df.groupBy("source", "token").agg(
+        F.sum("tf").cast("long").alias("tf"),
+        F.sum("df").cast("long").alias("df"),
+    )
+
+
+def read_source_stats(spark: SparkSession, store_dir: str) -> DataFrame:
+    df = spark.read.parquet(_source_dir(store_dir))
+    return df.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def _recover(store_dir: str) -> None:
+    """Restore the .old backup if a compaction crash left either
+    stats directory missing — same single-fault discipline as
+    neardup_ingest's _recover_store."""
+    for d in (_token_dir(store_dir), _source_dir(store_dir)):
+        old = d.rstrip("/") + ".old"
+        if not os.path.exists(d) and os.path.exists(old):
+            os.rename(old, d)
+
+
+def compact_corpus_stats(spark: SparkSession, store_dir: str) -> None:
+    """Fold all accumulated epoch partitions into a fresh `base`:
+    long-running maintenance otherwise pays ever-growing file listing
+    on every read. Writer must be paused (the sequential foreachBatch
+    loop is the only writer by design); the two-rename swap plus
+    _recover makes a crash at any point non-destructive."""
+    _recover(store_dir)
+    for d, merged in (
+        (_token_dir(store_dir), read_token_stats(spark, store_dir)),
+        (_source_dir(store_dir), read_source_stats(spark, store_dir)),
+    ):
+        tmp = d.rstrip("/") + ".compacting"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        merged.write.mode("overwrite").parquet(os.path.join(tmp, "batch=base"))
+        old = d.rstrip("/") + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)

@@ -1043,7 +1043,14 @@ def q183_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     are equi-joins on vertex keys, so the plan is two shuffles on the
     edge list, with AQE free to broadcast when the pair graph is
     small; no step is quadratic in vertices (only in per-vertex
-    degree, the standard triangle-count bound)."""
+    degree). That per-vertex-degree term is unbounded on boilerplate
+    template families (near-cliques of DISTINCT texts, which survive
+    exact dedup) — the production twin is operators/graph.py's
+    triangle_count(e, max_degree=graph_params_for(m).max_degree):
+    degree-ordered orientation (Suri & Vassilvitskii WWW 2011) plus a
+    sized out-degree cap bounding wedges to m*(cap-1)/2, with
+    capped_vertices() reporting any truncation. Parity is pinned in
+    tests/test_graph.py."""
     e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
     ab = e.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
     bc = e.select(F.col("d1").alias("b"), F.col("d2").alias("c"))

@@ -440,7 +440,12 @@ def q213_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one map-side-combined groupBy of the doubled edge list; the
     three-way apex attribution is a union of projections — no new
     join. Shares q52's edge CTE verbatim, so the two oracles cannot
-    drift apart."""
+    drift apart. The per-vertex-degree cost is the boilerplate-family
+    hole this query's own docstring describes — the production twin
+    is operators/graph.py's clustering_coefficients(e, max_degree=
+    graph_params_for(m).max_degree), which bounds wedge work to
+    m*(cap-1)/2 and reports truncated vertices; per-doc parity vs
+    this query is pinned in tests/test_graph.py."""
     e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
     und = e.select(F.col("d1").alias("v")).unionAll(
         e.select(F.col("d2").alias("v"))
