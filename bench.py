@@ -467,6 +467,53 @@ def main() -> None:
     except Exception as exc:
         print(f"# sink extras skipped: {exc}", file=sys.stderr)
 
+    # corpus-stats extra (r6 verdict task 5): build the materialized
+    # (source, token) tf/df table once, then answer the three rewired
+    # token-marginal consumers from it — the amortized-production
+    # path vs their scan-everything spellings (which already ran in
+    # the headline loop above; their per-query rows are the baseline)
+    try:
+        import shutil
+        import tempfile
+
+        from file_appender_spark.operators.corpusstats import build_corpus_stats
+        from file_appender_spark.queries.llm import q58_tfidf
+        from file_appender_spark.queries.tranche8 import q212_dunning_keywords
+        from file_appender_spark.queries.tranche11 import q231_stopword_discovery
+
+        stats_store = tempfile.mkdtemp(prefix="bench_corpusstats_")
+        try:
+            docs = load_table(spark, sf_dir, "documents")
+            t0 = time.perf_counter()
+            build_corpus_stats(spark, docs, stats_store)
+            extras["corpusstats_build_sec"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            for q in (q58_tfidf, q212_dunning_keywords, q231_stopword_discovery):
+                q(spark, sf_dir, stats_dir=stats_store).count()
+            extras["corpusstats_3consumers_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            base = sum(
+                timings.get(k, 0.0)
+                for k in (
+                    "q58_tfidf",
+                    "q212_dunning_keywords",
+                    "q231_stopword_discovery",
+                )
+            )
+            print(
+                f"# corpusstats: build {extras['corpusstats_build_sec']}s once, "
+                f"3 consumers {extras['corpusstats_3consumers_sec']}s from store "
+                f"(memoized scan-spellings in headline: {round(base, 3)}s — at "
+                "bench sf the corpus is below the materialization crossover; "
+                "the amortized win is measured at 100x in SCALE100_PROBE_r7)",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(stats_store, ignore_errors=True)
+    except Exception as exc:
+        print(f"# corpusstats extra skipped: {exc}", file=sys.stderr)
+
     # host-speed calibration: a fixed JVM-side workload whose cost is
     # independent of the engine under test. Round-over-round query
     # times are only comparable after normalizing by this (observed

@@ -101,7 +101,7 @@ def curate(
     image_mode: str = "off",
     payload_col: str = "payload",
     image_max_hamming: int = 3,
-    image_band_bucket_cap: int | None = None,
+    image_band_bucket_cap: int | None | str = "auto",
 ) -> dict:
     """Run the full curation funnel over ``docs`` (doc_id, text, ...)
     and write train/val/test parquet under ``out_dir``. Returns the
@@ -127,10 +127,18 @@ def curate(
     rep pairs as the larger side — exactly the pairwise larger-id
     rule, since hamming is payload-determined. ``image_band_bucket_cap``
     additionally forwards imagehash's hot-bucket guard for corpora
-    where DISTINCT payloads still collide into degenerate bands."""
+    where DISTINCT payloads still collide into degenerate bands —
+    the default ``"auto"`` derives it from the sized policy
+    (band_bucket_cap_for, so the guard exists without the caller
+    knowing to pass it); ``None`` disables it explicitly."""
     if image_mode not in ("off", "ahash", "dhash"):
         raise ValueError(
             f"image_mode must be 'off', 'ahash' or 'dhash', got {image_mode!r}"
+        )
+    if isinstance(image_band_bucket_cap, str) and image_band_bucket_cap != "auto":
+        raise ValueError(
+            "image_band_bucket_cap must be 'auto', None, or an int, got "
+            f"{image_band_bucket_cap!r}"
         )
     if image_mode != "off" and payload_col not in docs.columns:
         raise ValueError(
@@ -158,6 +166,7 @@ def curate(
     if image_mode != "off":
         from file_appender_spark.operators.imagehash import (
             ahash_neardup_sized,
+            band_bucket_cap_for,
             dhash_neardup_sized,
         )
 
@@ -170,13 +179,18 @@ def curate(
             rep.select(F.col("_repid").alias("doc_id")), "doc_id"
         ).select("doc_id", payload_col)
         n_rep = reps.count()
+        cap = (
+            band_bucket_cap_for(max(n_rep, 2))
+            if image_band_bucket_cap == "auto"
+            else image_band_bucket_cap
+        )
         ipairs = sized(
             reps,
             "doc_id",
             payload_col,
             n_items=max(n_rep, 2),
             max_hamming=image_max_hamming,
-            band_bucket_cap=image_band_bucket_cap,
+            band_bucket_cap=cap,
         )
         # a doc is dropped iff it is not its payload group's min, or
         # its group's representative is the larger side of a pair —

@@ -144,6 +144,41 @@ def ahash_params_for(n_items: int, margin_bits: int = 8) -> int:
     return 256
 
 
+def band_bucket_cap_for(
+    n_items: int, grid: int | None = None, target_pairs_per_item: float = 128.0
+) -> int:
+    """Sized default for the banded-Hamming hot-bucket guard — the
+    blocking_params_for discipline applied to perceptual-hash bands.
+
+    If every (band, value) bucket held exactly `cap` members, total
+    candidate pairs would be (4n/cap) * C(cap, 2) = 2n(cap-1) —
+    linear in n with slope 2(cap-1) — so cap = target/2 + 1 bounds
+    worst-case candidates per item at `target_pairs_per_item`. Under
+    the sized banding policy (ahash_params_for: band bits >= log2 n
+    + 8) an HONEST bucket's expected population is n / 2^band_bits
+    <= 1/256, so the returned cap (default 65) is orders of magnitude
+    above any non-degenerate bucket: it can only bind on degenerate
+    bands (flat images hashing to all-zero bits) or hot near-dup
+    families — exactly the buckets whose members quadratically
+    dominate the join. Recall loss is confined to pairs whose EVERY
+    shared band is capped; exact-payload pre-dedup first (curate's
+    image stage) keeps the common case — one hot image under many
+    captions — out of this regime entirely."""
+    if n_items <= 0:
+        raise ValueError(f"n_items must be positive, got {n_items}")
+    if target_pairs_per_item < 2:
+        raise ValueError(
+            f"target_pairs_per_item must be >= 2, got {target_pairs_per_item}"
+        )
+    import math
+
+    grid = grid if grid is not None else ahash_params_for(n_items)
+    # expected honest-bucket population under the policy grid; the
+    # cap must sit far above it so it never clips organic buckets
+    expected = n_items / 2.0 ** (grid // 4)
+    return max(int(target_pairs_per_item // 2) + 1, math.ceil(8 * expected))
+
+
 def ahash_from_cells(cells: DataFrame, id_col: str, grid: int = 64) -> DataFrame:
     """Banding for an externally-decoded grid: input (id, c, cell
     [, k][, n_bytes]) — e.g. real Pillow 8x8 luminance cells from

@@ -657,15 +657,43 @@ def q57_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE tf.doc_id % 20 = 0 AND length(tf.term) > 3
     """,
 )
-def q58_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q58_tfidf(
+    spark: SparkSession, sf_dir: str, *, stats_dir: str | None = None
+) -> DataFrame:
     """Exact TF-IDF (smoothed idf = ln((N+1)/(df+1))+1). Scale: tf and
     df are both partial-aggregated; N is a 1-row broadcast; df join is
-    on the term key (Zipf skew handled by AQE skew-join)."""
+    on the term key (Zipf skew handled by AQE skew-join).
+
+    ``stats_dir`` (opt-in) answers df and N from a materialized
+    operators/corpusstats.py store instead of re-exploding the whole
+    corpus — tf then tokenizes ONLY the 1-in-20 output docs, the
+    amortized-production path (equivalence pinned in
+    tests/test_corpusstats.py)."""
     d = _t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", _WS)).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.agg(F.count("*").alias("n_docs"))
+    if stats_dir is not None:
+        from file_appender_spark.operators.corpusstats import (
+            read_source_stats,
+            read_token_stats,
+        )
+
+        out_docs = d.filter(F.col("doc_id") % 20 == 0)
+        tok = out_docs.select(
+            "doc_id", F.explode(F.split("text", _WS)).alias("term")
+        )
+        tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        df = (
+            read_token_stats(spark, stats_dir)
+            .groupBy(F.col("token").alias("term"))
+            .agg(F.sum("df").alias("df"))
+        )
+        n = read_source_stats(spark, stats_dir).agg(
+            F.sum("n_docs").alias("n_docs")
+        )
+    else:
+        tok = d.select("doc_id", F.explode(F.split("text", _WS)).alias("term"))
+        tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        n = d.agg(F.count("*").alias("n_docs"))
     return (
         tf.join(df, "term")
         .crossJoin(F.broadcast(n))

@@ -427,7 +427,9 @@ def q230_session_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE df * 10 > nd * 3
     """,
 )
-def q231_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q231_stopword_discovery(
+    spark: SparkSession, sf_dir: str, *, stats_dir: str | None = None
+) -> DataFrame:
     """Corpus-derived stopword list: tokens whose DOCUMENT frequency
     exceeds 30% (cross-multiplied df*10 > nd*3 — no division in the
     predicate). The q59/q154 quality features assume a stopword
@@ -437,13 +439,34 @@ def q231_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-doc distinct tokens explode once (array_distinct
     before the explode bounds fanout at doc vocabulary); one
     map-side-combined groupBy; the doc count is a 1-row broadcast.
-    Output is the Zipf head — tiny."""
-    d = _t(spark, sf_dir, "documents")
-    tok = d.select(
-        F.explode(F.array_distinct(F.split("text", _WS))).alias("t")
-    )
-    df = tok.groupBy("t").agg(F.count("*").cast("long").alias("df"))
-    n = d.agg(F.count("*").cast("long").alias("nd"))
+    Output is the Zipf head — tiny.
+
+    ``stats_dir`` (opt-in) reads document frequencies and the doc
+    count from a materialized operators/corpusstats.py store (df per
+    token = sum of per-source df, exact because every doc has one
+    source) — no corpus scan (equivalence pinned in
+    tests/test_corpusstats.py)."""
+    if stats_dir is not None:
+        from file_appender_spark.operators.corpusstats import (
+            read_source_stats,
+            read_token_stats,
+        )
+
+        df = (
+            read_token_stats(spark, stats_dir)
+            .groupBy(F.col("token").alias("t"))
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        n = read_source_stats(spark, stats_dir).agg(
+            F.sum("n_docs").cast("long").alias("nd")
+        )
+    else:
+        d = _t(spark, sf_dir, "documents")
+        tok = d.select(
+            F.explode(F.array_distinct(F.split("text", _WS))).alias("t")
+        )
+        df = tok.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+        n = d.agg(F.count("*").cast("long").alias("nd"))
     return (
         df.crossJoin(F.broadcast(n))
         .filter(F.col("df") * 10 > F.col("nd") * 3)

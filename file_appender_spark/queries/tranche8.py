@@ -328,7 +328,9 @@ _G2_TOP_K = 10
     WHERE rnk <= {_G2_TOP_K}
     """,
 )
-def q212_dunning_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q212_dunning_keywords(
+    spark: SparkSession, sf_dir: str, *, stats_dir: str | None = None
+) -> DataFrame:
     """Distinctive keywords per source by Dunning's G² log-likelihood
     ratio (Dunning 1993) — the standard "what vocabulary makes this
     source different" test, restricted to over-represented terms
@@ -342,13 +344,25 @@ def q212_dunning_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 row) broadcast; token totals join on the token key. The top-k
     window partitions by source — never global. At 100 TB the token
     marginal is Zipf-skewed and AQE skew-split handles the head, same
-    profile as q58/q191."""
-    d = _t(spark, sf_dir, "documents")
-    tk = (
-        d.select("source", F.explode(F.split("text", _WS)).alias("tok"))
-        .groupBy("source", "tok")
-        .agg(F.count("*").cast("long").alias("a"))
-    )
+    profile as q58/q191.
+
+    ``stats_dir`` (opt-in) reads the (source, token) marginal from a
+    materialized operators/corpusstats.py store — the entire corpus
+    scan disappears; every downstream term derives from the stats
+    table (equivalence pinned in tests/test_corpusstats.py)."""
+    if stats_dir is not None:
+        from file_appender_spark.operators.corpusstats import read_token_stats
+
+        tk = read_token_stats(spark, stats_dir).select(
+            "source", F.col("token").alias("tok"), F.col("tf").alias("a")
+        )
+    else:
+        d = _t(spark, sf_dir, "documents")
+        tk = (
+            d.select("source", F.explode(F.split("text", _WS)).alias("tok"))
+            .groupBy("source", "tok")
+            .agg(F.count("*").cast("long").alias("a"))
+        )
     st = tk.groupBy("source").agg(F.sum("a").cast("long").alias("c"))
     gt = tk.groupBy("tok").agg(F.sum("a").cast("long").alias("ab"))
     tot = tk.agg(F.sum("a").cast("long").alias("nn"))

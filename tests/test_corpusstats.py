@@ -1,0 +1,111 @@
+"""Materialized corpus token stats (operators/corpusstats.py) — the
+shared tokenize->explode->groupBy prefix as a maintained table.
+
+Pins: (1) output equivalence of the three rewired consumers (q58
+TF-IDF, q212 Dunning G², q231 stopwords) between the scan-everything
+spelling and the stats-store path; (2) incremental maintenance ==
+batch build, with idempotent epoch retries; (3) compaction preserves
+the merged view; (4) the tokenizer params guard."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_appender_spark.operators.corpusstats import (
+    build_corpus_stats,
+    compact_corpus_stats,
+    corpus_token_stats,
+    corpusstats_ingest_batch,
+    read_source_stats,
+    read_token_stats,
+)
+from file_appender_spark.sources.catalog import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def stats_store(spark, sf_dir, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("corpusstats") / "store")
+    docs = load_table(spark, sf_dir, "documents")
+    build_corpus_stats(spark, docs, store)
+    return store
+
+
+def test_q58_tfidf_stats_path_equivalent(spark, sf_dir, stats_store):
+    from file_appender_spark.queries.llm import q58_tfidf
+
+    base = _rows(q58_tfidf(spark, sf_dir))
+    via = _rows(q58_tfidf(spark, sf_dir, stats_dir=stats_store))
+    assert via == base and len(base) > 0
+
+
+def test_q212_dunning_stats_path_equivalent(spark, sf_dir, stats_store):
+    from file_appender_spark.queries.tranche8 import q212_dunning_keywords
+
+    base = _rows(q212_dunning_keywords(spark, sf_dir))
+    via = _rows(q212_dunning_keywords(spark, sf_dir, stats_dir=stats_store))
+    assert via == base and len(base) > 0
+
+
+def test_q231_stopwords_stats_path_equivalent(spark, sf_dir, stats_store):
+    from file_appender_spark.queries.tranche11 import q231_stopword_discovery
+
+    base = _rows(q231_stopword_discovery(spark, sf_dir))
+    via = _rows(q231_stopword_discovery(spark, sf_dir, stats_dir=stats_store))
+    assert via == base and len(base) > 0
+
+
+def test_incremental_ingest_matches_batch_build(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "inc_store")
+    # three disjoint epochs — the append-only corpus contract
+    for i in range(3):
+        corpusstats_ingest_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), store, batch_id=i
+        )
+    merged = _rows(read_token_stats(spark, store))
+    want = _rows(corpus_token_stats(docs))
+    assert merged == want
+    # epoch RETRY (foreachBatch redelivery) rewrites its partition —
+    # counts must not double
+    corpusstats_ingest_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 1), store, batch_id=1
+    )
+    assert _rows(read_token_stats(spark, store)) == want
+    n_docs = read_source_stats(spark, store).agg(F.sum("n_docs")).collect()[0][0]
+    assert n_docs == docs.count()
+
+
+def test_compaction_preserves_view_and_folds_partitions(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "cmp_store")
+    for i in range(4):
+        corpusstats_ingest_batch(
+            spark, docs.filter(F.col("doc_id") % 4 == i), store, batch_id=i
+        )
+    before = _rows(read_token_stats(spark, store))
+    compact_corpus_stats(spark, store)
+    token_dir = os.path.join(store, "token_stats")
+    parts = [d for d in os.listdir(token_dir) if d.startswith("batch=")]
+    assert parts == ["batch=base"]
+    assert _rows(read_token_stats(spark, store)) == before
+    assert _rows(read_source_stats(spark, store)) == _rows(
+        read_source_stats(spark, store)
+    )
+
+
+def test_tokenizer_params_guard(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    store = str(tmp_path / "guard_store")
+    build_corpus_stats(spark, docs, store)
+    with open(os.path.join(store, "_corpusstats_params.json"), "w") as f:
+        json.dump({"tokenizer": "other", "version": 99}, f)
+    with pytest.raises(ValueError, match="incomparable"):
+        corpusstats_ingest_batch(spark, docs, store, batch_id=7)

@@ -351,3 +351,54 @@ def test_curate_image_dhash_mode_and_hot_image_prededup(spark, tmp_path):
         image_band_bucket_cap=1000,
     )
     assert res2["after_image_dedup"] == 3
+
+
+def test_curate_auto_band_bucket_cap_on_hot_neardup_family(spark, tmp_path):
+    """r6 verdict task 7: the hot-bucket guard now DEFAULTS to the
+    sized policy (band_bucket_cap_for) instead of None. The regime it
+    exists for: a family of DISTINCT near-duplicate payloads (flat
+    images of different lengths — every aHash band all-zero, hamming
+    0) that exact-payload pre-dedup can NOT collapse. 80 members >
+    the policy cap (65 at this corpus size), so under the default the
+    degenerate bucket is dropped — bounded work, docs kept — while an
+    explicit None pairs all of them and collapses the family."""
+    from file_appender_spark.curate import curate
+
+    rows = [
+        (i, f"distinct caption number {i} for a flat image", bytes([7]) * (600 + i))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, payload binary")
+    res_auto = curate(
+        spark,
+        docs,
+        str(tmp_path / "cur_auto_cap"),
+        near_threshold=0.99,
+        min_alpha_ratio=0.0,
+        image_mode="ahash",
+    )
+    # default cap binds: the all-zero buckets are dropped, no pair
+    # survives, every distinct payload is kept
+    assert res_auto["after_image_dedup"] == 80
+    res_none = curate(
+        spark,
+        docs,
+        str(tmp_path / "cur_none_cap"),
+        near_threshold=0.99,
+        min_alpha_ratio=0.0,
+        image_mode="ahash",
+        image_band_bucket_cap=None,
+    )
+    # uncapped: the family pairs quadratically and collapses to min id
+    assert res_none["after_image_dedup"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="image_band_bucket_cap"):
+        curate(
+            spark,
+            docs,
+            str(tmp_path / "cur_bad_cap"),
+            image_mode="ahash",
+            image_band_bucket_cap="nope",
+        )

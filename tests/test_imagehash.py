@@ -447,3 +447,33 @@ def test_imagedup_ingest_dhash_mode_and_store_pinning(spark, tmp_path):
         imagedup_ingest_batch(spark, b2, store, id_col="id", hash_mode="ahash")
     with _pytest.raises(ValueError, match="hash_mode"):
         imagedup_ingest_batch(spark, b2, store, id_col="id", hash_mode="phash")
+
+
+def test_band_bucket_cap_policy():
+    """band_bucket_cap_for: worst-case candidate pairs per item are
+    bounded at target (cap = target/2 + 1) and the cap sits far above
+    the policy grid's honest-bucket expectation."""
+    import pytest as _pytest
+
+    from file_appender_spark.operators.imagehash import (
+        ahash_params_for,
+        band_bucket_cap_for,
+    )
+
+    assert band_bucket_cap_for(1000) == 65
+    assert band_bucket_cap_for(500_000) == 65  # policy grid keeps expectation tiny
+    assert band_bucket_cap_for(2000, target_pairs_per_item=32.0) == 17
+    # a deliberately undersized grid (16-bit bands at 10M items) pushes the
+    # expectation term above the target term — the cap must follow it up
+    import math
+
+    assert band_bucket_cap_for(10_000_000, grid=64) == math.ceil(
+        8 * 10_000_000 / 2**16
+    )
+    # far above honest expectation under the sized grid
+    n = 500_000
+    assert band_bucket_cap_for(n) > 100 * n / 2 ** (ahash_params_for(n) // 4)
+    with _pytest.raises(ValueError):
+        band_bucket_cap_for(0)
+    with _pytest.raises(ValueError):
+        band_bucket_cap_for(10, target_pairs_per_item=1.0)
