@@ -467,6 +467,30 @@ def main() -> None:
     except Exception as exc:
         print(f"# sink extras skipped: {exc}", file=sys.stderr)
 
+    # graph-twin extra (r6 verdict task 2): the degree-capped triangle
+    # enumeration over the real q52 near-dup graph at bench sf — the
+    # production path whose parity with q183/q213 is pinned in tests
+    try:
+        from file_appender_spark.operators.graph import (
+            graph_params_for,
+            triangle_count,
+        )
+        from file_appender_spark.queries.llm import q52_minhash_lsh
+
+        e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2").localCheckpoint()
+        m = e.count()
+        cap = graph_params_for(max(m, 1)).max_degree
+        t0 = time.perf_counter()
+        tri = triangle_count(e, max_degree=cap).collect()[0]
+        extras["op_triangles_capped_sec"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# op_triangles_capped: {extras['op_triangles_capped_sec']}s "
+            f"({m} edges, cap {cap}, {tri['n_triangles']} triangles)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# graph extra skipped: {exc}", file=sys.stderr)
+
     # corpus-stats extra (r6 verdict task 5): build the materialized
     # (source, token) tf/df table once, then answer the three rewired
     # token-marginal consumers from it — the amortized-production

@@ -96,23 +96,21 @@ def _canonical_edges(e: DataFrame) -> DataFrame:
     )
 
 
-def degrees(e: DataFrame) -> DataFrame:
-    """(v, degree) over the canonical edge list — one map-side-combined
-    groupBy of the doubled list (the q213/q226/q236 degree prefix)."""
-    e = _canonical_edges(e)
+def _degrees_from_canonical(e: DataFrame) -> DataFrame:
     und = e.select(F.col("d1").alias("v")).unionAll(
         e.select(F.col("d2").alias("v"))
     )
     return und.groupBy("v").agg(F.count("*").cast("long").alias("degree"))
 
 
-def oriented_edges(e: DataFrame) -> DataFrame:
-    """(src, dst): every canonical edge oriented from its lower-
-    (degree, id) endpoint — the Suri-Vassilvitskii total order. Two
-    equi-joins attach endpoint degrees (broadcast-eligible under AQE
-    when the vertex set is small); no step exceeds O(m)."""
-    e = _canonical_edges(e)
-    deg = degrees(e)
+def degrees(e: DataFrame) -> DataFrame:
+    """(v, degree) over the canonical edge list — one map-side-combined
+    groupBy of the doubled list (the q213/q226/q236 degree prefix)."""
+    return _degrees_from_canonical(_canonical_edges(e))
+
+
+def _oriented_from_canonical(e: DataFrame) -> DataFrame:
+    deg = _degrees_from_canonical(e)
     da = deg.select(F.col("v").alias("d1"), F.col("degree").alias("_k1"))
     db = deg.select(F.col("v").alias("d2"), F.col("degree").alias("_k2"))
     withk = e.join(da, "d1").join(db, "d2")
@@ -124,6 +122,14 @@ def oriented_edges(e: DataFrame) -> DataFrame:
         F.when(d1_first, F.col("d1")).otherwise(F.col("d2")).alias("src"),
         F.when(d1_first, F.col("d2")).otherwise(F.col("d1")).alias("dst"),
     )
+
+
+def oriented_edges(e: DataFrame) -> DataFrame:
+    """(src, dst): every canonical edge oriented from its lower-
+    (degree, id) endpoint — the Suri-Vassilvitskii total order. Two
+    equi-joins attach endpoint degrees (broadcast-eligible under AQE
+    when the vertex set is small); no step exceeds O(m)."""
+    return _oriented_from_canonical(_canonical_edges(e))
 
 
 def _capped(o: DataFrame, max_degree: int) -> DataFrame:
@@ -170,7 +176,7 @@ def triangle_triples(
     list — never vertex-quadratic, and with a cap never more than
     m*(cap-1)/2 wedge rows total."""
     e = _canonical_edges(e)
-    o = oriented_edges(e)
+    o = _oriented_from_canonical(e)
     if max_degree is not None:
         if max_degree < 1:
             raise ValueError(f"max_degree must be >= 1, got {max_degree}")
@@ -227,7 +233,8 @@ def clustering_coefficients(
     degrees — only the triangle numerator is bounded, so a capped run
     under-reports coeff (never over-reports), the conservative
     direction for a "is this a boilerplate family?" signal."""
-    deg = degrees(e)
+    e = _canonical_edges(e)
+    deg = _degrees_from_canonical(e)
     vt = local_triangle_counts(e, max_degree)
     return (
         deg.join(vt, "v", "left")
@@ -251,7 +258,7 @@ def wedge_count(e: DataFrame, max_degree: int | None = None) -> int:
     materializing wedges (a groupBy + one aggregate row). This is
     what the scale probe reports: the capped bound m*(cap-1)/2 vs
     the uncapped sum that would have been joined."""
-    o = oriented_edges(_canonical_edges(e))
+    o = oriented_edges(e)
     if max_degree is not None:
         o = _capped(o, max_degree)
     row = (

@@ -109,3 +109,79 @@ def test_tokenizer_params_guard(spark, sf_dir, tmp_path):
         json.dump({"tokenizer": "other", "version": 99}, f)
     with pytest.raises(ValueError, match="incomparable"):
         corpusstats_ingest_batch(spark, docs, store, batch_id=7)
+
+
+def test_corpusstats_survive_empty_corpus(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    store = str(tmp_path / "empty_store")
+    build_corpus_stats(spark, docs, store)
+    assert read_token_stats(spark, store).count() == 0
+    assert read_source_stats(spark, store).count() == 0
+    # an increment onto the empty base works too
+    corpusstats_ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, "hello world hello", "srcA")],
+            "doc_id long, text string, source string",
+        ),
+        store,
+        batch_id=0,
+    )
+    got = {
+        (r["source"], r["token"]): (r["tf"], r["df"])
+        for r in read_token_stats(spark, store).collect()
+    }
+    assert got == {("srcA", "hello"): (2, 1), ("srcA", "world"): (1, 1)}
+
+
+def test_corpusstats_via_streaming_foreachbatch(spark, tmp_path):
+    """End-to-end streaming wiring: a parquet file stream drives
+    corpusstats_ingest_batch through foreachBatch with the REAL epoch
+    ids; the merged view equals the one-shot batch build over the
+    union — the maintenance mode a 100 TB ingest actually runs."""
+    import glob
+    import shutil
+
+    rows1 = [(1, "alpha beta alpha", "s1"), (2, "beta gamma", "s2")]
+    rows2 = [(3, "alpha delta", "s1"), (4, "gamma gamma gamma", "s2")]
+    schema = "doc_id long, text string, source string"
+
+    src = tmp_path / "cs_incoming"
+    src.mkdir()
+
+    def add_file(rows, name):
+        tmp = str(tmp_path / f"_csstage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / name))
+
+    add_file(rows1, "b1.parquet")
+    add_file(rows2, "b2.parquet")
+
+    store = str(tmp_path / "cs_stream_store")
+
+    q = (
+        spark.readStream.format("parquet")
+        .schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .writeStream.foreachBatch(
+            lambda b, i: corpusstats_ingest_batch(spark, b, store, batch_id=i)
+        )
+        .option("checkpointLocation", str(tmp_path / "cs_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = _rows(
+        corpus_token_stats(spark.createDataFrame(rows1 + rows2, schema))
+    )
+    assert _rows(read_token_stats(spark, store)) == want
+    n = read_source_stats(spark, store).agg(F.sum("n_docs")).collect()[0][0]
+    assert n == 4

@@ -215,3 +215,35 @@ def test_neardup_family_survives_exact_dedup_and_is_capped(spark):
     assert 0 < tri["n_triangles"]
     for p in persisted:
         p.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# plan shape: the enumeration must stay equi-join-only
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_plan_is_equi_join_only(spark):
+    """The wedge self-join and the closing join are both equi-joins
+    (src; (_u,_v)=(d1,d2)) — a regression to CartesianProduct or a
+    nested loop would be vertex-quadratic at 100 TB. The cap's window
+    is hash-partitioned by src (one linear exchange), never global."""
+    e = _edges_df(spark, _random_graph(30, 200, 3))
+    plan = (
+        triangle_triples(e, max_degree=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_ops_survive_empty_edge_frame(spark):
+    e = spark.createDataFrame([], "d1 long, d2 long")
+    assert triangle_triples(e).count() == 0
+    assert triangle_triples(e, max_degree=4).count() == 0
+    assert capped_vertices(e, 4).count() == 0
+    assert degrees(e).count() == 0
+    assert wedge_count(e) == 0
+    row = triangle_count(e).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_apex_docs"] == 0
