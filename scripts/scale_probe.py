@@ -319,6 +319,25 @@ def main() -> None:
             max_dist=2,
         ),
     )
+    # round-7: the degree-capped triangle twin on the SAME replica
+    # corpus whose exact-copy fanout made q183/q213's uncapped ratios
+    # blow up (adjudicated replica fanout in r5/r6) — the capped
+    # enumeration must stay tame here BY CONSTRUCTION, not by
+    # adjudication: wedge work <= m*(cap-1)/2 regardless of clique
+    # structure, truncations reported
+    from file_appender_spark.operators.graph import (
+        graph_params_for,
+        triangle_count,
+    )
+    from file_appender_spark.queries.llm import q52_minhash_lsh
+
+    def tri_capped(d):
+        e = q52_minhash_lsh(spark, d).select("d1", "d2").localCheckpoint()
+        cap = graph_params_for(max(e.count(), 1)).max_degree
+        return triangle_count(e, max_degree=cap)
+
+    op_probe("op_triangles_capped", tri_capped)
+
     print(json.dumps({"factor": FACTOR, "results": results}))
 
 
