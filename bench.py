@@ -504,6 +504,7 @@ def main() -> None:
         from file_appender_spark.queries.llm import q58_tfidf
         from file_appender_spark.queries.tranche8 import q212_dunning_keywords
         from file_appender_spark.queries.tranche11 import q231_stopword_discovery
+        from file_appender_spark.sources.catalog import load_table
 
         stats_store = tempfile.mkdtemp(prefix="bench_corpusstats_")
         try:

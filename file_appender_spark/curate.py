@@ -126,20 +126,25 @@ def curate(
     dropped iff it is not its payload group's min, or its group's
     rep pairs as the larger side — exactly the pairwise larger-id
     rule, since hamming is payload-determined. ``image_band_bucket_cap``
-    additionally forwards imagehash's hot-bucket guard for corpora
-    where DISTINCT payloads still collide into degenerate bands —
-    the default ``"auto"`` derives it from the sized policy
-    (band_bucket_cap_for, so the guard exists without the caller
-    knowing to pass it); ``None`` disables it explicitly."""
+    forwards imagehash's hot-bucket guard for corpora where DISTINCT
+    payloads still collide into degenerate bands — the sized entry
+    points default it to the band_bucket_cap_for policy (``"auto"``),
+    so the guard exists without anyone passing it; ``None`` disables
+    it explicitly."""
     if image_mode not in ("off", "ahash", "dhash"):
         raise ValueError(
             f"image_mode must be 'off', 'ahash' or 'dhash', got {image_mode!r}"
         )
-    if isinstance(image_band_bucket_cap, str) and image_band_bucket_cap != "auto":
-        raise ValueError(
-            "image_band_bucket_cap must be 'auto', None, or an int, got "
-            f"{image_band_bucket_cap!r}"
-        )
+    if image_band_bucket_cap is not None and not isinstance(
+        image_band_bucket_cap, int
+    ):
+        # validate before any Spark job runs (the sized operators'
+        # _resolve_cap would catch it too, but only mid-funnel)
+        if image_band_bucket_cap != "auto":
+            raise ValueError(
+                "image_band_bucket_cap must be 'auto', None, or an int, got "
+                f"{image_band_bucket_cap!r}"
+            )
     if image_mode != "off" and payload_col not in docs.columns:
         raise ValueError(
             f"image_mode={image_mode!r} needs a {payload_col!r} column; "
@@ -166,7 +171,6 @@ def curate(
     if image_mode != "off":
         from file_appender_spark.operators.imagehash import (
             ahash_neardup_sized,
-            band_bucket_cap_for,
             dhash_neardup_sized,
         )
 
@@ -179,18 +183,13 @@ def curate(
             rep.select(F.col("_repid").alias("doc_id")), "doc_id"
         ).select("doc_id", payload_col)
         n_rep = reps.count()
-        cap = (
-            band_bucket_cap_for(max(n_rep, 2))
-            if image_band_bucket_cap == "auto"
-            else image_band_bucket_cap
-        )
         ipairs = sized(
             reps,
             "doc_id",
             payload_col,
             n_items=max(n_rep, 2),
             max_hamming=image_max_hamming,
-            band_bucket_cap=cap,
+            band_bucket_cap=image_band_bucket_cap,
         )
         # a doc is dropped iff it is not its payload group's min, or
         # its group's representative is the larger side of a pair —

@@ -73,12 +73,17 @@ def corpus_token_stats(docs: DataFrame) -> DataFrame:
 
 def corpus_source_stats(docs: DataFrame) -> DataFrame:
     """(source, n_docs, total_tokens): the per-source marginals the
-    consumers' 1-row broadcasts derive from."""
+    consumers' 1-row broadcasts derive from. n_docs counts every row
+    (the q58/q231 oracles count(*) over documents, nulls included);
+    total_tokens counts what the token table actually holds — a NULL
+    text contributes zero tokens, not size(NULL) = -1."""
     from file_appender_spark.queries.llm import _WS
 
     return docs.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size(F.split("text", _WS))).cast("long").alias("total_tokens"),
+        F.sum(F.coalesce(F.size(F.split("text", _WS)), F.lit(0)))
+        .cast("long")
+        .alias("total_tokens"),
     )
 
 
@@ -118,9 +123,17 @@ def build_corpus_stats(
     spark: SparkSession, docs: DataFrame, store_dir: str
 ) -> None:
     """Materialize the full corpus's stats as the store's `base`
-    partition (one corpus scan). Later increments append next to it."""
+    partition (one corpus scan). Later increments append next to it.
+
+    A (re)build is a FULL baseline: any epoch partitions from a
+    previous ingest run are wiped first — `docs` is the whole corpus,
+    so leaving old increments behind would double-count every doc
+    they cover on the next merged read."""
     _recover(store_dir)
     _check_params(store_dir)
+    for d in (_token_dir(store_dir), _source_dir(store_dir)):
+        if os.path.exists(d):
+            shutil.rmtree(d)
     _write_batch(corpus_token_stats(docs), _token_dir(store_dir), "base")
     _write_batch(corpus_source_stats(docs), _source_dir(store_dir), "base")
 
@@ -135,6 +148,11 @@ def corpusstats_ingest_batch(
     `writeStream.foreachBatch(lambda b, i:
     corpusstats_ingest_batch(spark, b, store, i))` — epoch-id
     partition overwrite makes retries idempotent."""
+    if str(batch_id) == "base":
+        raise ValueError(
+            "batch_id 'base' is reserved for build_corpus_stats — an "
+            "ingest epoch writing there would clobber the corpus baseline"
+        )
     _recover(store_dir)
     _check_params(store_dir)
     _write_batch(corpus_token_stats(batch), _token_dir(store_dir), str(batch_id))
@@ -144,7 +162,11 @@ def corpusstats_ingest_batch(
 def read_token_stats(spark: SparkSession, store_dir: str) -> DataFrame:
     """(source, token, tf, df): the merged view over base +
     increments — one map-side-combined groupBy-sum of the stats
-    table, never of the corpus."""
+    table, never of the corpus. Runs crash recovery first: a
+    read-only consumer may be the first process to touch the store
+    after a compaction crash, and must not fail on a directory that
+    is one rename from healthy."""
+    _recover(store_dir)
     df = spark.read.parquet(_token_dir(store_dir))
     return df.groupBy("source", "token").agg(
         F.sum("tf").cast("long").alias("tf"),
@@ -153,6 +175,7 @@ def read_token_stats(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 def read_source_stats(spark: SparkSession, store_dir: str) -> DataFrame:
+    _recover(store_dir)
     df = spark.read.parquet(_source_dir(store_dir))
     return df.groupBy("source").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),

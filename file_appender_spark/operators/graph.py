@@ -175,7 +175,12 @@ def triangle_triples(
     vertex), and ONE closing equi-join against the canonical edge
     list — never vertex-quadratic, and with a cap never more than
     m*(cap-1)/2 wedge rows total."""
-    e = _canonical_edges(e)
+    return _triples_from_canonical(_canonical_edges(e), max_degree)
+
+
+def _triples_from_canonical(
+    e: DataFrame, max_degree: int | None
+) -> DataFrame:
     o = _oriented_from_canonical(e)
     if max_degree is not None:
         if max_degree < 1:
@@ -215,7 +220,13 @@ def local_triangle_counts(
     """(v, triangles): per-vertex triangle membership counts — the
     q213 `vt` CTE from the degree-bounded enumeration (a union of
     three projections of the triple set; no extra join)."""
-    tri = triangle_triples(e, max_degree)
+    return _local_counts_from_canonical(_canonical_edges(e), max_degree)
+
+
+def _local_counts_from_canonical(
+    e: DataFrame, max_degree: int | None
+) -> DataFrame:
+    tri = _triples_from_canonical(e, max_degree)
     return (
         tri.select(F.col("a").alias("v"))
         .unionAll(tri.select(F.col("b").alias("v")))
@@ -235,7 +246,7 @@ def clustering_coefficients(
     direction for a "is this a boilerplate family?" signal."""
     e = _canonical_edges(e)
     deg = _degrees_from_canonical(e)
-    vt = local_triangle_counts(e, max_degree)
+    vt = _local_counts_from_canonical(e, max_degree)
     return (
         deg.join(vt, "v", "left")
         .filter(F.col("degree") >= 2)
@@ -260,6 +271,8 @@ def wedge_count(e: DataFrame, max_degree: int | None = None) -> int:
     the uncapped sum that would have been joined."""
     o = oriented_edges(e)
     if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError(f"max_degree must be >= 1, got {max_degree}")
         o = _capped(o, max_degree)
     row = (
         o.groupBy("src")

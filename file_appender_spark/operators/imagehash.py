@@ -224,25 +224,43 @@ def ahash_from_cells(cells: DataFrame, id_col: str, grid: int = 64) -> DataFrame
     return _bands_from_wide(_wide_from_cells(cells, id_col, grid), id_col)
 
 
+def _resolve_cap(
+    band_bucket_cap: int | None | str, n_items: int, grid: int
+) -> int | None:
+    """The sized entry points default their hot-bucket guard to the
+    band_bucket_cap_for policy (``"auto"``) so the cap exists without
+    the caller knowing to pass it; ``None`` disables it explicitly."""
+    if band_bucket_cap == "auto":
+        return band_bucket_cap_for(n_items, grid=grid)
+    if isinstance(band_bucket_cap, str):
+        raise ValueError(
+            "band_bucket_cap must be 'auto', None, or an int, got "
+            f"{band_bucket_cap!r}"
+        )
+    return band_bucket_cap
+
+
 def ahash_neardup_sized(
     df: DataFrame,
     id_col: str,
     payload_col: str,
     n_items: int,
     max_hamming: int = 8,
-    band_bucket_cap: int | None = None,
+    band_bucket_cap: int | None | str = "auto",
 ) -> DataFrame:
     """ahash_neardup with the corpus-scaled banding policy applied
     (grid = ahash_params_for(n_items)) — the production entry point
     for corpora past ~2k items. Note max_hamming is measured on the
-    policy-sized hash (grid bits, not 64)."""
+    policy-sized hash (grid bits, not 64). The hot-bucket guard
+    defaults to the sized policy (see _resolve_cap)."""
+    grid = ahash_params_for(n_items)
     return ahash_neardup(
         df,
         id_col,
         payload_col,
         max_hamming=max_hamming,
-        band_bucket_cap=band_bucket_cap,
-        grid=ahash_params_for(n_items),
+        band_bucket_cap=_resolve_cap(band_bucket_cap, n_items, grid),
+        grid=grid,
     )
 
 
@@ -475,17 +493,19 @@ def dhash_neardup_sized(
     payload_col: str,
     n_items: int,
     max_hamming: int = 8,
-    band_bucket_cap: int | None = None,
+    band_bucket_cap: int | None | str = "auto",
 ) -> DataFrame:
     """dhash_neardup with the same corpus-scaled banding policy as
     ahash_neardup_sized (ahash_params_for applies unchanged: band
     collision volume depends only on band width vs log2 n, not on
-    which perceptual hash fills the bits)."""
+    which perceptual hash fills the bits). Hot-bucket guard defaults
+    to the sized policy (see _resolve_cap)."""
+    grid = ahash_params_for(n_items)
     return dhash_neardup(
         df,
         id_col,
         payload_col,
         max_hamming=max_hamming,
-        band_bucket_cap=band_bucket_cap,
-        grid=ahash_params_for(n_items),
+        band_bucket_cap=_resolve_cap(band_bucket_cap, n_items, grid),
+        grid=grid,
     )

@@ -90,15 +90,14 @@ def test_compaction_preserves_view_and_folds_partitions(spark, sf_dir, tmp_path)
         corpusstats_ingest_batch(
             spark, docs.filter(F.col("doc_id") % 4 == i), store, batch_id=i
         )
-    before = _rows(read_token_stats(spark, store))
+    before_tok = _rows(read_token_stats(spark, store))
+    before_src = _rows(read_source_stats(spark, store))
     compact_corpus_stats(spark, store)
     token_dir = os.path.join(store, "token_stats")
     parts = [d for d in os.listdir(token_dir) if d.startswith("batch=")]
     assert parts == ["batch=base"]
-    assert _rows(read_token_stats(spark, store)) == before
-    assert _rows(read_source_stats(spark, store)) == _rows(
-        read_source_stats(spark, store)
-    )
+    assert _rows(read_token_stats(spark, store)) == before_tok
+    assert _rows(read_source_stats(spark, store)) == before_src
 
 
 def test_tokenizer_params_guard(spark, sf_dir, tmp_path):
@@ -185,3 +184,64 @@ def test_corpusstats_via_streaming_foreachbatch(spark, tmp_path):
     assert _rows(read_token_stats(spark, store)) == want
     n = read_source_stats(spark, store).agg(F.sum("n_docs")).collect()[0][0]
     assert n == 4
+
+
+def test_rebuild_wipes_stale_increments(spark, tmp_path):
+    """A (re)build is a FULL baseline: epoch partitions from a prior
+    ingest run must be wiped, or the next merged read double-counts
+    every doc they cover (code-review finding)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "s1"), (2, "alpha", "s2")],
+        "doc_id long, text string, source string",
+    )
+    store = str(tmp_path / "rebuild_store")
+    corpusstats_ingest_batch(spark, docs, store, batch_id=0)
+    build_corpus_stats(spark, docs, store)  # re-baseline over the SAME docs
+    got = {
+        (r["source"], r["token"]): (r["tf"], r["df"])
+        for r in read_token_stats(spark, store).collect()
+    }
+    assert got == {
+        ("s1", "alpha"): (1, 1),
+        ("s1", "beta"): (1, 1),
+        ("s2", "alpha"): (1, 1),
+    }
+    n = read_source_stats(spark, store).agg(F.sum("n_docs")).collect()[0][0]
+    assert n == 2
+
+
+def test_reserved_base_batch_id_rejected(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "x", "s1")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        corpusstats_ingest_batch(spark, docs, str(tmp_path / "s"), batch_id="base")
+
+
+def test_read_side_crash_recovery(spark, tmp_path):
+    """A read-only consumer may be the first to touch the store after
+    a compaction crash between the two renames — reads must restore
+    the .old backup instead of failing on the missing directory."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "s1")], "doc_id long, text string, source string"
+    )
+    store = str(tmp_path / "crash_store")
+    build_corpus_stats(spark, docs, store)
+    tok = os.path.join(store, "token_stats")
+    os.rename(tok, tok + ".old")  # simulate the crash window
+    assert read_token_stats(spark, store).count() == 2
+    assert os.path.exists(tok) and not os.path.exists(tok + ".old")
+
+
+def test_null_text_counts_zero_tokens(spark, tmp_path):
+    """NULL text contributes zero tokens to total_tokens (size(split
+    (NULL)) is -1 — the raw sum would under-count), while n_docs
+    counts every row like the oracles' count(*)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "s1"), (2, None, "s1")],
+        "doc_id long, text string, source string",
+    )
+    store = str(tmp_path / "null_store")
+    build_corpus_stats(spark, docs, store)
+    row = read_source_stats(spark, store).collect()[0]
+    assert row["n_docs"] == 2 and row["total_tokens"] == 2

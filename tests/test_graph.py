@@ -247,3 +247,9 @@ def test_graph_ops_survive_empty_edge_frame(spark):
     assert wedge_count(e) == 0
     row = triangle_count(e).collect()[0]
     assert row["n_triangles"] == 0 and row["n_apex_docs"] == 0
+
+
+def test_wedge_count_rejects_invalid_cap(spark):
+    e = _edges_df(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        wedge_count(e, max_degree=0)
