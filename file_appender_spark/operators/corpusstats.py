@@ -198,7 +198,13 @@ def compact_corpus_stats(spark: SparkSession, store_dir: str) -> None:
     long-running maintenance otherwise pays ever-growing file listing
     on every read. Writer must be paused (the sequential foreachBatch
     loop is the only writer by design); the two-rename swap plus
-    _recover makes a crash at any point non-destructive."""
+    _recover makes a crash at any point non-destructive. Output files
+    are sized from the store's measured bytes (the compact_store
+    discipline) — without this every compaction writes one tiny file
+    per shuffle partition, recreating the small-file problem it
+    exists to fix."""
+    from file_appender_spark.operators.layout import dir_bytes, plan_file_count
+
     _recover(store_dir)
     for d, merged in (
         (_token_dir(store_dir), read_token_stats(spark, store_dir)),
@@ -207,7 +213,10 @@ def compact_corpus_stats(spark: SparkSession, store_dir: str) -> None:
         tmp = d.rstrip("/") + ".compacting"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        merged.write.mode("overwrite").parquet(os.path.join(tmp, "batch=base"))
+        n = plan_file_count(dir_bytes(spark, d))
+        merged.repartition(n).write.mode("overwrite").parquet(
+            os.path.join(tmp, "batch=base")
+        )
         old = d.rstrip("/") + ".old"
         if os.path.exists(old):
             shutil.rmtree(old)

@@ -245,3 +245,19 @@ def test_null_text_counts_zero_tokens(spark, tmp_path):
     build_corpus_stats(spark, docs, store)
     row = read_source_stats(spark, store).collect()[0]
     assert row["n_docs"] == 2 and row["total_tokens"] == 2
+
+
+def test_compaction_sizes_output_files(spark, sf_dir, tmp_path):
+    """Compaction must FOLD files, not re-emit one tiny file per
+    shuffle partition — the output file count follows the measured
+    store bytes (tiny store -> 1 file per stats dir)."""
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "size_store")
+    for i in range(3):
+        corpusstats_ingest_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), store, batch_id=i
+        )
+    compact_corpus_stats(spark, store)
+    base = os.path.join(store, "token_stats", "batch=base")
+    files = [f for f in os.listdir(base) if f.endswith(".parquet")]
+    assert len(files) == 1
