@@ -502,6 +502,7 @@ def main() -> None:
 
         from file_appender_spark.operators.corpusstats import build_corpus_stats
         from file_appender_spark.queries.llm import q58_tfidf
+        from file_appender_spark.queries.tranche6 import q197_jsd_sources
         from file_appender_spark.queries.tranche8 import q212_dunning_keywords
         from file_appender_spark.queries.tranche11 import q231_stopword_discovery
         from file_appender_spark.sources.catalog import load_table
@@ -513,22 +514,25 @@ def main() -> None:
             build_corpus_stats(spark, docs, stats_store)
             extras["corpusstats_build_sec"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
-            for q in (q58_tfidf, q212_dunning_keywords, q231_stopword_discovery):
+            consumers = (q58_tfidf, q197_jsd_sources,
+                         q212_dunning_keywords, q231_stopword_discovery)
+            for q in consumers:
                 q(spark, sf_dir, stats_dir=stats_store).count()
-            extras["corpusstats_3consumers_sec"] = round(
+            extras["corpusstats_4consumers_sec"] = round(
                 time.perf_counter() - t0, 3
             )
             base = sum(
                 timings.get(k, 0.0)
                 for k in (
                     "q58_tfidf",
+                    "q197_jsd_sources",
                     "q212_dunning_keywords",
                     "q231_stopword_discovery",
                 )
             )
             print(
                 f"# corpusstats: build {extras['corpusstats_build_sec']}s once, "
-                f"3 consumers {extras['corpusstats_3consumers_sec']}s from store "
+                f"4 consumers {extras['corpusstats_4consumers_sec']}s from store "
                 f"(memoized scan-spellings in headline: {round(base, 3)}s — at "
                 "bench sf the corpus is below the materialization crossover; "
                 "the amortized win is measured at 100x in SCALE100_PROBE_r7)",

@@ -27,8 +27,8 @@ module is that table:
   single base partition (crash-safe directory swap, the
   neardup_ingest store discipline).
 
-Consumers opt in via their `stats_dir` parameter (q58 TF-IDF, q212
-Dunning G², q231 stopword discovery) — output equivalence with the
+Consumers opt in via their `stats_dir` parameter (q58 TF-IDF, q197
+JSD drift, q212 Dunning G², q231 stopword discovery) — output equivalence with the
 scan-everything spelling is pinned in tests/test_corpusstats.py.
 """
 

@@ -971,7 +971,9 @@ def q196_running_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM terms GROUP BY source ORDER BY source
     """,
 )
-def q197_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q197_jsd_sources(
+    spark: SparkSession, sf_dir: str, *, stats_dir: str | None = None
+) -> DataFrame:
     """Per-source corpus drift: Jensen-Shannon divergence between each
     source's token distribution P_s and the global distribution Q —
     the mixture-tuning signal (a source with high JSD is
@@ -990,13 +992,39 @@ def q197_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two token-keyed counts (source-level and global) and one
     equi-join of the source grid against the global vocabulary —
     bounded by |sources| x |vocab|, the same stationary-key profile
-    as q58's TF-IDF; no pair explosion, nothing driver-side."""
-    d = _t(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(F.split("text", _WS)).alias("t"))
-    sc = tok.groupBy("source", "t").agg(F.count("*").alias("cs"))
-    gc = tok.groupBy("t").agg(F.count("*").alias("cg"))
-    ns = tok.groupBy("source").agg(F.count("*").alias("n_s"))
-    ng = tok.agg(F.count("*").alias("n"))
+    as q58's TF-IDF; no pair explosion, nothing driver-side.
+
+    ``stats_dir`` (opt-in) derives every count from a materialized
+    operators/corpusstats.py store — all four marginals (cs, cg, n_s,
+    n) come from the stats table, no corpus scan; the zero-token
+    source filter (total_tokens > 0) replicates the scan path's
+    "source must contribute at least one token" semantics
+    (equivalence pinned in tests/test_corpusstats.py)."""
+    if stats_dir is not None:
+        from file_appender_spark.operators.corpusstats import (
+            read_source_stats,
+            read_token_stats,
+        )
+
+        ts = read_token_stats(spark, stats_dir)
+        sc = ts.select(
+            "source", F.col("token").alias("t"), F.col("tf").alias("cs")
+        )
+        gc = ts.groupBy(F.col("token").alias("t")).agg(
+            F.sum("tf").alias("cg")
+        )
+        ss = read_source_stats(spark, stats_dir).filter(
+            F.col("total_tokens") > 0
+        )
+        ns = ss.select("source", F.col("total_tokens").alias("n_s"))
+        ng = ss.agg(F.sum("total_tokens").alias("n"))
+    else:
+        d = _t(spark, sf_dir, "documents")
+        tok = d.select("source", F.explode(F.split("text", _WS)).alias("t"))
+        sc = tok.groupBy("source", "t").agg(F.count("*").alias("cs"))
+        gc = tok.groupBy("t").agg(F.count("*").alias("cg"))
+        ns = tok.groupBy("source").agg(F.count("*").alias("n_s"))
+        ng = tok.agg(F.count("*").alias("n"))
     grid = (
         gc.crossJoin(F.broadcast(ns))
         .join(sc, ["source", "t"], "left")

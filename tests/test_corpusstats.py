@@ -261,3 +261,11 @@ def test_compaction_sizes_output_files(spark, sf_dir, tmp_path):
     base = os.path.join(store, "token_stats", "batch=base")
     files = [f for f in os.listdir(base) if f.endswith(".parquet")]
     assert len(files) == 1
+
+
+def test_q197_jsd_stats_path_equivalent(spark, sf_dir, stats_store):
+    from file_appender_spark.queries.tranche6 import q197_jsd_sources
+
+    base = _rows(q197_jsd_sources(spark, sf_dir))
+    via = _rows(q197_jsd_sources(spark, sf_dir, stats_dir=stats_store))
+    assert via == base and len(base) > 0
