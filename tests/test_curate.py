@@ -168,9 +168,22 @@ def test_incremental_streaming_curate_equals_batch(spark, tmp_path):
     )
     hash_store = str(tmp_path / "hash_store")
     sig_store = str(tmp_path / "sig_store")
+    stats_store = str(tmp_path / "stats_store")
     inc_out = str(tmp_path / "inc_shards")
 
+    from file_appender_spark.operators.corpusstats import corpusstats_ingest_batch
+
     def handle(batch_df, batch_id):
+        # stage 0: corpus-stats maintenance rides the same micro-batch
+        # (the operators/corpusstats.py epoch-partition protocol) —
+        # one stream maintains dedup state AND the token-marginal
+        # store the q58/q197/q212/q231 stats_dir paths consume
+        corpusstats_ingest_batch(
+            spark,
+            batch_df.withColumn("source", F.lit("stream")),
+            stats_store,
+            batch_id,
+        )
         # stage 1: exact dedup — min-id keep within batch, then
         # first-arrival-wins vs the persistent hash store
         hashed = batch_df.withColumn("_h", F.sha2("text", 256))
@@ -220,6 +233,23 @@ def test_incremental_streaming_curate_equals_batch(spark, tmp_path):
     # the funnel genuinely suppressed things: survivors are exactly
     # the first copy of each text family that also passed quality
     assert {d for d, _, _ in want} == {1, 2, 13}
+    # the stats store maintained alongside equals the one-shot build
+    # over the SAME corpus (pre-dedup: stats see every arriving doc)
+    from file_appender_spark.operators.corpusstats import (
+        corpus_token_stats,
+        read_token_stats,
+    )
+
+    want_stats = sorted(
+        tuple(r)
+        for r in corpus_token_stats(
+            all_docs.withColumn("source", F.lit("stream"))
+        ).collect()
+    )
+    got_stats = sorted(
+        tuple(r) for r in read_token_stats(spark, stats_store).collect()
+    )
+    assert got_stats == want_stats
 
 
 def test_curate_model_quality_gate_matches_q154_decision(spark, sf_dir, tmp_path):

@@ -145,3 +145,52 @@ def test_srp_policy_meets_constraints(n_rows, threshold):
     assert srp_recall(threshold, r * bands * 2, bands * 2) >= srp_recall(
         threshold, bits, bands
     ) - 1e-12
+
+
+# ---------------------------------------------------------------------------
+# sizing policies (pure arithmetic): graph out-degree cap + image bucket cap
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=10**14),
+    st.floats(min_value=0.5, max_value=10_000.0, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_graph_params_invariants(n_edges, target):
+    from file_appender_spark.operators.graph import graph_params_for
+
+    p = graph_params_for(n_edges, target_wedges_per_edge=target)
+    assert p.max_degree >= 2
+    # the linear bound the cap guarantees never undershoots the ask by
+    # more than the integer-rounding half-step
+    assert p.wedge_bound_per_edge == (p.max_degree - 1) / 2.0
+    assert p.wedge_bound_per_edge >= target - 0.5
+    assert p.exact_below_edges == p.max_degree * p.max_degree // 2
+    # monotone: asking for more wedge budget never shrinks the cap
+    p2 = graph_params_for(n_edges, target_wedges_per_edge=target * 2)
+    assert p2.max_degree >= p.max_degree
+
+
+@given(
+    st.integers(min_value=1, max_value=10**14),
+    st.floats(min_value=2.0, max_value=100_000.0, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_band_bucket_cap_invariants(n_items, target):
+    from file_appender_spark.operators.imagehash import (
+        ahash_params_for,
+        band_bucket_cap_for,
+    )
+
+    cap = band_bucket_cap_for(n_items, target_pairs_per_item=target)
+    # worst-case candidate pairs per item stay within the asked budget
+    # (every bucket at cap -> pairs/item = 2*(cap-1)) unless the
+    # expectation floor binds, in which case the cap tracks it
+    grid = ahash_params_for(n_items)
+    expected = n_items / 2.0 ** (grid // 4)
+    assert cap >= int(target // 2) + 1
+    assert cap >= 8 * expected - 1  # ceil never undershoots
+    # the cap never clips an honest bucket: it sits far above the
+    # policy grid's expected population
+    assert cap > 4 * expected
