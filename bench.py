@@ -501,8 +501,11 @@ def main() -> None:
         import tempfile
 
         from file_appender_spark.operators.corpusstats import build_corpus_stats
-        from file_appender_spark.queries.llm import q58_tfidf
-        from file_appender_spark.queries.tranche6 import q197_jsd_sources
+        from file_appender_spark.queries.llm import q58_tfidf, q59_ngram_freq
+        from file_appender_spark.queries.tranche6 import (
+            q191_bigram_lm_score,
+            q197_jsd_sources,
+        )
         from file_appender_spark.queries.tranche8 import q212_dunning_keywords
         from file_appender_spark.queries.tranche11 import q231_stopword_discovery
         from file_appender_spark.sources.catalog import load_table
@@ -514,11 +517,12 @@ def main() -> None:
             build_corpus_stats(spark, docs, stats_store)
             extras["corpusstats_build_sec"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
-            consumers = (q58_tfidf, q197_jsd_sources,
-                         q212_dunning_keywords, q231_stopword_discovery)
+            consumers = (q58_tfidf, q59_ngram_freq, q191_bigram_lm_score,
+                         q197_jsd_sources, q212_dunning_keywords,
+                         q231_stopword_discovery)
             for q in consumers:
                 q(spark, sf_dir, stats_dir=stats_store).count()
-            extras["corpusstats_4consumers_sec"] = round(
+            extras["corpusstats_6consumers_sec"] = round(
                 time.perf_counter() - t0, 3
             )
             base = sum(
@@ -532,7 +536,7 @@ def main() -> None:
             )
             print(
                 f"# corpusstats: build {extras['corpusstats_build_sec']}s once, "
-                f"4 consumers {extras['corpusstats_4consumers_sec']}s from store "
+                f"6 consumers {extras['corpusstats_6consumers_sec']}s from store "
                 f"(memoized scan-spellings in headline: {round(base, 3)}s — at "
                 "bench sf the corpus is below the materialization crossover; "
                 "the amortized win is measured at 100x in SCALE100_PROBE_r7)",

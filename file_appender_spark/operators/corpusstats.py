@@ -27,9 +27,10 @@ module is that table:
   single base partition (crash-safe directory swap, the
   neardup_ingest store discipline).
 
-Consumers opt in via their `stats_dir` parameter (q58 TF-IDF, q197
-JSD drift, q212 Dunning G², q231 stopword discovery) — output equivalence with the
-scan-everything spelling is pinned in tests/test_corpusstats.py.
+Consumers opt in via their `stats_dir` parameter (q58 TF-IDF, q59
+bigram frequencies, q191 bigram-LM model counts, q197 JSD drift,
+q212 Dunning G², q231 stopword discovery) — output equivalence with
+the scan-everything spelling is pinned in tests/test_corpusstats.py.
 """
 
 from __future__ import annotations
@@ -42,8 +43,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _PARAMS_FILE = "_corpusstats_params.json"
-# the one tokenizer every text query shares (queries/llm.py's _WS)
-_TOKENIZER = {"tokenizer": "split_ws", "version": 1}
+# the one tokenizer every text query shares (queries/llm.py's _WS);
+# version 2 added the bigram table (a v1 store lacks it, so the
+# params guard forces a rebuild rather than failing mid-read)
+_TOKENIZER = {"tokenizer": "split_ws", "version": 2, "tables": "token+bigram"}
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -87,6 +90,33 @@ def corpus_source_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_bigram_stats(docs: DataFrame) -> DataFrame:
+    """(source, bigram, tf): adjacent-token pair counts per source —
+    the exact bigram stream of the q59/q191 family (space-joined
+    adjacent tokens over docs with >= 2 tokens). tf only: no consumer
+    needs a bigram document frequency, and the per-doc grain that df
+    requires would double the build's shuffle for an unused column."""
+    from file_appender_spark.queries.llm import _WS
+
+    w = F.split("text", _WS)
+    bg = (
+        docs.select("source", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    return bg.groupBy("source", "bigram").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
 def _check_params(store_dir: str) -> None:
     os.makedirs(store_dir, exist_ok=True)
     path = os.path.join(store_dir, _PARAMS_FILE)
@@ -114,6 +144,18 @@ def _source_dir(store_dir: str) -> str:
     return os.path.join(store_dir, "source_stats")
 
 
+def _bigram_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "bigram_stats")
+
+
+def _dirs(store_dir: str) -> tuple[str, str, str]:
+    return (
+        _token_dir(store_dir),
+        _source_dir(store_dir),
+        _bigram_dir(store_dir),
+    )
+
+
 def _write_batch(df: DataFrame, base: str, batch_id: str) -> None:
     # one partition dir per epoch, overwritten on retry — idempotent
     df.write.mode("overwrite").parquet(os.path.join(base, f"batch={batch_id}"))
@@ -131,11 +173,12 @@ def build_corpus_stats(
     they cover on the next merged read."""
     _recover(store_dir)
     _check_params(store_dir)
-    for d in (_token_dir(store_dir), _source_dir(store_dir)):
+    for d in _dirs(store_dir):
         if os.path.exists(d):
             shutil.rmtree(d)
     _write_batch(corpus_token_stats(docs), _token_dir(store_dir), "base")
     _write_batch(corpus_source_stats(docs), _source_dir(store_dir), "base")
+    _write_batch(corpus_bigram_stats(docs), _bigram_dir(store_dir), "base")
 
 
 def corpusstats_ingest_batch(
@@ -157,6 +200,7 @@ def corpusstats_ingest_batch(
     _check_params(store_dir)
     _write_batch(corpus_token_stats(batch), _token_dir(store_dir), str(batch_id))
     _write_batch(corpus_source_stats(batch), _source_dir(store_dir), str(batch_id))
+    _write_batch(corpus_bigram_stats(batch), _bigram_dir(store_dir), str(batch_id))
 
 
 def read_token_stats(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -183,11 +227,25 @@ def read_source_stats(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
+def read_bigram_stats(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(source, bigram, tf): merged bigram view — one groupBy-sum of
+    the bigram table. Same recovery discipline as read_token_stats.
+
+    Note bigram counts are additive across epochs EXCEPT pairs that
+    would span two epochs of one document — impossible under the
+    whole-documents-per-epoch contract the ingest declares."""
+    _recover(store_dir)
+    df = spark.read.parquet(_bigram_dir(store_dir))
+    return df.groupBy("source", "bigram").agg(
+        F.sum("tf").cast("long").alias("tf")
+    )
+
+
 def _recover(store_dir: str) -> None:
-    """Restore the .old backup if a compaction crash left either
+    """Restore the .old backup if a compaction crash left any
     stats directory missing — same single-fault discipline as
     neardup_ingest's _recover_store."""
-    for d in (_token_dir(store_dir), _source_dir(store_dir)):
+    for d in _dirs(store_dir):
         old = d.rstrip("/") + ".old"
         if not os.path.exists(d) and os.path.exists(old):
             os.rename(old, d)
@@ -209,6 +267,7 @@ def compact_corpus_stats(spark: SparkSession, store_dir: str) -> None:
     for d, merged in (
         (_token_dir(store_dir), read_token_stats(spark, store_dir)),
         (_source_dir(store_dir), read_source_stats(spark, store_dir)),
+        (_bigram_dir(store_dir), read_bigram_stats(spark, store_dir)),
     ):
         tmp = d.rstrip("/") + ".compacting"
         if os.path.exists(tmp):

@@ -727,30 +727,42 @@ def q58_tfidf(
     LIMIT 50
     """,
 )
-def q59_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus bigram frequencies, top 50 with total tie-break."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", _WS)
-    grams = (
-        d.select(toks.alias("toks"))
-        .filter(F.size("toks") >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("toks", i), F.element_at("toks", i + 1)
-                    ),
-                )
-            ).alias("bigram")
+def q59_ngram_freq(
+    spark: SparkSession, sf_dir: str, *, stats_dir: str | None = None
+) -> DataFrame:
+    """Corpus bigram frequencies, top 50 with total tie-break.
+
+    ``stats_dir`` (opt-in) reads the bigram marginal from a
+    materialized operators/corpusstats.py store — the whole corpus
+    scan + bigram explode collapses to a groupBy-sum of the stats
+    table (equivalence pinned in tests/test_corpusstats.py)."""
+    if stats_dir is not None:
+        from file_appender_spark.operators.corpusstats import read_bigram_stats
+
+        counts = (
+            read_bigram_stats(spark, stats_dir)
+            .groupBy("bigram")
+            .agg(F.sum("tf").cast("long").alias("n"))
         )
-    )
-    return (
-        grams.groupBy("bigram")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.asc("bigram"))
-        .limit(50)
-    )
+    else:
+        d = _t(spark, sf_dir, "documents")
+        toks = F.split("text", _WS)
+        grams = (
+            d.select(toks.alias("toks"))
+            .filter(F.size("toks") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                        ),
+                    )
+                ).alias("bigram")
+            )
+        )
+        counts = grams.groupBy("bigram").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("bigram")).limit(50)
 
 
 @register(

@@ -393,7 +393,9 @@ def q190_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
 )
-def q191_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q191_bigram_lm_score(
+    spark: SparkSession, sf_dir: str, *, stats_dir: str | None = None
+) -> DataFrame:
     """Statistical-LM quality scoring (the CCNet-style perplexity
     filter, Wenzek et al. arXiv:1911.00359, with the corpus's own
     add-one-smoothed bigram model standing in for KenLM): every
@@ -416,12 +418,37 @@ def q191_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast scalar. Counts are Zipf-skewed; at 100 TB AQE's skew
     split handles the head tokens, and the model table itself is the
     per-corpus artifact you'd persist and broadcast to score new
-    batches incrementally."""
+    batches incrementally.
+
+    ``stats_dir`` (opt-in) IS that persisted artifact: the unigram
+    counts, vocabulary size and bigram counts all come from the
+    materialized operators/corpusstats.py store, so the model-build
+    scans disappear and only the per-doc scoring pass reads the
+    corpus (equivalence pinned in tests/test_corpusstats.py)."""
     d = _t(spark, sf_dir, "documents")
     w = F.split("text", _WS)
-    toks = d.select(F.explode(w).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
-    vsz = uni.agg(F.count("*").alias("vsz"))
+    if stats_dir is not None:
+        from file_appender_spark.operators.corpusstats import (
+            read_bigram_stats,
+            read_token_stats,
+        )
+
+        uni = (
+            read_token_stats(spark, stats_dir)
+            .groupBy(F.col("token").alias("tok"))
+            .agg(F.sum("tf").alias("c1"))
+        )
+        vsz = uni.agg(F.count("*").alias("vsz"))
+        c2_store = (
+            read_bigram_stats(spark, stats_dir)
+            .groupBy(F.col("bigram").alias("bg"))
+            .agg(F.sum("tf").alias("cnt2"))
+        )
+    else:
+        toks = d.select(F.explode(w).alias("tok"))
+        uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+        vsz = uni.agg(F.count("*").alias("vsz"))
+        c2_store = None
     wb = d.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
     bgx = wb.select(
         "doc_id",
@@ -433,7 +460,11 @@ def q191_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.bg").alias("bg"))
-    c2 = bgx.groupBy("bg").agg(F.count("*").alias("cnt2"))
+    c2 = (
+        c2_store
+        if c2_store is not None
+        else bgx.groupBy("bg").agg(F.count("*").alias("cnt2"))
+    )
     scored = (
         bgx.join(c2, "bg")
         .join(uni, F.col("tok") == F.col("w1"))

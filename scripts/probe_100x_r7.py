@@ -92,7 +92,16 @@ def saturated_linear(spark, small_dir: str, big_dir: str) -> dict:
 
 
 def corpusstats_amortization(spark, sf_dir: str, n_docs: int) -> dict:
+    """Two consumer buckets, measured separately because their
+    economics differ: TOKEN-marginal consumers (q212, q231) are pure
+    store reads; BIGRAM consumers (q59, q191) compress worse (most
+    bigrams are unique, so the stats table approaches stream size on
+    a diverse corpus) and q191's per-doc scoring pass scans the
+    corpus regardless — the store only removes its model-build
+    scans. Reporting them pooled would hide both facts."""
     from file_appender_spark.operators.corpusstats import build_corpus_stats
+    from file_appender_spark.queries.llm import q59_ngram_freq
+    from file_appender_spark.queries.tranche6 import q191_bigram_lm_score
     from file_appender_spark.queries.tranche8 import q212_dunning_keywords
     from file_appender_spark.queries.tranche11 import q231_stopword_discovery
     from file_appender_spark.sources.catalog import load_table
@@ -103,24 +112,37 @@ def corpusstats_amortization(spark, sf_dir: str, n_docs: int) -> dict:
     t0 = time.time()
     build_corpus_stats(spark, docs, store)
     build = time.time() - t0
-    t0 = time.time()
-    q212_dunning_keywords(spark, sf_dir, stats_dir=store).count()
-    q231_stopword_discovery(spark, sf_dir, stats_dir=store).count()
-    via_store = time.time() - t0
-    t0 = time.time()
-    q212_dunning_keywords(spark, sf_dir).count()
-    q231_stopword_discovery(spark, sf_dir).count()
-    scan = time.time() - t0
-    n_stats = spark.read.parquet(os.path.join(store, "token_stats")).count()
-    shutil.rmtree(store, ignore_errors=True)
-    return {
+    out = {
         "n_docs": n_docs,
-        "stats_rows": n_stats,
         "build_once_sec": round(build, 2),
-        "consumers_from_store_sec": round(via_store, 2),
-        "consumers_scan_sec": round(scan, 2),
-        "store_speedup_x": round(scan / via_store, 2),
+        "token_stats_rows": spark.read.parquet(
+            os.path.join(store, "token_stats")
+        ).count(),
+        "bigram_stats_rows": spark.read.parquet(
+            os.path.join(store, "bigram_stats")
+        ).count(),
     }
+    for label, consumers in (
+        ("token_consumers_q212_q231",
+         (q212_dunning_keywords, q231_stopword_discovery)),
+        ("bigram_consumers_q59_q191",
+         (q59_ngram_freq, q191_bigram_lm_score)),
+    ):
+        t0 = time.time()
+        for q in consumers:
+            q(spark, sf_dir, stats_dir=store).count()
+        via_store = time.time() - t0
+        t0 = time.time()
+        for q in consumers:
+            q(spark, sf_dir).count()
+        scan = time.time() - t0
+        out[label] = {
+            "from_store_sec": round(via_store, 2),
+            "scan_sec": round(scan, 2),
+            "store_speedup_x": round(scan / via_store, 2),
+        }
+    shutil.rmtree(store, ignore_errors=True)
+    return out
 
 
 def materialize_heaps(spark, n: int, path: str, tokens_per_doc: int = 100) -> None:

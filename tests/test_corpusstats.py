@@ -269,3 +269,36 @@ def test_q197_jsd_stats_path_equivalent(spark, sf_dir, stats_store):
     base = _rows(q197_jsd_sources(spark, sf_dir))
     via = _rows(q197_jsd_sources(spark, sf_dir, stats_dir=stats_store))
     assert via == base and len(base) > 0
+
+
+def test_q59_bigrams_stats_path_equivalent(spark, sf_dir, stats_store):
+    from file_appender_spark.queries.llm import q59_ngram_freq
+
+    base = _rows(q59_ngram_freq(spark, sf_dir))
+    via = _rows(q59_ngram_freq(spark, sf_dir, stats_dir=stats_store))
+    assert via == base and len(base) > 0
+
+
+def test_q191_bigram_lm_stats_path_equivalent(spark, sf_dir, stats_store):
+    from file_appender_spark.queries.tranche6 import q191_bigram_lm_score
+
+    base = _rows(q191_bigram_lm_score(spark, sf_dir))
+    via = _rows(q191_bigram_lm_score(spark, sf_dir, stats_dir=stats_store))
+    assert via == base and len(base) > 0
+
+
+def test_bigram_incremental_matches_batch(spark, sf_dir, tmp_path):
+    from file_appender_spark.operators.corpusstats import (
+        corpus_bigram_stats,
+        read_bigram_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "bg_store")
+    for i in range(3):
+        corpusstats_ingest_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), store, batch_id=i
+        )
+    assert _rows(read_bigram_stats(spark, store)) == _rows(
+        corpus_bigram_stats(docs)
+    )
