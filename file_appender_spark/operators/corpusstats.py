@@ -170,7 +170,16 @@ def build_corpus_stats(
     A (re)build is a FULL baseline: any epoch partitions from a
     previous ingest run are wiped first — `docs` is the whole corpus,
     so leaving old increments behind would double-count every doc
-    they cover on the next merged read."""
+    they cover on the next merged read.
+
+    Cost: three corpus scans (token, source, bigram writes are three
+    Spark jobs) — deliberate. Sharing one scan would require caching
+    the tokenized corpus (same order of bytes as the corpus itself,
+    infeasible at 100 TB) or a position-keyed token table self-join
+    for bigrams (a full-stream shuffle that costs more than the
+    rescan). Production amortizes the build through the incremental
+    path anyway, where each batch is scanned once per table at
+    micro-batch size."""
     _recover(store_dir)
     _check_params(store_dir)
     for d in _dirs(store_dir):
