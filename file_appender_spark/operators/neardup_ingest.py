@@ -96,14 +96,36 @@ def _bands_long(sigs: DataFrame, n_bands: int, id_col: str) -> DataFrame:
 
 
 def _band_pairs(
-    new_bands: DataFrame, old_bands: DataFrame, id_col: str, within_batch: bool
+    new_bands: DataFrame,
+    old_bands: DataFrame,
+    id_col: str,
+    within_batch: bool,
+    band_bucket_cap: int | None = None,
 ) -> DataFrame:
     """(new_id, old_id) candidate pairs from band-signature equality —
     the shared core of both ingest variants. ``within_batch=True``
     keeps only earlier-id incumbents (the min-id-representative rule);
     ``False`` (vs history) excludes only self-id matches, which is
-    what makes retries at-least-once instead of self-suppressing."""
+    what makes retries at-least-once instead of self-suppressing.
+
+    ``band_bucket_cap`` is the hot-bucket guard for LONG-LIVED stores
+    (imagehash's band_bucket_cap pattern applied to the history join):
+    a degenerate band value — flat images, all-zero sign bands —
+    accumulates members across every ingested batch, so the per-batch
+    history join would grow linearly in store size on that bucket
+    alone. Buckets whose INCUMBENT population exceeds the cap are
+    dropped from candidate generation; their new members are then
+    ADMITTED rather than suppressed (the conservative direction for
+    an ingest: at-least-once admission, never silent loss of a
+    legitimate document)."""
     x = new_bands.alias("x")
+    if band_bucket_cap is not None:
+        sized = old_bands.groupBy("band", "sig").agg(
+            F.count("*").alias("n_in_bucket")
+        )
+        hot = F.broadcast(sized.filter(F.col("n_in_bucket") > band_bucket_cap))
+        old_bands = old_bands.join(hot, ["band", "sig"], "left_anti")
+        x = new_bands.join(hot, ["band", "sig"], "left_anti").alias("x")
     y = old_bands.select(F.col(id_col).alias("_oid"), "band", "sig").alias("y")
     if within_batch:
         idcmp = F.col(f"x.{id_col}") > F.col("y._oid")
@@ -131,6 +153,7 @@ def neardup_ingest_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    band_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Admit the batch rows that are NOT near-duplicates (cosine >=
     threshold) of (a) any previously-admitted vector or (b) an
@@ -145,7 +168,13 @@ def neardup_ingest_batch(
     OR failed store append) recomputes the identical admitted set and
     re-emits it — duplicate store rows from a successful-append retry
     are tolerated (history dedups by id), never silently swallowed
-    into an empty downstream batch."""
+    into an empty downstream batch.
+
+    ``band_bucket_cap`` (opt-in) forwards _band_pairs' hot-bucket
+    guard — degenerate vectors (e.g. all-zeros) share every sign band
+    and accumulate in one bucket across the store's lifetime; capped
+    buckets drop out of candidate generation, admitting their new
+    members (see _band_pairs for the trade)."""
     from pyspark import StorageLevel
 
     sigs = _sig_frame(batch, n_bits, n_bands, id_col, vec_col).persist(
@@ -166,7 +195,11 @@ def neardup_ingest_batch(
         # batch x history candidates: equi-join on (band, sig) only
         cand_pairs.append(
             _band_pairs(
-                bands, _bands_long(hist, n_bands, id_col), id_col, within_batch=False
+                bands,
+                _bands_long(hist, n_bands, id_col),
+                id_col,
+                within_batch=False,
+                band_bucket_cap=band_bucket_cap,
             ).join(
                 hist.select(
                     F.col(id_col).alias("old_id"),
@@ -178,7 +211,10 @@ def neardup_ingest_batch(
         )
     # within-batch candidates: earlier id is the incumbent
     cand_pairs.append(
-        _band_pairs(bands, bands, id_col, within_batch=True).join(
+        _band_pairs(
+            bands, bands, id_col, within_batch=True,
+            band_bucket_cap=band_bucket_cap,
+        ).join(
             sigs.select(
                 F.col(id_col).alias("old_id"),
                 F.col("v").alias("v_old"),
@@ -410,6 +446,7 @@ def textdup_ingest_batch(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    band_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Incremental TEXT near-dup ingest: the q52 MinHash-LSH pipeline
     folded into the same persistent-store protocol as
@@ -423,7 +460,10 @@ def textdup_ingest_batch(
 
     Documents too short to shingle (< 3 words) are admitted
     unconditionally and not stored. Retry semantics are at-least-once
-    exactly as the embedding ingest: own-id matches are excluded."""
+    exactly as the embedding ingest: own-id matches are excluded.
+    ``band_bucket_cap`` (opt-in) forwards _band_pairs' hot-bucket
+    guard for boilerplate template families that co-bucket across the
+    store's lifetime (see _band_pairs for the admit-on-cap trade)."""
     from file_appender_spark.queries.llm import _MH_PARAMS
 
     n_bands = len(_MH_PARAMS) // 4
@@ -451,7 +491,13 @@ def textdup_ingest_batch(
     if store_exists:
         hist = spark.read.parquet(store_dir)
         cand_pairs.append(
-            _band_pairs(bands, _bands_long(hist, n_bands, id_col), id_col, within_batch=False)
+            _band_pairs(
+                bands,
+                _bands_long(hist, n_bands, id_col),
+                id_col,
+                within_batch=False,
+                band_bucket_cap=band_bucket_cap,
+            )
             .join(
                 hist.select(
                     F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")
@@ -460,7 +506,10 @@ def textdup_ingest_batch(
             )
         )
     cand_pairs.append(
-        _band_pairs(bands, bands, id_col, within_batch=True).join(
+        _band_pairs(
+            bands, bands, id_col, within_batch=True,
+            band_bucket_cap=band_bucket_cap,
+        ).join(
             sigs.select(F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")),
             "old_id",
         )
@@ -497,6 +546,7 @@ def imagedup_ingest_batch(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     hash_mode: str = "ahash",
+    band_bucket_cap: int | None | str = "auto",
 ) -> DataFrame:
     """Incremental IMAGE near-dup ingest — the third modality on the
     shared store protocol: perceptual-hash 16-bit bands
@@ -513,8 +563,22 @@ def imagedup_ingest_batch(
     Zero-length payloads (no cells, no hash) are admitted
     unconditionally and not stored — the same contract as documents
     too short to shingle. Retry semantics are at-least-once exactly
-    as the other modalities: own-id matches are excluded."""
-    from file_appender_spark.operators.imagehash import ahash_wide, dhash_wide
+    as the other modalities: own-id matches are excluded.
+
+    ``band_bucket_cap`` (default ``"auto"`` = the sized
+    band_bucket_cap_for policy over history + batch) guards the
+    history join against degenerate bands: a long-lived store full of
+    flat images accumulates one ever-hotter all-zero bucket, and
+    without the cap every batch pays a join against all of it.
+    Over-cap buckets drop out of candidate generation, so their NEW
+    members are admitted rather than suppressed — at-least-once
+    admission, the conservative failure direction (see _band_pairs).
+    ``None`` disables the guard explicitly."""
+    from file_appender_spark.operators.imagehash import (
+        ahash_wide,
+        band_bucket_cap_for,
+        dhash_wide,
+    )
 
     if hash_mode not in ("ahash", "dhash"):
         raise ValueError(f"hash_mode must be 'ahash' or 'dhash', got {hash_mode!r}")
@@ -543,17 +607,31 @@ def imagedup_ingest_batch(
         F.col(id_col).alias("old_id"),
         *[F.col(f"b{k}").alias(f"ob{k}") for k in range(4)],
     )
-    if store_exists:
-        hist = spark.read.parquet(store_dir)
+    hist = spark.read.parquet(store_dir) if store_exists else None
+    if band_bucket_cap == "auto":
+        n_items = sigs.count() + (hist.count() if hist is not None else 0)
+        cap = band_bucket_cap_for(max(n_items, 2), grid=64)
+    elif isinstance(band_bucket_cap, str):
+        raise ValueError(
+            "band_bucket_cap must be 'auto', None, or an int, got "
+            f"{band_bucket_cap!r}"
+        )
+    else:
+        cap = band_bucket_cap
+    if hist is not None:
         cand_pairs.append(
             _band_pairs(
-                bands, _bands_long(hist, n_bands, id_col), id_col, within_batch=False
+                bands,
+                _bands_long(hist, n_bands, id_col),
+                id_col,
+                within_batch=False,
+                band_bucket_cap=cap,
             ).join(old_cols(hist).dropDuplicates(["old_id"]), "old_id")
         )
     cand_pairs.append(
-        _band_pairs(bands, bands, id_col, within_batch=True).join(
-            old_cols(sigs), "old_id"
-        )
+        _band_pairs(
+            bands, bands, id_col, within_batch=True, band_bucket_cap=cap
+        ).join(old_cols(sigs), "old_id")
     )
     cands = cand_pairs[0]
     for extra in cand_pairs[1:]:

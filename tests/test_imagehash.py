@@ -570,3 +570,43 @@ def test_imagedup_ingest_dhash_streaming_equals_batch(spark, tmp_path):
 
     got = {r["id"] for r in spark.read.parquet(out).collect()}
     assert got == want
+
+
+def test_imagedup_ingest_auto_cap_admits_degenerate_family(spark, tmp_path):
+    """The ingest-side hot-bucket guard (r7): 80 DISTINCT flat
+    payloads (all-zero aHash bands, hamming 0 pairwise) exceed the
+    auto cap, so the degenerate bucket drops out of candidate
+    generation and every member is ADMITTED — bounded join, the
+    conservative failure direction. Explicit None restores the
+    uncapped suppress-to-min-id behavior, and a small organic corpus
+    is untouched either way (cap = 65 >> honest bucket sizes)."""
+    from file_appender_spark.operators.neardup_ingest import imagedup_ingest_batch
+
+    rows = [(i, bytes([9]) * (500 + i)) for i in range(80)]
+    b = _payload_df(spark, rows)
+
+    store_auto = str(tmp_path / "cap_auto_store")
+    admitted = imagedup_ingest_batch(spark, b, store_auto, id_col="id")
+    assert admitted.count() == 80  # bucket over cap -> all admitted
+
+    store_none = str(tmp_path / "cap_none_store")
+    admitted_none = imagedup_ingest_batch(
+        spark, b, store_none, id_col="id", band_bucket_cap=None
+    )
+    assert sorted(r["id"] for r in admitted_none.collect()) == [0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="band_bucket_cap"):
+        imagedup_ingest_batch(
+            spark, b, str(tmp_path / "cap_bad"), id_col="id",
+            band_bucket_cap="nope",
+        )
+
+    # cross-batch: the 80-member degenerate bucket in HISTORY is
+    # guarded (no join against it), but the 5 NEW flat payloads still
+    # legitimately dedup among THEMSELVES — their own within-batch
+    # bucket is under the cap — so exactly the min id is admitted
+    b2 = _payload_df(spark, [(1000 + i, bytes([9]) * (900 + i)) for i in range(5)])
+    a2 = imagedup_ingest_batch(spark, b2, store_auto, id_col="id")
+    assert sorted(r["id"] for r in a2.collect()) == [1000]

@@ -818,3 +818,28 @@ def test_neardup_store_legacy_without_stamp_requires_migration(spark, tmp_path):
         threshold=0.999, n_bits=16, n_bands=4,
     )
     assert [r["vec_id"] for r in a.collect()] == [9001]
+
+
+def test_textdup_ingest_band_bucket_cap_admits_hot_family(spark, tmp_path):
+    """Opt-in hot-bucket guard on the TEXT ingest: a boilerplate
+    template family (distinct texts, shared MinHash bands) is
+    suppressed to its min id uncapped, but with a binding cap the
+    family's bucket drops out of candidate generation and every
+    member is admitted — the at-least-once-admission trade
+    (_band_pairs docstring)."""
+    from file_appender_spark.operators.neardup_ingest import textdup_ingest_batch
+
+    base = " ".join(f"tmpl{w}" for w in range(40))
+    rows = [(i, f"{base} unique{i}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = textdup_ingest_batch(
+        spark, docs, str(tmp_path / "td_plain"), threshold=0.5
+    )
+    assert plain.count() < 12  # family suppressed to representatives
+
+    capped = textdup_ingest_batch(
+        spark, docs, str(tmp_path / "td_capped"), threshold=0.5,
+        band_bucket_cap=1,
+    )
+    assert capped.count() == 12  # guard binds -> all admitted
