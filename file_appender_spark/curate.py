@@ -130,7 +130,10 @@ def curate(
     payloads still collide into degenerate bands — the sized entry
     points default it to the band_bucket_cap_for policy (``"auto"``),
     so the guard exists without anyone passing it; ``None`` disables
-    it explicitly."""
+    it explicitly. When the guard is on, the funnel dict reports the
+    truncation (``image_capped_buckets`` / ``image_capped_members``,
+    the capped_band_buckets report) so a capped — hence inexact —
+    image stage is visible in the run record."""
     if image_mode not in ("off", "ahash", "dhash"):
         raise ValueError(
             f"image_mode must be 'off', 'ahash' or 'dhash', got {image_mode!r}"
@@ -203,6 +206,44 @@ def curate(
         ).distinct()
         d1 = d1.join(idrop, "doc_id", "left_anti")
         n_image = d1.count()
+        # truncation report (graph.capped_vertices discipline): a
+        # bound cap makes the stage INEXACT for the dropped buckets'
+        # members, and the funnel must say so rather than let the
+        # caller infer it. One re-pass over the rep payloads' band
+        # stack (4 rows/rep) — diagnostic-priced, pair-free.
+        if image_band_bucket_cap is not None:
+            from file_appender_spark.operators.imagehash import (
+                ahash_capped_buckets,
+                dhash_capped_buckets,
+            )
+
+            capped_fn = (
+                ahash_capped_buckets
+                if image_mode == "ahash"
+                else dhash_capped_buckets
+            )
+            row = (
+                capped_fn(
+                    reps,
+                    "doc_id",
+                    payload_col,
+                    n_items=max(n_rep, 2),
+                    band_bucket_cap=image_band_bucket_cap,
+                )
+                .agg(
+                    F.count("*").alias("nb"),
+                    F.coalesce(F.sum("n_in_bucket"), F.lit(0)).alias("nm"),
+                )
+                .collect()[0]
+            )
+            # nm counts band MEMBERSHIPS (a rep in two hot buckets
+            # counts twice) — the over-cap exposure, not distinct ids
+            image_capped = {
+                "image_capped_buckets": int(row["nb"]),
+                "image_capped_members": int(row["nm"]),
+            }
+        else:
+            image_capped = None
 
     # 2. near-dup suppression: q52 pairs over the SURVIVORS (identical
     # copies are already gone, so the pair graph is the near-dup one);
@@ -253,6 +294,8 @@ def curate(
     }
     if n_image is not None:
         out["after_image_dedup"] = n_image
+        if image_capped is not None:
+            out.update(image_capped)
     return out
 
 

@@ -117,7 +117,25 @@ def corpus_bigram_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def _stamp_params(store_dir: str) -> None:
+    """(Re)write the tokenizer stamp unconditionally — the build
+    path's prerogative: a full rebuild replaces every table dir, so
+    the store's counts are by construction comparable to the CURRENT
+    tokenizer, whatever stamp an older-version store carried. This is
+    what makes a v1 -> v2 upgrade possible through the API instead of
+    requiring manual deletion of the params file."""
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, _PARAMS_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(_TOKENIZER, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def _check_params(store_dir: str) -> None:
+    """Strict guard for the INGEST/READ paths: counts written under a
+    different tokenizer are incomparable, and these paths only ever
+    add to or read what exists — they must refuse, not re-stamp."""
     os.makedirs(store_dir, exist_ok=True)
     path = os.path.join(store_dir, _PARAMS_FILE)
     if os.path.exists(path):
@@ -127,13 +145,11 @@ def _check_params(store_dir: str) -> None:
             raise ValueError(
                 f"corpus-stats store {store_dir} was built with tokenizer "
                 f"{stored}, this build uses {_TOKENIZER} — counts are "
-                "incomparable; rebuild the store"
+                "incomparable; rebuild the store (build_corpus_stats "
+                "re-stamps and replaces all tables)"
             )
     else:
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(_TOKENIZER, f, sort_keys=True)
-        os.replace(tmp, path)
+        _stamp_params(store_dir)
 
 
 def _token_dir(store_dir: str) -> str:
@@ -181,7 +197,9 @@ def build_corpus_stats(
     path anyway, where each batch is scanned once per table at
     micro-batch size."""
     _recover(store_dir)
-    _check_params(store_dir)
+    # a rebuild replaces all data, so it RE-STAMPS rather than checks:
+    # upgrading a store across tokenizer versions goes through here
+    _stamp_params(store_dir)
     for d in _dirs(store_dir):
         if os.path.exists(d):
             shutil.rmtree(d)

@@ -240,6 +240,71 @@ def _resolve_cap(
     return band_bucket_cap
 
 
+def capped_band_buckets(
+    wide: DataFrame, id_col: str, band_bucket_cap: int
+) -> DataFrame:
+    """(bi, bv, n_in_bucket) for every band bucket whose population
+    exceeds the cap — the truncation report for the banded-Hamming
+    guard, mirroring graph.capped_vertices: a sized run that dropped
+    buckets is INEXACT for exactly these buckets' members, and the
+    caller deserves to see which rather than infer it. Empty = the
+    capped run found the same pairs an uncapped run would have.
+    One groupBy over the 4-rows-per-item band stack; no pair work."""
+    if band_bucket_cap < 1:
+        raise ValueError(f"band_bucket_cap must be >= 1, got {band_bucket_cap}")
+    return (
+        _bands_from_wide(wide, id_col)
+        .groupBy("bi", "bv")
+        .agg(F.count("*").cast("long").alias("n_in_bucket"))
+        .filter(F.col("n_in_bucket") > band_bucket_cap)
+    )
+
+
+def _capped_buckets_sized(
+    wide_fn,
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_items: int,
+    band_bucket_cap: int | None | str,
+) -> DataFrame:
+    grid = ahash_params_for(n_items)
+    cap = _resolve_cap(band_bucket_cap, n_items, grid)
+    if cap is None:
+        raise ValueError(
+            "band_bucket_cap=None disables the guard — there is no "
+            "truncation to report; pass 'auto' or an int"
+        )
+    return capped_band_buckets(wide_fn(df, id_col, payload_col, grid), id_col, cap)
+
+
+def ahash_capped_buckets(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_items: int,
+    band_bucket_cap: int | None | str = "auto",
+) -> DataFrame:
+    """The truncation report matching ahash_neardup_sized's exact cap
+    and grid resolution (same n_items => same buckets dropped)."""
+    return _capped_buckets_sized(
+        ahash_wide, df, id_col, payload_col, n_items, band_bucket_cap
+    )
+
+
+def dhash_capped_buckets(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_items: int,
+    band_bucket_cap: int | None | str = "auto",
+) -> DataFrame:
+    """dHash twin of ahash_capped_buckets (dhash_neardup_sized's cap)."""
+    return _capped_buckets_sized(
+        dhash_wide, df, id_col, payload_col, n_items, band_bucket_cap
+    )
+
+
 def ahash_neardup_sized(
     df: DataFrame,
     id_col: str,

@@ -28,8 +28,9 @@ tracks the batch size, not corpus size. The store append is the only
 write; ``compact_store`` (with ``_recover_store`` crash recovery)
 keeps its file count bounded. Retries are at-least-once: own-id
 matches are excluded from the history join, so a retried batch
-re-emits its identical admitted set, and duplicate store rows are
-collapsed at compaction.
+re-emits its identical admitted set (with a ``band_bucket_cap``, a
+superset — see the entry-point docstrings), and duplicate store rows
+are collapsed at compaction.
 """
 
 from __future__ import annotations
@@ -165,10 +166,15 @@ def neardup_ingest_batch(
     batches, arrival order wins. RETRY semantics are at-least-once,
     matching the engine's documented sink contract: the history join
     excludes a row's own id, so a retried batch (after a successful
-    OR failed store append) recomputes the identical admitted set and
+    OR failed store append) recomputes the same admitted set and
     re-emits it — duplicate store rows from a successful-append retry
     are tolerated (history dedups by id), never silently swallowed
-    into an empty downstream batch.
+    into an empty downstream batch. With a ``band_bucket_cap`` the
+    identical-set guarantee weakens to at-least-once admission of a
+    SUPERSET: a successful-append retry's own appended rows can push
+    a bucket over the cap, dropping that bucket's candidates and
+    admitting docs the first run suppressed — the documented
+    conservative direction (admit, never lose).
 
     ``band_bucket_cap`` (opt-in) forwards _band_pairs' hot-bucket
     guard — degenerate vectors (e.g. all-zeros) share every sign band
@@ -319,6 +325,24 @@ def stamp_store_params(store_dir: str, params: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(params, f, sort_keys=True)
     os.replace(tmp, path)
+
+
+def _store_row_count(store_dir: str) -> int:
+    """Store row count from parquet FOOTER metadata — zero Spark
+    jobs, zero data read. The signature stores live on a local
+    filesystem by contract (compact_store's os.rename swap), so the
+    footers are directly listable. Used to size the ``"auto"``
+    hot-bucket cap, which needs order-of-magnitude accuracy only —
+    retry-duplicated rows counting double is immaterial there."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(store_dir):
+        return 0
+    total = 0
+    for f in os.listdir(store_dir):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            total += pq.ParquetFile(os.path.join(store_dir, f)).metadata.num_rows
+    return total
 
 
 def _recover_store(store_dir: str) -> None:
@@ -609,7 +633,11 @@ def imagedup_ingest_batch(
     )
     hist = spark.read.parquet(store_dir) if store_exists else None
     if band_bucket_cap == "auto":
-        n_items = sigs.count() + (hist.count() if hist is not None else 0)
+        # sized from parquet footers (no store scan) + the batch's
+        # checkpointed signature count — the cap needs order-of-
+        # magnitude accuracy only, so footer counts (which include
+        # retry-duplicated rows until compaction) are fine
+        n_items = sigs.count() + _store_row_count(store_dir)
         cap = band_bucket_cap_for(max(n_items, 2), grid=64)
     elif isinstance(band_bucket_cap, str):
         raise ValueError(

@@ -302,3 +302,23 @@ def test_bigram_incremental_matches_batch(spark, sf_dir, tmp_path):
     assert _rows(read_bigram_stats(spark, store)) == _rows(
         corpus_bigram_stats(docs)
     )
+
+
+def test_rebuild_restamps_stale_params(spark, sf_dir, tmp_path):
+    """r7 advice: build_corpus_stats RE-STAMPS the tokenizer sidecar —
+    a rebuild replaces every table dir, so its counts are comparable
+    to the current tokenizer by construction, and upgrading a
+    stale-version store works through the API instead of requiring
+    manual deletion of the params file. Ingest/read stay strict
+    (test_tokenizer_params_guard)."""
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    store = str(tmp_path / "upgrade_store")
+    build_corpus_stats(spark, docs, store)
+    with open(os.path.join(store, "_corpusstats_params.json"), "w") as f:
+        json.dump({"tokenizer": "legacy", "version": 1}, f)
+    build_corpus_stats(spark, docs, store)  # re-stamp, not refuse
+    with open(os.path.join(store, "_corpusstats_params.json")) as f:
+        assert json.load(f)["version"] >= 2
+    # the re-stamped store accepts increments again
+    corpusstats_ingest_batch(spark, docs.limit(1), store, batch_id=1)
+    assert read_token_stats(spark, store).count() > 0

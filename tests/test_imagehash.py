@@ -610,3 +610,75 @@ def test_imagedup_ingest_auto_cap_admits_degenerate_family(spark, tmp_path):
     b2 = _payload_df(spark, [(1000 + i, bytes([9]) * (900 + i)) for i in range(5)])
     a2 = imagedup_ingest_batch(spark, b2, store_auto, id_col="id")
     assert sorted(r["id"] for r in a2.collect()) == [1000]
+
+
+def test_capped_buckets_report(spark):
+    """r7 advice: the sized entry points' binding cap is a silent
+    recall change without a report — capped_band_buckets surfaces
+    WHICH buckets were dropped (graph.capped_vertices discipline).
+    80 distinct flat payloads co-bucket in all 4 bands -> 4 over-cap
+    buckets with 80 members each; an organic corpus reports nothing;
+    cap=None has no truncation to report and refuses."""
+    import pytest as _pytest
+
+    from file_appender_spark.operators.imagehash import ahash_capped_buckets
+
+    flat = _payload_df(spark, [(i, bytes([9]) * (500 + i)) for i in range(80)])
+    rep = ahash_capped_buckets(flat, "id", "payload", n_items=80).collect()
+    assert len(rep) == 4
+    assert all(r["n_in_bucket"] == 80 for r in rep)
+
+    organic = _payload_df(
+        spark, [(i, bytes(range(2 + i)) * 7) for i in range(10)]
+    )
+    assert (
+        ahash_capped_buckets(organic, "id", "payload", n_items=10).count() == 0
+    )
+
+    with _pytest.raises(ValueError, match="band_bucket_cap"):
+        ahash_capped_buckets(
+            flat, "id", "payload", n_items=80, band_bucket_cap=None
+        )
+
+
+def test_curate_funnel_reports_image_truncation(spark, tmp_path):
+    """curate's funnel dict must say when the image stage's auto cap
+    BOUND (the run was inexact for those buckets' members) — and must
+    stay silent when the guard is disabled."""
+    from file_appender_spark.curate import curate
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"unique caption number {i} with plenty of distinct words {i * 7}",
+                bytes([9]) * (500 + i),
+            )
+            for i in range(80)
+        ],
+        "doc_id long, text string, payload binary",
+    )
+    res = curate(
+        spark,
+        docs,
+        str(tmp_path / "cap_report"),
+        near_threshold=0.99,
+        min_alpha_ratio=0.0,
+        image_mode="ahash",
+    )
+    assert res["image_capped_buckets"] == 4
+    assert res["image_capped_members"] == 4 * 80
+    # the capped (degenerate) family was ADMITTED, not suppressed
+    assert res["after_image_dedup"] == res["after_exact_dedup"]
+
+    res2 = curate(
+        spark,
+        docs,
+        str(tmp_path / "cap_report_none"),
+        near_threshold=0.99,
+        min_alpha_ratio=0.0,
+        image_mode="ahash",
+        image_band_bucket_cap=None,
+    )
+    assert "image_capped_buckets" not in res2
+    assert res2["after_image_dedup"] < res2["after_exact_dedup"]
