@@ -1031,7 +1031,9 @@ def q182_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tri
     """,
 )
-def q183_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q183_neardup_triangles(
+    spark: SparkSession, sf_dir: str, *, max_degree: int | None | str = None
+) -> DataFrame:
     """Triangle count over the q52 near-dup pair graph — the standard
     graph-density health check on a dedup candidate graph (a clique-
     heavy graph means boilerplate families; triangle count is the
@@ -1050,8 +1052,30 @@ def q183_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered orientation (Suri & Vassilvitskii WWW 2011) plus a
     sized out-degree cap bounding wedges to m*(cap-1)/2, with
     capped_vertices() reporting any truncation. Parity is pinned in
-    tests/test_graph.py."""
+    tests/test_graph.py.
+
+    ``max_degree`` (opt-in, the stats_dir pattern) IS that twin as a
+    kwarg: an int forwards the cap, ``"auto"`` sizes it from the edge
+    count via graph_params_for (one count over the checkpointed edge
+    list), ``None`` (default) keeps the oracle spelling unchanged. A
+    cap at or above the true max out-degree is provably exact."""
     e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    if max_degree is not None:
+        from file_appender_spark.operators.graph import (
+            graph_params_for,
+            triangle_count,
+        )
+
+        # the q52 pair pipeline feeds both the (possible) sizing count
+        # and the enumeration — materialize once, don't re-run LSH
+        e = e.localCheckpoint(eager=True)
+        if max_degree == "auto":
+            max_degree = graph_params_for(max(e.count(), 1)).max_degree
+        elif isinstance(max_degree, str):
+            raise ValueError(
+                f"max_degree must be 'auto', None, or an int, got {max_degree!r}"
+            )
+        return triangle_count(e, max_degree)
     ab = e.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
     bc = e.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
     ac = e.select(F.col("d1").alias("a2"), F.col("d2").alias("c2"))

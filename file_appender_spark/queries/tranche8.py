@@ -440,7 +440,9 @@ from file_appender_spark.queries.llm import _Q52_CTES, _Q52_FINAL  # noqa: E402
     WHERE degree >= 2
     """,
 )
-def q213_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q213_clustering_coefficient(
+    spark: SparkSession, sf_dir: str, *, max_degree: int | None | str = None
+) -> DataFrame:
     """Local clustering coefficient of every near-dup-graph vertex
     with degree >= 2: 2*triangles / (degree*(degree-1)) — per-doc
     triangle density. q183 reports ONE global count; this localizes
@@ -459,8 +461,31 @@ def q213_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     is operators/graph.py's clustering_coefficients(e, max_degree=
     graph_params_for(m).max_degree), which bounds wedge work to
     m*(cap-1)/2 and reports truncated vertices; per-doc parity vs
-    this query is pinned in tests/test_graph.py."""
+    this query is pinned in tests/test_graph.py.
+
+    ``max_degree`` (opt-in, the stats_dir pattern) IS that twin as a
+    kwarg: an int forwards the cap, ``"auto"`` sizes it from the edge
+    count via graph_params_for (one count over the checkpointed edge
+    list), ``None`` (default) keeps the oracle spelling unchanged. A
+    cap at or above the true max out-degree is provably exact; a
+    binding cap under-reports coeff, never over-reports."""
     e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    if max_degree is not None:
+        from file_appender_spark.operators.graph import (
+            clustering_coefficients,
+            graph_params_for,
+        )
+
+        # the q52 pair pipeline feeds both the (possible) sizing count
+        # and the enumeration — materialize once, don't re-run LSH
+        e = e.localCheckpoint(eager=True)
+        if max_degree == "auto":
+            max_degree = graph_params_for(max(e.count(), 1)).max_degree
+        elif isinstance(max_degree, str):
+            raise ValueError(
+                f"max_degree must be 'auto', None, or an int, got {max_degree!r}"
+            )
+        return clustering_coefficients(e, max_degree)
     und = e.select(F.col("d1").alias("v")).unionAll(
         e.select(F.col("d2").alias("v"))
     )

@@ -253,3 +253,38 @@ def test_wedge_count_rejects_invalid_cap(spark):
     e = _edges_df(spark, [(1, 2)])
     with pytest.raises(ValueError):
         wedge_count(e, max_degree=0)
+
+
+def test_q183_max_degree_kwarg_matches_default(spark, sf_dir):
+    """r7 verdict task 6: the capped twin is a KWARG on the query, not
+    just a documented re-spelling. 'auto' and a generous int cap must
+    reproduce the oracle spelling exactly on the sf0.001 graph (the
+    auto cap, 129, sits above this graph's max out-degree); a string
+    that is not 'auto' refuses."""
+    from file_appender_spark.queries.tranche5 import q183_neardup_triangles
+
+    want = q183_neardup_triangles(spark, sf_dir).collect()[0]
+    got_auto = q183_neardup_triangles(spark, sf_dir, max_degree="auto").collect()[0]
+    got_int = q183_neardup_triangles(spark, sf_dir, max_degree=10_000).collect()[0]
+    assert tuple(got_auto) == tuple(want)
+    assert tuple(got_int) == tuple(want)
+    assert list(got_auto.asDict()) == ["n_triangles", "n_apex_docs"]
+    with pytest.raises(ValueError, match="max_degree"):
+        q183_neardup_triangles(spark, sf_dir, max_degree="nope")
+
+
+def test_q213_max_degree_kwarg_matches_default(spark, sf_dir):
+    from file_appender_spark.queries.tranche8 import q213_clustering_coefficient
+
+    want = sorted(
+        tuple(r) for r in q213_clustering_coefficient(spark, sf_dir).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in q213_clustering_coefficient(
+            spark, sf_dir, max_degree="auto"
+        ).collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="max_degree"):
+        q213_clustering_coefficient(spark, sf_dir, max_degree="nope")
