@@ -117,6 +117,84 @@ def corpus_bigram_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+class CorpusStatsAdvice:
+    """The crossover decision plus the numbers it came from (so bench
+    notes and run records can cite evidence, not a bare bool)."""
+
+    __slots__ = ("worthwhile", "stream_tokens", "stats_rows", "compression", "reason")
+
+    def __init__(self, worthwhile, stream_tokens, stats_rows, compression, reason):
+        self.worthwhile = worthwhile
+        self.stream_tokens = stream_tokens
+        self.stats_rows = stats_rows
+        self.compression = compression
+        self.reason = reason
+
+
+# Measured anchors (SCALE100_PROBE_r7, warm-vs-warm): the smallest
+# corpus where the store measured a real win was the 50M-token Heaps
+# corpus (token consumers 1.59x at compression 1.54M/50M = 0.031);
+# the linear-vocab generator at the same scale (compression 0.043)
+# landed at break-even 0.98x, and the 0.5M-token corpora were
+# overhead-dominated either way. The thresholds sit between the
+# measured win and break-even points — conservative: a "not
+# worthwhile" call costs at most the small measured wins (<=1.15x),
+# never the 1.59x one.
+_MIN_STREAM_TOKENS = 500_000
+_MAX_COMPRESSION = 0.035
+
+
+def corpusstats_worthwhile(
+    stream_tokens: int, stats_rows: int | None = None
+) -> CorpusStatsAdvice:
+    """Should a pipeline materialize the corpus-stats store, or keep
+    the scan-everything spellings? The r7 probe's measured crossover
+    as a sized policy (r7 verdict task 7), so callers don't have to
+    know the probe: worthwhile iff the token stream is big enough
+    that scan cost dominates fixed overhead (>= 500k tokens) AND the
+    stats table compresses the stream (rows/tokens <= 0.035 — the
+    Heaps regime; a linearly-growing vocabulary measured break-even
+    because the stats table stops being smaller than the stream in
+    any way that matters).
+
+    ``stats_rows`` is the (source, token) row count — pass the real
+    store's count when one exists; when None it is estimated by the
+    probe corpus's own Heaps law (V = 30 * tokens^0.6), which callers
+    with non-English / code-heavy corpora should override."""
+    if stream_tokens < 0:
+        raise ValueError(f"stream_tokens must be >= 0, got {stream_tokens}")
+    if stats_rows is None:
+        stats_rows = int(30 * stream_tokens**0.6) if stream_tokens else 0
+    compression = (stats_rows / stream_tokens) if stream_tokens else 1.0
+    if stream_tokens < _MIN_STREAM_TOKENS:
+        return CorpusStatsAdvice(
+            False,
+            stream_tokens,
+            stats_rows,
+            round(compression, 6),
+            f"stream {stream_tokens} tokens < {_MIN_STREAM_TOKENS}: fixed "
+            "overhead dominates (the bench-sf regime)",
+        )
+    if compression > _MAX_COMPRESSION:
+        return CorpusStatsAdvice(
+            False,
+            stream_tokens,
+            stats_rows,
+            round(compression, 6),
+            f"stats table {stats_rows} rows / {stream_tokens} tokens = "
+            f"{compression:.3f} > {_MAX_COMPRESSION}: linear-vocab regime, "
+            "measured break-even (SCALE100_PROBE_r7)",
+        )
+    return CorpusStatsAdvice(
+        True,
+        stream_tokens,
+        stats_rows,
+        round(compression, 6),
+        f"{stream_tokens} tokens compress {compression:.3f} into the stats "
+        "table: the measured-win (Heaps) regime",
+    )
+
+
 def _stamp_params(store_dir: str) -> None:
     """(Re)write the tokenizer stamp unconditionally — the build
     path's prerogative: a full rebuild replaces every table dir, so

@@ -1,0 +1,509 @@
+"""Materialized near-dup pair graph + cluster assignment — the
+corpusstats pattern applied to the q52 MinHash-LSH prefix (r7 verdict
+task 1).
+
+Ten query modules rebuild the shingle -> MinHash -> band -> verify
+pipeline by importing ``_Q52_CTES`` (queries/llm.py:163 — consumers
+q116/q122/q136/q164/q183/q213/q219/q226/q235/q236/q241/q245/q254). At
+100 TB a production pipeline computes the verified pair set and its
+connected-component collapse ONCE and maintains them incrementally as
+documents arrive; every graph/economics consumer then reads the
+(tiny, pair-count-sized) store instead of re-running LSH over the
+corpus. This module is that store:
+
+- ``pair_signatures`` — the per-doc row the store keeps: the q52
+  MinHash slots and band signatures (imported definitions, zero
+  drift) plus the doc's distinct 32-bit shingle-hash set (``sh32``),
+  which is what makes EXACT Jaccard verification possible against
+  history without re-reading historical text. One map-side
+  projection, no shuffle (the minhash mins fold over the in-row
+  array instead of explode+groupBy).
+- ``build_pair_graph`` — batch build: signatures, band-bucket
+  candidate self-join, exact verify, cluster refresh. The pair
+  definition is q52's with one stated difference: Jaccard is
+  computed over the distinct 32-bit shingle HASHES rather than the
+  raw shingle strings — identical unless two distinct shingles of a
+  candidate pair collide in 32 bits (md5-derived, deterministic;
+  equality with q52 on the test corpora is pinned in
+  tests/test_pairstore.py). Hashes are what the store can afford to
+  keep: ~4 bytes per distinct shingle vs the raw corpus, and the
+  SAME verifier runs in batch and ingest so incremental == batch
+  exactly, by construction.
+- ``pairstore_ingest_batch`` — incremental maintenance: each epoch
+  of NEW documents contributes (new x history) + (new x new)
+  verified pairs. Epoch partitions are written with overwrite and
+  history reads EXCLUDE the current epoch, so a retry recomputes the
+  identical output (exactly-once effective semantics — stronger than
+  the dedup ingests, because a graph store admits every doc and
+  never has to make a suppress decision).
+- ``refresh_clusters`` / ``read_cluster_assignment`` — the
+  connected-component collapse (operators/components.py, the
+  Kiveris-et-al. map-reduce CC) materialized as (doc, cluster) with
+  a coverage stamp: reading an assignment that does not cover every
+  pair epoch raises rather than silently serving merged-away
+  clusters (``allow_stale=True`` opts in).
+- ``compact_pairstore`` — fold epochs into ``batch=base`` (sized
+  output files, crash-safe two-rename swap, the corpusstats/
+  neardup_ingest discipline).
+
+Scale notes: the build is q52's own plan (band equi-join candidates,
+never all-pairs) plus an O(log diameter)-round CC over the PAIR
+table — pairs, not corpus, bound every post-build consumer. Per
+ingest epoch, the history side is touched only through the band
+equi-join on the signature columns (columnar scan of the sigs table;
+the heavy ``sh32`` column is fetched through the candidate join) and
+the hot-bucket guard (``ingest_band_bucket_cap_for``) bounds
+template-family buckets. The store lives on a local filesystem by
+contract (the compaction swap uses os.rename), matching the other
+incremental stores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_appender_spark.operators.neardup_ingest import (
+    _band_pairs,
+    _bands_long,
+    _resolve_ingest_cap,
+    _spread,
+)
+
+_PARAMS_FILE = "_PAIRSTORE_PARAMS.json"
+_CLUSTERS_STATE = "_CLUSTERS_STATE.json"
+
+
+def _params(threshold: float) -> dict:
+    return {
+        "modality": "minhash",
+        "n_slots": 16,
+        "n_bands": 4,
+        "verifier": "jaccard_sh32",
+        "threshold": threshold,
+        "version": 1,
+    }
+
+
+def _sigs_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "sigs")
+
+
+def _pairs_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "pairs")
+
+
+def _clusters_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "clusters")
+
+
+def pair_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh32, n_sh, mh, b0..b3): the store's per-document row.
+
+    Definitions are IMPORTED from q52 (queries/llm.py — shingle_expr,
+    _tok_hash32, _MH_PARAMS), so store signatures and the oracle
+    query can never drift. Everything is one projection: sh32 is the
+    sorted distinct 32-bit shingle-hash set, each minhash slot is an
+    array_min fold over it (min over distinct == min over all — the
+    hash is applied before dedup in q52 and dedup never changes a
+    min), bands concatenate 4 slots exactly like q52's stack. NO
+    shuffle — the expensive part of the store build/ingest is
+    embarrassingly parallel. Docs too short to shingle (< 3 words)
+    produce no row: they cannot pair under q52's definition."""
+    from file_appender_spark.queries.llm import (
+        _MH_P,
+        _MH_PARAMS,
+        _WS,
+        _tok_hash32,
+        let_expr,
+        shingle_expr,
+    )
+
+    words = F.split(F.col(text_col), _WS)
+    shingled = (
+        _spread(docs)
+        .filter(F.size(words) >= 3)
+        .select(id_col, let_expr(words, shingle_expr).alias("shingles"))
+    )
+    # shingle_expr already dedups; hash then re-dedup so a 32-bit
+    # collision collapses identically here and in the verifier
+    sh32 = F.array_sort(
+        F.array_distinct(F.transform(F.col("shingles"), _tok_hash32))
+    )
+    base = shingled.select(id_col, sh32.alias("sh32"))
+    mh = [
+        F.array_min(
+            F.transform(F.col("sh32"), lambda h: (F.lit(a) * h + F.lit(b)) % _MH_P)
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    n_slots = len(_MH_PARAMS)
+    wide = base.select(id_col, "sh32", *mh)
+    return wide.select(
+        id_col,
+        "sh32",
+        F.size("sh32").cast("long").alias("n_sh"),
+        F.array(*[F.col(f"mh{j}") for j in range(n_slots)]).alias("mh"),
+        *[
+            F.concat_ws(
+                ",", *[F.col(f"mh{4 * bi + r}") for r in range(4)]
+            ).alias(f"b{bi}")
+            for bi in range(n_slots // 4)
+        ],
+    )
+
+
+def _verified_pairs(
+    cand: DataFrame,
+    new_sh: DataFrame,
+    old_sh: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over the stored hash sets for (new_id, old_id)
+    candidates -> canonical (d1 < d2, jaccard) rows. Two equi-joins
+    on doc ids, HOF intersection — q52's verify stage over sh32."""
+    j = cand.join(new_sh, "new_id").join(old_sh, "old_id")
+    inter = F.size(F.array_intersect("sh_new", "sh_old"))
+    jac = inter.cast("double") / (F.col("n_new") + F.col("n_old") - inter)
+    return (
+        j.filter(jac >= threshold)
+        .select(
+            F.least("new_id", "old_id").alias("d1"),
+            F.greatest("new_id", "old_id").alias("d2"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .distinct()
+    )
+
+
+def _new_side(sigs: DataFrame, id_col: str) -> DataFrame:
+    return sigs.select(
+        F.col(id_col).alias("new_id"),
+        F.col("sh32").alias("sh_new"),
+        F.col("n_sh").alias("n_new"),
+    )
+
+
+def _old_side(sigs: DataFrame, id_col: str) -> DataFrame:
+    return sigs.select(
+        F.col(id_col).alias("old_id"),
+        F.col("sh32").alias("sh_old"),
+        F.col("n_sh").alias("n_old"),
+    ).dropDuplicates(["old_id"])
+
+
+def _stamp_params(store_dir: str, threshold: float) -> None:
+    """Unconditional (re)stamp — the BUILD path's prerogative: a full
+    rebuild replaces every table, so stale params are simply replaced
+    (the corpusstats r7-advice lesson, applied from day one here)."""
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, _PARAMS_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(_params(threshold), f, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _check_params(store_dir: str, threshold: float | None) -> float:
+    """Strict guard for ingest/read: pairs verified under a different
+    threshold or hash params are a DIFFERENT graph. Returns the
+    store's threshold so read/ingest paths can default to it."""
+    path = os.path.join(store_dir, _PARAMS_FILE)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"{store_dir} is not a pair store (no {_PARAMS_FILE}); "
+            "run build_pair_graph first"
+        )
+    with open(path) as f:
+        stored = json.load(f)
+    if threshold is not None and stored != _params(threshold):
+        raise ValueError(
+            f"pair store {store_dir} was built with {stored}, this call "
+            f"uses {_params(threshold)} — the stores are different graphs; "
+            "rebuild or pass the original threshold"
+        )
+    return float(stored["threshold"])
+
+
+def _recover(store_dir: str) -> None:
+    """Restore .old backups a compaction/refresh crash left behind —
+    the single-fault discipline shared by every incremental store."""
+    for d in (_sigs_dir(store_dir), _pairs_dir(store_dir), _clusters_dir(store_dir)):
+        old = d.rstrip("/") + ".old"
+        if not os.path.exists(d) and os.path.exists(old):
+            os.rename(old, d)
+
+
+def _write_epoch(df: DataFrame, base: str, batch_id: str) -> None:
+    # one partition dir per epoch, overwritten on retry — idempotent.
+    # (an empty epoch still writes one footer-bearing part file —
+    # Spark 4's FileFormatWriter — so read-back keeps its schema)
+    df.write.mode("overwrite").parquet(os.path.join(base, f"batch={batch_id}"))
+
+
+def build_pair_graph(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_dir: str,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bucket_cap: int | None | str = None,
+) -> None:
+    """Materialize the full corpus's verified pair set as the store's
+    ``base`` epoch and refresh the cluster assignment. Any epoch
+    partitions from a previous ingest run are wiped — ``docs`` is the
+    whole corpus, so leaving them would duplicate every pair they
+    cover on the next merged read.
+
+    ``band_bucket_cap`` defaults to ``None`` (EXACT — the batch build
+    is the oracle-parity path; q52 equality is the point). Pass
+    ``"auto"``/an int to bound template-family buckets at the stated
+    recall cost when building over a crawl known to contain them."""
+    from pyspark import StorageLevel
+
+    _recover(store_dir)
+    _stamp_params(store_dir, threshold)
+    for d in (_sigs_dir(store_dir), _pairs_dir(store_dir), _clusters_dir(store_dir)):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    state = os.path.join(store_dir, _CLUSTERS_STATE)
+    if os.path.exists(state):
+        os.remove(state)
+
+    sigs = pair_signatures(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cap = _resolve_ingest_cap(band_bucket_cap, max(sigs.count(), 2), 4, None)
+    bands = _bands_long(sigs, 4, id_col)
+    # within_batch=True emits every unordered candidate pair exactly
+    # once (larger id on the new side) — the full self-join
+    cand = _band_pairs(bands, bands, id_col, within_batch=True, band_bucket_cap=cap)
+    pairs = _verified_pairs(
+        cand, _new_side(sigs, id_col), _old_side(sigs, id_col), threshold
+    )
+    _write_epoch(sigs, _sigs_dir(store_dir), "base")
+    _write_epoch(pairs, _pairs_dir(store_dir), "base")
+    sigs.unpersist()
+    refresh_clusters(spark, store_dir)
+
+
+def pairstore_ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    batch_id: int | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bucket_cap: int | None | str = "auto",
+) -> None:
+    """Incremental maintenance for one epoch of NEW documents (each
+    doc in exactly one epoch — the append-only corpus contract the
+    other stores share). The epoch's pairs are (new x history) +
+    (new x new); both epoch partitions are written with overwrite and
+    the history read EXCLUDES the current epoch, so a RETRY — after a
+    failed or successful write — recomputes the identical output.
+    Clusters become stale (the coverage stamp records it);
+    refresh_clusters folds the new edges in.
+
+    ``band_bucket_cap`` defaults to the sized ``"auto"`` policy
+    (a long-lived store accumulating a template family is exactly the
+    degenerate case): over-cap history buckets drop out of candidate
+    generation, which for a GRAPH store means missing edges — never
+    wrong ones — and therefore possibly under-merged clusters."""
+    if str(batch_id) == "base":
+        raise ValueError(
+            "batch_id 'base' is reserved for build_pair_graph — an ingest "
+            "epoch writing there would clobber the corpus baseline"
+        )
+    _recover(store_dir)
+    threshold = _check_params(store_dir, None)
+    sigs = pair_signatures(batch, id_col, text_col).localCheckpoint(eager=True)
+    bands = _bands_long(sigs, 4, id_col)
+
+    hist = (
+        spark.read.option("basePath", _sigs_dir(store_dir))
+        .parquet(_sigs_dir(store_dir))
+        # cast: the partition column infers int when every epoch id is
+        # numeric, string once 'base' is present — normalize
+        .filter(F.col("batch").cast("string") != str(batch_id))
+        .drop("batch")
+    )
+    cap = _resolve_ingest_cap(
+        band_bucket_cap,
+        sigs.count() + _store_epoch_rows(_sigs_dir(store_dir), str(batch_id)),
+        4,
+        None,
+    )
+    new_vs_hist = _band_pairs(
+        bands,
+        _bands_long(hist, 4, id_col),
+        id_col,
+        within_batch=False,
+        band_bucket_cap=cap,
+    )
+    new_vs_new = _band_pairs(
+        bands, bands, id_col, within_batch=True, band_bucket_cap=cap
+    )
+    ns = _new_side(sigs, id_col)
+    pairs = _verified_pairs(
+        new_vs_hist, ns, _old_side(hist, id_col), threshold
+    ).unionByName(
+        _verified_pairs(new_vs_new, ns, _old_side(sigs, id_col), threshold)
+    ).distinct()
+    _write_epoch(pairs, _pairs_dir(store_dir), str(batch_id))
+    _write_epoch(sigs, _sigs_dir(store_dir), str(batch_id))
+
+
+def _store_epoch_rows(table_dir: str, exclude_batch: str) -> int:
+    """History row count from parquet footers (no Spark job, the
+    r7-advice discipline), excluding the current epoch's partition
+    (a retry must size its cap exactly like the first attempt)."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(table_dir):
+        return 0
+    total = 0
+    for part in os.listdir(table_dir):
+        pdir = os.path.join(table_dir, part)
+        if not part.startswith("batch=") or not os.path.isdir(pdir):
+            continue
+        if part == f"batch={exclude_batch}":
+            continue
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                total += pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
+    return total
+
+
+def _epoch_ids(table_dir: str) -> list[str]:
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        p.split("=", 1)[1]
+        for p in os.listdir(table_dir)
+        if p.startswith("batch=") and os.path.isdir(os.path.join(table_dir, p))
+    )
+
+
+def read_pairs(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(d1, d2, jaccard): the merged pair view — a union of epoch
+    partitions, no recompute. Each unordered pair lives in exactly
+    one epoch (the one its newer member arrived in), so no cross-
+    epoch dedup is needed; runs crash recovery first like every
+    store reader."""
+    _recover(store_dir)
+    _check_params(store_dir, None)
+    return (
+        spark.read.option("basePath", _pairs_dir(store_dir))
+        .parquet(_pairs_dir(store_dir))
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def refresh_clusters(spark: SparkSession, store_dir: str) -> None:
+    """Recompute the materialized (doc, cluster) assignment over ALL
+    pair epochs and stamp the coverage. CC runs over the PAIR table
+    (edges), never the corpus: at 100 TB the near-dup pair graph is
+    orders of magnitude smaller than the corpus, so a full refresh is
+    the right cost model (the alternating-star rounds are
+    O(log diameter) joins on pair-sized frames). Crash-safe swap +
+    _recover, the shared store discipline."""
+    from file_appender_spark.operators.components import dedup_clusters
+
+    _recover(store_dir)
+    _check_params(store_dir, None)
+    pairs = read_pairs(spark, store_dir).select("d1", "d2")
+    cl = dedup_clusters(pairs).select("doc", "cluster")
+    d = _clusters_dir(store_dir)
+    tmp = d.rstrip("/") + ".refreshing"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    # repartition(>=1) guarantees at least one footer-bearing file so
+    # an empty graph still reads back with a schema
+    cl.repartition(max(1, spark.sparkContext.defaultParallelism // 8)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = d.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(d):
+        os.rename(d, old)
+    os.rename(tmp, d)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    state = os.path.join(store_dir, _CLUSTERS_STATE)
+    stmp = state + ".tmp"
+    with open(stmp, "w") as f:
+        json.dump({"covers": _epoch_ids(_pairs_dir(store_dir))}, f, sort_keys=True)
+    os.replace(stmp, state)
+
+
+def read_cluster_assignment(
+    spark: SparkSession, store_dir: str, *, allow_stale: bool = False
+) -> DataFrame:
+    """(doc, cluster) for every document that has at least one pair —
+    singletons are absent (consumers coalesce doc_id, exactly like
+    q116's left join). Refuses a STALE assignment — pair epochs the
+    materialization has not folded in would mean silently serving
+    merged-away clusters — unless ``allow_stale=True``; the fix is
+    one refresh_clusters call."""
+    _recover(store_dir)
+    _check_params(store_dir, None)
+    state = os.path.join(store_dir, _CLUSTERS_STATE)
+    if not os.path.exists(state):
+        raise ValueError(
+            f"pair store {store_dir} has no materialized clusters; run "
+            "refresh_clusters (build_pair_graph does it automatically)"
+        )
+    with open(state) as f:
+        covers = set(json.load(f)["covers"])
+    live = set(_epoch_ids(_pairs_dir(store_dir)))
+    if live - covers and not allow_stale:
+        raise ValueError(
+            f"cluster assignment in {store_dir} is STALE: pair epochs "
+            f"{sorted(live - covers)} are not folded in — run "
+            "refresh_clusters (or pass allow_stale=True to read anyway)"
+        )
+    return spark.read.parquet(_clusters_dir(store_dir))
+
+
+def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
+    """Fold accumulated epoch partitions of sigs and pairs into fresh
+    ``base`` partitions with sized output files — long-running ingest
+    otherwise pays ever-growing file listing on every history join.
+    Writer paused by contract (one sequential writer by design);
+    crash-safe two-rename swap per table; the cluster coverage stamp
+    is rewritten to the folded epoch list (content is unchanged, so
+    a fresh refresh is NOT needed)."""
+    from file_appender_spark.operators.layout import dir_bytes, plan_file_count
+
+    _recover(store_dir)
+    _check_params(store_dir, None)
+    for d in (_sigs_dir(store_dir), _pairs_dir(store_dir)):
+        merged = spark.read.option("basePath", d).parquet(d).drop("batch")
+        tmp = d.rstrip("/") + ".compacting"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        n = plan_file_count(dir_bytes(spark, d))
+        merged.repartition(n).write.mode("overwrite").parquet(
+            os.path.join(tmp, "batch=base")
+        )
+        old = d.rstrip("/") + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+    state = os.path.join(store_dir, _CLUSTERS_STATE)
+    if os.path.exists(state):
+        stmp = state + ".tmp"
+        with open(stmp, "w") as f:
+            json.dump({"covers": ["base"]}, f, sort_keys=True)
+        os.replace(stmp, state)

@@ -1225,7 +1225,9 @@ def q112_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY id
     """,
 )
-def q116_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q116_dedup_clusters(
+    spark: SparkSession, sf_dir: str, *, graph_dir: str | None = None
+) -> DataFrame:
     """Transitive near-dup CLUSTER ASSIGNMENT for every document: the
     q52 MinHash-LSH pair graph collapsed to connected components
     (cluster id = min doc_id of the component, ``keep`` marks the
@@ -1240,15 +1242,31 @@ def q116_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm (O(log n) rounds, each a groupBy-min + join — the
     public MapReduce CC algorithm of Kiveris et al.), never a driver
     loop over edges. Component diameter, not corpus size, bounds the
-    round count."""
-    from file_appender_spark.operators.components import dedup_clusters
+    round count.
 
-    pairs = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
-    cl = dedup_clusters(pairs)
+    ``graph_dir`` (opt-in, the stats_dir pattern) answers from a
+    materialized operators/pairstore.py store — the pair graph AND
+    its component collapse maintained incrementally — instead of
+    re-running LSH + CC over the corpus; the store must be built
+    from the same documents at q52's threshold (0.2, the build
+    default). Equivalence pinned in tests/test_pairstore.py."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    return docs.join(
-        cl.select(F.col("doc").alias("doc_id"), "cluster"), "doc_id", "left"
-    ).select(
+    if graph_dir is not None:
+        from file_appender_spark.operators.pairstore import (
+            read_cluster_assignment,
+        )
+
+        cl = read_cluster_assignment(spark, graph_dir).select(
+            F.col("doc").alias("doc_id"), "cluster"
+        )
+    else:
+        from file_appender_spark.operators.components import dedup_clusters
+
+        pairs = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
+        cl = dedup_clusters(pairs).select(
+            F.col("doc").alias("doc_id"), "cluster"
+        )
+    return docs.join(cl, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster", F.col("doc_id")).alias("cluster_id"),
         (F.coalesce("cluster", F.col("doc_id")) == F.col("doc_id")).alias("keep"),

@@ -75,7 +75,9 @@ from file_appender_spark.queries.tpch_extra import _t
     FROM j
     """,
 )
-def q245_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q245_effective_tokens(
+    spark: SparkSession, sf_dir: str, *, graph_dir: str | None = None
+) -> DataFrame:
     """Token-weighted dedup savings: what keep-one-per-cluster over
     q116's transitive near-dup clusters saves in TOKENS — the number
     a training budget actually feels (q144's doc-count savings can
@@ -84,8 +86,13 @@ def q245_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: composes q116's CC (O(log n) rounds); the token count is
     a per-row expression joined on doc_id — one corpus-keyed
-    equi-join, two map-side-combined aggregates."""
-    asg = q116_dedup_clusters(spark, sf_dir).select("doc_id", "keep")
+    equi-join, two map-side-combined aggregates. ``graph_dir``
+    (opt-in) forwards to q116: the cluster assignment comes from the
+    materialized operators/pairstore.py store instead of re-running
+    LSH + CC."""
+    asg = q116_dedup_clusters(spark, sf_dir, graph_dir=graph_dir).select(
+        "doc_id", "keep"
+    )
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", _WS)).cast("long").alias("n_tok")
     )

@@ -441,7 +441,11 @@ from file_appender_spark.queries.llm import _Q52_CTES, _Q52_FINAL  # noqa: E402
     """,
 )
 def q213_clustering_coefficient(
-    spark: SparkSession, sf_dir: str, *, max_degree: int | None | str = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_degree: int | None | str = None,
+    graph_dir: str | None = None,
 ) -> DataFrame:
     """Local clustering coefficient of every near-dup-graph vertex
     with degree >= 2: 2*triangles / (degree*(degree-1)) — per-doc
@@ -468,8 +472,19 @@ def q213_clustering_coefficient(
     count via graph_params_for (one count over the checkpointed edge
     list), ``None`` (default) keeps the oracle spelling unchanged. A
     cap at or above the true max out-degree is provably exact; a
-    binding cap under-reports coeff, never over-reports."""
-    e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    binding cap under-reports coeff, never over-reports.
+
+    ``graph_dir`` (opt-in) reads the edge list from a materialized
+    operators/pairstore.py store (built from the same documents at
+    q52's 0.2 threshold) instead of re-running LSH — composable with
+    ``max_degree`` (store edges + capped enumeration is the full
+    production shape)."""
+    if graph_dir is not None:
+        from file_appender_spark.operators.pairstore import read_pairs
+
+        e = read_pairs(spark, graph_dir).select("d1", "d2")
+    else:
+        e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
     if max_degree is not None:
         from file_appender_spark.operators.graph import (
             clustering_coefficients,

@@ -25,10 +25,14 @@ Sane-behavior deviations (each documented in SURVEY.md §2.1):
   per-record check (the reference busy-loops there);
 - age threshold carries MINUTES (the reference constant is misnamed).
 
-Filesystem access is abstracted behind :class:`LocalFS` so an
-HDFS-backed implementation (pyarrow / Hadoop gateway) can slot in;
-local POSIX append is the A15 local-mode shim the reference itself
-uses in tests (RawLocalFileSystem, AppendOutputFormat.java:66-72).
+Filesystem access is abstracted behind the :class:`AppendFS`
+protocol with two implementations: :class:`LocalFS` (POSIX append —
+the A15 local-mode shim the reference itself uses in tests,
+RawLocalFileSystem, AppendOutputFormat.java:66-72) and
+:class:`ArrowFS` (pyarrow.fs — HadoopFileSystem for ``hdfs://``
+output dirs, the filesystem the reference's protocol actually
+targets; selected automatically by ``fs_for_path``). The A8-A13
+protocol suite runs against BOTH in tests/test_append_fs.py.
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ import os
 import re
 import time
 from dataclasses import dataclass
+from typing import Protocol
 
 from pyspark.sql import DataFrame
 
@@ -70,6 +75,25 @@ class FileInfo:
         return FileInfo(name, int(tail), size)
 
 
+class AppendFS(Protocol):
+    """The sink's filesystem seam — everything the A1-A15 protocol
+    needs from a filesystem, and nothing more. Implementations must
+    be PICKLABLE WITHOUT HANDLES (each executor worker re-creates its
+    connections lazily) and support true append (HDFS, POSIX; object
+    stores need not apply — the reference's protocol is append-
+    centric by design, AppendOutputFormat.java:212)."""
+
+    def list_files(self, directory: str) -> list[tuple[str, int]]: ...
+
+    def makedirs(self, directory: str) -> None: ...
+
+    def open_append(self, path: str): ...
+
+    def create_new(self, path: str): ...
+
+    def exists(self, path: str) -> bool: ...
+
+
 class LocalFS:
     """POSIX filesystem shim (reference A15). Executor-side workers
     re-instantiate this from its path-free state — it carries no
@@ -98,6 +122,112 @@ class LocalFS:
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
+
+
+def _strip_scheme(path: str) -> str:
+    """'hdfs://nn:8020/a/b' -> '/a/b' (pyarrow filesystems take
+    scheme-free paths); bare paths pass through unchanged."""
+    if "://" not in path:
+        return path
+    rest = path.split("://", 1)[1]
+    idx = rest.find("/")
+    return rest[idx:] if idx >= 0 else "/"
+
+
+class ArrowFS:
+    """pyarrow.fs-backed implementation of the AppendFS protocol —
+    the HDFS adapter the reference's protocol actually targets
+    (AppendOutputFormat.java:66-72 elects files via listStatus,
+    :212 appends with fs.append; the A15 LocalFS shim mirrors its
+    RawLocalFileSystem test mode). One class covers any pyarrow
+    FileSystem that supports open_append_stream: HadoopFileSystem
+    for ``hdfs://`` URIs in production, LocalFileSystem for the
+    parity test matrix (tests/test_append_fs.py runs the full
+    A8-A13 protocol suite against it, so the adapter code path —
+    not just LocalFS — is what's verified).
+
+    Picklable without handles: only the URI spec ships to executors;
+    the underlying FileSystem (and its Hadoop client connection) is
+    re-created lazily per worker process.
+
+    ``create_new`` semantics: pyarrow exposes no O_EXCL create, so
+    exclusive creation is exists-check + create. The TOCTOU window is
+    benign under the sink's task model — every writer's rotation
+    names carry its own partition id (name_prefix), so no two live
+    writers ever race the same path; the retry-on-exists loop is
+    preserved for the observed-exists case exactly like the
+    reference's (AppendOutputFormat.java:227-241)."""
+
+    def __init__(self, fs_spec: str = "local"):
+        self.fs_spec = fs_spec
+        self._fs = None
+
+    # -- pickling: spec only, never the connection handle
+    def __getstate__(self):
+        return {"fs_spec": self.fs_spec}
+
+    def __setstate__(self, state):
+        self.fs_spec = state["fs_spec"]
+        self._fs = None
+
+    def _filesystem(self):
+        if self._fs is None:
+            from pyarrow import fs as pafs
+
+            if self.fs_spec == "local":
+                self._fs = pafs.LocalFileSystem()
+            elif self.fs_spec.startswith("hdfs://"):
+                # connection params (namenode, port, user, kerberos)
+                # come from the URI + the ambient Hadoop client config
+                # (HADOOP_HOME / CLASSPATH), the standard pyarrow way
+                self._fs, _ = pafs.FileSystem.from_uri(self.fs_spec)
+            else:
+                raise ValueError(
+                    f"unsupported ArrowFS spec {self.fs_spec!r}: use 'local' "
+                    "or an hdfs:// URI"
+                )
+        return self._fs
+
+    def list_files(self, directory: str) -> list[tuple[str, int]]:
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(
+            _strip_scheme(directory), allow_not_found=True, recursive=False
+        )
+        out = []
+        for info in self._filesystem().get_file_info(sel):
+            if info.type == pafs.FileType.File:
+                out.append((info.base_name, int(info.size)))
+        return out
+
+    def makedirs(self, directory: str) -> None:
+        self._filesystem().create_dir(_strip_scheme(directory), recursive=True)
+
+    def open_append(self, path: str):
+        return self._filesystem().open_append_stream(_strip_scheme(path))
+
+    def create_new(self, path: str):
+        # exists-check + create (no O_EXCL in pyarrow) — see class
+        # docstring for why the window is benign here
+        if self.exists(path):
+            raise FileExistsError(path)
+        return self._filesystem().open_output_stream(_strip_scheme(path))
+
+    def exists(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        info = self._filesystem().get_file_info(_strip_scheme(path))
+        return info.type != pafs.FileType.NotFound
+
+
+def fs_for_path(path: str) -> "AppendFS":
+    """Scheme-based filesystem selection for the sink: ``hdfs://``
+    URIs get the pyarrow Hadoop adapter, everything else the POSIX
+    shim — so `append_text` against an HDFS output_dir needs no
+    explicit fs argument."""
+    if path.startswith("hdfs://"):
+        return ArrowFS(path)
+    return LocalFS()
 
 
 def elect_incomplete_files(
@@ -139,7 +269,7 @@ class _PartitionWriter:
         partition_id: int,
         config: AppendSinkConfig,
         run_ts_ms: int,
-        fs: LocalFS,
+        fs: AppendFS,
     ):
         self.directory = directory
         self.assigned = assigned
@@ -218,7 +348,7 @@ def append_text(
     df: DataFrame,
     config: AppendSinkConfig,
     run_ts_ms: int | None = None,
-    fs: LocalFS | None = None,
+    fs: AppendFS | None = None,
 ) -> None:
     """Write ``df`` as delimited text lines, appending into existing
     under-threshold files (the reference's full A1-A15 protocol).
@@ -235,7 +365,7 @@ def append_text(
     (speculative execution must stay off for this sink — same
     at-least-once caveat as the reference's no-op committer).
     """
-    fs = fs or LocalFS()
+    fs = fs or fs_for_path(config.output_dir)
     run_ts_ms = int(time.time() * 1000) if run_ts_ms is None else run_ts_ms
 
     collector = config.validate(df.schema)

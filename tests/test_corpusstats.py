@@ -322,3 +322,32 @@ def test_rebuild_restamps_stale_params(spark, sf_dir, tmp_path):
     # the re-stamped store accepts increments again
     corpusstats_ingest_batch(spark, docs.limit(1), store, batch_id=1)
     assert read_token_stats(spark, store).count() > 0
+
+
+def test_corpusstats_worthwhile_policy():
+    """r7 verdict task 7: the measured crossover (SCALE100_PROBE_r7)
+    as a sized policy — the three probe points classify exactly as
+    measured, and the decision is monotone in the right directions."""
+    from file_appender_spark.operators.corpusstats import corpusstats_worthwhile
+
+    # Heaps 500k-doc corpus: 50M tokens, 1.54M stats rows -> 1.59x win
+    a = corpusstats_worthwhile(50_000_000, 1_540_000)
+    assert a.worthwhile and abs(a.compression - 0.0308) < 1e-3
+    # linear-vocab 500k docs: 50M tokens, 2.15M rows -> 0.98x break-even
+    b = corpusstats_worthwhile(50_000_000, 2_145_653)
+    assert not b.worthwhile and "break-even" in b.reason
+    # bench-sf regime: tiny stream, overhead dominates
+    c = corpusstats_worthwhile(240_000, 620)
+    assert not c.worthwhile and "overhead" in c.reason
+
+    # monotone: fixed vocab, growing corpus -> eventually worthwhile
+    assert not corpusstats_worthwhile(400_000, 50_000).worthwhile
+    assert corpusstats_worthwhile(10_000_000, 50_000).worthwhile
+    # Heaps default estimate: sublinear, so big streams qualify
+    assert corpusstats_worthwhile(100_000_000).worthwhile
+    assert not corpusstats_worthwhile(0).worthwhile
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stream_tokens"):
+        corpusstats_worthwhile(-1)

@@ -843,3 +843,99 @@ def test_textdup_ingest_band_bucket_cap_admits_hot_family(spark, tmp_path):
         band_bucket_cap=1,
     )
     assert capped.count() == 12  # guard binds -> all admitted
+
+
+def test_textdup_ingest_auto_cap_admits_template_family(spark, tmp_path):
+    """r7 verdict task 5: the TEXT ingest's hot-bucket guard now
+    DEFAULTS to the sized policy (ingest_band_bucket_cap_for: 65 for
+    4 bands at the default candidate budget). An 80-member template
+    family — DISTINCT texts engineered to share their exact shingle
+    set (base repeated k times: every repetition adds only the same
+    boundary shingles), hence identical MinHash signatures — exceeds
+    the cap, drops out of candidate generation, and is admitted
+    whole; explicit None restores suppress-to-min-id; a small family
+    stays under the cap and still dedups (the existing 12-member
+    test)."""
+    import pytest as _pytest
+
+    from file_appender_spark.operators.neardup_ingest import (
+        ingest_band_bucket_cap_for,
+        textdup_ingest_batch,
+    )
+
+    assert ingest_band_bucket_cap_for(10_000) == 65
+
+    base = " ".join(f"tmpl{w}" for w in range(40))
+    rows = [(i, " ".join([base] * (i + 2))) for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    auto = textdup_ingest_batch(spark, docs, str(tmp_path / "td_auto"))
+    assert auto.count() == 80  # bucket over cap -> all admitted
+
+    plain = textdup_ingest_batch(
+        spark, docs, str(tmp_path / "td_none"), band_bucket_cap=None
+    )
+    assert sorted(r["doc_id"] for r in plain.collect()) == [0]
+
+    with _pytest.raises(ValueError, match="band_bucket_cap"):
+        textdup_ingest_batch(
+            spark, docs, str(tmp_path / "td_bad"), band_bucket_cap="nope"
+        )
+
+    # cross-batch: history's 80-member bucket is guarded, but 5 NEW
+    # members of the same template still dedup among THEMSELVES
+    # (their own within-batch bucket is under the cap)
+    b2 = spark.createDataFrame(
+        [(1000 + i, " ".join([base] * (100 + i))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    a2 = textdup_ingest_batch(spark, b2, str(tmp_path / "td_auto"))
+    assert sorted(r["doc_id"] for r in a2.collect()) == [1000]
+
+
+def test_embedding_ingest_auto_cap_admits_degenerate_family(spark, tmp_path):
+    """SRP twin of the text pin: 80 positive scalar multiples of one
+    vector (distinct embeddings, sign-identical -> one band bucket
+    per band, cosine exactly 1.0) are admitted whole under the sized
+    default and suppressed to min id under explicit None."""
+    from file_appender_spark.operators.neardup_ingest import neardup_ingest_batch
+
+    v0 = [0.3, -1.2, 0.7, 2.2, -0.5, 1.1, -2.0, 0.9]
+    rows = [(i, [float((i + 1)) * x for x in v0]) for i in range(80)]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    auto = neardup_ingest_batch(
+        spark, docs, str(tmp_path / "nd_auto"), threshold=0.9
+    )
+    assert auto.count() == 80
+
+    plain = neardup_ingest_batch(
+        spark, docs, str(tmp_path / "nd_none"), threshold=0.9,
+        band_bucket_cap=None,
+    )
+    assert sorted(r["vec_id"] for r in plain.collect()) == [0]
+
+
+def test_ingest_band_bucket_cap_policy():
+    """Policy arithmetic: budget cap = 2*target/bands + 1; the
+    expected-population floor only lifts it when the band space is
+    small enough for honest collisions (8x margin, imagehash's)."""
+    import pytest as _pytest
+
+    from file_appender_spark.operators.neardup_ingest import (
+        ingest_band_bucket_cap_for,
+    )
+
+    assert ingest_band_bucket_cap_for(100, n_bands=4) == 65
+    assert ingest_band_bucket_cap_for(100, n_bands=8) == 33
+    # SRP 16-bit bands: floor binds only at huge n
+    assert ingest_band_bucket_cap_for(10**6, bucket_space_bits=16) == max(
+        65, -(-8 * 10**6 // 2**16)
+    )
+    assert ingest_band_bucket_cap_for(100, bucket_space_bits=16) == 65
+    with _pytest.raises(ValueError, match="n_items"):
+        ingest_band_bucket_cap_for(0)
+    with _pytest.raises(ValueError, match="n_bands"):
+        ingest_band_bucket_cap_for(10, n_bands=0)
+    with _pytest.raises(ValueError, match="target_pairs_per_item"):
+        ingest_band_bucket_cap_for(10, target_pairs_per_item=1)

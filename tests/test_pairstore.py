@@ -1,0 +1,255 @@
+"""Materialized near-dup pair graph (operators/pairstore.py) — the
+corpusstats pattern applied to the q52 prefix. Pins:
+
+- batch build == q52's verified pair set (rows AND jaccard values)
+  on the real sf0.001 corpus;
+- incremental ingest == batch build (pairs and clusters), with
+  exactly-once epoch retries;
+- the cluster staleness stamp (read refuses uncovered epochs);
+- consumer equivalence: q116/q245/q213 with graph_dir reproduce
+  their default spellings;
+- compaction preserves the merged view; crash recovery restores a
+  half-swapped store; params guard refuses a foreign threshold.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_appender_spark.operators.pairstore import (
+    build_pair_graph,
+    compact_pairstore,
+    pairstore_ingest_batch,
+    read_cluster_assignment,
+    read_pairs,
+    refresh_clusters,
+)
+from file_appender_spark.sources.catalog import load_table
+
+
+def _pair_rows(df):
+    return sorted(tuple(r) for r in df.select("d1", "d2", "jaccard").collect())
+
+
+def _cluster_rows(df):
+    return sorted(tuple(r) for r in df.select("doc", "cluster").collect())
+
+
+@pytest.fixture(scope="module")
+def built_store(spark, sf_dir, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("pairstore") / "store")
+    docs = load_table(spark, sf_dir, "documents")
+    build_pair_graph(spark, docs, store)
+    return store
+
+
+def test_build_matches_q52(spark, sf_dir, built_store):
+    """The store's base epoch must reproduce q52's verified pairs —
+    values included (the sh32 verifier equals the raw-string verify
+    on this corpus; a 32-bit shingle collision would surface here)."""
+    from file_appender_spark.queries.llm import q52_minhash_lsh
+
+    want = _pair_rows(q52_minhash_lsh(spark, sf_dir))
+    got = _pair_rows(read_pairs(spark, built_store))
+    assert got == want
+    assert len(got) > 0  # the sf corpus has planted near-dups
+
+
+def test_consumers_graph_dir_equivalence(spark, sf_dir, built_store):
+    from file_appender_spark.queries.llm import q116_dedup_clusters
+    from file_appender_spark.queries.tranche8 import q213_clustering_coefficient
+    from file_appender_spark.queries.tranche17 import q245_effective_tokens
+
+    want116 = sorted(
+        tuple(r) for r in q116_dedup_clusters(spark, sf_dir).collect()
+    )
+    got116 = sorted(
+        tuple(r)
+        for r in q116_dedup_clusters(
+            spark, sf_dir, graph_dir=built_store
+        ).collect()
+    )
+    assert got116 == want116
+
+    want245 = q245_effective_tokens(spark, sf_dir).collect()[0]
+    got245 = q245_effective_tokens(
+        spark, sf_dir, graph_dir=built_store
+    ).collect()[0]
+    assert tuple(got245) == tuple(want245)
+
+    want213 = sorted(
+        tuple(r) for r in q213_clustering_coefficient(spark, sf_dir).collect()
+    )
+    got213 = sorted(
+        tuple(r)
+        for r in q213_clustering_coefficient(
+            spark, sf_dir, graph_dir=built_store
+        ).collect()
+    )
+    assert got213 == want213
+    # the full production shape: store edges + capped enumeration
+    got_capped = sorted(
+        tuple(r)
+        for r in q213_clustering_coefficient(
+            spark, sf_dir, graph_dir=built_store, max_degree="auto"
+        ).collect()
+    )
+    assert got_capped == want213  # auto cap > this graph's max out-degree
+
+
+def test_incremental_matches_batch(spark, sf_dir, tmp_path):
+    """Three epochs ingested sequentially == one batch build: pairs,
+    clusters, and the q116 consumer all agree. Epochs split by
+    doc_id % 3, so near-dup pairs cross epoch boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    batch_store = str(tmp_path / "batch")
+    build_pair_graph(spark, docs, batch_store)
+
+    inc_store = str(tmp_path / "inc")
+    build_pair_graph(spark, docs.filter(F.col("doc_id") % 3 == 0), inc_store)
+    for i in (1, 2):
+        pairstore_ingest_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), inc_store, batch_id=i
+        )
+    refresh_clusters(spark, inc_store)
+
+    assert _pair_rows(read_pairs(spark, inc_store)) == _pair_rows(
+        read_pairs(spark, batch_store)
+    )
+    assert _cluster_rows(read_cluster_assignment(spark, inc_store)) == (
+        _cluster_rows(read_cluster_assignment(spark, batch_store))
+    )
+
+    # retry of epoch 2 (successful-write retry): output is IDENTICAL
+    # — overwrite epochs + self-epoch-excluded history reads
+    before = _pair_rows(read_pairs(spark, inc_store))
+    pairstore_ingest_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 2), inc_store, batch_id=2
+    )
+    assert _pair_rows(read_pairs(spark, inc_store)) == before
+
+    # compaction folds epochs without changing the merged view
+    compact_pairstore(spark, inc_store)
+    assert _pair_rows(read_pairs(spark, inc_store)) == before
+    assert _cluster_rows(read_cluster_assignment(spark, inc_store)) == (
+        _cluster_rows(read_cluster_assignment(spark, batch_store))
+    )
+
+
+def test_stale_clusters_guard(spark, tmp_path):
+    store = str(tmp_path / "stale")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    build_pair_graph(spark, docs, store)
+    read_cluster_assignment(spark, store)  # fresh: fine
+    pairstore_ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(3, "alpha beta gamma delta zeta")], "doc_id long, text string"
+        ),
+        store,
+        batch_id=1,
+    )
+    with pytest.raises(ValueError, match="STALE"):
+        read_cluster_assignment(spark, store)
+    stale = read_cluster_assignment(spark, store, allow_stale=True)
+    assert stale.count() >= 0  # readable under the explicit opt-in
+    refresh_clusters(spark, store)
+    fresh = read_cluster_assignment(spark, store)
+    assert {r["doc"] for r in fresh.collect()} == {1, 2, 3}
+    assert {r["cluster"] for r in fresh.collect()} == {1}
+
+
+def test_params_guard_and_reserved_epoch(spark, tmp_path):
+    store = str(tmp_path / "guard")
+    docs = spark.createDataFrame(
+        [(1, "one two three four")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="not a pair store"):
+        read_pairs(spark, store + "_missing")
+    build_pair_graph(spark, docs, store, threshold=0.5)
+    with open(os.path.join(store, "_PAIRSTORE_PARAMS.json")) as f:
+        assert json.load(f)["threshold"] == 0.5
+    # a rebuild under a new threshold RE-STAMPS (build's prerogative)
+    build_pair_graph(spark, docs, store, threshold=0.2)
+    with open(os.path.join(store, "_PAIRSTORE_PARAMS.json")) as f:
+        assert json.load(f)["threshold"] == 0.2
+    with pytest.raises(ValueError, match="reserved"):
+        pairstore_ingest_batch(spark, docs, store, batch_id="base")
+
+
+def test_crash_recovery_restores_half_swapped_store(spark, tmp_path):
+    store = str(tmp_path / "crash")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    build_pair_graph(spark, docs, store)
+    want = _cluster_rows(read_cluster_assignment(spark, store))
+    # simulate a refresh crash between the two renames
+    cdir = os.path.join(store, "clusters")
+    os.rename(cdir, cdir + ".old")
+    assert _cluster_rows(read_cluster_assignment(spark, store)) == want
+
+
+def test_short_and_empty_docs(spark, tmp_path):
+    """Docs too short to shingle produce no signature row and no
+    pairs (q52's own contract); an empty corpus builds an empty but
+    readable store."""
+    store = str(tmp_path / "short")
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny"), (3, None)],
+        "doc_id long, text string",
+    )
+    build_pair_graph(spark, docs, store)
+    assert read_pairs(spark, store).count() == 0
+    assert read_cluster_assignment(spark, store).count() == 0
+
+    empty_store = str(tmp_path / "empty")
+    build_pair_graph(
+        spark,
+        spark.createDataFrame([], "doc_id long, text string"),
+        empty_store,
+    )
+    assert read_pairs(spark, empty_store).count() == 0
+
+
+def test_ingest_hot_bucket_cap_is_sized_and_overridable(spark, tmp_path):
+    """The ingest default guards template families (missing edges,
+    never wrong ones); cap=None restores exactness; a bad string
+    refuses. 80-member identical-shingle-set family: under 'auto'
+    (cap 65) the bucket drops out, so the family contributes no
+    edges; under None the family is a clique."""
+    base = " ".join(f"tok{w}" for w in range(40))
+    fam = spark.createDataFrame(
+        [(i, " ".join([base] * (i + 2))) for i in range(80)],
+        "doc_id long, text string",
+    )
+    seed = spark.createDataFrame(
+        [(1000, "completely unrelated seed document text here")],
+        "doc_id long, text string",
+    )
+
+    store_auto = str(tmp_path / "cap_auto")
+    build_pair_graph(spark, seed, store_auto)
+    pairstore_ingest_batch(spark, fam, store_auto, batch_id=1)
+    assert read_pairs(spark, store_auto).count() == 0
+
+    store_none = str(tmp_path / "cap_none")
+    build_pair_graph(spark, seed, store_none)
+    pairstore_ingest_batch(
+        spark, fam, store_none, batch_id=1, band_bucket_cap=None
+    )
+    assert read_pairs(spark, store_none).count() == 80 * 79 // 2
+
+    with pytest.raises(ValueError, match="band_bucket_cap"):
+        pairstore_ingest_batch(
+            spark, fam, store_auto, batch_id=2, band_bucket_cap="nope"
+        )
