@@ -1032,7 +1032,11 @@ def q182_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q183_neardup_triangles(
-    spark: SparkSession, sf_dir: str, *, max_degree: int | None | str = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_degree: int | None | str = None,
+    graph_dir: str | None = None,
 ) -> DataFrame:
     """Triangle count over the q52 near-dup pair graph — the standard
     graph-density health check on a dedup candidate graph (a clique-
@@ -1058,8 +1062,16 @@ def q183_neardup_triangles(
     kwarg: an int forwards the cap, ``"auto"`` sizes it from the edge
     count via graph_params_for (one count over the checkpointed edge
     list), ``None`` (default) keeps the oracle spelling unchanged. A
-    cap at or above the true max out-degree is provably exact."""
-    e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    cap at or above the true max out-degree is provably exact.
+    ``graph_dir`` (opt-in) reads the edge list from a materialized
+    operators/pairstore.py store instead of re-running LSH —
+    composable with ``max_degree``, same contract as q213."""
+    if graph_dir is not None:
+        from file_appender_spark.operators.pairstore import read_pairs
+
+        e = read_pairs(spark, graph_dir).select("d1", "d2")
+    else:
+        e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
     if max_degree is not None:
         from file_appender_spark.operators.graph import (
             graph_params_for,

@@ -253,3 +253,115 @@ def test_ingest_hot_bucket_cap_is_sized_and_overridable(spark, tmp_path):
         pairstore_ingest_batch(
             spark, fam, store_auto, batch_id=2, band_bucket_cap="nope"
         )
+
+
+def test_q183_graph_dir_equivalence(spark, sf_dir, built_store):
+    from file_appender_spark.queries.tranche5 import q183_neardup_triangles
+
+    want = tuple(q183_neardup_triangles(spark, sf_dir).collect()[0])
+    got = tuple(
+        q183_neardup_triangles(spark, sf_dir, graph_dir=built_store).collect()[0]
+    )
+    got_capped = tuple(
+        q183_neardup_triangles(
+            spark, sf_dir, graph_dir=built_store, max_degree="auto"
+        ).collect()[0]
+    )
+    assert got == want
+    assert got_capped == want
+
+
+def test_signature_plan_is_shuffle_free_and_joins_are_equi(spark):
+    """The store's scale contract, plan-asserted: the signature
+    projection's ONLY exchange is the deliberate batch spread
+    (_spread's round-robin repartition — everything expensive is
+    map-side after it), and the candidate+verify plan contains no
+    cartesian/nested-loop join."""
+    from file_appender_spark.operators.neardup_ingest import (
+        _band_pairs,
+        _bands_long,
+    )
+    from file_appender_spark.operators.pairstore import (
+        _new_side,
+        _old_side,
+        _verified_pairs,
+        pair_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon token{i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    sigs = pair_signatures(docs)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan  # the _spread only
+    assert "SortAggregate" not in plan and "HashAggregate" not in plan
+
+    bands = _bands_long(sigs, 4, "doc_id")
+    cand = _band_pairs(bands, bands, "doc_id", within_batch=True)
+    pairs = _verified_pairs(
+        cand, _new_side(sigs, "doc_id"), _old_side(sigs, "doc_id"), 0.2
+    )
+    pplan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pplan
+    assert "BroadcastNestedLoopJoin" not in pplan
+
+
+def test_pairstore_via_streaming_foreachbatch(spark, tmp_path):
+    """End-to-end streaming wiring: a parquet file stream drives
+    pairstore_ingest_batch through foreachBatch with the REAL epoch
+    ids on top of a batch-built base; after refresh, pairs and
+    clusters equal the one-shot build over the union — the
+    maintenance mode a 100 TB ingest actually runs."""
+    import glob
+    import shutil
+
+    schema = "doc_id long, text string"
+    base_txt = "alpha beta gamma delta epsilon zeta eta theta"
+    seed = [(1, base_txt), (2, base_txt + " iota")]
+    rows1 = [(10, base_txt + " kappa"), (11, "totally different words entirely here")]
+    rows2 = [(20, base_txt + " mu nu")]
+
+    src = tmp_path / "ps_incoming"
+    src.mkdir()
+
+    def add_file(rows, name):
+        tmp = str(tmp_path / f"_psstage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / name))
+
+    add_file(rows1, "b1.parquet")
+    add_file(rows2, "b2.parquet")
+
+    store = str(tmp_path / "ps_stream_store")
+    build_pair_graph(spark, spark.createDataFrame(seed, schema), store)
+
+    q = (
+        spark.readStream.format("parquet")
+        .schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .writeStream.foreachBatch(
+            lambda b, i: pairstore_ingest_batch(spark, b, store, batch_id=i)
+        )
+        .option("checkpointLocation", str(tmp_path / "ps_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    refresh_clusters(spark, store)
+
+    oneshot = str(tmp_path / "ps_oneshot")
+    build_pair_graph(
+        spark, spark.createDataFrame(seed + rows1 + rows2, schema), oneshot
+    )
+    assert _pair_rows(read_pairs(spark, store)) == _pair_rows(
+        read_pairs(spark, oneshot)
+    )
+    assert _cluster_rows(read_cluster_assignment(spark, store)) == (
+        _cluster_rows(read_cluster_assignment(spark, oneshot))
+    )
