@@ -173,11 +173,15 @@ def curate(
     n_image = None
     if image_mode != "off":
         from file_appender_spark.operators.imagehash import (
-            ahash_neardup_sized,
-            dhash_neardup_sized,
+            ahash_neardup_sized_with_report,
+            dhash_neardup_sized_with_report,
         )
 
-        sized = ahash_neardup_sized if image_mode == "ahash" else dhash_neardup_sized
+        sized = (
+            ahash_neardup_sized_with_report
+            if image_mode == "ahash"
+            else dhash_neardup_sized_with_report
+        )
         withp = d1.filter(F.col(payload_col).isNotNull()).select(
             "doc_id", F.sha2(F.col(payload_col), 256).alias("_ph")
         )
@@ -186,7 +190,9 @@ def curate(
             rep.select(F.col("_repid").alias("doc_id")), "doc_id"
         ).select("doc_id", payload_col)
         n_rep = reps.count()
-        ipairs = sized(
+        # pairs + truncation report from ONE checkpointed hash frame
+        # (the report must not cost a second payload decode pass)
+        ipairs, icapped = sized(
             reps,
             "doc_id",
             payload_col,
@@ -209,33 +215,13 @@ def curate(
         # truncation report (graph.capped_vertices discipline): a
         # bound cap makes the stage INEXACT for the dropped buckets'
         # members, and the funnel must say so rather than let the
-        # caller infer it. One re-pass over the rep payloads' band
-        # stack (4 rows/rep) — diagnostic-priced, pair-free.
-        if image_band_bucket_cap is not None:
-            from file_appender_spark.operators.imagehash import (
-                ahash_capped_buckets,
-                dhash_capped_buckets,
-            )
-
-            capped_fn = (
-                ahash_capped_buckets
-                if image_mode == "ahash"
-                else dhash_capped_buckets
-            )
-            row = (
-                capped_fn(
-                    reps,
-                    "doc_id",
-                    payload_col,
-                    n_items=max(n_rep, 2),
-                    band_bucket_cap=image_band_bucket_cap,
-                )
-                .agg(
-                    F.count("*").alias("nb"),
-                    F.coalesce(F.sum("n_in_bucket"), F.lit(0)).alias("nm"),
-                )
-                .collect()[0]
-            )
+        # caller infer it. Computed over the SAME checkpointed hash
+        # frame as the pairs (one aggregate over 4 band rows/rep).
+        if icapped is not None:
+            row = icapped.agg(
+                F.count("*").alias("nb"),
+                F.coalesce(F.sum("n_in_bucket"), F.lit(0)).alias("nm"),
+            ).collect()[0]
             # nm counts band MEMBERSHIPS (a rep in two hot buckets
             # counts twice) — the over-cap exposure, not distinct ids
             image_capped = {

@@ -275,15 +275,22 @@ def build_corpus_stats(
     path anyway, where each batch is scanned once per table at
     micro-batch size."""
     _recover(store_dir)
-    # a rebuild replaces all data, so it RE-STAMPS rather than checks:
-    # upgrading a store across tokenizer versions goes through here
-    _stamp_params(store_dir)
+    # a rebuild replaces all data, so it RE-STAMPS rather than checks
+    # (upgrading a store across tokenizer versions goes through here)
+    # — but only AFTER the new tables exist: stamp-then-wipe would
+    # leave old-tokenizer counts readable under the new stamp if the
+    # rebuild crashed in between (review finding r8). Wipe the stale
+    # stamp with the tables, so a mid-rebuild crash fails loudly.
+    old_stamp = os.path.join(store_dir, _PARAMS_FILE)
+    if os.path.exists(old_stamp):
+        os.remove(old_stamp)
     for d in _dirs(store_dir):
         if os.path.exists(d):
             shutil.rmtree(d)
     _write_batch(corpus_token_stats(docs), _token_dir(store_dir), "base")
     _write_batch(corpus_source_stats(docs), _source_dir(store_dir), "base")
     _write_batch(corpus_bigram_stats(docs), _bigram_dir(store_dir), "base")
+    _stamp_params(store_dir)
 
 
 def corpusstats_ingest_batch(

@@ -286,7 +286,9 @@ def ahash_capped_buckets(
     band_bucket_cap: int | None | str = "auto",
 ) -> DataFrame:
     """The truncation report matching ahash_neardup_sized's exact cap
-    and grid resolution (same n_items => same buckets dropped)."""
+    and grid resolution (same n_items => same buckets dropped).
+    Standalone form — recomputes the hash; callers that also need the
+    pairs should use ahash_neardup_sized_with_report (shared decode)."""
     return _capped_buckets_sized(
         ahash_wide, df, id_col, payload_col, n_items, band_bucket_cap
     )
@@ -302,6 +304,58 @@ def dhash_capped_buckets(
     """dHash twin of ahash_capped_buckets (dhash_neardup_sized's cap)."""
     return _capped_buckets_sized(
         dhash_wide, df, id_col, payload_col, n_items, band_bucket_cap
+    )
+
+
+def _neardup_sized_with_report(
+    wide_fn,
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_items: int,
+    max_hamming: int,
+    band_bucket_cap: int | None | str,
+) -> tuple[DataFrame, DataFrame | None]:
+    """(pairs, truncation report) from ONE checkpointed wide hash
+    frame — the report shares the expensive per-payload decode with
+    the dedup join instead of recomputing it (review finding r8:
+    curate's funnel report was a second full hash pass). Report is
+    None when the guard is disabled (nothing can truncate)."""
+    grid = ahash_params_for(n_items)
+    cap = _resolve_cap(band_bucket_cap, n_items, grid)
+    wide = wide_fn(df, id_col, payload_col, grid).localCheckpoint(eager=True)
+    pairs = _neardup_from_wide(wide, id_col, max_hamming, cap)
+    report = (
+        capped_band_buckets(wide, id_col, cap) if cap is not None else None
+    )
+    return pairs, report
+
+
+def ahash_neardup_sized_with_report(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_items: int,
+    max_hamming: int = 8,
+    band_bucket_cap: int | None | str = "auto",
+) -> tuple[DataFrame, DataFrame | None]:
+    """ahash_neardup_sized plus its truncation report, decode shared."""
+    return _neardup_sized_with_report(
+        ahash_wide, df, id_col, payload_col, n_items, max_hamming, band_bucket_cap
+    )
+
+
+def dhash_neardup_sized_with_report(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_items: int,
+    max_hamming: int = 8,
+    band_bucket_cap: int | None | str = "auto",
+) -> tuple[DataFrame, DataFrame | None]:
+    """dhash_neardup_sized plus its truncation report, decode shared."""
+    return _neardup_sized_with_report(
+        dhash_wide, df, id_col, payload_col, n_items, max_hamming, band_bucket_cap
     )
 
 

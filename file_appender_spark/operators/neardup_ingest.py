@@ -577,17 +577,12 @@ def textdup_ingest_batch(
     )
     sigs = _minhash_sig_frame(batch, id_col, text_col).localCheckpoint(eager=True)
     bands = _bands_long(sigs, n_bands, id_col)
-    if band_bucket_cap == "auto":
-        # MinHash band space is effectively unbounded (four 32-bit
-        # slots), so the policy is the pure candidate budget — but
-        # resolve it against the store size anyway so the call sites
-        # stay uniform with the SRP/image modalities
-        n_items = sigs.count() + _store_row_count(store_dir)
-        band_bucket_cap = _resolve_ingest_cap(
-            "auto", n_items, n_bands, bucket_space_bits=None
-        )
-    else:
-        band_bucket_cap = _resolve_ingest_cap(band_bucket_cap, 2, n_bands, None)
+    # MinHash band space is effectively unbounded (four 32-bit slots),
+    # so the sized policy is the count-free candidate budget — no
+    # batch count, no store-size lookup (unlike the SRP/image
+    # modalities, whose finite band spaces make the expected-
+    # population floor count-dependent)
+    band_bucket_cap = _resolve_ingest_cap(band_bucket_cap, 2, n_bands, None)
 
     est_jacc = (
         F.aggregate(

@@ -269,7 +269,13 @@ def build_pair_graph(
     from pyspark import StorageLevel
 
     _recover(store_dir)
-    _stamp_params(store_dir, threshold)
+    # wipe FIRST, stamp params only after the new tables exist: a
+    # crash mid-rebuild must leave a store that fails LOUDLY (missing
+    # tables / missing stamp), never old-threshold pairs readable
+    # under a new-threshold stamp (review finding r8)
+    params_path = os.path.join(store_dir, _PARAMS_FILE)
+    if os.path.exists(params_path):
+        os.remove(params_path)
     for d in (_sigs_dir(store_dir), _pairs_dir(store_dir), _clusters_dir(store_dir)):
         if os.path.exists(d):
             shutil.rmtree(d)
@@ -280,7 +286,10 @@ def build_pair_graph(
     sigs = pair_signatures(docs, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cap = _resolve_ingest_cap(band_bucket_cap, max(sigs.count(), 2), 4, None)
+    # the MinHash band space is unbounded (bucket_space_bits=None), so
+    # the sized cap is count-free — no sigs.count() forced here, and
+    # the default (None) pays nothing at all
+    cap = _resolve_ingest_cap(band_bucket_cap, 2, 4, None)
     bands = _bands_long(sigs, 4, id_col)
     # within_batch=True emits every unordered candidate pair exactly
     # once (larger id on the new side) — the full self-join
@@ -291,6 +300,7 @@ def build_pair_graph(
     _write_epoch(sigs, _sigs_dir(store_dir), "base")
     _write_epoch(pairs, _pairs_dir(store_dir), "base")
     sigs.unpersist()
+    _stamp_params(store_dir, threshold)  # only once the data it describes exists
     refresh_clusters(spark, store_dir)
 
 
@@ -335,12 +345,11 @@ def pairstore_ingest_batch(
         .filter(F.col("batch").cast("string") != str(batch_id))
         .drop("batch")
     )
-    cap = _resolve_ingest_cap(
-        band_bucket_cap,
-        sigs.count() + _store_epoch_rows(_sigs_dir(store_dir), str(batch_id)),
-        4,
-        None,
-    )
+    # MinHash bands pass bucket_space_bits=None, so the sized cap is
+    # the count-free candidate budget (65) — no batch count, no
+    # per-ingest footer walk (review finding r8: the counts were dead
+    # arguments on this path)
+    cap = _resolve_ingest_cap(band_bucket_cap, 2, 4, None)
     new_vs_hist = _band_pairs(
         bands,
         _bands_long(hist, 4, id_col),
@@ -361,27 +370,6 @@ def pairstore_ingest_batch(
     _write_epoch(sigs, _sigs_dir(store_dir), str(batch_id))
 
 
-def _store_epoch_rows(table_dir: str, exclude_batch: str) -> int:
-    """History row count from parquet footers (no Spark job, the
-    r7-advice discipline), excluding the current epoch's partition
-    (a retry must size its cap exactly like the first attempt)."""
-    import pyarrow.parquet as pq
-
-    if not os.path.isdir(table_dir):
-        return 0
-    total = 0
-    for part in os.listdir(table_dir):
-        pdir = os.path.join(table_dir, part)
-        if not part.startswith("batch=") or not os.path.isdir(pdir):
-            continue
-        if part == f"batch={exclude_batch}":
-            continue
-        for f in os.listdir(pdir):
-            if f.endswith(".parquet") and not f.startswith((".", "_")):
-                total += pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
-    return total
-
-
 def _epoch_ids(table_dir: str) -> list[str]:
     if not os.path.isdir(table_dir):
         return []
@@ -392,14 +380,23 @@ def _epoch_ids(table_dir: str) -> list[str]:
     )
 
 
-def read_pairs(spark: SparkSession, store_dir: str) -> DataFrame:
+def read_pairs(
+    spark: SparkSession,
+    store_dir: str,
+    *,
+    expected_threshold: float | None = None,
+) -> DataFrame:
     """(d1, d2, jaccard): the merged pair view — a union of epoch
     partitions, no recompute. Each unordered pair lives in exactly
     one epoch (the one its newer member arrived in), so no cross-
     epoch dedup is needed; runs crash recovery first like every
-    store reader."""
+    store reader. ``expected_threshold`` makes a caller's pair-
+    definition assumption LOUD: a store built at a different
+    threshold is a different graph, and oracle-parity consumers
+    (q116/q183/q213 pass q52's 0.2) must refuse it rather than
+    silently serve it."""
     _recover(store_dir)
-    _check_params(store_dir, None)
+    _check_params(store_dir, expected_threshold)
     return (
         spark.read.option("basePath", _pairs_dir(store_dir))
         .parquet(_pairs_dir(store_dir))
@@ -446,16 +443,21 @@ def refresh_clusters(spark: SparkSession, store_dir: str) -> None:
 
 
 def read_cluster_assignment(
-    spark: SparkSession, store_dir: str, *, allow_stale: bool = False
+    spark: SparkSession,
+    store_dir: str,
+    *,
+    allow_stale: bool = False,
+    expected_threshold: float | None = None,
 ) -> DataFrame:
     """(doc, cluster) for every document that has at least one pair —
     singletons are absent (consumers coalesce doc_id, exactly like
     q116's left join). Refuses a STALE assignment — pair epochs the
     materialization has not folded in would mean silently serving
     merged-away clusters — unless ``allow_stale=True``; the fix is
-    one refresh_clusters call."""
+    one refresh_clusters call. ``expected_threshold`` as in
+    read_pairs (q116 passes q52's 0.2)."""
     _recover(store_dir)
-    _check_params(store_dir, None)
+    _check_params(store_dir, expected_threshold)
     state = os.path.join(store_dir, _CLUSTERS_STATE)
     if not os.path.exists(state):
         raise ValueError(
@@ -479,13 +481,24 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
     ``base`` partitions with sized output files — long-running ingest
     otherwise pays ever-growing file listing on every history join.
     Writer paused by contract (one sequential writer by design);
-    crash-safe two-rename swap per table; the cluster coverage stamp
-    is rewritten to the folded epoch list (content is unchanged, so
-    a fresh refresh is NOT needed)."""
+    crash-safe two-rename swap per table. The cluster coverage stamp
+    is rewritten to the folded epoch list ONLY when the assignment
+    was fresh going in (content unchanged => still fresh); a stale
+    assignment stays stale (empty coverage), because folding epochs
+    into ``base`` must never launder away the staleness the read
+    guard exists to catch (review finding r8)."""
     from file_appender_spark.operators.layout import dir_bytes, plan_file_count
 
     _recover(store_dir)
     _check_params(store_dir, None)
+    state = os.path.join(store_dir, _CLUSTERS_STATE)
+    clusters_were_fresh = False
+    if os.path.exists(state):
+        with open(state) as f:
+            covers = set(json.load(f)["covers"])
+        clusters_were_fresh = not (
+            set(_epoch_ids(_pairs_dir(store_dir))) - covers
+        )
     for d in (_sigs_dir(store_dir), _pairs_dir(store_dir)):
         merged = spark.read.option("basePath", d).parquet(d).drop("batch")
         tmp = d.rstrip("/") + ".compacting"
@@ -501,9 +514,12 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
         os.rename(d, old)
         os.rename(tmp, d)
         shutil.rmtree(old)
-    state = os.path.join(store_dir, _CLUSTERS_STATE)
     if os.path.exists(state):
         stmp = state + ".tmp"
         with open(stmp, "w") as f:
-            json.dump({"covers": ["base"]}, f, sort_keys=True)
+            json.dump(
+                {"covers": ["base"] if clusters_were_fresh else []},
+                f,
+                sort_keys=True,
+            )
         os.replace(stmp, state)

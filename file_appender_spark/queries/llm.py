@@ -1256,9 +1256,11 @@ def q116_dedup_clusters(
             read_cluster_assignment,
         )
 
-        cl = read_cluster_assignment(spark, graph_dir).select(
-            F.col("doc").alias("doc_id"), "cluster"
-        )
+        # q52's verify threshold — a store built at any other
+        # threshold is a DIFFERENT graph and must refuse loudly
+        cl = read_cluster_assignment(
+            spark, graph_dir, expected_threshold=0.2
+        ).select(F.col("doc").alias("doc_id"), "cluster")
     else:
         from file_appender_spark.operators.components import dedup_clusters
 

@@ -482,7 +482,10 @@ def q213_clustering_coefficient(
     if graph_dir is not None:
         from file_appender_spark.operators.pairstore import read_pairs
 
-        e = read_pairs(spark, graph_dir).select("d1", "d2")
+        # q52's verify threshold — any other store refuses loudly
+        e = read_pairs(spark, graph_dir, expected_threshold=0.2).select(
+            "d1", "d2"
+        )
     else:
         e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
     if max_degree is not None:

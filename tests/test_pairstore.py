@@ -365,3 +365,69 @@ def test_pairstore_via_streaming_foreachbatch(spark, tmp_path):
     assert _cluster_rows(read_cluster_assignment(spark, store)) == (
         _cluster_rows(read_cluster_assignment(spark, oneshot))
     )
+
+
+def test_compaction_never_launders_staleness(spark, tmp_path):
+    """Review finding r8: folding epochs into base must not turn a
+    STALE cluster assignment into a fresh-looking one — after
+    build -> ingest (stale) -> compact, the read still refuses until
+    refresh_clusters runs."""
+    store = str(tmp_path / "launder")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    build_pair_graph(spark, docs, store)
+    pairstore_ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(3, "alpha beta gamma delta zeta")], "doc_id long, text string"
+        ),
+        store,
+        batch_id=1,
+    )
+    compact_pairstore(spark, store)
+    with pytest.raises(ValueError, match="STALE"):
+        read_cluster_assignment(spark, store)
+    refresh_clusters(spark, store)
+    assert {r["doc"] for r in read_cluster_assignment(spark, store).collect()} == {
+        1,
+        2,
+        3,
+    }
+
+
+def test_crash_mid_rebuild_fails_loudly(spark, tmp_path):
+    """Review finding r8: the params stamp is written only after the
+    tables it describes exist, so a store caught mid-rebuild (no
+    stamp) refuses reads and ingest instead of serving old-threshold
+    pairs under a new-threshold stamp."""
+    store = str(tmp_path / "midbuild")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    build_pair_graph(spark, docs, store)
+    os.remove(os.path.join(store, "_PAIRSTORE_PARAMS.json"))  # the crash window
+    with pytest.raises(ValueError, match="not a pair store"):
+        read_pairs(spark, store)
+    with pytest.raises(ValueError, match="not a pair store"):
+        pairstore_ingest_batch(spark, docs, store, batch_id=1)
+
+
+def test_consumers_refuse_foreign_threshold_store(spark, sf_dir, tmp_path):
+    """Review finding r8: the graph_dir paths pass q52's 0.2 to the
+    params guard — a store built at another threshold is a DIFFERENT
+    graph and must refuse loudly, not silently serve."""
+    from file_appender_spark.queries.llm import q116_dedup_clusters
+    from file_appender_spark.queries.tranche8 import q213_clustering_coefficient
+
+    store = str(tmp_path / "foreign")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    build_pair_graph(spark, docs, store, threshold=0.7)
+    with pytest.raises(ValueError, match="different graphs"):
+        q116_dedup_clusters(spark, sf_dir, graph_dir=store).collect()
+    with pytest.raises(ValueError, match="different graphs"):
+        q213_clustering_coefficient(spark, sf_dir, graph_dir=store).collect()
