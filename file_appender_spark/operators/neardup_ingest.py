@@ -403,6 +403,42 @@ def _resolve_ingest_cap(
     return band_bucket_cap
 
 
+def store_hot_buckets(
+    spark: SparkSession,
+    store_dir: str,
+    band_bucket_cap: int,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(band, sig, n_in_bucket) for every signature-store band bucket
+    whose population exceeds the cap — the truncation report for the
+    ingest stores' hot-bucket guard (the graph.capped_vertices /
+    imagehash.capped_band_buckets discipline applied to the
+    long-lived stores, now that the guard defaults on): candidates
+    from these buckets are being DROPPED, so their new members are
+    admitted unverified, and an operator deserves to see which
+    buckets those are instead of inferring it. Works on any of the
+    three modalities' stores (they share the b0..b3 band layout) and
+    on the pair store's partitioned sigs table (pass its ``sigs``
+    dir; the partition column is ignored). One groupBy over the
+    4-rows-per-item band stack; no pair work, no payloads."""
+    if band_bucket_cap < 1:
+        raise ValueError(f"band_bucket_cap must be >= 1, got {band_bucket_cap}")
+    _recover_store(store_dir)
+    hist = spark.read.parquet(store_dir)
+    stacked = hist.select(
+        F.expr(
+            f"stack({n_bands}, "
+            + ", ".join(f"{bi}, b{bi}" for bi in range(n_bands))
+            + ") AS (band, sig)"
+        )
+    )
+    return (
+        stacked.groupBy("band", "sig")
+        .agg(F.count("*").cast("long").alias("n_in_bucket"))
+        .filter(F.col("n_in_bucket") > band_bucket_cap)
+    )
+
+
 def _store_row_count(store_dir: str) -> int:
     """Store row count from parquet FOOTER metadata — zero Spark
     jobs, zero data read. The signature stores live on a local

@@ -939,3 +939,39 @@ def test_ingest_band_bucket_cap_policy():
         ingest_band_bucket_cap_for(10, n_bands=0)
     with _pytest.raises(ValueError, match="target_pairs_per_item"):
         ingest_band_bucket_cap_for(10, target_pairs_per_item=1)
+
+
+def test_store_hot_buckets_report(spark, tmp_path):
+    """The long-lived stores' truncation report: after the auto cap
+    admits an over-cap template family unverified, store_hot_buckets
+    names exactly the buckets whose candidates are being dropped —
+    and reports nothing for an organic store."""
+    from file_appender_spark.operators.neardup_ingest import (
+        store_hot_buckets,
+        textdup_ingest_batch,
+    )
+
+    base = " ".join(f"tmpl{w}" for w in range(40))
+    fam = spark.createDataFrame(
+        [(i, " ".join([base] * (i + 2))) for i in range(80)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "hot_store")
+    textdup_ingest_batch(spark, fam, store)  # auto cap -> all admitted
+    rep = store_hot_buckets(spark, store, band_bucket_cap=65).collect()
+    assert len(rep) == 4  # one identical-signature bucket per band
+    assert all(r["n_in_bucket"] == 80 for r in rep)
+
+    organic = spark.createDataFrame(
+        [(100 + i, f"totally distinct words {i} " + " ".join(
+            f"u{i}w{j}" for j in range(10))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    store2 = str(tmp_path / "organic_store")
+    textdup_ingest_batch(spark, organic, store2)
+    assert store_hot_buckets(spark, store2, band_bucket_cap=65).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="band_bucket_cap"):
+        store_hot_buckets(spark, store, band_bucket_cap=0)

@@ -431,3 +431,23 @@ def test_consumers_refuse_foreign_threshold_store(spark, sf_dir, tmp_path):
         q116_dedup_clusters(spark, sf_dir, graph_dir=store).collect()
     with pytest.raises(ValueError, match="different graphs"):
         q213_clustering_coefficient(spark, sf_dir, graph_dir=store).collect()
+
+
+def test_store_hot_buckets_works_on_pairstore_sigs(spark, tmp_path):
+    """The shared truncation diagnostic reads the pair store's
+    partitioned sigs table too (same b0..b3 layout; partition column
+    ignored)."""
+    from file_appender_spark.operators.neardup_ingest import store_hot_buckets
+
+    base = " ".join(f"tok{w}" for w in range(40))
+    fam = spark.createDataFrame(
+        [(i, " ".join([base] * (i + 2))) for i in range(80)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "ps_hot")
+    build_pair_graph(spark, fam, store)  # exact build stores everyone
+    rep = store_hot_buckets(
+        spark, os.path.join(store, "sigs"), band_bucket_cap=65
+    ).collect()
+    assert len(rep) == 4
+    assert all(r["n_in_bucket"] == 80 for r in rep)
