@@ -404,6 +404,39 @@ def read_pairs(
     )
 
 
+def q52_edges(
+    spark: SparkSession, sf_dir: str, graph_dir: str | None = None
+) -> DataFrame:
+    """(d1, d2, jaccard): q52's verified pair set — from the
+    materialized store when ``graph_dir`` is given (threshold-guarded
+    at q52's 0.2, so a foreign store refuses loudly), else the
+    recompute spelling. The ONE dispatch every graph_dir consumer
+    shares, so the store/recompute choice can never drift per-query."""
+    if graph_dir is not None:
+        return read_pairs(spark, graph_dir, expected_threshold=0.2)
+    from file_appender_spark.queries.llm import q52_minhash_lsh
+
+    return q52_minhash_lsh(spark, sf_dir)
+
+
+def q52_clusters(
+    spark: SparkSession, sf_dir: str, graph_dir: str | None = None
+) -> DataFrame:
+    """(doc, cluster) for every document with at least one q52 pair
+    (singletons absent — consumers coalesce, q116's contract): the
+    materialized assignment when ``graph_dir`` is given, else
+    LSH + connected components recomputed."""
+    if graph_dir is not None:
+        return read_cluster_assignment(
+            spark, graph_dir, expected_threshold=0.2
+        ).select("doc", "cluster")
+    from file_appender_spark.operators.components import dedup_clusters
+
+    return dedup_clusters(
+        q52_edges(spark, sf_dir).select("d1", "d2")
+    ).select("doc", "cluster")
+
+
 def refresh_clusters(spark: SparkSession, store_dir: str) -> None:
     """Recompute the materialized (doc, cluster) assignment over ALL
     pair epochs and stamp the coverage. CC runs over the PAIR table

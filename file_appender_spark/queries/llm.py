@@ -1250,24 +1250,12 @@ def q116_dedup_clusters(
     re-running LSH + CC over the corpus; the store must be built
     from the same documents at q52's threshold (0.2, the build
     default). Equivalence pinned in tests/test_pairstore.py."""
+    from file_appender_spark.operators.pairstore import q52_clusters
+
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    if graph_dir is not None:
-        from file_appender_spark.operators.pairstore import (
-            read_cluster_assignment,
-        )
-
-        # q52's verify threshold — a store built at any other
-        # threshold is a DIFFERENT graph and must refuse loudly
-        cl = read_cluster_assignment(
-            spark, graph_dir, expected_threshold=0.2
-        ).select(F.col("doc").alias("doc_id"), "cluster")
-    else:
-        from file_appender_spark.operators.components import dedup_clusters
-
-        pairs = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
-        cl = dedup_clusters(pairs).select(
-            F.col("doc").alias("doc_id"), "cluster"
-        )
+    cl = q52_clusters(spark, sf_dir, graph_dir).select(
+        F.col("doc").alias("doc_id"), "cluster"
+    )
     return docs.join(cl, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster", F.col("doc_id")).alias("cluster_id"),
@@ -1649,7 +1637,9 @@ def q136_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sizes GROUP BY cluster_size
     """,
 )
-def q144_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q144_cluster_sizes(
+    spark: SparkSession, sf_dir: str, *, graph_dir: str | None = None
+) -> DataFrame:
     """Dedup savings report: the near-dup cluster-size histogram with
     the removable-document count per size (cluster of k keeps 1,
     frees k-1) — the number a curation run quotes as "dedup would
@@ -1657,11 +1647,12 @@ def q144_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle composes the same recursive closure.
 
     Scale: everything after the q52 pair generation operates on the
-    cluster table (|docs| rows collapsing to |sizes| groups)."""
-    from file_appender_spark.operators.components import dedup_clusters
+    cluster table (|docs| rows collapsing to |sizes| groups).
+    ``graph_dir`` (opt-in) reads the materialized assignment from the
+    operators/pairstore.py store instead of re-running LSH + CC."""
+    from file_appender_spark.operators.pairstore import q52_clusters
 
-    pairs = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
-    cl = dedup_clusters(pairs)
+    cl = q52_clusters(spark, sf_dir, graph_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     clusters = docs.join(
         cl.select(F.col("doc").alias("doc_id"), "cluster"), "doc_id", "left"

@@ -1161,7 +1161,9 @@ def q121_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q122_retention_funnel",
     None,  # oracle registered below via llm's composed CTEs
 )
-def q122_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q122_retention_funnel(
+    spark: SparkSession, sf_dir: str, *, graph_dir: str | None = None
+) -> DataFrame:
     """Per-source dedup retention funnel: documents in, survivors
     after exact dedup (global min-id-per-sha256 keep), survivors
     after near-dup suppression (drop any doc appearing as the larger
@@ -1175,8 +1177,10 @@ def q122_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: exact-keep is q50's hash groupBy; the near-dup drop list
     is a semi-join against q52's pair output (banded LSH, linear
-    candidates); the funnel itself is one groupBy on source."""
-    from file_appender_spark.queries.llm import q52_minhash_lsh
+    candidates); the funnel itself is one groupBy on source.
+    ``graph_dir`` (opt-in) reads the pairs from the materialized
+    operators/pairstore.py store instead of re-running LSH."""
+    from file_appender_spark.operators.pairstore import q52_edges
 
     d = _t(spark, sf_dir, "documents")
     keep_exact = (
@@ -1185,7 +1189,7 @@ def q122_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    near_drop = q52_minhash_lsh(spark, sf_dir).select(
+    near_drop = q52_edges(spark, sf_dir, graph_dir).select(
         F.col("d2").alias("doc_id")
     ).distinct()
     flagged = (

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from file_appender_spark.queries.llm import _Q52_CTES, _Q52_FINAL, q52_minhash_lsh
+from file_appender_spark.queries.llm import _Q52_CTES, _Q52_FINAL
 from file_appender_spark.queries.registry import register
 from file_appender_spark.queries.tpch_extra import _t
 
@@ -453,7 +453,9 @@ def q225_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM moms
     """,
 )
-def q226_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q226_degree_powerlaw(
+    spark: SparkSession, sf_dir: str, *, graph_dir: str | None = None
+) -> DataFrame:
     """Power-law exponent of the near-dup graph's degree distribution:
     OLS slope over the log-log degree histogram (q198's floor-scaled
     log discipline — each ln quantized to a 1e-4 integer before the
@@ -466,7 +468,9 @@ def q226_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by max degree, not vertices); the two count scalars ride
     1-row broadcasts. Guarded NULL when fewer than two degree levels
     exist."""
-    e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    from file_appender_spark.operators.pairstore import q52_edges
+
+    e = q52_edges(spark, sf_dir, graph_dir).select("d1", "d2")
     und = e.select(F.col("d1").alias("v")).unionAll(e.select(F.col("d2").alias("v")))
     deg = und.groupBy("v").agg(F.count("*").cast("long").alias("k"))
     hist = deg.groupBy("k").agg(F.count("*").cast("long").alias("nk"))

@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from file_appender_spark.queries.llm import (
     _Q52_CTES,
     _Q52_FINAL,
-    q52_minhash_lsh,
     q116_dedup_clusters,
 )
 from file_appender_spark.queries.registry import register
@@ -99,7 +98,9 @@ from file_appender_spark.queries.tpch_extra import _t
     FROM n
     """,
 )
-def q235_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q235_cluster_purity(
+    spark: SparkSession, sf_dir: str, *, graph_dir: str | None = None
+) -> DataFrame:
     """Purity and NMI of the q116 near-dup clustering against source
     labels: purity = majority-source mass / n; NMI = I(C;S) /
     sqrt(H(C) H(S)) (Strehl & Ghosh 2002). Every MI/entropy term is
@@ -112,7 +113,9 @@ def q235_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregates bounded by clusters x sources; the
     three term sums and the final row are scalar-sized. Oracle
     composes the SAME q52 CTEs + recursive closure."""
-    asg = q116_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    asg = q116_dedup_clusters(spark, sf_dir, graph_dir=graph_dir).select(
+        "doc_id", "cluster_id"
+    )
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     joint = (
         asg.join(docs, "doc_id")
@@ -245,7 +248,9 @@ def q235_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM mom
     """,
 )
-def q236_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q236_degree_assortativity(
+    spark: SparkSession, sf_dir: str, *, graph_dir: str | None = None
+) -> DataFrame:
     """Degree assortativity (Newman 2002) of the q52 near-dup graph:
     Pearson r of endpoint degrees over symmetrized edges — exact
     BIGINT moments (degrees are integers), one guarded IEEE r.
@@ -256,7 +261,9 @@ def q236_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: degrees are one map-side-combined groupBy of the doubled
     edge list; the degree attach is two equi-joins edge->vertex; the
     moment aggregate is one row. Nothing vertex-quadratic."""
-    e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    from file_appender_spark.operators.pairstore import q52_edges
+
+    e = q52_edges(spark, sf_dir, graph_dir).select("d1", "d2")
     und = e.select(F.col("d1").alias("v")).unionAll(e.select(F.col("d2").alias("v")))
     deg = und.groupBy("v").agg(F.count("*").cast("long").alias("k"))
     da = deg.select(F.col("v").alias("d1"), F.col("k").alias("ka"))

@@ -36,7 +36,6 @@ from file_appender_spark.queries.llm import (
     _lang_scores_sql,
     lang_marker_score_cols,
     lang_pred_expr,
-    q52_minhash_lsh,
 )
 from file_appender_spark.queries.registry import register
 from file_appender_spark.queries.tpch_extra import _t
@@ -63,7 +62,9 @@ from file_appender_spark.queries.tpch_extra import _t
     FROM binned
     """,
 )
-def q241_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q241_threshold_sweep(
+    spark: SparkSession, sf_dir: str, *, graph_dir: str | None = None
+) -> DataFrame:
     """Threshold sensitivity of the q52 near-dup pipeline: pair mass
     per Jaccard decile plus the cumulative pairs retained at each
     threshold — computed in ONE pass over the pair list, so choosing
@@ -73,7 +74,9 @@ def q241_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: inherits q52's banded candidate generation; the sweep adds
     one bucket aggregate and a bounded window."""
-    pairs = q52_minhash_lsh(spark, sf_dir).select("jaccard")
+    from file_appender_spark.operators.pairstore import q52_edges
+
+    pairs = q52_edges(spark, sf_dir, graph_dir).select("jaccard")
     binned = pairs.groupBy(
         F.floor(F.col("jaccard") * 10).cast("long").alias("decile")
     ).agg(F.count("*").cast("long").alias("n_pairs"))

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from file_appender_spark.queries.llm import (
     _Q52_CTES,
     _Q52_FINAL,
-    q52_minhash_lsh,
 )
 from file_appender_spark.queries.registry import register
 from file_appender_spark.queries.tpch_extra import _t
@@ -59,7 +58,9 @@ from file_appender_spark.queries.tpch_extra import _t
     FROM per WHERE n_dup_docs > 0
     """,
 )
-def q254_source_dup_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q254_source_dup_exposure(
+    spark: SparkSession, sf_dir: str, *, graph_dir: str | None = None
+) -> DataFrame:
     """Share of each source's documents that sit in at least one q52
     near-dup pair — the per-source acquisition league table (q217
     says WHICH source pairs overlap; this says how much of EACH
@@ -69,7 +70,9 @@ def q254_source_dup_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: q52's banded pairs collapse to a distinct doc set (bounded
     by documents, not pairs); one left join on doc_id + one source
     rollup. Shares q52's CTEs verbatim with the whole dedup family."""
-    pairs = q52_minhash_lsh(spark, sf_dir)
+    from file_appender_spark.operators.pairstore import q52_edges
+
+    pairs = q52_edges(spark, sf_dir, graph_dir)
     dup_docs = (
         pairs.select(F.col("d1").alias("doc_id"))
         .unionAll(pairs.select(F.col("d2").alias("doc_id")))

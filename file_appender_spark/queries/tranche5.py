@@ -32,7 +32,6 @@ from file_appender_spark.queries.llm import (
     _Q52_CTES,
     _Q52_FINAL,
     _WS,
-    q52_minhash_lsh,
 )
 from file_appender_spark.queries.mining import _Q154_W_SQL, _gram_sql, qs_score_sum
 from file_appender_spark.queries.registry import register
@@ -85,7 +84,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     FROM ranked WHERE rn = 1
     """,
 )
-def q164_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q164_cluster_representatives(
+    spark: SparkSession, sf_dir: str, *, graph_dir: str | None = None
+) -> DataFrame:
     """Quality-aware dedup representative selection: q116's transitive
     near-dup clusters, but the kept copy per cluster is the one the
     q154 model scorer likes BEST (ties break to the lower doc_id) —
@@ -97,11 +98,12 @@ def q164_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: clusters from the banded-LSH pair graph (large/small-star
     CC, O(log n) rounds); scoring is a zero-shuffle per-row fold; the
     representative argmax is one groupBy on cluster_id — no step sees
-    a pair explosion or a driver loop."""
-    from file_appender_spark.operators.components import dedup_clusters
+    a pair explosion or a driver loop. ``graph_dir`` (opt-in) reads
+    the materialized assignment from the pairstore instead of
+    re-running LSH + CC."""
+    from file_appender_spark.operators.pairstore import q52_clusters
 
-    pairs = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
-    cl = dedup_clusters(pairs)
+    cl = q52_clusters(spark, sf_dir, graph_dir)
     d = _t(spark, sf_dir, "documents")
     w = F.split("text", _WS)
     sc = d.filter(F.size(w) >= 1).select(
@@ -1066,15 +1068,9 @@ def q183_neardup_triangles(
     ``graph_dir`` (opt-in) reads the edge list from a materialized
     operators/pairstore.py store instead of re-running LSH —
     composable with ``max_degree``, same contract as q213."""
-    if graph_dir is not None:
-        from file_appender_spark.operators.pairstore import read_pairs
+    from file_appender_spark.operators.pairstore import q52_edges
 
-        # q52's verify threshold — any other store refuses loudly
-        e = read_pairs(spark, graph_dir, expected_threshold=0.2).select(
-            "d1", "d2"
-        )
-    else:
-        e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    e = q52_edges(spark, sf_dir, graph_dir).select("d1", "d2")
     if max_degree is not None:
         from file_appender_spark.operators.graph import (
             graph_params_for,

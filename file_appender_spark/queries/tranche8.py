@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from file_appender_spark.operators.textstats import ngrams
-from file_appender_spark.queries.llm import _WS, q52_minhash_lsh
+from file_appender_spark.queries.llm import _WS
 from file_appender_spark.queries.mining import _gram_sql
 from file_appender_spark.queries.registry import register
 from file_appender_spark.queries.tpch_extra import _t
@@ -479,15 +479,9 @@ def q213_clustering_coefficient(
     q52's 0.2 threshold) instead of re-running LSH — composable with
     ``max_degree`` (store edges + capped enumeration is the full
     production shape)."""
-    if graph_dir is not None:
-        from file_appender_spark.operators.pairstore import read_pairs
+    from file_appender_spark.operators.pairstore import q52_edges
 
-        # q52's verify threshold — any other store refuses loudly
-        e = read_pairs(spark, graph_dir, expected_threshold=0.2).select(
-            "d1", "d2"
-        )
-    else:
-        e = q52_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    e = q52_edges(spark, sf_dir, graph_dir).select("d1", "d2")
     if max_degree is not None:
         from file_appender_spark.operators.graph import (
             clustering_coefficients,

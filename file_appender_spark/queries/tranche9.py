@@ -447,7 +447,9 @@ def q218_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sizes, tot GROUP BY sz, n_docs_total
     """,
 )
-def q219_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q219_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str, *, graph_dir: str | None = None
+) -> DataFrame:
     """Cluster-size histogram over q116's transitive near-dup
     clusters: how many clusters of each size, how many documents they
     hold, and their corpus share — the dedup-savings planning curve
@@ -459,7 +461,9 @@ def q219_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster sizes, then size counts); the total is a 1-row broadcast
     derived from the same frame. Oracle composes the SAME q52 CTEs +
     recursive closure as q116, so the definitions cannot drift."""
-    asg = q116_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    asg = q116_dedup_clusters(spark, sf_dir, graph_dir=graph_dir).select(
+        "doc_id", "cluster_id"
+    )
     sizes = asg.groupBy("cluster_id").agg(F.count("*").cast("long").alias("sz"))
     tot = asg.agg(F.count("*").cast("long").alias("n_docs_total"))
     return (

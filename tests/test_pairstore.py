@@ -451,3 +451,36 @@ def test_store_hot_buckets_works_on_pairstore_sigs(spark, tmp_path):
     ).collect()
     assert len(rep) == 4
     assert all(r["n_in_bucket"] == 80 for r in rep)
+
+
+def _rows_of(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "modname, fname",
+    [
+        ("file_appender_spark.queries.llm", "q144_cluster_sizes"),
+        ("file_appender_spark.queries.pipeline", "q122_retention_funnel"),
+        ("file_appender_spark.queries.tranche5", "q164_cluster_representatives"),
+        ("file_appender_spark.queries.tranche9", "q219_cluster_size_histogram"),
+        ("file_appender_spark.queries.tranche10", "q226_degree_powerlaw"),
+        ("file_appender_spark.queries.tranche13", "q235_cluster_purity"),
+        ("file_appender_spark.queries.tranche13", "q236_degree_assortativity"),
+        ("file_appender_spark.queries.tranche15", "q241_threshold_sweep"),
+        ("file_appender_spark.queries.tranche21", "q254_source_dup_exposure"),
+    ],
+)
+def test_every_graph_dir_consumer_matches_default(
+    spark, sf_dir, built_store, modname, fname
+):
+    """Every q52-prefix consumer now routes through the shared
+    q52_edges/q52_clusters dispatch: graph_dir == default spelling,
+    row-for-row, for all nine additional consumers (q116/q183/q213/
+    q245 are pinned in their own tests)."""
+    import importlib
+
+    fn = getattr(importlib.import_module(modname), fname)
+    assert _rows_of(fn(spark, sf_dir, graph_dir=built_store)) == _rows_of(
+        fn(spark, sf_dir)
+    )
