@@ -437,9 +437,25 @@ def main() -> None:
             append_text_fast(li, os.path.join(td, "fast"))
             dt_fast = time.perf_counter() - t0
             extras["text_sink_rows_per_sec"] = int(n_rows / dt_fast)
+            # the pyarrow-FS adapter (HDFS path) through its local
+            # backend: same protocol, adapter code on the hot path —
+            # tracks the adapter's overhead vs the POSIX shim per round
+            from file_appender_spark.sinks.append_text import ArrowFS
+
+            t0 = time.perf_counter()
+            append_text(
+                li,
+                AppendSinkConfig(output_dir=os.path.join(td, "arrow"), file_prefix="li"),
+                run_ts_ms=0,
+                fs=ArrowFS("local"),
+            )
+            dt_arrow = time.perf_counter() - t0
+            extras["append_sink_arrowfs_rows_per_sec"] = int(n_rows / dt_arrow)
         print(
             f"# append sink: {extras['append_sink_rows_per_sec']} rows/s compat, "
-            f"{extras['text_sink_rows_per_sec']} rows/s idiomatic ({n_rows} rows)",
+            f"{extras['text_sink_rows_per_sec']} rows/s idiomatic, "
+            f"{extras['append_sink_arrowfs_rows_per_sec']} rows/s via the "
+            f"pyarrow-FS adapter ({n_rows} rows)",
             file=sys.stderr,
         )
     except Exception as exc:

@@ -484,3 +484,37 @@ def test_every_graph_dir_consumer_matches_default(
     assert _rows_of(fn(spark, sf_dir, graph_dir=built_store)) == _rows_of(
         fn(spark, sf_dir)
     )
+
+
+def test_pair_signatures_match_textdup_minhash(spark):
+    """Cross-module no-drift pin: the pair store's shuffle-free
+    array_min signature fold produces bit-identical MinHash slots and
+    band strings to the textdup ingest's explode+groupBy spelling
+    (both import q52's definitions; this pins that the two PLANS
+    compute the same function, incl. on hash-collision-free random
+    text, repeated tokens, and minimum-length docs)."""
+    import random
+
+    from file_appender_spark.operators.neardup_ingest import _minhash_sig_frame
+    from file_appender_spark.operators.pairstore import pair_signatures
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(60):
+        n = rng.randint(3, 80)
+        words = [f"w{rng.randint(0, 40)}" for _ in range(n)]
+        rows.append((i, " ".join(words)))
+    rows.append((1000, "a b c"))  # minimum shingle-able length
+    rows.append((1001, "x x x x x"))  # degenerate repeated token
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    a = {
+        r["doc_id"]: (list(r["mh"]), r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in pair_signatures(docs).collect()
+    }
+    b = {
+        r["doc_id"]: (list(r["mh"]), r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in _minhash_sig_frame(docs, "doc_id", "text").collect()
+    }
+    assert a == b
+    assert len(a) == 62
