@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _PARAMS_FILE = "_corpusstats_params.json"
+_REBUILD_MARKER = "_corpusstats_rebuilding"
 # the one tokenizer every text query shares (queries/llm.py's _WS);
 # version 2 added the bigram table (a v1 store lacks it, so the
 # params guard forces a rebuild rather than failing mid-read)
@@ -210,11 +211,28 @@ def _stamp_params(store_dir: str) -> None:
     os.replace(tmp, path)
 
 
+def _refuse_mid_rebuild(store_dir: str) -> None:
+    """A crashed rebuild leaves the store part-wiped/part-written; a
+    missing params stamp alone cannot distinguish that from a fresh
+    directory (the ingest path legitimately starts stores), so the
+    build drops a marker for its whole critical section. Any
+    ingest/read that sees it must refuse — silently adopting the
+    half-built store would serve counts missing the wiped baseline
+    (review finding r8)."""
+    if os.path.exists(os.path.join(store_dir, _REBUILD_MARKER)):
+        raise ValueError(
+            f"corpus-stats store {store_dir} has an unfinished rebuild "
+            "(crash mid-build_corpus_stats): its tables are partial — "
+            "re-run build_corpus_stats over the full corpus"
+        )
+
+
 def _check_params(store_dir: str) -> None:
     """Strict guard for the INGEST/READ paths: counts written under a
     different tokenizer are incomparable, and these paths only ever
     add to or read what exists — they must refuse, not re-stamp."""
     os.makedirs(store_dir, exist_ok=True)
+    _refuse_mid_rebuild(store_dir)
     path = os.path.join(store_dir, _PARAMS_FILE)
     if os.path.exists(path):
         with open(path) as f:
@@ -281,6 +299,10 @@ def build_corpus_stats(
     # leave old-tokenizer counts readable under the new stamp if the
     # rebuild crashed in between (review finding r8). Wipe the stale
     # stamp with the tables, so a mid-rebuild crash fails loudly.
+    os.makedirs(store_dir, exist_ok=True)
+    marker = os.path.join(store_dir, _REBUILD_MARKER)
+    with open(marker, "w") as f:
+        f.write("rebuild in progress")
     old_stamp = os.path.join(store_dir, _PARAMS_FILE)
     if os.path.exists(old_stamp):
         os.remove(old_stamp)
@@ -291,6 +313,7 @@ def build_corpus_stats(
     _write_batch(corpus_source_stats(docs), _source_dir(store_dir), "base")
     _write_batch(corpus_bigram_stats(docs), _bigram_dir(store_dir), "base")
     _stamp_params(store_dir)
+    os.remove(marker)  # critical section closed — store is whole again
 
 
 def corpusstats_ingest_batch(
@@ -323,6 +346,7 @@ def read_token_stats(spark: SparkSession, store_dir: str) -> DataFrame:
     after a compaction crash, and must not fail on a directory that
     is one rename from healthy."""
     _recover(store_dir)
+    _refuse_mid_rebuild(store_dir)
     df = spark.read.parquet(_token_dir(store_dir))
     return df.groupBy("source", "token").agg(
         F.sum("tf").cast("long").alias("tf"),
@@ -332,6 +356,7 @@ def read_token_stats(spark: SparkSession, store_dir: str) -> DataFrame:
 
 def read_source_stats(spark: SparkSession, store_dir: str) -> DataFrame:
     _recover(store_dir)
+    _refuse_mid_rebuild(store_dir)
     df = spark.read.parquet(_source_dir(store_dir))
     return df.groupBy("source").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
@@ -347,6 +372,7 @@ def read_bigram_stats(spark: SparkSession, store_dir: str) -> DataFrame:
     would span two epochs of one document — impossible under the
     whole-documents-per-epoch contract the ingest declares."""
     _recover(store_dir)
+    _refuse_mid_rebuild(store_dir)
     df = spark.read.parquet(_bigram_dir(store_dir))
     return df.groupBy("source", "bigram").agg(
         F.sum("tf").cast("long").alias("tf")

@@ -251,7 +251,7 @@ def build_pair_graph(
     spark: SparkSession,
     docs: DataFrame,
     store_dir: str,
-    threshold: float = 0.2,
+    threshold: float | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     band_bucket_cap: int | None | str = None,
@@ -262,11 +262,17 @@ def build_pair_graph(
     whole corpus, so leaving them would duplicate every pair they
     cover on the next merged read.
 
-    ``band_bucket_cap`` defaults to ``None`` (EXACT — the batch build
-    is the oracle-parity path; q52 equality is the point). Pass
-    ``"auto"``/an int to bound template-family buckets at the stated
-    recall cost when building over a crawl known to contain them."""
+    ``threshold`` defaults to q52's own verify threshold (llm's
+    _Q52_THRESHOLD — the one constant the oracle SQL, the Spark plan
+    and this store share). ``band_bucket_cap`` defaults to ``None``
+    (EXACT — the batch build is the oracle-parity path; q52 equality
+    is the point). Pass ``"auto"``/an int to bound template-family
+    buckets at the stated recall cost when building over a crawl
+    known to contain them."""
     from pyspark import StorageLevel
+
+    if threshold is None:
+        threshold = _q52_threshold()
 
     _recover(store_dir)
     # wipe FIRST, stamp params only after the new tables exist: a
@@ -404,6 +410,12 @@ def read_pairs(
     )
 
 
+def _q52_threshold() -> float:
+    from file_appender_spark.queries.llm import _Q52_THRESHOLD
+
+    return _Q52_THRESHOLD
+
+
 def q52_edges(
     spark: SparkSession, sf_dir: str, graph_dir: str | None = None
 ) -> DataFrame:
@@ -413,7 +425,9 @@ def q52_edges(
     recompute spelling. The ONE dispatch every graph_dir consumer
     shares, so the store/recompute choice can never drift per-query."""
     if graph_dir is not None:
-        return read_pairs(spark, graph_dir, expected_threshold=0.2)
+        return read_pairs(
+            spark, graph_dir, expected_threshold=_q52_threshold()
+        )
     from file_appender_spark.queries.llm import q52_minhash_lsh
 
     return q52_minhash_lsh(spark, sf_dir)
@@ -428,7 +442,7 @@ def q52_clusters(
     LSH + connected components recomputed."""
     if graph_dir is not None:
         return read_cluster_assignment(
-            spark, graph_dir, expected_threshold=0.2
+            spark, graph_dir, expected_threshold=_q52_threshold()
         ).select("doc", "cluster")
     from file_appender_spark.operators.components import dedup_clusters
 
@@ -525,13 +539,24 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
     _recover(store_dir)
     _check_params(store_dir, None)
     state = os.path.join(store_dir, _CLUSTERS_STATE)
-    clusters_were_fresh = False
     if os.path.exists(state):
         with open(state) as f:
             covers = set(json.load(f)["covers"])
         clusters_were_fresh = not (
             set(_epoch_ids(_pairs_dir(store_dir))) - covers
         )
+        # write the POST-fold coverage BEFORE folding: a crash
+        # mid-fold then reads as (at worst spuriously) STALE — never
+        # as spuriously fresh, which a crash between the pairs swap
+        # and a trailing state write would produce (review finding)
+        stmp = state + ".tmp"
+        with open(stmp, "w") as f:
+            json.dump(
+                {"covers": ["base"] if clusters_were_fresh else []},
+                f,
+                sort_keys=True,
+            )
+        os.replace(stmp, state)
     for d in (_sigs_dir(store_dir), _pairs_dir(store_dir)):
         merged = spark.read.option("basePath", d).parquet(d).drop("batch")
         tmp = d.rstrip("/") + ".compacting"
@@ -547,12 +572,4 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
         os.rename(d, old)
         os.rename(tmp, d)
         shutil.rmtree(old)
-    if os.path.exists(state):
-        stmp = state + ".tmp"
-        with open(stmp, "w") as f:
-            json.dump(
-                {"covers": ["base"] if clusters_were_fresh else []},
-                f,
-                sort_keys=True,
-            )
-        os.replace(stmp, state)
+

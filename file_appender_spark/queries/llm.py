@@ -200,11 +200,17 @@ _Q52_CTES = f"""shingled AS (
       GROUP BY c.d1, c.d2
     )"""
 
-_Q52_FINAL = """
+# q52's verify threshold — THE pair-graph definition constant, shared
+# by the oracle SQL, the Spark plan, the pair store's build default,
+# and the graph_dir dispatch guards (operators/pairstore.py), so the
+# four can never drift
+_Q52_THRESHOLD = 0.2
+
+_Q52_FINAL = f"""
     SELECT v.d1, v.d2,
            round(CAST(v.inter AS DOUBLE) / (s1.n + s2.n - v.inter), 6) AS jaccard
     FROM verified v JOIN ssize s1 ON v.d1 = s1.doc_id JOIN ssize s2 ON v.d2 = s2.doc_id
-    WHERE CAST(v.inter AS DOUBLE) / (s1.n + s2.n - v.inter) >= 0.2
+    WHERE CAST(v.inter AS DOUBLE) / (s1.n + s2.n - v.inter) >= {_Q52_THRESHOLD}
     """
 
 
@@ -285,7 +291,7 @@ def q52_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sh1, "d1")
         .join(sh2, "d2")
-        .filter(jac >= 0.2)
+        .filter(jac >= _Q52_THRESHOLD)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
 

@@ -351,3 +351,26 @@ def test_corpusstats_worthwhile_policy():
 
     with _pytest.raises(ValueError, match="stream_tokens"):
         corpusstats_worthwhile(-1)
+
+
+def test_mid_rebuild_marker_refuses_ingest_and_reads(spark, sf_dir, tmp_path):
+    """Review finding r8 (2nd pass): a crashed rebuild leaves tables
+    part-wiped, and a missing stamp alone looks like a fresh store to
+    the ingest path — the build's critical-section marker makes every
+    ingest/read refuse until build_corpus_stats completes again."""
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    store = str(tmp_path / "marker_store")
+    build_corpus_stats(spark, docs, store)
+    # simulate the crash window: marker present, stamp gone
+    open(os.path.join(store, "_corpusstats_rebuilding"), "w").write("x")
+    os.remove(os.path.join(store, "_corpusstats_params.json"))
+    with pytest.raises(ValueError, match="unfinished rebuild"):
+        corpusstats_ingest_batch(spark, docs, store, batch_id=1)
+    with pytest.raises(ValueError, match="unfinished rebuild"):
+        read_token_stats(spark, store).collect()
+    with pytest.raises(ValueError, match="unfinished rebuild"):
+        read_source_stats(spark, store).collect()
+    # a completed rebuild clears the marker and reopens the store
+    build_corpus_stats(spark, docs, store)
+    assert not os.path.exists(os.path.join(store, "_corpusstats_rebuilding"))
+    assert read_token_stats(spark, store).count() > 0

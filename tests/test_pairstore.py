@@ -518,3 +518,64 @@ def test_pair_signatures_match_textdup_minhash(spark):
     }
     assert a == b
     assert len(a) == 62
+
+
+def test_compaction_crash_never_reads_spuriously_fresh(
+    spark, tmp_path, monkeypatch
+):
+    """Review finding r8 (2nd pass): the coverage stamp is written
+    with its POST-fold value BEFORE the folds, so a crash mid-
+    compaction reads as (at worst spuriously) STALE — never as
+    spuriously fresh. Fault injection: plan_file_count raises on its
+    first call, killing compact after the state write but before any
+    table swap."""
+    from file_appender_spark.operators import layout, pairstore
+
+    store = str(tmp_path / "crashfold")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    build_pair_graph(spark, docs, store)
+    pairstore_ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [(3, "alpha beta gamma delta zeta")], "doc_id long, text string"
+        ),
+        store,
+        batch_id=1,
+    )  # assignment now stale (covers=[base], live={base,1})
+
+    real = layout.plan_file_count
+
+    def boom(*a, **k):
+        raise RuntimeError("injected compaction crash")
+
+    monkeypatch.setattr(layout, "plan_file_count", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_pairstore(spark, store)
+    monkeypatch.setattr(layout, "plan_file_count", real)
+
+    # the half-compacted store must still read as STALE
+    with pytest.raises(ValueError, match="STALE"):
+        read_cluster_assignment(spark, store)
+    # and recovery is the documented path: finish compaction, refresh
+    compact_pairstore(spark, store)
+    refresh_clusters(spark, store)
+    assert {r["doc"] for r in read_cluster_assignment(spark, store).collect()} == {
+        1,
+        2,
+        3,
+    }
+
+
+def test_q52_threshold_single_constant(spark):
+    """The pair definition's threshold exists exactly once: the llm
+    constant feeds the oracle SQL, the Spark filter, the store build
+    default, and the dispatch guards."""
+    from file_appender_spark.operators.pairstore import _params, _q52_threshold
+    from file_appender_spark.queries.llm import _Q52_FINAL, _Q52_THRESHOLD
+
+    assert _q52_threshold() == _Q52_THRESHOLD
+    assert f">= {_Q52_THRESHOLD}" in _Q52_FINAL
+    assert _params(_Q52_THRESHOLD)["threshold"] == _Q52_THRESHOLD
