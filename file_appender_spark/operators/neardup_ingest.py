@@ -118,7 +118,10 @@ def _band_pairs(
     dropped from candidate generation; their new members are then
     ADMITTED rather than suppressed (the conservative direction for
     an ingest: at-least-once admission, never silent loss of a
-    legitimate document)."""
+    legitimate document). Identical-FULL-signature duplicates never
+    depend on this join — the entry points suppress them via
+    _identical_sig_dups first, so a binding cap costs only the
+    partial-match (distinct-signature) candidates of that bucket."""
     x = new_bands.alias("x")
     if band_bucket_cap is not None:
         sized = old_bands.groupBy("band", "sig").agg(
@@ -142,6 +145,53 @@ def _band_pairs(
         .select(F.col(f"x.{id_col}").alias("new_id"), F.col("y._oid").alias("old_id"))
         .distinct()
     )
+
+
+def _identical_sig_dups(
+    sigs: DataFrame,
+    hist: DataFrame | None,
+    id_col: str,
+    sig_cols: list[str],
+) -> DataFrame:
+    """ids of batch rows whose FULL signature equals an earlier-id
+    batch row or any stored row — EXACT duplicates under the
+    modality's own verifier (all 16 MinHash slots agree => estimated
+    Jaccard 1.0; all four hash bands agree => Hamming 0), found by a
+    signature-equality groupBy with NO pair join.
+
+    This is what actually dissolves the hot-bucket degenerate case
+    (probe TEXTCAP_PROBE_r8): a template family of identical
+    signatures used to be suppressible only through the banded join —
+    exactly the join the cap guards — so the sized default traded the
+    family's DEDUP away for the cost bound. Identical-signature dups
+    need no candidate generation at all: within-batch via the
+    group-min id, vs history via the group's (min, max) stored ids
+    (exists old != new <=> NOT(min == new == max)), which keeps retry
+    at-least-once intact (a retried stored representative sees only
+    its own id and is re-admitted). The family then stores ONE
+    representative, so the hot bucket never accumulates and the cap
+    is left to its real job: DISTINCT-signature band collisions. Not
+    applicable to SRP embeddings (sign-band equality does not imply
+    cosine >= threshold — their verifier reads the vectors)."""
+    gmin = sigs.groupBy(*sig_cols).agg(F.min(id_col).alias("_bmin"))
+    within = (
+        sigs.join(gmin, sig_cols)
+        .filter(F.col(id_col) != F.col("_bmin"))
+        .select(id_col)
+    )
+    if hist is None:
+        return within
+    hg = hist.groupBy(*sig_cols).agg(
+        F.min(id_col).alias("_hmin"), F.max(id_col).alias("_hmax")
+    )
+    vs_hist = (
+        sigs.join(hg, sig_cols)
+        .filter(
+            ~((F.col("_hmin") == F.col(id_col)) & (F.col("_hmax") == F.col(id_col)))
+        )
+        .select(id_col)
+    )
+    return within.unionByName(vs_hist).distinct()
 
 
 def neardup_ingest_batch(
@@ -598,11 +648,14 @@ def textdup_ingest_batch(
     unconditionally and not stored. Retry semantics are at-least-once
     exactly as the embedding ingest: own-id matches are excluded.
     ``band_bucket_cap`` (default ``"auto"`` = the sized
-    ingest_band_bucket_cap_for policy — a MinHash band holding more
-    members than the candidate budget allows IS a template family,
-    exactly the degenerate case a long-lived text store accumulates)
-    forwards _band_pairs' hot-bucket guard (see _band_pairs for the
-    admit-on-cap trade). ``None`` disables the guard explicitly."""
+    ingest_band_bucket_cap_for policy) forwards _band_pairs'
+    hot-bucket guard for DISTINCT-signature band collisions.
+    Identical-FULL-signature duplicates (estimated Jaccard exactly
+    1.0) never reach that join: the signature-equality shortcut
+    (_identical_sig_dups) suppresses them with a groupBy, so a
+    template family dedups even under a binding cap and stores ONE
+    representative — the hot bucket never accumulates.
+    ``None`` disables the cap explicitly (the shortcut stays)."""
     from file_appender_spark.queries.llm import _MH_PARAMS
 
     n_bands = len(_MH_PARAMS) // 4
@@ -672,6 +725,19 @@ def textdup_ingest_batch(
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )
+    # identical-signature dups (estimated Jaccard exactly 1.0) by
+    # signature-equality groupBy — no pair join, so a template family
+    # is deduped even when its band bucket is capped, and only ONE
+    # representative ever reaches the store (see _identical_sig_dups)
+    sig_cols = [f"b{bi}" for bi in range(n_bands)]
+    hist_sigs = (
+        spark.read.parquet(store_dir).select(id_col, *sig_cols)
+        if store_exists
+        else None
+    )
+    dup_ids = dup_ids.unionByName(
+        _identical_sig_dups(sigs, hist_sigs, id_col, sig_cols)
+    ).distinct()
     admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
     admitted_ids = admitted.select(id_col)
     sigs.join(admitted_ids, id_col).write.mode("append").parquet(store_dir)
@@ -712,13 +778,15 @@ def imagedup_ingest_batch(
 
     ``band_bucket_cap`` (default ``"auto"`` = the sized
     band_bucket_cap_for policy over history + batch) guards the
-    history join against degenerate bands: a long-lived store full of
-    flat images accumulates one ever-hotter all-zero bucket, and
-    without the cap every batch pays a join against all of it.
-    Over-cap buckets drop out of candidate generation, so their NEW
-    members are admitted rather than suppressed — at-least-once
-    admission, the conservative failure direction (see _band_pairs).
-    ``None`` disables the guard explicitly."""
+    history join against DISTINCT-hash band collisions. Identical
+    FULL hashes (Hamming exactly 0) never reach that join: the
+    signature-equality shortcut (_identical_sig_dups) suppresses
+    them with a groupBy, so a flat-image family dedups even under a
+    binding cap and stores ONE representative — the all-zero bucket
+    never accumulates. Over-cap buckets of DISTINCT hashes drop out
+    of candidate generation and their new members are admitted
+    (at-least-once, see _band_pairs). ``None`` disables the cap
+    explicitly (the shortcut stays)."""
     from file_appender_spark.operators.imagehash import (
         ahash_wide,
         band_bucket_cap_for,
@@ -798,6 +866,18 @@ def imagedup_ingest_batch(
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )
+    # identical-hash dups (Hamming exactly 0) via signature-equality
+    # groupBy — the flat-image family dedups even when its band
+    # bucket is capped, storing one representative (_identical_sig_dups)
+    sig_cols = [f"b{k}" for k in range(4)]
+    dup_ids = dup_ids.unionByName(
+        _identical_sig_dups(
+            sigs,
+            hist.select(id_col, *sig_cols) if hist is not None else None,
+            id_col,
+            sig_cols,
+        )
+    ).distinct()
     admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
     sigs.join(admitted.select(id_col), id_col).write.mode("append").parquet(store_dir)
     return admitted

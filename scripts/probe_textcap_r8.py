@@ -1,23 +1,27 @@
 #!/usr/bin/env python
-"""Round-8 text-ingest hot-bucket probe: measure what the sized
-default (`band_bucket_cap="auto"`, ingest_band_bucket_cap_for) BUYS on
-a long-lived text store accumulating a boilerplate template family —
-the deployment the r7 verdict named as the likeliest degenerate case.
+"""Round-8 text-ingest hot-bucket probe — the measurement that drove
+the signature-equality shortcut (_identical_sig_dups).
 
 Setup: 10 sequential micro-batches, each 200 organic Zipf-ish docs +
 200 NEW members of ONE template family (identical shingle sets ->
-identical MinHash signatures -> one band bucket per band that grows by
-200 incumbents every batch). Per-batch ingest wall is measured under
-(a) the sized default and (b) `band_bucket_cap=None`.
+identical MinHash signatures). Per-batch ingest wall + admitted
+counts are measured under the sized default cap and under
+band_bucket_cap=None.
 
-Expected shape: with the guard, the family bucket exceeds the cap (65)
-from batch 1 on, drops out of candidate generation, and per-batch wall
-stays flat in store size; without it, the history join's candidate
-volume on that one bucket grows ~200*batch_index per new member —
-quadratic cumulative work. The probe reports per-batch seconds and the
-candidate-volume proxy (admitted counts differ too: the guard ADMITS
-family members — at-least-once, the documented trade — while None
-suppresses them to the first-ever member).
+What the FIRST run of this probe found (pre-shortcut): under the
+default cap the family's band bucket was dropped from candidate
+generation, so every family member was ADMITTED AND STORED — 4000
+admitted vs 2001 uncapped, i.e. the sized default traded the
+exact-duplicate class's dedup away for the cost bound, and the
+stored bucket kept growing. The fix: identical-FULL-signature dups
+are exact under the modality's own verifier (estimated Jaccard 1.0)
+and are now suppressed by a signature-equality groupBy with no pair
+join, before the capped band join runs.
+
+What the probe pins POST-fix: capped and uncapped admit the SAME set
+(2001 = 2000 organic + 1 family representative), per-batch wall is
+flat in store size for both modes, and the store holds one family
+row (the hot bucket never accumulates).
 
 Output: one JSON object -> TEXTCAP_PROBE_r8.json; numbers belong in
 SCALING.md round-8.

@@ -572,22 +572,27 @@ def test_imagedup_ingest_dhash_streaming_equals_batch(spark, tmp_path):
     assert got == want
 
 
-def test_imagedup_ingest_auto_cap_admits_degenerate_family(spark, tmp_path):
-    """The ingest-side hot-bucket guard (r7): 80 DISTINCT flat
-    payloads (all-zero aHash bands, hamming 0 pairwise) exceed the
-    auto cap, so the degenerate bucket drops out of candidate
-    generation and every member is ADMITTED — bounded join, the
-    conservative failure direction. Explicit None restores the
-    uncapped suppress-to-min-id behavior, and a small organic corpus
-    is untouched either way (cap = 65 >> honest bucket sizes)."""
-    from file_appender_spark.operators.neardup_ingest import imagedup_ingest_batch
+def test_imagedup_ingest_auto_cap_and_sig_shortcut(spark, tmp_path):
+    """The ingest-side hot-bucket guard (r7) + the r8 signature-
+    equality shortcut: 80 DISTINCT flat payloads (all-zero aHash
+    bands, hamming 0 pairwise) are suppressed to their min id under
+    BOTH the auto cap and explicit None — identical full hashes mean
+    Hamming exactly 0, an exact dup under the operator's own
+    verifier, caught by a signature groupBy with no pair join. The
+    store keeps one representative, so the degenerate bucket never
+    accumulates; cross-batch flat payloads match it by signature."""
+    from file_appender_spark.operators.neardup_ingest import (
+        _store_row_count,
+        imagedup_ingest_batch,
+    )
 
     rows = [(i, bytes([9]) * (500 + i)) for i in range(80)]
     b = _payload_df(spark, rows)
 
     store_auto = str(tmp_path / "cap_auto_store")
     admitted = imagedup_ingest_batch(spark, b, store_auto, id_col="id")
-    assert admitted.count() == 80  # bucket over cap -> all admitted
+    assert sorted(r["id"] for r in admitted.collect()) == [0]
+    assert _store_row_count(store_auto) == 1
 
     store_none = str(tmp_path / "cap_none_store")
     admitted_none = imagedup_ingest_batch(
@@ -603,13 +608,11 @@ def test_imagedup_ingest_auto_cap_admits_degenerate_family(spark, tmp_path):
             band_bucket_cap="nope",
         )
 
-    # cross-batch: the 80-member degenerate bucket in HISTORY is
-    # guarded (no join against it), but the 5 NEW flat payloads still
-    # legitimately dedup among THEMSELVES — their own within-batch
-    # bucket is under the cap — so exactly the min id is admitted
+    # cross-batch: new flat payloads match the stored representative
+    # by signature and are suppressed (no band join needed)
     b2 = _payload_df(spark, [(1000 + i, bytes([9]) * (900 + i)) for i in range(5)])
     a2 = imagedup_ingest_batch(spark, b2, store_auto, id_col="id")
-    assert sorted(r["id"] for r in a2.collect()) == [1000]
+    assert a2.count() == 0
 
 
 def test_capped_buckets_report(spark):

@@ -823,11 +823,16 @@ def test_neardup_store_legacy_without_stamp_requires_migration(spark, tmp_path):
 def test_textdup_ingest_band_bucket_cap_admits_hot_family(spark, tmp_path):
     """Opt-in hot-bucket guard on the TEXT ingest: a boilerplate
     template family (distinct texts, shared MinHash bands) is
-    suppressed to its min id uncapped, but with a binding cap the
-    family's bucket drops out of candidate generation and every
-    member is admitted — the at-least-once-admission trade
-    (_band_pairs docstring)."""
-    from file_appender_spark.operators.neardup_ingest import textdup_ingest_batch
+    suppressed to its min id uncapped; with a binding cap the
+    family's bucket drops out of candidate generation and its
+    members are admitted — EXCEPT identical-full-signature dups,
+    which the r8 signature-equality shortcut suppresses with no pair
+    join (estimated Jaccard exactly 1.0 needs no candidates). So the
+    capped run admits exactly one doc per distinct signature."""
+    from file_appender_spark.operators.neardup_ingest import (
+        _minhash_sig_frame,
+        textdup_ingest_batch,
+    )
 
     base = " ".join(f"tmpl{w}" for w in range(40))
     rows = [(i, f"{base} unique{i}") for i in range(12)]
@@ -838,28 +843,39 @@ def test_textdup_ingest_band_bucket_cap_admits_hot_family(spark, tmp_path):
     )
     assert plain.count() < 12  # family suppressed to representatives
 
+    n_distinct_sigs = (
+        _minhash_sig_frame(docs, "doc_id", "text")
+        .select("b0", "b1", "b2", "b3")
+        .distinct()
+        .count()
+    )
     capped = textdup_ingest_batch(
         spark, docs, str(tmp_path / "td_capped"), threshold=0.5,
         band_bucket_cap=1,
     )
-    assert capped.count() == 12  # guard binds -> all admitted
+    # guard binds -> one admit per distinct signature (> plain)
+    assert capped.count() == n_distinct_sigs
+    assert capped.count() > plain.count()
 
 
-def test_textdup_ingest_auto_cap_admits_template_family(spark, tmp_path):
-    """r7 verdict task 5: the TEXT ingest's hot-bucket guard now
-    DEFAULTS to the sized policy (ingest_band_bucket_cap_for: 65 for
-    4 bands at the default candidate budget). An 80-member template
-    family — DISTINCT texts engineered to share their exact shingle
-    set (base repeated k times: every repetition adds only the same
-    boundary shingles), hence identical MinHash signatures — exceeds
-    the cap, drops out of candidate generation, and is admitted
-    whole; explicit None restores suppress-to-min-id; a small family
-    stays under the cap and still dedups (the existing 12-member
-    test)."""
+def test_textdup_ingest_auto_cap_and_sig_shortcut(spark, tmp_path):
+    """r7 verdict task 5 + the TEXTCAP_PROBE_r8 lesson: the TEXT
+    ingest's hot-bucket guard DEFAULTS to the sized policy
+    (ingest_band_bucket_cap_for: 65 for 4 bands at the default
+    budget), and an 80-member template family — DISTINCT texts with
+    identical shingle SETS, hence identical MinHash signatures — is
+    now suppressed to its min id under the capped default TOO: the
+    signature-equality shortcut catches estimated-Jaccard-1.0 dups
+    with no pair join, so the cap never has to trade the exact-dup
+    class away. The store keeps ONE family representative (the hot
+    bucket never accumulates); cross-batch members match it by
+    signature and are suppressed."""
     import pytest as _pytest
 
     from file_appender_spark.operators.neardup_ingest import (
+        _store_row_count,
         ingest_band_bucket_cap_for,
+        store_hot_buckets,
         textdup_ingest_batch,
     )
 
@@ -870,7 +886,7 @@ def test_textdup_ingest_auto_cap_admits_template_family(spark, tmp_path):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     auto = textdup_ingest_batch(spark, docs, str(tmp_path / "td_auto"))
-    assert auto.count() == 80  # bucket over cap -> all admitted
+    assert sorted(r["doc_id"] for r in auto.collect()) == [0]
 
     plain = textdup_ingest_batch(
         spark, docs, str(tmp_path / "td_none"), band_bucket_cap=None
@@ -882,15 +898,27 @@ def test_textdup_ingest_auto_cap_admits_template_family(spark, tmp_path):
             spark, docs, str(tmp_path / "td_bad"), band_bucket_cap="nope"
         )
 
-    # cross-batch: history's 80-member bucket is guarded, but 5 NEW
-    # members of the same template still dedup among THEMSELVES
-    # (their own within-batch bucket is under the cap)
+    # the store holds exactly the one representative's signature, so
+    # no hot bucket ever accumulates and the diagnostic reads clean
+    assert _store_row_count(str(tmp_path / "td_auto")) == 1
+    assert (
+        store_hot_buckets(spark, str(tmp_path / "td_auto"), 65).count() == 0
+    )
+
+    # cross-batch: new family members match the stored representative
+    # by SIGNATURE (not through the band join) and are suppressed
     b2 = spark.createDataFrame(
         [(1000 + i, " ".join([base] * (100 + i))) for i in range(5)],
         "doc_id long, text string",
     )
     a2 = textdup_ingest_batch(spark, b2, str(tmp_path / "td_auto"))
-    assert sorted(r["doc_id"] for r in a2.collect()) == [1000]
+    assert a2.count() == 0
+
+    # retry of the FIRST batch after its successful append: the
+    # stored representative sees only its own id in the sig group
+    # and is re-admitted — at-least-once preserved
+    r1 = textdup_ingest_batch(spark, docs, str(tmp_path / "td_auto"))
+    assert sorted(r["doc_id"] for r in r1.collect()) == [0]
 
 
 def test_embedding_ingest_auto_cap_admits_degenerate_family(spark, tmp_path):
@@ -942,25 +970,30 @@ def test_ingest_band_bucket_cap_policy():
 
 
 def test_store_hot_buckets_report(spark, tmp_path):
-    """The long-lived stores' truncation report: after the auto cap
-    admits an over-cap template family unverified, store_hot_buckets
-    names exactly the buckets whose candidates are being dropped —
-    and reports nothing for an organic store."""
+    """The long-lived stores' truncation report: store_hot_buckets
+    names the over-cap (band, sig) buckets whose candidates the guard
+    drops. Since the r8 signature-equality shortcut, a DEDUP store
+    accumulates a hot bucket only from distinct-signature band
+    collisions (identical-sig families store one representative), so
+    the positive case here writes the sig layout directly — the
+    pairstore case (which stores every doc) is pinned in
+    tests/test_pairstore.py; an organic text store reads clean."""
     from file_appender_spark.operators.neardup_ingest import (
         store_hot_buckets,
         textdup_ingest_batch,
     )
 
-    base = " ".join(f"tmpl{w}" for w in range(40))
-    fam = spark.createDataFrame(
-        [(i, " ".join([base] * (i + 2))) for i in range(80)],
-        "doc_id long, text string",
-    )
+    # 80 distinct signatures sharing band 0's value: the
+    # distinct-sig hot bucket the cap exists for post-shortcut
     store = str(tmp_path / "hot_store")
-    textdup_ingest_batch(spark, fam, store)  # auto cap -> all admitted
+    spark.createDataFrame(
+        [(i, "HOT", f"u{i}a", f"u{i}b", f"u{i}c") for i in range(80)],
+        "doc_id long, b0 string, b1 string, b2 string, b3 string",
+    ).write.parquet(store)
     rep = store_hot_buckets(spark, store, band_bucket_cap=65).collect()
-    assert len(rep) == 4  # one identical-signature bucket per band
-    assert all(r["n_in_bucket"] == 80 for r in rep)
+    assert [(r["band"], r["sig"], r["n_in_bucket"]) for r in rep] == [
+        (0, "HOT", 80)
+    ]
 
     organic = spark.createDataFrame(
         [(100 + i, f"totally distinct words {i} " + " ".join(
