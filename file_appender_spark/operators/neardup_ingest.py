@@ -154,25 +154,32 @@ def _identical_sig_dups(
     sig_cols: list[str],
 ) -> DataFrame:
     """ids of batch rows whose FULL signature equals an earlier-id
-    batch row or any stored row — EXACT duplicates under the
-    modality's own verifier (all 16 MinHash slots agree => estimated
-    Jaccard 1.0; all four hash bands agree => Hamming 0), found by a
-    signature-equality groupBy with NO pair join.
+    batch row or a stored row — EXACT duplicates under the modality's
+    own verifier (all 16 MinHash slots agree => estimated Jaccard
+    1.0; all four hash bands agree => Hamming 0), found by signature
+    equality with NO pair join.
 
-    This is what actually dissolves the hot-bucket degenerate case
-    (probe TEXTCAP_PROBE_r8): a template family of identical
-    signatures used to be suppressible only through the banded join —
-    exactly the join the cap guards — so the sized default traded the
-    family's DEDUP away for the cost bound. Identical-signature dups
-    need no candidate generation at all: within-batch via the
-    group-min id, vs history via the group's (min, max) stored ids
-    (exists old != new <=> NOT(min == new == max)), which keeps retry
-    at-least-once intact (a retried stored representative sees only
-    its own id and is re-admitted). The family then stores ONE
-    representative, so the hot bucket never accumulates and the cap
-    is left to its real job: DISTINCT-signature band collisions. Not
-    applicable to SRP embeddings (sign-band equality does not imply
-    cosine >= threshold — their verifier reads the vectors)."""
+    This is what dissolves the hot-bucket degenerate case (probe
+    TEXTCAP_PROBE_r8): a template family of identical signatures used
+    to be suppressible only through the banded join — exactly the
+    join the cap guards — so the sized default traded the family's
+    DEDUP away for the cost bound. Identical-signature dups need no
+    candidate generation: within-batch, dup iff not the group-min id;
+    vs history, dup iff the signature exists in the store. BOTH
+    checks are then overridden by the own-row membership rule: a row
+    whose own (id, signature) is ALREADY STORED is never suppressed —
+    presence in the store means some earlier attempt admitted it, and
+    under the at-least-once sink contract it must keep being
+    re-emitted until a downstream commit sticks. That holds on ANY
+    store, including legacy ones whose groups hold many ids
+    (pre-shortcut caps admitted whole families; both a min/max own-id
+    test and a bare group-min rule would swallow their replays). The
+    store side is touched through one broadcast-semi filter on the
+    batch's signatures (micro-batch cardinality), never a full-store
+    aggregation; the filtered slice is checkpointed once and feeds
+    both membership checks. Not applicable to SRP embeddings
+    (sign-band equality does not imply cosine >= threshold — their
+    verifier reads the vectors)."""
     gmin = sigs.groupBy(*sig_cols).agg(F.min(id_col).alias("_bmin"))
     within = (
         sigs.join(gmin, sig_cols)
@@ -181,17 +188,23 @@ def _identical_sig_dups(
     )
     if hist is None:
         return within
-    hg = hist.groupBy(*sig_cols).agg(
-        F.min(id_col).alias("_hmin"), F.max(id_col).alias("_hmax")
+    batch_sigs = F.broadcast(sigs.select(*sig_cols).distinct())
+    hist_slice = (
+        hist.select(id_col, *sig_cols)
+        .join(batch_sigs, sig_cols, "semi")
+        .localCheckpoint(eager=True)
     )
-    vs_hist = (
-        sigs.join(hg, sig_cols)
-        .filter(
-            ~((F.col("_hmin") == F.col(id_col)) & (F.col("_hmax") == F.col(id_col)))
-        )
-        .select(id_col)
+    matches = sigs.join(
+        hist_slice.select(*sig_cols).distinct(), sig_cols, "semi"
+    ).select(id_col)
+    own_stored = sigs.join(hist_slice, [id_col, *sig_cols], "semi").select(
+        id_col
     )
-    return within.unionByName(vs_hist).distinct()
+    return (
+        within.unionByName(matches)
+        .distinct()
+        .join(own_stored, id_col, "left_anti")
+    )
 
 
 def neardup_ingest_batch(
@@ -726,17 +739,14 @@ def textdup_ingest_batch(
         .distinct()
     )
     # identical-signature dups (estimated Jaccard exactly 1.0) by
-    # signature-equality groupBy — no pair join, so a template family
-    # is deduped even when its band bucket is capped, and only ONE
+    # signature equality — no pair join, so a template family is
+    # deduped even when its band bucket is capped, and only ONE
     # representative ever reaches the store (see _identical_sig_dups)
     sig_cols = [f"b{bi}" for bi in range(n_bands)]
-    hist_sigs = (
-        spark.read.parquet(store_dir).select(id_col, *sig_cols)
-        if store_exists
-        else None
-    )
     dup_ids = dup_ids.unionByName(
-        _identical_sig_dups(sigs, hist_sigs, id_col, sig_cols)
+        _identical_sig_dups(
+            sigs, hist if store_exists else None, id_col, sig_cols
+        )
     ).distinct()
     admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
     admitted_ids = admitted.select(id_col)

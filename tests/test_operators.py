@@ -1008,3 +1008,38 @@ def test_store_hot_buckets_report(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="band_bucket_cap"):
         store_hot_buckets(spark, store, band_bucket_cap=0)
+
+
+def test_sig_shortcut_retry_on_legacy_multi_id_store(spark, tmp_path):
+    """Review finding (3rd pass): stores written under the pre-
+    shortcut cap hold identical-signature groups with MANY ids
+    (admitted whole families). A replayed batch must re-emit every
+    row that IS stored (own-row membership), not just the group min —
+    and still suppress genuinely new members of the family."""
+    from file_appender_spark.operators.neardup_ingest import (
+        _minhash_sig_frame,
+        stamp_store_params,
+        textdup_ingest_batch,
+    )
+
+    base = " ".join(f"tmpl{w}" for w in range(40))
+    rows = [(i, " ".join([base] * (i + 2))) for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # fabricate the legacy state: all 80 identical-sig rows stored
+    store = str(tmp_path / "legacy_store")
+    _minhash_sig_frame(docs, "doc_id", "text").write.parquet(store)
+    stamp_store_params(
+        store, {"modality": "minhash", "n_slots": 16, "n_bands": 4}
+    )
+
+    # replay of the batch that produced the legacy rows: every stored
+    # row re-emitted (at-least-once), none silently swallowed
+    replay = textdup_ingest_batch(spark, docs, store)
+    assert sorted(r["doc_id"] for r in replay.collect()) == list(range(80))
+
+    # a genuinely NEW family member is still suppressed by signature
+    b2 = spark.createDataFrame(
+        [(999, " ".join([base] * 95))], "doc_id long, text string"
+    )
+    assert textdup_ingest_batch(spark, b2, store).count() == 0
