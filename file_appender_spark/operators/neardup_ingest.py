@@ -175,36 +175,42 @@ def _identical_sig_dups(
     (pre-shortcut caps admitted whole families; both a min/max own-id
     test and a bare group-min rule would swallow their replays). The
     store side is touched through one broadcast-semi filter on the
-    batch's signatures (micro-batch cardinality), never a full-store
-    aggregation; the filtered slice is checkpointed once and feeds
-    both membership checks. Not applicable to SRP embeddings
-    (sign-band equality does not imply cosine >= threshold — their
-    verifier reads the vectors)."""
+    batch's signatures (micro-batch cardinality) folded to one
+    stored-ids set per matching signature — never a full-store
+    aggregation, no pair join, no extra materialization (the bench
+    ingest extra is the regression guard: the first spelling of this
+    check cost an eager checkpoint plus two store-slice joins and
+    more than halved micro-batch throughput). The per-group id set is
+    bounded by the stored group size — at most the retry-duplicated
+    representative post-shortcut, a family on legacy stores. Not
+    applicable to SRP embeddings (sign-band equality does not imply
+    cosine >= threshold — their verifier reads the vectors)."""
     gmin = sigs.groupBy(*sig_cols).agg(F.min(id_col).alias("_bmin"))
-    within = (
-        sigs.join(gmin, sig_cols)
-        .filter(F.col(id_col) != F.col("_bmin"))
-        .select(id_col)
-    )
     if hist is None:
-        return within
+        return (
+            sigs.join(gmin, sig_cols)
+            .filter(F.col(id_col) != F.col("_bmin"))
+            .select(id_col)
+        )
     batch_sigs = F.broadcast(sigs.select(*sig_cols).distinct())
-    hist_slice = (
+    hist_groups = (
         hist.select(id_col, *sig_cols)
         .join(batch_sigs, sig_cols, "semi")
-        .localCheckpoint(eager=True)
+        .groupBy(*sig_cols)
+        .agg(F.collect_set(F.col(id_col)).alias("_stored_ids"))
     )
-    matches = sigs.join(
-        hist_slice.select(*sig_cols).distinct(), sig_cols, "semi"
-    ).select(id_col)
-    own_stored = sigs.join(hist_slice, [id_col, *sig_cols], "semi").select(
-        id_col
+    base = (
+        sigs.select(id_col, *sig_cols)
+        .join(gmin, sig_cols)
+        .join(hist_groups, sig_cols, "left")
     )
-    return (
-        within.unionByName(matches)
-        .distinct()
-        .join(own_stored, id_col, "left_anti")
+    own_stored = F.col("_stored_ids").isNotNull() & F.array_contains(
+        "_stored_ids", F.col(id_col)
     )
+    dup = ~own_stored & (
+        (F.col(id_col) != F.col("_bmin")) | F.col("_stored_ids").isNotNull()
+    )
+    return base.filter(dup).select(id_col)
 
 
 def neardup_ingest_batch(
