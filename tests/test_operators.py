@@ -1043,3 +1043,153 @@ def test_sig_shortcut_retry_on_legacy_multi_id_store(spark, tmp_path):
         [(999, " ".join([base] * 95))], "doc_id long, text string"
     )
     assert textdup_ingest_batch(spark, b2, store).count() == 0
+
+
+def test_band_pairs_slice_equivalence(spark):
+    """r8 verdict task 1: the history-path broadcast-semi slice (the
+    O(batch)-per-epoch fix) must change NOTHING about the candidate
+    set — over-cap counts for every batch-touched bucket are computed
+    on whole buckets (semi keeps them intact), and untouched buckets
+    could never produce a candidate. Pin _band_pairs against an
+    inline unsliced reference spelling, capped and uncapped, on a
+    history with a hot bucket, a cold shared bucket, and buckets the
+    batch never touches."""
+    from file_appender_spark.operators.neardup_ingest import _band_pairs
+
+    # history: bucket (0,'HOT') holds ids 0..9, (1,'WARM') holds
+    # 10..12, (2,'COLD') holds 20..24 (untouched by the batch)
+    hist_rows = (
+        [(i, 0, "HOT") for i in range(10)]
+        + [(10 + i, 1, "WARM") for i in range(3)]
+        + [(20 + i, 2, "COLD") for i in range(5)]
+    )
+    old = spark.createDataFrame(hist_rows, "doc_id long, band int, sig string")
+    new = spark.createDataFrame(
+        [(100, 0, "HOT"), (100, 1, "WARM"), (101, 1, "WARM"), (101, 3, "X")],
+        "doc_id long, band int, sig string",
+    )
+
+    def unsliced(new_bands, old_bands, cap):
+        x = new_bands.alias("x")
+        if cap is not None:
+            sized = old_bands.groupBy("band", "sig").agg(
+                F.count("*").alias("n_in_bucket")
+            )
+            hot = F.broadcast(sized.filter(F.col("n_in_bucket") > cap))
+            old_bands = old_bands.join(hot, ["band", "sig"], "left_anti")
+            x = new_bands.join(hot, ["band", "sig"], "left_anti").alias("x")
+        y = old_bands.select(
+            F.col("doc_id").alias("_oid"), "band", "sig"
+        ).alias("y")
+        return (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.sig") == F.col("y.sig"))
+                & (F.col("x.doc_id") != F.col("y._oid")),
+            )
+            .select(
+                F.col("x.doc_id").alias("new_id"), F.col("y._oid").alias("old_id")
+            )
+            .distinct()
+        )
+
+    for cap in (None, 5, 2):
+        got = sorted(
+            (r["new_id"], r["old_id"])
+            for r in _band_pairs(
+                new, old, "doc_id", within_batch=False, band_bucket_cap=cap
+            ).collect()
+        )
+        want = sorted(
+            (r["new_id"], r["old_id"]) for r in unsliced(new, old, cap).collect()
+        )
+        assert got == want, f"cap={cap}: {got} != {want}"
+    # sanity on the fixture: cap=5 drops the HOT bucket but keeps WARM
+    capped = sorted(
+        (r["new_id"], r["old_id"])
+        for r in _band_pairs(
+            new, old, "doc_id", within_batch=False, band_bucket_cap=5
+        ).collect()
+    )
+    assert capped == [(100, 10), (100, 11), (100, 12), (101, 10), (101, 11), (101, 12)]
+
+
+def test_embedding_ingest_identical_vector_shortcut(spark, tmp_path):
+    """r8 ADVICE (medium): an over-cap family of IDENTICAL embeddings
+    must dedup under the default sized cap — exact vector equality
+    implies cosine 1.0, so the SRP path now has the same exact-dup
+    shortcut as text/image, keyed on the vector itself. Distinct
+    scalar multiples (cosine 1.0 but unequal vectors) remain the
+    cap's documented admit-wholesale trade
+    (test_embedding_ingest_auto_cap_admits_degenerate_family)."""
+    from file_appender_spark.operators.neardup_ingest import (
+        _store_row_count,
+        neardup_ingest_batch,
+    )
+
+    v0 = [0.3, -1.2, 0.7, 2.2, -0.5, 1.1, -2.0, 0.9]
+    docs = spark.createDataFrame(
+        [(i, list(v0)) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    store = str(tmp_path / "ident_store")
+    auto = neardup_ingest_batch(spark, docs, store, threshold=0.9)
+    assert sorted(r["vec_id"] for r in auto.collect()) == [0]
+    # ONE stored representative: the hot bucket never accumulates
+    assert _store_row_count(store) == 1
+
+    # cross-batch: a new identical vector matches the stored rep by
+    # vector equality (no pair join needed) and is suppressed
+    b2 = spark.createDataFrame(
+        [(500, list(v0))], "vec_id long, embedding array<double>"
+    )
+    assert neardup_ingest_batch(spark, b2, store, threshold=0.9).count() == 0
+
+    # replay of the first batch re-emits the stored representative
+    # (at-least-once, own-id override)
+    r1 = neardup_ingest_batch(spark, docs, store, threshold=0.9)
+    assert sorted(r["vec_id"] for r in r1.collect()) == [0]
+
+    # zero vectors: cosine undefined -> the verifier never suppresses
+    # them, so neither may the shortcut (all admitted)
+    zdocs = spark.createDataFrame(
+        [(i, [0.0] * 8) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    z = neardup_ingest_batch(
+        spark, zdocs, str(tmp_path / "zero_store"), threshold=0.9
+    )
+    assert z.count() == 5
+
+
+def test_textdup_replay_on_legacy_under_cap_group(spark, tmp_path):
+    """r8 ADVICE (low): a legacy store whose identical-signature
+    group is UNDER the cap pairs a replayed row with its stored twins
+    through the banded history join at estimated Jaccard 1.0 — the
+    own-id override must still re-emit every stored row instead of
+    swallowing the batch (at-least-once)."""
+    from file_appender_spark.operators.neardup_ingest import (
+        _minhash_sig_frame,
+        stamp_store_params,
+        textdup_ingest_batch,
+    )
+
+    base = " ".join(f"tmpl{w}" for w in range(40))
+    rows = [(i, " ".join([base] * (i + 2))) for i in range(10)]  # 10 < cap 65
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    store = str(tmp_path / "legacy_small")
+    _minhash_sig_frame(docs, "doc_id", "text").write.parquet(store)
+    stamp_store_params(
+        store, {"modality": "minhash", "n_slots": 16, "n_bands": 4}
+    )
+
+    replay = textdup_ingest_batch(spark, docs, store)
+    assert sorted(r["doc_id"] for r in replay.collect()) == list(range(10))
+
+    # a genuinely new family member is still suppressed
+    b2 = spark.createDataFrame(
+        [(999, " ".join([base] * 95))], "doc_id long, text string"
+    )
+    assert textdup_ingest_batch(spark, b2, store).count() == 0

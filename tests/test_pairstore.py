@@ -579,3 +579,45 @@ def test_q52_threshold_single_constant(spark):
     assert _q52_threshold() == _Q52_THRESHOLD
     assert f">= {_Q52_THRESHOLD}" in _Q52_FINAL
     assert _params(_Q52_THRESHOLD)["threshold"] == _Q52_THRESHOLD
+
+
+def test_read_pairs_dedups_out_of_order_replay(spark, tmp_path):
+    """r8 ADVICE: a replay of epoch N AFTER epoch N+1 committed
+    violates the serialized-ingest contract — the replayed epoch's
+    history now includes N+1, so each cross-epoch pair lands in BOTH
+    epochs' partitions. read_pairs dedups defensively, so consumers
+    keep seeing each unordered pair once."""
+    base = " ".join(f"tmpl{w}" for w in range(10))
+    # repeated template -> identical shingle SETS (Jaccard 1.0), so
+    # every band agrees and all three pairs verify deterministically
+    docs = spark.createDataFrame(
+        [(i, " ".join([base] * (i + 1))) for i in (1, 2, 3)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "ooo")
+    build_pair_graph(spark, docs.filter("doc_id = 1"), store)
+    pairstore_ingest_batch(spark, docs.filter("doc_id = 2"), store, batch_id=1)
+    clean = _pair_rows(read_pairs(spark, store))
+    assert len(clean) == 1  # the (1, 2) pair, written by epoch 1
+
+    pairstore_ingest_batch(spark, docs.filter("doc_id = 3"), store, batch_id=2)
+    merged = _pair_rows(read_pairs(spark, store))
+    assert len(merged) == 3  # (1,2), (1,3), (2,3)
+
+    # CONTRACT VIOLATION: replay epoch 1 after epoch 2 committed —
+    # its history read now includes doc 3, so (2, 3) is recomputed
+    # into epoch 1's partition as well as epoch 2's
+    pairstore_ingest_batch(spark, docs.filter("doc_id = 2"), store, batch_id=1)
+    raw = spark.read.option(
+        "basePath", os.path.join(store, "pairs")
+    ).parquet(os.path.join(store, "pairs"))
+    assert raw.count() == 4  # the duplicate IS on disk
+    assert _pair_rows(read_pairs(spark, store)) == merged  # reader dedups
+
+    # compaction collapses the duplicates for good
+    compact_pairstore(spark, store)
+    raw2 = spark.read.option(
+        "basePath", os.path.join(store, "pairs")
+    ).parquet(os.path.join(store, "pairs"))
+    assert raw2.count() == 3
+    assert _pair_rows(read_pairs(spark, store)) == merged
