@@ -102,6 +102,7 @@ def curate(
     payload_col: str = "payload",
     image_max_hamming: int = 3,
     image_band_bucket_cap: int | None | str = "auto",
+    graph_dir: str | None = None,
 ) -> dict:
     """Run the full curation funnel over ``docs`` (doc_id, text, ...)
     and write train/val/test parquet under ``out_dir``. Returns the
@@ -133,7 +134,21 @@ def curate(
     it explicitly. When the guard is on, the funnel dict reports the
     truncation (``image_capped_buckets`` / ``image_capped_members``,
     the capped_band_buckets report) so a capped — hence inexact —
-    image stage is visible in the run record."""
+    image stage is visible in the run record.
+
+    ``graph_dir`` (opt-in, the query consumers' dispatch pattern):
+    read the near-dup PAIRS from a materialized
+    operators/pairstore.py store instead of re-running MinHash-LSH
+    over the survivors — a re-curation run (new quality gate, new
+    PII mode, new split) then amortizes the one expensive stage the
+    funnel has. The store must be built from these input documents
+    (or a superset) at ``near_threshold`` (guarded: read_pairs
+    refuses a foreign threshold); pairs are restricted to the
+    surviving doc ids on both endpoints, which reproduces the
+    recompute exactly — pair existence depends only on the two
+    texts, so the store's full-corpus pair set restricted to
+    survivors IS the survivors' pair set (funnel-equivalence pinned
+    in tests/test_curate.py)."""
     if image_mode not in ("off", "ahash", "dhash"):
         raise ValueError(
             f"image_mode must be 'off', 'ahash' or 'dhash', got {image_mode!r}"
@@ -235,7 +250,17 @@ def curate(
     # copies are already gone, so the pair graph is the near-dup one);
     # the larger id of every verified pair is dropped (q122's rule)
     _persisted: list = []
-    pairs = _minhash_pairs(d1, threshold=near_threshold, persisted=_persisted)
+    if graph_dir is not None:
+        from file_appender_spark.operators.pairstore import read_pairs
+
+        surv = d1.select("doc_id")
+        pairs = (
+            read_pairs(spark, graph_dir, expected_threshold=near_threshold)
+            .join(surv.select(F.col("doc_id").alias("d1")), "d1", "semi")
+            .join(surv.select(F.col("doc_id").alias("d2")), "d2", "semi")
+        )
+    else:
+        pairs = _minhash_pairs(d1, threshold=near_threshold, persisted=_persisted)
     drop = pairs.select(F.col("d2").alias("doc_id")).distinct()
     d2 = d1.join(drop, "doc_id", "left_anti")
     n_near = d2.count()

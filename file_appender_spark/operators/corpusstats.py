@@ -37,10 +37,11 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from file_appender_spark.storefs import store_fs_for
 
 _PARAMS_FILE = "_corpusstats_params.json"
 _REBUILD_MARKER = "_corpusstats_rebuilding"
@@ -212,12 +213,12 @@ def _stamp_params(store_dir: str) -> None:
     tokenizer, whatever stamp an older-version store carried. This is
     what makes a v1 -> v2 upgrade possible through the API instead of
     requiring manual deletion of the params file."""
-    os.makedirs(store_dir, exist_ok=True)
+    fs = store_fs_for(store_dir)
+    fs.makedirs(store_dir)
     path = os.path.join(store_dir, _PARAMS_FILE)
     tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(_TOKENIZER, f, sort_keys=True)
-    os.replace(tmp, path)
+    fs.write_text(tmp, json.dumps(_TOKENIZER, sort_keys=True))
+    fs.replace_file(tmp, path)
 
 
 def _refuse_mid_rebuild(store_dir: str) -> None:
@@ -228,7 +229,7 @@ def _refuse_mid_rebuild(store_dir: str) -> None:
     ingest/read that sees it must refuse — silently adopting the
     half-built store would serve counts missing the wiped baseline
     (review finding r8)."""
-    if os.path.exists(os.path.join(store_dir, _REBUILD_MARKER)):
+    if store_fs_for(store_dir).exists(os.path.join(store_dir, _REBUILD_MARKER)):
         raise ValueError(
             f"corpus-stats store {store_dir} has an unfinished rebuild "
             "(crash mid-build_corpus_stats): its tables are partial — "
@@ -240,12 +241,12 @@ def _check_params(store_dir: str) -> None:
     """Strict guard for the INGEST/READ paths: counts written under a
     different tokenizer are incomparable, and these paths only ever
     add to or read what exists — they must refuse, not re-stamp."""
-    os.makedirs(store_dir, exist_ok=True)
+    fs = store_fs_for(store_dir)
+    fs.makedirs(store_dir)
     _refuse_mid_rebuild(store_dir)
     path = os.path.join(store_dir, _PARAMS_FILE)
-    if os.path.exists(path):
-        with open(path) as f:
-            stored = json.load(f)
+    if fs.exists(path):
+        stored = json.loads(fs.read_text(path))
         if stored != _TOKENIZER:
             raise ValueError(
                 f"corpus-stats store {store_dir} was built with tokenizer "
@@ -308,21 +309,21 @@ def build_corpus_stats(
     # leave old-tokenizer counts readable under the new stamp if the
     # rebuild crashed in between (review finding r8). Wipe the stale
     # stamp with the tables, so a mid-rebuild crash fails loudly.
-    os.makedirs(store_dir, exist_ok=True)
+    fs = store_fs_for(store_dir)
+    fs.makedirs(store_dir)
     marker = os.path.join(store_dir, _REBUILD_MARKER)
-    with open(marker, "w") as f:
-        f.write("rebuild in progress")
+    fs.write_text(marker, "rebuild in progress")
     old_stamp = os.path.join(store_dir, _PARAMS_FILE)
-    if os.path.exists(old_stamp):
-        os.remove(old_stamp)
+    if fs.exists(old_stamp):
+        fs.remove(old_stamp)
     for d in _dirs(store_dir):
-        if os.path.exists(d):
-            shutil.rmtree(d)
+        if fs.exists(d):
+            fs.rmtree(d)
     _write_batch(corpus_token_stats(docs), _token_dir(store_dir), "base")
     _write_batch(corpus_source_stats(docs), _source_dir(store_dir), "base")
     _write_batch(corpus_bigram_stats(docs), _bigram_dir(store_dir), "base")
     _stamp_params(store_dir)
-    os.remove(marker)  # critical section closed — store is whole again
+    fs.remove(marker)  # critical section closed — store is whole again
 
 
 def corpusstats_ingest_batch(
@@ -392,10 +393,11 @@ def _recover(store_dir: str) -> None:
     """Restore the .old backup if a compaction crash left any
     stats directory missing — same single-fault discipline as
     neardup_ingest's _recover_store."""
+    fs = store_fs_for(store_dir)
     for d in _dirs(store_dir):
         old = d.rstrip("/") + ".old"
-        if not os.path.exists(d) and os.path.exists(old):
-            os.rename(old, d)
+        if not fs.exists(d) and fs.exists(old):
+            fs.rename(old, d)
 
 
 def compact_corpus_stats(spark: SparkSession, store_dir: str) -> None:
@@ -411,21 +413,22 @@ def compact_corpus_stats(spark: SparkSession, store_dir: str) -> None:
     from file_appender_spark.operators.layout import dir_bytes, plan_file_count
 
     _recover(store_dir)
+    fs = store_fs_for(store_dir)
     for d, merged in (
         (_token_dir(store_dir), read_token_stats(spark, store_dir)),
         (_source_dir(store_dir), read_source_stats(spark, store_dir)),
         (_bigram_dir(store_dir), read_bigram_stats(spark, store_dir)),
     ):
         tmp = d.rstrip("/") + ".compacting"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        if fs.exists(tmp):
+            fs.rmtree(tmp)
         n = plan_file_count(dir_bytes(spark, d))
         merged.repartition(n).write.mode("overwrite").parquet(
             os.path.join(tmp, "batch=base")
         )
         old = d.rstrip("/") + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(d, old)
-        os.rename(tmp, d)
-        shutil.rmtree(old)
+        if fs.exists(old):
+            fs.rmtree(old)
+        fs.rename(d, old)
+        fs.rename(tmp, d)
+        fs.rmtree(old)

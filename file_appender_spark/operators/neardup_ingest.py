@@ -49,6 +49,16 @@ from file_appender_spark.operators.similarity import (
     _srp_coefs,
     _vec_dim,
 )
+from file_appender_spark.storefs import store_fs_for
+
+
+def _store_has_data(store_dir: str) -> bool:
+    """Does the signature store hold any parquet yet? Routed through
+    the StoreFS seam, so ``hdfs://``/``file://`` store dirs work the
+    same as bare local paths (r8 verdict task 2)."""
+    return any(
+        f.endswith(".parquet") for f in store_fs_for(store_dir).listdir(store_dir)
+    )
 
 
 def _sig_frame(
@@ -320,9 +330,7 @@ def neardup_ingest_batch(
         )
     else:
         band_bucket_cap = _resolve_ingest_cap(band_bucket_cap, 2, n_bands, n_bits)
-    store_exists = os.path.exists(store_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(store_dir)
-    )
+    store_exists = _store_has_data(store_dir)
     hist = spark.read.parquet(store_dir) if store_exists else None
     if store_exists:
         # batch x history candidates: equi-join on (band, sig) only
@@ -446,11 +454,11 @@ def _check_store_params(store_dir: str, expected: dict) -> None:
     incomparable: band equi-joins would silently find no historical
     candidates and admit every near-duplicate. The sidecar starts
     with ``_`` so Spark's parquet reader ignores it."""
-    os.makedirs(store_dir, exist_ok=True)
+    fs = store_fs_for(store_dir)
+    fs.makedirs(store_dir)
     path = os.path.join(store_dir, _PARAMS_FILE)
-    if os.path.exists(path):
-        with open(path) as f:
-            stored = json.load(f)
+    if fs.exists(path):
+        stored = json.loads(fs.read_text(path))
         if stored != expected:
             raise ValueError(
                 f"signature store {store_dir} was built with LSH params "
@@ -467,9 +475,9 @@ def _check_store_params(store_dir: str, expected: dict) -> None:
         # Require an explicit migration instead of guessing.
         legacy = [
             f
-            for f in os.listdir(store_dir)
+            for f in fs.listdir(store_dir)
             if f.endswith(".parquet") or (not f.startswith(("_", "."))
-                                          and os.path.isdir(os.path.join(store_dir, f)))
+                                          and fs.isdir(os.path.join(store_dir, f)))
         ]
         if legacy:
             raise ValueError(
@@ -480,9 +488,8 @@ def _check_store_params(store_dir: str, expected: dict) -> None:
                 "stamp_store_params(store_dir, params); otherwise rebuild."
             )
         tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(expected, f, sort_keys=True)
-        os.replace(tmp, path)
+        fs.write_text(tmp, json.dumps(expected, sort_keys=True))
+        fs.replace_file(tmp, path)
 
 
 def stamp_store_params(store_dir: str, params: dict) -> None:
@@ -490,12 +497,12 @@ def stamp_store_params(store_dir: str, params: dict) -> None:
     before the params sidecar existed: the operator KNOWS which
     params built it and vouches for them. Overwrites any existing
     stamp (atomic rename)."""
-    os.makedirs(store_dir, exist_ok=True)
+    fs = store_fs_for(store_dir)
+    fs.makedirs(store_dir)
     path = os.path.join(store_dir, _PARAMS_FILE)
     tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(params, f, sort_keys=True)
-    os.replace(tmp, path)
+    fs.write_text(tmp, json.dumps(params, sort_keys=True))
+    fs.replace_file(tmp, path)
 
 
 def ingest_band_bucket_cap_for(
@@ -600,20 +607,11 @@ def store_hot_buckets(
 
 def _store_row_count(store_dir: str) -> int:
     """Store row count from parquet FOOTER metadata — zero Spark
-    jobs, zero data read. The signature stores live on a local
-    filesystem by contract (compact_store's os.rename swap), so the
-    footers are directly listable. Used to size the ``"auto"``
+    jobs, zero data read (StoreFS walks the footers on whatever
+    filesystem the store lives on). Used to size the ``"auto"``
     hot-bucket cap, which needs order-of-magnitude accuracy only —
     retry-duplicated rows counting double is immaterial there."""
-    import pyarrow.parquet as pq
-
-    if not os.path.isdir(store_dir):
-        return 0
-    total = 0
-    for f in os.listdir(store_dir):
-        if f.endswith(".parquet") and not f.startswith((".", "_")):
-            total += pq.ParquetFile(os.path.join(store_dir, f)).metadata.num_rows
-    return total
+    return store_fs_for(store_dir).parquet_rows(store_dir)
 
 
 def _recover_store(store_dir: str) -> None:
@@ -622,9 +620,10 @@ def _recover_store(store_dir: str) -> None:
     ``.old`` backup exists, restore the backup — called at the top of
     every ingest batch and compaction so the history can never be
     silently treated as a first run."""
+    fs = store_fs_for(store_dir)
     old = store_dir.rstrip("/") + ".old"
-    if not os.path.exists(store_dir) and os.path.exists(old):
-        os.rename(old, store_dir)
+    if not fs.exists(store_dir) and fs.exists(old):
+        fs.rename(old, store_dir)
 
 
 def compact_store(
@@ -639,23 +638,23 @@ def compact_store(
     and scan-open costs. Rewrite the store into ~target-sized files,
     deduping retry-appended rows (same id, keep one).
 
-    Contract (narrower than layout.compact, which is FS-agnostic and
-    read-concurrent): the store must live on a LOCAL filesystem (the
-    swap uses os.rename) and ingest must be PAUSED during compaction —
+    Contract (narrower than layout.compact, which is read-concurrent):
+    the swap goes through the StoreFS seam — POSIX rename on bare
+    paths, the pyarrow adapter's atomic namenode rename on ``hdfs://``
+    store dirs — and ingest must be PAUSED during compaction —
     there is exactly one writer by design (the sequential foreachBatch
     loop), so pausing is the natural maintenance window. A crash
     between the two renames leaves the ``.old`` backup in place;
     ``_recover_store`` (run at the top of every ingest batch and
     compaction) restores it, so dedup history survives any
     single-fault crash. Returns the ACTUAL compacted file count."""
-    import shutil
-
     from file_appender_spark.operators.layout import dir_bytes, plan_file_count
 
     _recover_store(store_dir)
+    fs = store_fs_for(store_dir)
     tmp = store_dir.rstrip("/") + ".compacting"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)  # leftover from an interrupted compaction
+    if fs.exists(tmp):
+        fs.rmtree(tmp)  # leftover from an interrupted compaction
     df = spark.read.parquet(store_dir)
     # size the rewrite from the DEDUPED fraction, not raw bytes — a
     # heavily retry-duplicated store would otherwise get ~dup-factor
@@ -669,16 +668,16 @@ def compact_store(
     # the LSH-params stamp must survive the swap, or the next ingest
     # batch would re-stamp with whatever params it happens to pass
     params_src = os.path.join(store_dir, _PARAMS_FILE)
-    if os.path.exists(params_src):
-        shutil.copy2(params_src, os.path.join(tmp, _PARAMS_FILE))
+    if fs.exists(params_src):
+        fs.copy_file(params_src, os.path.join(tmp, _PARAMS_FILE))
     old = store_dir.rstrip("/") + ".old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(store_dir, old)
-    os.rename(tmp, store_dir)
-    shutil.rmtree(old)
+    if fs.exists(old):
+        fs.rmtree(old)
+    fs.rename(store_dir, old)
+    fs.rename(tmp, store_dir)
+    fs.rmtree(old)
     return sum(
-        1 for f in os.listdir(store_dir)
+        1 for f in fs.listdir(store_dir)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
 
@@ -792,9 +791,7 @@ def textdup_ingest_batch(
     )
 
     cand_pairs = []
-    store_exists = os.path.exists(store_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(store_dir)
-    )
+    store_exists = _store_has_data(store_dir)
     if store_exists:
         hist = spark.read.parquet(store_dir)
         cand_pairs.append(
@@ -930,9 +927,7 @@ def imagedup_ingest_batch(
     )
 
     cand_pairs = []
-    store_exists = os.path.exists(store_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(store_dir)
-    )
+    store_exists = _store_has_data(store_dir)
     old_cols = lambda src: src.select(  # noqa: E731
         F.col(id_col).alias("old_id"),
         *[F.col(f"b{k}").alias(f"ob{k}") for k in range(4)],

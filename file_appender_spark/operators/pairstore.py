@@ -41,7 +41,11 @@ corpus. This module is that store:
   Kiveris-et-al. map-reduce CC) materialized as (doc, cluster) with
   a coverage stamp: reading an assignment that does not cover every
   pair epoch raises rather than silently serving merged-away
-  clusters (``allow_stale=True`` opts in).
+  clusters (``allow_stale=True`` opts in). Refresh is INCREMENTAL by
+  default when an assignment already exists: only the new epochs'
+  edges are folded through the representative space
+  (_fold_new_edges — work bounded by the new pairs, not the store),
+  with the full recompute as fallback and equivalence oracle.
 - ``compact_pairstore`` — fold epochs into ``batch=base`` (sized
   output files, crash-safe two-rename swap, the corpusstats/
   neardup_ingest discipline).
@@ -53,16 +57,17 @@ ingest epoch, the history side is touched only through the band
 equi-join on the signature columns (columnar scan of the sigs table;
 the heavy ``sh32`` column is fetched through the candidate join) and
 the hot-bucket guard (``ingest_band_bucket_cap_for``) bounds
-template-family buckets. The store lives on a local filesystem by
-contract (the compaction swap uses os.rename), matching the other
-incremental stores.
+template-family buckets. All store maintenance — compaction swaps,
+epoch listing, sidecar stamps — goes through the StoreFS seam
+(file_appender_spark/storefs.py), so the store can live on HDFS
+(``hdfs://`` store_dir) as well as local disk, matching the append
+sink's AppendFS discipline.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,6 +78,7 @@ from file_appender_spark.operators.neardup_ingest import (
     _resolve_ingest_cap,
     _spread,
 )
+from file_appender_spark.storefs import store_fs_for
 
 _PARAMS_FILE = "_PAIRSTORE_PARAMS.json"
 _CLUSTERS_STATE = "_CLUSTERS_STATE.json"
@@ -223,26 +229,26 @@ def _stamp_params(store_dir: str, threshold: float) -> None:
     """Unconditional (re)stamp — the BUILD path's prerogative: a full
     rebuild replaces every table, so stale params are simply replaced
     (the corpusstats r7-advice lesson, applied from day one here)."""
-    os.makedirs(store_dir, exist_ok=True)
+    fs = store_fs_for(store_dir)
+    fs.makedirs(store_dir)
     path = os.path.join(store_dir, _PARAMS_FILE)
     tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(_params(threshold), f, sort_keys=True)
-    os.replace(tmp, path)
+    fs.write_text(tmp, json.dumps(_params(threshold), sort_keys=True))
+    fs.replace_file(tmp, path)
 
 
 def _check_params(store_dir: str, threshold: float | None) -> float:
     """Strict guard for ingest/read: pairs verified under a different
     threshold or hash params are a DIFFERENT graph. Returns the
     store's threshold so read/ingest paths can default to it."""
+    fs = store_fs_for(store_dir)
     path = os.path.join(store_dir, _PARAMS_FILE)
-    if not os.path.exists(path):
+    if not fs.exists(path):
         raise ValueError(
             f"{store_dir} is not a pair store (no {_PARAMS_FILE}); "
             "run build_pair_graph first"
         )
-    with open(path) as f:
-        stored = json.load(f)
+    stored = json.loads(fs.read_text(path))
     if threshold is not None and stored != _params(threshold):
         raise ValueError(
             f"pair store {store_dir} was built with {stored}, this call "
@@ -255,10 +261,11 @@ def _check_params(store_dir: str, threshold: float | None) -> float:
 def _recover(store_dir: str) -> None:
     """Restore .old backups a compaction/refresh crash left behind —
     the single-fault discipline shared by every incremental store."""
+    fs = store_fs_for(store_dir)
     for d in (_sigs_dir(store_dir), _pairs_dir(store_dir), _clusters_dir(store_dir)):
         old = d.rstrip("/") + ".old"
-        if not os.path.exists(d) and os.path.exists(old):
-            os.rename(old, d)
+        if not fs.exists(d) and fs.exists(old):
+            fs.rename(old, d)
 
 
 def _write_epoch(df: DataFrame, base: str, batch_id: str) -> None:
@@ -300,15 +307,16 @@ def build_pair_graph(
     # crash mid-rebuild must leave a store that fails LOUDLY (missing
     # tables / missing stamp), never old-threshold pairs readable
     # under a new-threshold stamp (review finding r8)
+    fs = store_fs_for(store_dir)
     params_path = os.path.join(store_dir, _PARAMS_FILE)
-    if os.path.exists(params_path):
-        os.remove(params_path)
+    if fs.exists(params_path):
+        fs.remove(params_path)
     for d in (_sigs_dir(store_dir), _pairs_dir(store_dir), _clusters_dir(store_dir)):
-        if os.path.exists(d):
-            shutil.rmtree(d)
+        if fs.exists(d):
+            fs.rmtree(d)
     state = os.path.join(store_dir, _CLUSTERS_STATE)
-    if os.path.exists(state):
-        os.remove(state)
+    if fs.exists(state):
+        fs.remove(state)
 
     sigs = pair_signatures(docs, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -407,12 +415,13 @@ def pairstore_ingest_batch(
 
 
 def _epoch_ids(table_dir: str) -> list[str]:
-    if not os.path.isdir(table_dir):
+    fs = store_fs_for(table_dir)
+    if not fs.isdir(table_dir):
         return []
     return sorted(
         p.split("=", 1)[1]
-        for p in os.listdir(table_dir)
-        if p.startswith("batch=") and os.path.isdir(os.path.join(table_dir, p))
+        for p in fs.listdir(table_dir)
+        if p.startswith("batch=") and fs.isdir(os.path.join(table_dir, p))
     )
 
 
@@ -489,42 +498,147 @@ def q52_clusters(
     ).select("doc", "cluster")
 
 
-def refresh_clusters(spark: SparkSession, store_dir: str) -> None:
-    """Recompute the materialized (doc, cluster) assignment over ALL
-    pair epochs and stamp the coverage. CC runs over the PAIR table
-    (edges), never the corpus: at 100 TB the near-dup pair graph is
-    orders of magnitude smaller than the corpus, so a full refresh is
-    the right cost model (the alternating-star rounds are
-    O(log diameter) joins on pair-sized frames). Crash-safe swap +
+def _fold_new_edges(
+    spark: SparkSession, store_dir: str, new_epochs: list[str]
+) -> DataFrame:
+    """Incremental cluster refresh: fold ONLY the new epochs' edges
+    into the existing materialized assignment, instead of re-running
+    CC over every pair epoch (r8 verdict task 4 — the full recompute
+    grows with total pairs; at 100 TB with frequent epochs the
+    standard upgrade is union-by-representative).
+
+    Correctness argument (pinned incremental == full in
+    tests/test_pairstore.py): cluster labels are component MIN ids.
+    Map each new edge's endpoints to their current representative
+    (the stored cluster for known docs, the doc itself for new ones);
+    run CC over that representative-space edge list — a frame bounded
+    by the NEW epochs' pairs, not the store. The resulting label of a
+    merged representative group is min(reps) = min(old component
+    mins, new doc ids) = the merged component's global min id,
+    exactly what the full recompute assigns. Representatives
+    untouched by new edges keep their labels; docs of untouched
+    components are never read."""
+    from file_appender_spark.operators.components import dedup_clusters
+
+    asg = spark.read.parquet(_clusters_dir(store_dir)).select("doc", "cluster")
+    new_edges = None
+    for e in new_epochs:
+        part = spark.read.parquet(
+            os.path.join(_pairs_dir(store_dir), f"batch={e}")
+        ).select("d1", "d2")
+        new_edges = part if new_edges is None else new_edges.unionByName(part)
+    new_edges = new_edges.distinct().localCheckpoint(eager=True)
+
+    # endpoint -> current representative (known docs: stored cluster;
+    # new docs: themselves). Two left joins against the assignment.
+    r1 = asg.select(F.col("doc").alias("d1"), F.col("cluster").alias("_c1"))
+    r2 = asg.select(F.col("doc").alias("d2"), F.col("cluster").alias("_c2"))
+    rep_edges = (
+        new_edges.join(r1, "d1", "left")
+        .join(r2, "d2", "left")
+        .select(
+            F.coalesce("_c1", F.col("d1")).alias("u"),
+            F.coalesce("_c2", F.col("d2")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # CC over the representative space: (rep, merged-min) mapping.
+    # dedup_clusters only emits nodes WITH edges — reps untouched by
+    # any rep-space edge (e.g. both endpoints already same cluster)
+    # keep their label through the coalesce below.
+    mapping = dedup_clusters(rep_edges, id1="u", id2="v").select(
+        F.col("doc").alias("_rep"), F.col("cluster").alias("_newc")
+    )
+    old_rows = (
+        asg.join(mapping, asg.cluster == mapping._rep, "left")
+        .select("doc", F.coalesce("_newc", F.col("cluster")).alias("cluster"))
+    )
+    # docs first seen in the new epochs: their rep is themselves
+    new_docs = (
+        new_edges.select(F.col("d1").alias("doc"))
+        .unionByName(new_edges.select(F.col("d2").alias("doc")))
+        .distinct()
+        .join(asg.select("doc"), "doc", "left_anti")
+    )
+    new_rows = (
+        new_docs.join(mapping, new_docs.doc == mapping._rep, "left")
+        .select("doc", F.coalesce("_newc", F.col("doc")).alias("cluster"))
+    )
+    return old_rows.unionByName(new_rows)
+
+
+def refresh_clusters(
+    spark: SparkSession, store_dir: str, mode: str = "auto"
+) -> str:
+    """(Re)materialize the (doc, cluster) assignment and stamp the
+    coverage; returns the strategy used (``"full"``,
+    ``"incremental"`` or ``"fresh"`` for a no-op). CC always runs
+    over PAIR-sized frames, never the corpus.
+
+    ``mode="auto"`` folds only the new epochs' edges into the
+    existing assignment when one covers a subset of the live epochs
+    (_fold_new_edges — work bounded by the new pairs), and falls
+    back to the full recompute otherwise (first build, missing
+    assignment, or epochs REMOVED since the stamp, e.g. by an
+    external cleanup — coverage could otherwise claim epochs that no
+    longer exist). ``mode="full"`` forces the recompute — it is also
+    the incremental path's equivalence oracle. Crash-safe swap +
     _recover, the shared store discipline."""
     from file_appender_spark.operators.components import dedup_clusters
 
+    if mode not in ("auto", "full", "incremental"):
+        raise ValueError(f"mode must be auto/full/incremental, got {mode!r}")
     _recover(store_dir)
     _check_params(store_dir, None)
-    pairs = read_pairs(spark, store_dir).select("d1", "d2")
-    cl = dedup_clusters(pairs).select("doc", "cluster")
+    fs = store_fs_for(store_dir)
+    live = set(_epoch_ids(_pairs_dir(store_dir)))
+    state = os.path.join(store_dir, _CLUSTERS_STATE)
+    covers: set | None = None
+    if fs.exists(state) and fs.exists(_clusters_dir(store_dir)):
+        covers = set(json.loads(fs.read_text(state))["covers"])
+    can_fold = covers is not None and covers and covers <= live
+    if mode == "incremental" and not can_fold:
+        raise ValueError(
+            f"pair store {store_dir} has no foldable assignment (covered "
+            f"epochs {sorted(covers) if covers else []} vs live "
+            f"{sorted(live)}); run a full refresh"
+        )
+    use_incremental = can_fold if mode == "auto" else (mode == "incremental")
+    if use_incremental:
+        new_epochs = sorted(live - covers)
+        if not new_epochs:
+            return "fresh"  # assignment already covers every epoch
+        cl = _fold_new_edges(spark, store_dir, new_epochs)
+        used = "incremental"
+    else:
+        pairs = read_pairs(spark, store_dir).select("d1", "d2")
+        cl = dedup_clusters(pairs).select("doc", "cluster")
+        used = "full"
     d = _clusters_dir(store_dir)
     tmp = d.rstrip("/") + ".refreshing"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    if fs.exists(tmp):
+        fs.rmtree(tmp)
     # repartition(>=1) guarantees at least one footer-bearing file so
     # an empty graph still reads back with a schema
     cl.repartition(max(1, spark.sparkContext.defaultParallelism // 8)).write.mode(
         "overwrite"
     ).parquet(tmp)
     old = d.rstrip("/") + ".old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(d):
-        os.rename(d, old)
-    os.rename(tmp, d)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    state = os.path.join(store_dir, _CLUSTERS_STATE)
+    if fs.exists(old):
+        fs.rmtree(old)
+    if fs.exists(d):
+        fs.rename(d, old)
+    fs.rename(tmp, d)
+    if fs.exists(old):
+        fs.rmtree(old)
     stmp = state + ".tmp"
-    with open(stmp, "w") as f:
-        json.dump({"covers": _epoch_ids(_pairs_dir(store_dir))}, f, sort_keys=True)
-    os.replace(stmp, state)
+    fs.write_text(
+        stmp,
+        json.dumps({"covers": _epoch_ids(_pairs_dir(store_dir))}, sort_keys=True),
+    )
+    fs.replace_file(stmp, state)
+    return used
 
 
 def read_cluster_assignment(
@@ -543,14 +657,14 @@ def read_cluster_assignment(
     read_pairs (q116 passes q52's 0.2)."""
     _recover(store_dir)
     _check_params(store_dir, expected_threshold)
+    fs = store_fs_for(store_dir)
     state = os.path.join(store_dir, _CLUSTERS_STATE)
-    if not os.path.exists(state):
+    if not fs.exists(state):
         raise ValueError(
             f"pair store {store_dir} has no materialized clusters; run "
             "refresh_clusters (build_pair_graph does it automatically)"
         )
-    with open(state) as f:
-        covers = set(json.load(f)["covers"])
+    covers = set(json.loads(fs.read_text(state))["covers"])
     live = set(_epoch_ids(_pairs_dir(store_dir)))
     if live - covers and not allow_stale:
         raise ValueError(
@@ -576,10 +690,10 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
 
     _recover(store_dir)
     _check_params(store_dir, None)
+    fs = store_fs_for(store_dir)
     state = os.path.join(store_dir, _CLUSTERS_STATE)
-    if os.path.exists(state):
-        with open(state) as f:
-            covers = set(json.load(f)["covers"])
+    if fs.exists(state):
+        covers = set(json.loads(fs.read_text(state))["covers"])
         clusters_were_fresh = not (
             set(_epoch_ids(_pairs_dir(store_dir))) - covers
         )
@@ -588,13 +702,14 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
         # as spuriously fresh, which a crash between the pairs swap
         # and a trailing state write would produce (review finding)
         stmp = state + ".tmp"
-        with open(stmp, "w") as f:
-            json.dump(
+        fs.write_text(
+            stmp,
+            json.dumps(
                 {"covers": ["base"] if clusters_were_fresh else []},
-                f,
                 sort_keys=True,
-            )
-        os.replace(stmp, state)
+            ),
+        )
+        fs.replace_file(stmp, state)
     for d in (_sigs_dir(store_dir), _pairs_dir(store_dir)):
         merged = spark.read.option("basePath", d).parquet(d).drop("batch")
         if d == _pairs_dir(store_dir):
@@ -605,16 +720,16 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
             # signature lives in exactly its own overwritten epoch.
             merged = merged.distinct()
         tmp = d.rstrip("/") + ".compacting"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        if fs.exists(tmp):
+            fs.rmtree(tmp)
         n = plan_file_count(dir_bytes(spark, d))
         merged.repartition(n).write.mode("overwrite").parquet(
             os.path.join(tmp, "batch=base")
         )
         old = d.rstrip("/") + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(d, old)
-        os.rename(tmp, d)
-        shutil.rmtree(old)
+        if fs.exists(old):
+            fs.rmtree(old)
+        fs.rename(d, old)
+        fs.rename(tmp, d)
+        fs.rmtree(old)
 

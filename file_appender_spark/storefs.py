@@ -1,0 +1,281 @@
+"""Filesystem seam for the INCREMENTAL STORES (pairstore,
+neardup_ingest signature stores, corpusstats) — the AppendFS
+discipline (sinks/append_text.py:78) applied to store maintenance
+(r8 verdict task 2).
+
+The stores keep the engine's long-lived state: signature tables, the
+near-dup pair graph, corpus token statistics. Until round 9 their
+crash-safe compaction swaps, epoch listings, and params sidecars went
+through ``os.rename``/``os.listdir``/``open`` — local-filesystem by
+contract — while the append sink already ran on pyarrow HDFS. This
+module abstracts exactly the operations the stores need:
+
+- :class:`LocalStoreFS` — direct os/shutil (the default for bare
+  paths; zero behavior change for existing stores);
+- :class:`ArrowStoreFS` — pyarrow.fs-backed (``hdfs://`` store dirs
+  in production; ``file://`` store dirs exercise the SAME adapter
+  code path on local disk, which is what the two-backend parity
+  matrix in tests/test_store_fs.py runs).
+
+``store_fs_for(path)`` dispatches on the scheme, mirroring
+``fs_for_path`` for the sink. Spark itself reads and writes
+``file://``/``hdfs://`` URIs natively, so the store modules pass
+their (possibly schemed) paths to Spark unchanged and route only the
+metadata operations — exists/list/rename/delete/sidecars — through
+this seam.
+
+Durability note: ``rename`` must be atomic for DIRECTORIES on the
+target filesystem — POSIX rename and the HDFS namenode rename both
+are; object stores (S3) are NOT and are out of scope by the same
+append-centric contract as the sink. ``replace_file`` (sidecar
+stamps) is atomic on POSIX; on HDFS it degrades to delete+rename,
+which is safe for the stores because every sidecar write happens
+inside a single-writer maintenance window and every reader treats a
+MISSING sidecar as loud failure, never as default-adoption.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Protocol
+
+from file_appender_spark.sinks.append_text import _strip_scheme
+
+
+class StoreFS(Protocol):
+    """Everything store maintenance needs from a filesystem, and
+    nothing more. All paths may carry a URI scheme; implementations
+    resolve or refuse them (the ArrowFS authority guard)."""
+
+    def exists(self, path: str) -> bool: ...
+
+    def isdir(self, path: str) -> bool: ...
+
+    def listdir(self, directory: str) -> list[str]: ...
+
+    def makedirs(self, directory: str) -> None: ...
+
+    def rename(self, src: str, dst: str) -> None: ...
+
+    def replace_file(self, src: str, dst: str) -> None: ...
+
+    def rmtree(self, directory: str) -> None: ...
+
+    def remove(self, path: str) -> None: ...
+
+    def read_text(self, path: str) -> str: ...
+
+    def write_text(self, path: str, text: str) -> None: ...
+
+    def copy_file(self, src: str, dst: str) -> None: ...
+
+    def parquet_rows(self, directory: str) -> int: ...
+
+
+class LocalStoreFS:
+    """POSIX implementation — byte-identical behavior to the os/shutil
+    calls the stores made before the seam existed."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, directory: str) -> list[str]:
+        if not os.path.isdir(directory):
+            return []
+        return os.listdir(directory)
+
+    def makedirs(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def replace_file(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def rmtree(self, directory: str) -> None:
+        shutil.rmtree(directory)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(path, "w") as f:
+            f.write(text)
+
+    def copy_file(self, src: str, dst: str) -> None:
+        shutil.copy2(src, dst)
+
+    def parquet_rows(self, directory: str) -> int:
+        """Row count from parquet FOOTER metadata — zero Spark jobs,
+        zero data read (order-of-magnitude sizing for the ingest
+        caps, where retry-duplicated rows counting double is
+        immaterial)."""
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(directory):
+            return 0
+        total = 0
+        for f in os.listdir(directory):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                total += pq.ParquetFile(
+                    os.path.join(directory, f)
+                ).metadata.num_rows
+        return total
+
+
+class ArrowStoreFS:
+    """pyarrow.fs implementation — ``hdfs://`` store dirs in
+    production, ``file://`` for the on-disk parity matrix. Shares the
+    sink adapter's conventions: the connection is created lazily (the
+    instance is picklable without handles), and every path passes the
+    authority guard before its scheme is stripped (a store on
+    ``hdfs://nn-b`` refuses an adapter bound to ``nn-a``)."""
+
+    def __init__(self, fs_spec: str = "local"):
+        self.fs_spec = fs_spec
+        self._fs = None
+
+    def __getstate__(self):
+        return {"fs_spec": self.fs_spec}
+
+    def __setstate__(self, state):
+        self.fs_spec = state["fs_spec"]
+        self._fs = None
+
+    def _filesystem(self):
+        if self._fs is None:
+            from pyarrow import fs as pafs
+
+            if self.fs_spec == "local":
+                self._fs = pafs.LocalFileSystem()
+            elif self.fs_spec.startswith("hdfs://"):
+                self._fs, _ = pafs.FileSystem.from_uri(self.fs_spec)
+            else:
+                raise ValueError(
+                    f"unsupported ArrowStoreFS spec {self.fs_spec!r}: use "
+                    "'local' or an hdfs:// URI"
+                )
+        return self._fs
+
+    def _resolve(self, path: str) -> str:
+        """The sink adapter's authority guard (ArrowFS._resolve):
+        refuse a path on a different scheme/cluster instead of
+        silently stripping it onto the wrong filesystem."""
+        if "://" in path:
+            scheme, rest = path.split("://", 1)
+            path_auth = rest.split("/", 1)[0]
+            if self.fs_spec == "local":
+                if scheme != "file" or path_auth:
+                    raise ValueError(
+                        f"path {path!r} is not on the local filesystem this "
+                        "ArrowStoreFS adapter is bound to"
+                    )
+            else:
+                spec_scheme, spec_rest = self.fs_spec.split("://", 1)
+                spec_auth = spec_rest.split("/", 1)[0]
+                if scheme != spec_scheme or (
+                    path_auth and path_auth != spec_auth
+                ):
+                    raise ValueError(
+                        f"path {path!r} names filesystem "
+                        f"{scheme}://{path_auth}, but this ArrowStoreFS "
+                        f"adapter is bound to {self.fs_spec!r} — refusing "
+                        "to operate on a different cluster"
+                    )
+        return _strip_scheme(path)
+
+    def _info(self, path: str):
+        return self._filesystem().get_file_info(self._resolve(path))
+
+    def exists(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._info(path).type != pafs.FileType.NotFound
+
+    def isdir(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._info(path).type == pafs.FileType.Directory
+
+    def listdir(self, directory: str) -> list[str]:
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(
+            self._resolve(directory), allow_not_found=True, recursive=False
+        )
+        return [i.base_name for i in self._filesystem().get_file_info(sel)]
+
+    def makedirs(self, directory: str) -> None:
+        self._filesystem().create_dir(self._resolve(directory), recursive=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        self._filesystem().move(self._resolve(src), self._resolve(dst))
+
+    def replace_file(self, src: str, dst: str) -> None:
+        # POSIX rename overwrites atomically; HDFS rename refuses an
+        # existing destination, so degrade to delete+rename — safe
+        # under the stores' single-writer maintenance windows (see
+        # module docstring)
+        try:
+            self._filesystem().move(self._resolve(src), self._resolve(dst))
+        except OSError:
+            if self.exists(dst):
+                self.remove(dst)
+            self._filesystem().move(self._resolve(src), self._resolve(dst))
+
+    def rmtree(self, directory: str) -> None:
+        self._filesystem().delete_dir(self._resolve(directory))
+
+    def remove(self, path: str) -> None:
+        self._filesystem().delete_file(self._resolve(path))
+
+    def read_text(self, path: str) -> str:
+        with self._filesystem().open_input_stream(self._resolve(path)) as f:
+            return f.read().decode("utf-8")
+
+    def write_text(self, path: str, text: str) -> None:
+        with self._filesystem().open_output_stream(self._resolve(path)) as f:
+            f.write(text.encode("utf-8"))
+
+    def copy_file(self, src: str, dst: str) -> None:
+        fs = self._filesystem()
+        with fs.open_input_stream(self._resolve(src)) as r:
+            with fs.open_output_stream(self._resolve(dst)) as w:
+                w.write(r.read())
+
+    def parquet_rows(self, directory: str) -> int:
+        import pyarrow.parquet as pq
+
+        if not self.isdir(directory):
+            return 0
+        fs = self._filesystem()
+        base = self._resolve(directory)
+        total = 0
+        for name in self.listdir(directory):
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                with fs.open_input_file(f"{base}/{name}") as f:
+                    total += pq.ParquetFile(f).metadata.num_rows
+        return total
+
+
+def store_fs_for(path: str) -> StoreFS:
+    """Scheme dispatch, mirroring the sink's ``fs_for_path``:
+    ``hdfs://`` store dirs get the pyarrow Hadoop adapter, ``file://``
+    gets the SAME adapter on local disk (the parity-matrix backend —
+    Spark reads/writes file:// URIs natively, so a whole store can
+    run through the adapter end-to-end on one machine), and bare
+    paths keep the direct POSIX implementation."""
+    if path.startswith("hdfs://"):
+        return ArrowStoreFS(path)
+    if path.startswith("file://"):
+        return ArrowStoreFS("local")
+    return LocalStoreFS()

@@ -432,3 +432,44 @@ def test_curate_auto_band_bucket_cap_on_hot_neardup_family(spark, tmp_path):
             image_mode="ahash",
             image_band_bucket_cap="nope",
         )
+
+
+def test_curate_graph_dir_equals_recompute(spark, sf_dir, tmp_path):
+    """r8 verdict task 5: batch curate with ``graph_dir`` (near-dup
+    pairs served from a materialized pairstore) must reproduce the
+    recompute funnel and shards EXACTLY — the store's full-corpus
+    pair set restricted to surviving ids is the survivors' pair set.
+    Also pins the threshold guard: a store built at a different
+    threshold refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.operators.pairstore import build_pair_graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "graph")
+    build_pair_graph(spark, docs, store)  # q52 threshold 0.2 = curate default
+
+    r_plain = curate(spark, docs, str(tmp_path / "plain"))
+    r_store = curate(spark, docs, str(tmp_path / "store"), graph_dir=store)
+    assert r_store == r_plain
+    a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "plain"))
+        .select("doc_id", "split", "text")
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "store"))
+        .select("doc_id", "split", "text")
+        .collect()
+    )
+    assert a == b
+    assert r_store["after_near_dedup"] < r_store["after_exact_dedup"]
+
+    with pytest.raises(ValueError, match="different graph"):
+        curate(
+            spark, docs, str(tmp_path / "refuse"),
+            near_threshold=0.5, graph_dir=store,
+        )

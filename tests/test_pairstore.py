@@ -621,3 +621,50 @@ def test_read_pairs_dedups_out_of_order_replay(spark, tmp_path):
     ).parquet(os.path.join(store, "pairs"))
     assert raw2.count() == 3
     assert _pair_rows(read_pairs(spark, store)) == merged
+
+
+def test_incremental_cluster_refresh_matches_full(spark, sf_dir, tmp_path):
+    """r8 verdict task 4: refresh_clusters(mode='auto') folds only
+    the new epochs' edges into the existing assignment; the result
+    must equal the full recompute exactly (labels are component min
+    ids, and the representative-space fold preserves them). Pinned on
+    the real corpus with cross-epoch near-dup pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    store = str(tmp_path / "inc_refresh")
+    build_pair_graph(spark, docs.filter(F.col("doc_id") % 3 == 0), store)
+
+    # epoch 1: auto must choose the INCREMENTAL fold (assignment
+    # covers {'base'}, one new epoch) and match a forced full rerun
+    pairstore_ingest_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 1), store, batch_id=1
+    )
+    assert refresh_clusters(spark, store) == "incremental"
+    inc1 = _cluster_rows(read_cluster_assignment(spark, store))
+    assert refresh_clusters(spark, store, mode="full") == "full"
+    assert _cluster_rows(read_cluster_assignment(spark, store)) == inc1
+
+    # epoch 2 on top: fold again, compare against one big batch build
+    pairstore_ingest_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 2), store, batch_id=2
+    )
+    assert refresh_clusters(spark, store) == "incremental"
+    ref = str(tmp_path / "ref_full")
+    build_pair_graph(spark, docs, ref)
+    assert _cluster_rows(read_cluster_assignment(spark, store)) == (
+        _cluster_rows(read_cluster_assignment(spark, ref))
+    )
+
+    # nothing new -> no-op
+    assert refresh_clusters(spark, store) == "fresh"
+
+    # forcing incremental without a foldable assignment refuses
+    bare = str(tmp_path / "bare")
+    build_pair_graph(spark, docs.filter(F.col("doc_id") % 3 == 0), bare)
+    import os as _os
+
+    from file_appender_spark.operators.pairstore import _CLUSTERS_STATE
+
+    _os.remove(_os.path.join(bare, _CLUSTERS_STATE))
+    with pytest.raises(ValueError, match="foldable"):
+        refresh_clusters(spark, bare, mode="incremental")
