@@ -614,6 +614,34 @@ def main() -> None:
                 "amortized win is measured at 100x in SCALE100_PROBE_r8)",
                 file=sys.stderr,
             )
+            # batch curate with/without the store (r8 verdict task 5):
+            # a RE-curation run amortizes the funnel's one expensive
+            # stage through graph_dir exactly like the query consumers
+            from file_appender_spark.curate import curate
+
+            cur_dir = tempfile.mkdtemp(prefix="bench_curate_")
+            try:
+                t0 = time.perf_counter()
+                curate(spark, docs, cur_dir + "/plain")
+                extras["curate_recompute_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                t0 = time.perf_counter()
+                curate(
+                    spark, docs, cur_dir + "/served", graph_dir=graph_store
+                )
+                extras["curate_from_store_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                print(
+                    f"# curate: {extras['curate_recompute_sec']}s recompute "
+                    f"vs {extras['curate_from_store_sec']}s with graph_dir "
+                    "(near-dup pairs from the pair store; funnel equality "
+                    "pinned in tests/test_curate.py)",
+                    file=sys.stderr,
+                )
+            finally:
+                shutil.rmtree(cur_dir, ignore_errors=True)
         finally:
             shutil.rmtree(graph_store, ignore_errors=True)
     except Exception as exc:
