@@ -148,7 +148,13 @@ def curate(
     recompute exactly — pair existence depends only on the two
     texts, so the store's full-corpus pair set restricted to
     survivors IS the survivors' pair set (funnel-equivalence pinned
-    in tests/test_curate.py)."""
+    in tests/test_curate.py). EXACTNESS CAVEAT: a store whose ingest
+    hot-bucket cap ever BOUND is missing edges (pairstore records
+    this; pairstore_is_exact) — such a store still passes the
+    threshold guard, but the funnel dict then carries
+    ``near_dedup_store_capped: True`` so the inexactness is visible
+    in the run record, exactly like the image stage's capped-bucket
+    report."""
     if image_mode not in ("off", "ahash", "dhash"):
         raise ValueError(
             f"image_mode must be 'off', 'ahash' or 'dhash', got {image_mode!r}"
@@ -250,9 +256,17 @@ def curate(
     # copies are already gone, so the pair graph is the near-dup one);
     # the larger id of every verified pair is dropped (q122's rule)
     _persisted: list = []
+    store_capped = False
     if graph_dir is not None:
-        from file_appender_spark.operators.pairstore import read_pairs
+        from file_appender_spark.operators.pairstore import (
+            pairstore_is_exact,
+            read_pairs,
+        )
 
+        # a store whose ingest cap ever BOUND is missing edges — the
+        # funnel must say so (near_dedup_store_capped below) rather
+        # than let shards that still hold near-dups pass as exact
+        store_capped = not pairstore_is_exact(graph_dir)
         surv = d1.select("doc_id")
         pairs = (
             read_pairs(spark, graph_dir, expected_threshold=near_threshold)
@@ -307,6 +321,8 @@ def curate(
         out["after_image_dedup"] = n_image
         if image_capped is not None:
             out.update(image_capped)
+    if store_capped:
+        out["near_dedup_store_capped"] = True
     return out
 
 

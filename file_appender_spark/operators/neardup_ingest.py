@@ -264,6 +264,23 @@ def _identical_sig_dups(
     return base.filter(dup).select(id_col)
 
 
+def _own_stored_override(
+    dup_ids: DataFrame, hist: DataFrame, sigs: DataFrame, id_col: str
+) -> DataFrame:
+    """The ingests' shared at-least-once override (r8 ADVICE): a batch
+    row whose own id is already STORED was admitted by an earlier
+    attempt, so a replay must re-emit it regardless of which stored or
+    batch row it now collides with — identical-signature twins a
+    pre-shortcut cap admitted wholesale, legacy multi-id groups, any
+    store shape. One broadcast semi on the batch's ids (the store is
+    scanned on its id column only, never shuffled), then an anti-join
+    pulling those ids back out of the final dup set."""
+    own_stored = hist.select(id_col).join(
+        F.broadcast(sigs.select(id_col).distinct()), id_col, "semi"
+    )
+    return dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
+
+
 def neardup_ingest_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -405,9 +422,13 @@ def neardup_ingest_batch(
         # neither may the shortcut). threshold > 1.0 admits
         # everything by definition; the guard keeps the shortcut
         # subordinate to the verifier's semantics.
-        elig = sigs.filter(F.col("nrm") > 0).select(id_col, "v")
+        # NOT isnan: Spark orders NaN GREATER than every number, so a
+        # bare nrm > 0 would admit NaN-normed vectors into the
+        # shortcut and suppress rows whose cosine is undefined
+        finite_pos = (F.col("nrm") > 0) & ~F.isnan("nrm")
+        elig = sigs.filter(finite_pos).select(id_col, "v")
         hist_elig = (
-            hist.filter(F.col("nrm") > 0).select(id_col, "v")
+            hist.filter(finite_pos).select(id_col, "v")
             if store_exists
             else None
         )
@@ -415,17 +436,7 @@ def neardup_ingest_batch(
             _identical_sig_dups(elig, hist_elig, id_col, ["v"])
         ).distinct()
     if store_exists:
-        # at-least-once override (r8 ADVICE): a batch row whose own id
-        # is already STORED was admitted by an earlier attempt, so the
-        # replay must re-emit it regardless of which stored or batch
-        # row it now collides with (identical-signature twins a
-        # pre-shortcut cap admitted wholesale, legacy multi-id
-        # groups). One broadcast semi on the batch's ids — the store
-        # is scanned on its id column only, never shuffled.
-        own_stored = hist.select(id_col).join(
-            F.broadcast(sigs.select(id_col).distinct()), id_col, "semi"
-        )
-        dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
+        dup_ids = _own_stored_override(dup_ids, hist, sigs, id_col)
     # NOTE: within-batch suppression is vs earlier-id rows regardless
     # of whether the earlier row itself gets suppressed — a chain
     # a~b~c (a<b<c, a!~c) admits only a. That is the transitive-
@@ -842,16 +853,7 @@ def textdup_ingest_batch(
         )
     ).distinct()
     if store_exists:
-        # at-least-once override: own-id-stored rows were admitted by
-        # an earlier attempt and must be re-emitted on replay, on ANY
-        # store shape (legacy multi-id signature groups included —
-        # the r8 ADVICE case where the banded history join paired a
-        # replayed row with its stored twins at estimated Jaccard 1.0
-        # and swallowed the batch). Broadcast semi on batch ids only.
-        own_stored = hist.select(id_col).join(
-            F.broadcast(sigs.select(id_col).distinct()), id_col, "semi"
-        )
-        dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
+        dup_ids = _own_stored_override(dup_ids, hist, sigs, id_col)
     admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
     admitted_ids = admitted.select(id_col)
     sigs.join(admitted_ids, id_col).write.mode("append").parquet(store_dir)
@@ -995,12 +997,7 @@ def imagedup_ingest_batch(
         )
     ).distinct()
     if hist is not None:
-        # at-least-once override — see textdup_ingest_batch: own-id-
-        # stored rows re-emit on replay regardless of stored twins
-        own_stored = hist.select(id_col).join(
-            F.broadcast(sigs.select(id_col).distinct()), id_col, "semi"
-        )
-        dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
+        dup_ids = _own_stored_override(dup_ids, hist, sigs, id_col)
     admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
     sigs.join(admitted.select(id_col), id_col).write.mode("append").parquet(store_dir)
     return admitted

@@ -317,6 +317,9 @@ def build_pair_graph(
     state = os.path.join(store_dir, _CLUSTERS_STATE)
     if fs.exists(state):
         fs.remove(state)
+    capped_marker = os.path.join(store_dir, _CAPPED_MARKER)
+    if fs.exists(capped_marker):
+        fs.remove(capped_marker)  # a rebuild restores exactness
 
     sigs = pair_signatures(docs, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -334,6 +337,24 @@ def build_pair_graph(
     )
     _write_epoch(sigs, _sigs_dir(store_dir), "base")
     _write_epoch(pairs, _pairs_dir(store_dir), "base")
+    if cap is not None:
+        # a capped BUILD can drop candidates too — record it exactly
+        # like a capped ingest epoch (self-join: the within-batch
+        # histogram over the whole corpus is the binding test)
+        over = (
+            bands.groupBy("band", "sig")
+            .count()
+            .filter(F.col("count") > cap)
+            .limit(1)
+            .count()
+        )
+        if over:
+            store_fs_for(store_dir).write_text(
+                os.path.join(store_dir, _CAPPED_MARKER),
+                "band_bucket_cap bound during build_pair_graph: the pair "
+                "set may be missing edges; rebuild with cap None for the "
+                "exact graph.",
+            )
     sigs.unpersist()
     _stamp_params(store_dir, threshold)  # only once the data it describes exists
     refresh_clusters(spark, store_dir)
@@ -412,6 +433,72 @@ def pairstore_ingest_batch(
     ).distinct()
     _write_epoch(pairs, _pairs_dir(store_dir), str(batch_id))
     _write_epoch(sigs, _sigs_dir(store_dir), str(batch_id))
+    if cap is not None:
+        _mark_if_cap_bound(spark, store_dir, hist, bands, id_col, cap)
+
+
+_CAPPED_MARKER = "_CAPPED_EPOCHS"
+
+
+def _mark_if_cap_bound(
+    spark: SparkSession,
+    store_dir: str,
+    hist: DataFrame,
+    bands: DataFrame,
+    id_col: str,
+    cap: int,
+) -> None:
+    """Drop the inexactness marker iff the hot-bucket cap actually
+    BOUND this epoch — some batch-touched history bucket or
+    within-batch bucket exceeded it, so candidates (hence possibly
+    edges) were dropped. A capped-but-never-binding store stays
+    exact. Cost: one aggregate over the batch-sliced history band
+    stack plus one over the batch's own (both micro-batch-bounded —
+    the r9 slice), and only when a cap is enabled. The marker makes
+    exactness consumers (curate's funnel report,
+    pairstore_is_exact) honest instead of hopeful; it is
+    intentionally sticky — compaction folds the dropped-candidate
+    history into ``base``, so the missing edges never come back
+    without a full rebuild (which wipes it)."""
+    fs = store_fs_for(store_dir)
+    marker = os.path.join(store_dir, _CAPPED_MARKER)
+    if fs.exists(marker):
+        return
+    touched = F.broadcast(bands.select("band", "sig").distinct())
+    over_hist = (
+        _bands_long(hist, 4, id_col)
+        .join(touched, ["band", "sig"], "semi")
+        .groupBy("band", "sig")
+        .count()
+        .filter(F.col("count") > cap)
+        .limit(1)
+        .count()
+    )
+    over_batch = (
+        bands.groupBy("band", "sig")
+        .count()
+        .filter(F.col("count") > cap)
+        .limit(1)
+        .count()
+    )
+    if over_hist or over_batch:
+        fs.write_text(
+            marker,
+            "a band_bucket_cap bound during ingest: some buckets were "
+            "dropped from candidate generation, so the pair set may be "
+            "missing edges (under-merged clusters). Exact consumers "
+            "must rebuild with build_pair_graph (cap None).",
+        )
+
+
+def pairstore_is_exact(store_dir: str) -> bool:
+    """True iff no ingest epoch's hot-bucket cap ever bound on this
+    store — its pair set is the full q52 verified set over every doc
+    ingested. curate(graph_dir=...) reports the negative case in its
+    funnel dict (``near_dedup_store_capped``)."""
+    return not store_fs_for(store_dir).exists(
+        os.path.join(store_dir, _CAPPED_MARKER)
+    )
 
 
 def _epoch_ids(table_dir: str) -> list[str]:

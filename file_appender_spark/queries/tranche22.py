@@ -236,6 +236,14 @@ def q260_textdup_ingest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         band_bucket_cap=None,
     )
-    return a0.unionByName(a1).select(
+    # parquet-back the admitted set: the ingest returns localCheckpoint
+    # frames, whose blocks are evictable — a re-action of the MEMOIZED
+    # plan after block loss would fail and never self-heal. Every
+    # other tranche-22 query already re-reads its store's parquet;
+    # this one writes its answer next to the scratch store and does
+    # the same (review finding r9).
+    out_path = os.path.join(os.path.dirname(store), "admitted.parquet")
+    a0.unionByName(a1).select(
         "doc_id", (F.col("doc_id") % 2).cast("int").alias("epoch")
-    )
+    ).write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

@@ -40,7 +40,7 @@ import os
 import shutil
 from typing import Protocol
 
-from file_appender_spark.sinks.append_text import _strip_scheme
+from file_appender_spark.sinks.append_text import resolve_against_spec
 
 
 class StoreFS(Protocol):
@@ -167,31 +167,10 @@ class ArrowStoreFS:
         return self._fs
 
     def _resolve(self, path: str) -> str:
-        """The sink adapter's authority guard (ArrowFS._resolve):
-        refuse a path on a different scheme/cluster instead of
-        silently stripping it onto the wrong filesystem."""
-        if "://" in path:
-            scheme, rest = path.split("://", 1)
-            path_auth = rest.split("/", 1)[0]
-            if self.fs_spec == "local":
-                if scheme != "file" or path_auth:
-                    raise ValueError(
-                        f"path {path!r} is not on the local filesystem this "
-                        "ArrowStoreFS adapter is bound to"
-                    )
-            else:
-                spec_scheme, spec_rest = self.fs_spec.split("://", 1)
-                spec_auth = spec_rest.split("/", 1)[0]
-                if scheme != spec_scheme or (
-                    path_auth and path_auth != spec_auth
-                ):
-                    raise ValueError(
-                        f"path {path!r} names filesystem "
-                        f"{scheme}://{path_auth}, but this ArrowStoreFS "
-                        f"adapter is bound to {self.fs_spec!r} — refusing "
-                        "to operate on a different cluster"
-                    )
-        return _strip_scheme(path)
+        # the sink adapter's shared authority guard: refuse a path on
+        # a different scheme/cluster instead of silently stripping it
+        # onto the wrong filesystem
+        return resolve_against_spec(self.fs_spec, path)
 
     def _info(self, path: str):
         return self._filesystem().get_file_info(self._resolve(path))
@@ -267,15 +246,37 @@ class ArrowStoreFS:
         return total
 
 
+_FS_CACHE: dict[str, StoreFS] = {}
+
+
 def store_fs_for(path: str) -> StoreFS:
     """Scheme dispatch, mirroring the sink's ``fs_for_path``:
     ``hdfs://`` store dirs get the pyarrow Hadoop adapter, ``file://``
     gets the SAME adapter on local disk (the parity-matrix backend —
     Spark reads/writes file:// URIs natively, so a whole store can
     run through the adapter end-to-end on one machine), and bare
-    paths keep the direct POSIX implementation."""
+    paths keep the direct POSIX implementation.
+
+    Adapters are MEMOIZED per spec: store maintenance calls this on
+    every metadata op (recover, params check, epoch listing), and a
+    fresh ArrowStoreFS per call would lazily open a new namenode
+    connection each time on ``hdfs://`` stores. The cached instances
+    are driver-side and the maintenance windows are single-writer by
+    contract, so sharing is safe."""
     if path.startswith("hdfs://"):
-        return ArrowStoreFS(path)
+        # one adapter per scheme+authority: paths under the same
+        # namenode share a connection; the authority guard refuses
+        # cross-cluster paths anyway
+        rest = path.split("://", 1)[1]
+        spec = "hdfs://" + rest.split("/", 1)[0]
+        key = f"hdfs:{spec}"
+        if key not in _FS_CACHE:
+            _FS_CACHE[key] = ArrowStoreFS(spec)
+        return _FS_CACHE[key]
     if path.startswith("file://"):
-        return ArrowStoreFS("local")
-    return LocalStoreFS()
+        if "arrow-local" not in _FS_CACHE:
+            _FS_CACHE["arrow-local"] = ArrowStoreFS("local")
+        return _FS_CACHE["arrow-local"]
+    if "posix" not in _FS_CACHE:
+        _FS_CACHE["posix"] = LocalStoreFS()
+    return _FS_CACHE["posix"]

@@ -668,3 +668,65 @@ def test_incremental_cluster_refresh_matches_full(spark, sf_dir, tmp_path):
     _os.remove(_os.path.join(bare, _CLUSTERS_STATE))
     with pytest.raises(ValueError, match="foldable"):
         refresh_clusters(spark, bare, mode="incremental")
+
+
+def test_capped_epoch_marker_and_exactness(spark, tmp_path):
+    """r9 review finding: a store whose ingest cap BINDS is missing
+    edges, and exactness consumers must be able to see it. The marker
+    is written only when a bucket actually exceeds the cap, is sticky
+    across further epochs, and a full rebuild (exact by default)
+    clears it."""
+    from file_appender_spark.operators.pairstore import pairstore_is_exact
+
+    base = " ".join(f"tmpl{w}" for w in range(10))
+    family = spark.createDataFrame(
+        [(i, " ".join([base] * (i + 1))) for i in range(1, 8)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "capped")
+    build_pair_graph(spark, family.filter("doc_id <= 2"), store)
+    assert pairstore_is_exact(store)
+
+    # cap 1 binds on the 5-member epoch's shared bucket
+    pairstore_ingest_batch(
+        spark, family.filter("doc_id > 2"), store, batch_id=1, band_bucket_cap=1
+    )
+    assert not pairstore_is_exact(store)
+
+    # an uncapped rebuild restores exactness
+    build_pair_graph(spark, family, store)
+    assert pairstore_is_exact(store)
+
+    # a cap that never binds leaves the store exact
+    organic = spark.createDataFrame(
+        [(100 + i, f"organic doc {i} " + " ".join(f"u{i}w{j}" for j in range(8)))
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    pairstore_ingest_batch(spark, organic, store, batch_id=2)  # cap 'auto'
+    assert pairstore_is_exact(store)
+
+
+def test_curate_reports_capped_store(spark, tmp_path):
+    """curate(graph_dir=...) must surface a capped (inexact) store in
+    its funnel dict instead of promising recompute equality."""
+    from file_appender_spark.curate import curate
+    from file_appender_spark.operators.pairstore import (
+        _CAPPED_MARKER,
+        build_pair_graph,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"curate words {i} " + " ".join(f"x{i}y{j}" for j in range(10)))
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "graph")
+    build_pair_graph(spark, docs, store)
+    r = curate(spark, docs, str(tmp_path / "out_exact"), graph_dir=store)
+    assert "near_dedup_store_capped" not in r
+
+    with open(os.path.join(store, _CAPPED_MARKER), "w") as f:
+        f.write("cap bound")
+    r2 = curate(spark, docs, str(tmp_path / "out_capped"), graph_dir=store)
+    assert r2["near_dedup_store_capped"] is True

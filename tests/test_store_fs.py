@@ -37,7 +37,11 @@ def test_store_fs_dispatch():
     assert isinstance(store_fs_for("file:///tmp/x"), ArrowStoreFS)
     hdfs = store_fs_for("hdfs://nn:8020/stores/x")
     assert isinstance(hdfs, ArrowStoreFS)
-    assert hdfs.fs_spec == "hdfs://nn:8020/stores/x"
+    # normalized to scheme+authority, and memoized per namenode so
+    # repeated metadata ops share one connection
+    assert hdfs.fs_spec == "hdfs://nn:8020"
+    assert store_fs_for("hdfs://nn:8020/other/y") is hdfs
+    assert store_fs_for("/tmp/a") is store_fs_for("/tmp/b")
 
 
 def test_arrow_store_fs_ops(tmp_path):
