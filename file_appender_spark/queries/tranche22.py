@@ -24,6 +24,15 @@ drift):
   admitted-history suppression across epochs. This puts the
   incremental dedup VERIFIER — previously pytest-only — under the
   DuckDB oracle.
+- q261: q260's twin for the IMAGE modality (aHash bands, exact
+  xor-popcount Hamming <= 8, q176's own CTEs).
+- q262: q59's bigram top-50 from an INCREMENTALLY maintained
+  corpus-stats store (base + one epoch; additivity certified).
+- q263: the pairstore lifecycle WITH compaction (build + ingest +
+  incremental fold + compact, then serve) — compaction preserves the
+  merged view and the freshness stamp under the driver hash.
+- q264: q260 with a compact_store between the epochs — maintenance
+  must not change the admitted set (same oracle as q260).
 
 Store scratch space: one directory per (session, sf_dir) under the
 system temp dir, created at plan-build time and left for the OS to
@@ -246,4 +255,204 @@ def q260_textdup_ingest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     a0.unionByName(a1).select(
         "doc_id", (F.col("doc_id") % 2).cast("int").alias("epoch")
     ).write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
+
+
+# ---------------------------------------------------------------------------
+# Second r9 batch: the image-ingest protocol, incremental corpusstats,
+# and compaction-mid-lifecycle — each under the same zero-drift oracle
+# discipline as q256-q260.
+# ---------------------------------------------------------------------------
+
+from file_appender_spark.queries.tranche5 import _AHASH_CTES  # noqa: E402
+
+_Q59_ORACLE = QUERIES["q59_ngram_freq"].oracle
+
+
+@register(
+    "q261_imagedup_ingest_sim",
+    f"""
+    WITH {_AHASH_CTES},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT d1, d2,
+             bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+           + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3))
+             AS hamming
+      FROM cand
+      JOIN wide w1 ON w1.doc_id = d1
+      JOIN wide w2 ON w2.doc_id = d2
+    ),
+    dup0 AS (
+      SELECT DISTINCT d2 AS doc FROM ham
+      WHERE d1 % 2 = 0 AND d2 % 2 = 0 AND hamming <= 8
+    ),
+    adm0 AS (
+      SELECT doc_id FROM h
+      WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc FROM dup0)
+    ),
+    dup1 AS (
+      SELECT DISTINCT d2 AS doc FROM ham
+      WHERE d1 % 2 = 1 AND d2 % 2 = 1 AND hamming <= 8
+      UNION
+      SELECT DISTINCT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS doc
+      FROM ham
+      WHERE (d1 % 2) <> (d2 % 2) AND hamming <= 8
+        AND (CASE WHEN d1 % 2 = 0 THEN d1 ELSE d2 END)
+              IN (SELECT doc_id FROM adm0)
+    )
+    SELECT doc_id, CAST(doc_id % 2 AS INT) AS epoch
+    FROM h
+    WHERE NOT (doc_id % 2 = 0 AND doc_id IN (SELECT doc FROM dup0))
+      AND NOT (doc_id % 2 = 1 AND doc_id IN (SELECT doc FROM dup1))
+    """,
+)
+def q261_imagedup_ingest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMAGE modality's incremental dedup protocol under the
+    oracle gate — q260's twin on the q175/q176 aHash pipeline: ingest
+    the even doc_ids' payloads as epoch 0 and the odd ones as epoch 1
+    through imagedup_ingest_batch (cap None — exact), and return
+    every admitted (doc_id, epoch). The SQL mirrors the protocol over
+    q176's own CTEs: candidates are 16-bit band collisions, the
+    verifier is the exact xor-popcount Hamming distance (<= 8,
+    q176's threshold), suppression within an epoch is vs earlier
+    ids, and across epochs vs the ADMITTED history regardless of id
+    order. Payloads are the q175 deterministic byte-grid fake
+    (encode(text) — no image codecs in the container); empty
+    payloads are excluded on both engines (the ingest admits them
+    unconditionally, so including them would test nothing)."""
+    from file_appender_spark.operators.neardup_ingest import (
+        imagedup_ingest_batch,
+    )
+
+    store = _scratch("q261_imagedup")
+    d = _t(spark, sf_dir, "documents")
+    payload = d.filter(F.length(F.encode("text", "UTF-8")) >= 1).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    a0 = imagedup_ingest_batch(
+        spark,
+        payload.filter(F.col("doc_id") % 2 == 0),
+        store,
+        max_hamming=8,
+        band_bucket_cap=None,
+    )
+    a1 = imagedup_ingest_batch(
+        spark,
+        payload.filter(F.col("doc_id") % 2 == 1),
+        store,
+        max_hamming=8,
+        band_bucket_cap=None,
+    )
+    out_path = os.path.join(os.path.dirname(store), "admitted.parquet")
+    a0.unionByName(a1).select(
+        "doc_id", (F.col("doc_id") % 2).cast("int").alias("epoch")
+    ).write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
+
+
+@register("q262_corpusstats_incremental_served", _Q59_ORACLE)
+def q262_corpusstats_incremental_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q59's corpus bigram top-50 served from a corpus-stats store
+    maintained INCREMENTALLY: base build over the even doc_ids, one
+    foreachBatch-style epoch for the odd ones, merged read. tf is
+    additive across epochs because each document lives in exactly one
+    — the additivity contract, certified by the driver hash against
+    q59's own whole-corpus oracle."""
+    from file_appender_spark.operators.corpusstats import (
+        build_corpus_stats,
+        corpusstats_ingest_batch,
+    )
+    from file_appender_spark.queries.llm import q59_ngram_freq
+
+    store = _scratch("q262_csinc")
+    docs = _t(spark, sf_dir, "documents")
+    build_corpus_stats(spark, docs.filter(F.col("doc_id") % 2 == 0), store)
+    corpusstats_ingest_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), store, 1
+    )
+    return q59_ngram_freq(spark, sf_dir, stats_dir=store)
+
+
+@register("q263_pairstore_compacted_served", _Q116_ORACLE)
+def q263_pairstore_compacted_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pair store's lifecycle WITH compaction under the oracle
+    gate: build over even ids, ingest odd ids as an epoch, fold the
+    clusters incrementally, COMPACT the epoch partitions into a fresh
+    base (crash-safe two-rename swap, sized files), then serve q116's
+    shape from the compacted store — compaction must preserve the
+    merged pair view, the cluster assignment, and its freshness
+    stamp, and the driver hash against the full-corpus closure is
+    the proof."""
+    from file_appender_spark.operators.pairstore import (
+        build_pair_graph,
+        compact_pairstore,
+        pairstore_ingest_batch,
+        refresh_clusters,
+    )
+
+    store = _scratch("q263_paircomp")
+    docs = _t(spark, sf_dir, "documents")
+    build_pair_graph(spark, docs.filter(F.col("doc_id") % 2 == 0), store)
+    pairstore_ingest_batch(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 1),
+        store,
+        batch_id=1,
+        band_bucket_cap=None,
+    )
+    refresh_clusters(spark, store)
+    compact_pairstore(spark, store)
+    return q116_dedup_clusters(spark, sf_dir, graph_dir=store)
+
+
+@register("q264_textdup_compacted_sim", QUERIES["q260_textdup_ingest_sim"].oracle)
+def q264_textdup_compacted_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q260 with a COMPACTION between the two epochs: ingest the even
+    doc_ids, compact_store (file fold + retry-row dedup + params-stamp
+    survival), then ingest the odd ids against the compacted history.
+    The admitted set must be byte-identical to the uncompacted run —
+    same oracle as q260 — because compaction only changes the store's
+    file layout, never its signature content. This puts the dedup
+    store's maintenance operation itself under the driver hash."""
+    from file_appender_spark.operators.neardup_ingest import (
+        compact_store,
+        textdup_ingest_batch,
+    )
+
+    store = _scratch("q264_textcomp")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a0 = textdup_ingest_batch(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 0),
+        store,
+        threshold=0.5,
+        band_bucket_cap=None,
+    )
+    # parquet-back epoch 0's answer BEFORE compaction: its
+    # localCheckpoint plan must not be re-run against the compacted
+    # store on a memoized re-action
+    out_path = os.path.join(os.path.dirname(store), "admitted.parquet")
+    a0.select(
+        "doc_id", (F.col("doc_id") % 2).cast("int").alias("epoch")
+    ).write.mode("overwrite").parquet(out_path)
+    compact_store(spark, store, id_col="doc_id")
+    a1 = textdup_ingest_batch(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 1),
+        store,
+        threshold=0.5,
+        band_bucket_cap=None,
+    )
+    a1.select(
+        "doc_id", (F.col("doc_id") % 2).cast("int").alias("epoch")
+    ).write.mode("append").parquet(out_path)
     return spark.read.parquet(out_path)
