@@ -456,3 +456,169 @@ def q264_textdup_compacted_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("doc_id") % 2).cast("int").alias("epoch")
     ).write.mode("append").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+# ---------------------------------------------------------------------------
+# q265 — the EMBEDDING modality's ingest protocol (completing the
+# trilogy: text q260, image q261, embedding here). The SRP hyperplane
+# coefficients are Spark-murmur3-derived; the oracle inlines the same
+# matrix as SQL literals via a pure-Python murmur3 twin (any drift
+# between the twin and Spark's hash would flip a sign bit and fail
+# the driver hash loudly).
+# ---------------------------------------------------------------------------
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+
+def _murmur3_hash_int(value: int, seed: int) -> int:
+    """Murmur3_x86_32 hashInt — the exact function Spark's
+    ``F.hash(int, int)`` chains per column (seed 42, then each
+    column's hash seeds the next; fmix length 4 per int)."""
+    k1 = (value & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
+    k1 = _rotl32(k1, 15)
+    k1 = k1 * 0x1B873593 & 0xFFFFFFFF
+    h1 = (seed & 0xFFFFFFFF) ^ k1
+    h1 = _rotl32(h1, 13)
+    h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4  # fmix: length in bytes
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1
+
+
+def _spark_hash2(a: int, b: int) -> int:
+    """Signed-int32 value of Spark's ``F.hash(lit(a), lit(b))``."""
+    h = _murmur3_hash_int(a, 42)
+    h = _murmur3_hash_int(b, h)
+    return h - 2**32 if h >= 2**31 else h
+
+
+def _srp_coef_sql_matrix(n_bits: int, dim: int) -> list[str]:
+    """The SRP hyperplane matrix (operators/similarity._srp_coefs:
+    coefficient(bit, i) = murmur3(bit, i) / 2^31) as one SQL list
+    literal per bit. repr() of a Python float round-trips exactly,
+    and every coefficient is int32/2^31 — exactly representable."""
+    return [
+        "[" + ",".join(repr(_spark_hash2(bit, i) / 2147483648.0) for i in range(dim))
+        + "]"
+        for bit in range(n_bits)
+    ]
+
+
+def _q265_oracle() -> str:
+    coefs = _srp_coef_sql_matrix(16, 64)
+
+    def bit(b: int) -> str:
+        return (
+            f"(CASE WHEN list_dot_product(e, {coefs[b]}) >= 0 "
+            "THEN 1 ELSE 0 END)"
+        )
+
+    def band(bi: int) -> str:
+        # Spark's fold: sig = bit0; sig = sig*2 + bit_j
+        sig = bit(4 * bi)
+        for j in range(1, 4):
+            sig = f"({sig} * 2 + {bit(4 * bi + j)})"
+        return sig
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+             {band(0)} AS b0, {band(1)} AS b1,
+             {band(2)} AS b2, {band(3)} AS b3
+      FROM v
+    ),
+    bands AS (
+      SELECT vec_id, 0 AS band, b0 AS sig FROM sigs
+      UNION ALL SELECT vec_id, 1, b1 FROM sigs
+      UNION ALL SELECT vec_id, 2, b2 FROM sigs
+      UNION ALL SELECT vec_id, 3, b3 FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    ver AS (
+      SELECT c.d1, c.d2
+      FROM cand c
+      JOIN sigs s1 ON s1.vec_id = c.d1
+      JOIN sigs s2 ON s2.vec_id = c.d2
+      WHERE s1.nrm > 0 AND s2.nrm > 0
+        AND round(list_dot_product(s1.e, s2.e) / (s1.nrm * s2.nrm), 6)
+              >= 0.4
+    ),
+    dup0 AS (
+      SELECT DISTINCT d2 AS doc FROM ver
+      WHERE d1 % 2 = 0 AND d2 % 2 = 0
+    ),
+    adm0 AS (
+      SELECT vec_id FROM v
+      WHERE vec_id % 2 = 0 AND vec_id NOT IN (SELECT doc FROM dup0)
+    ),
+    dup1 AS (
+      SELECT DISTINCT d2 AS doc FROM ver
+      WHERE d1 % 2 = 1 AND d2 % 2 = 1
+      UNION
+      SELECT DISTINCT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS doc
+      FROM ver
+      WHERE (d1 % 2) <> (d2 % 2)
+        AND (CASE WHEN d1 % 2 = 0 THEN d1 ELSE d2 END)
+              IN (SELECT vec_id FROM adm0)
+    )
+    SELECT vec_id, CAST(vec_id % 2 AS INT) AS epoch
+    FROM v
+    WHERE NOT (vec_id % 2 = 0 AND vec_id IN (SELECT doc FROM dup0))
+      AND NOT (vec_id % 2 = 1 AND vec_id IN (SELECT doc FROM dup1))
+    """
+
+
+@register("q265_embeddingdup_ingest_sim", _q265_oracle())
+def q265_embeddingdup_ingest_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EMBEDDING modality's incremental dedup protocol under the
+    oracle gate — the last of the three ingest twins (text q260,
+    image q261): ingest the even vec_ids as epoch 0 and the odd ones
+    as epoch 1 through neardup_ingest_batch (SRP 16-bit/4-band
+    signatures, exact-cosine verify at 0.4 — q62's threshold — cap
+    None), and return every admitted (vec_id, epoch). The oracle
+    recomputes the SAME sign-random-projection bands in SQL: the
+    hyperplane matrix is Spark's murmur3(bit, dim)/2^31 (a pure-
+    Python murmur3 twin inlines it as literals — a single bit of
+    drift flips a sign and fails the hash), candidates are band
+    collisions, verification is the exact rounded cosine with
+    zero-norm vectors never suppressed (the try_divide contract)."""
+    from file_appender_spark.operators.neardup_ingest import (
+        neardup_ingest_batch,
+    )
+
+    store = _scratch("q265_embdup")
+    v = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a0 = neardup_ingest_batch(
+        spark,
+        v.filter(F.col("vec_id") % 2 == 0),
+        store,
+        threshold=0.4,
+        band_bucket_cap=None,
+    )
+    a1 = neardup_ingest_batch(
+        spark,
+        v.filter(F.col("vec_id") % 2 == 1),
+        store,
+        threshold=0.4,
+        band_bucket_cap=None,
+    )
+    out_path = os.path.join(os.path.dirname(store), "admitted.parquet")
+    a0.unionByName(a1).select(
+        "vec_id", (F.col("vec_id") % 2).cast("int").alias("epoch")
+    ).write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

@@ -1193,3 +1193,19 @@ def test_textdup_replay_on_legacy_under_cap_group(spark, tmp_path):
         [(999, " ".join([base] * 95))], "doc_id long, text string"
     )
     assert textdup_ingest_batch(spark, b2, store).count() == 0
+
+
+def test_spark_murmur3_twin_matches_f_hash(spark):
+    """q265's oracle inlines the SRP hyperplane matrix via a pure-
+    Python murmur3 twin of Spark's F.hash(int, int) — pin the twin
+    bit-for-bit over the full (16 x 64) coefficient grid plus edge
+    values (negative results, zero)."""
+    from file_appender_spark.queries.tranche22 import _spark_hash2
+
+    rows = (
+        spark.range(16).selectExpr("cast(id as int) as bit")
+        .select("bit", F.explode(F.expr("sequence(0, 63)")).alias("i"))
+        .select("bit", "i", F.hash(F.col("bit"), F.col("i")).alias("h"))
+        .collect()
+    )
+    assert all(_spark_hash2(r["bit"], r["i"]) == r["h"] for r in rows)
