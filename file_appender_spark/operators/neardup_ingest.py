@@ -404,7 +404,13 @@ def neardup_ingest_batch(
     )
     dup_ids = (
         cands.join(new_side, "new_id")
-        .filter(cos >= threshold)
+        # ~isnan: NaN-normed vectors have cos = NaN, and Spark orders
+        # NaN above every number (NaN >= t is TRUE) — without the
+        # guard the banded path would suppress rows whose cosine is
+        # undefined, the exact invariant the shortcut's finite_pos
+        # filter enforces (2nd review pass, r9). try_divide's NULL
+        # (zero norm) already fails the >= filter on its own.
+        .filter((cos >= threshold) & ~F.isnan(cos))
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )

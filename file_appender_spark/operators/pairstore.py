@@ -335,26 +335,13 @@ def build_pair_graph(
     pairs = _verified_pairs(
         cand, _new_side(sigs, id_col), _old_side(sigs, id_col), threshold
     )
+    if cap is not None:
+        # a capped BUILD can drop candidates too — the shared binding
+        # test, history side empty (the build IS the corpus), marker
+        # before the epoch writes like the ingest path
+        _mark_if_cap_bound(store_dir, None, bands, id_col, cap)
     _write_epoch(sigs, _sigs_dir(store_dir), "base")
     _write_epoch(pairs, _pairs_dir(store_dir), "base")
-    if cap is not None:
-        # a capped BUILD can drop candidates too — record it exactly
-        # like a capped ingest epoch (self-join: the within-batch
-        # histogram over the whole corpus is the binding test)
-        over = (
-            bands.groupBy("band", "sig")
-            .count()
-            .filter(F.col("count") > cap)
-            .limit(1)
-            .count()
-        )
-        if over:
-            store_fs_for(store_dir).write_text(
-                os.path.join(store_dir, _CAPPED_MARKER),
-                "band_bucket_cap bound during build_pair_graph: the pair "
-                "set may be missing edges; rebuild with cap None for the "
-                "exact graph.",
-            )
     sigs.unpersist()
     _stamp_params(store_dir, threshold)  # only once the data it describes exists
     refresh_clusters(spark, store_dir)
@@ -431,31 +418,35 @@ def pairstore_ingest_batch(
     ).unionByName(
         _verified_pairs(new_vs_new, ns, _old_side(sigs, id_col), threshold)
     ).distinct()
+    # marker FIRST, epoch writes after: a crash in between leaves a
+    # marked-but-incomplete epoch (conservative — the retry rewrites
+    # it), never a missing-edges store that pairstore_is_exact calls
+    # exact (2nd review pass, r9)
+    if cap is not None:
+        _mark_if_cap_bound(store_dir, hist, bands, id_col, cap)
     _write_epoch(pairs, _pairs_dir(store_dir), str(batch_id))
     _write_epoch(sigs, _sigs_dir(store_dir), str(batch_id))
-    if cap is not None:
-        _mark_if_cap_bound(spark, store_dir, hist, bands, id_col, cap)
 
 
 _CAPPED_MARKER = "_CAPPED_EPOCHS"
 
 
 def _mark_if_cap_bound(
-    spark: SparkSession,
     store_dir: str,
-    hist: DataFrame,
+    hist: DataFrame | None,
     bands: DataFrame,
     id_col: str,
     cap: int,
 ) -> None:
     """Drop the inexactness marker iff the hot-bucket cap actually
-    BOUND this epoch — some batch-touched history bucket or
-    within-batch bucket exceeded it, so candidates (hence possibly
-    edges) were dropped. A capped-but-never-binding store stays
-    exact. Cost: one aggregate over the batch-sliced history band
-    stack plus one over the batch's own (both micro-batch-bounded —
-    the r9 slice), and only when a cap is enabled. The marker makes
-    exactness consumers (curate's funnel report,
+    BINDS — some batch-touched history bucket (``hist`` None on the
+    build path, which has no history) or within-batch bucket exceeds
+    it, so candidates (hence possibly edges) are dropped. A
+    capped-but-never-binding store stays exact. Cost: ONE aggregate
+    job over the union of the batch band stack and the batch-sliced
+    history stack (both micro-batch-bounded — the r9 slice), only
+    when a cap is enabled, skipped entirely once a marker exists.
+    The marker makes exactness consumers (curate's funnel report,
     pairstore_is_exact) honest instead of hopeful; it is
     intentionally sticky — compaction folds the dropped-candidate
     history into ``base``, so the missing edges never come back
@@ -464,29 +455,27 @@ def _mark_if_cap_bound(
     marker = os.path.join(store_dir, _CAPPED_MARKER)
     if fs.exists(marker):
         return
-    touched = F.broadcast(bands.select("band", "sig").distinct())
-    over_hist = (
-        _bands_long(hist, 4, id_col)
-        .join(touched, ["band", "sig"], "semi")
-        .groupBy("band", "sig")
+    sides = bands.select("band", "sig", F.lit("batch").alias("_side"))
+    if hist is not None:
+        touched = F.broadcast(bands.select("band", "sig").distinct())
+        sides = sides.unionByName(
+            _bands_long(hist, 4, id_col)
+            .join(touched, ["band", "sig"], "semi")
+            .select("band", "sig", F.lit("hist").alias("_side"))
+        )
+    over = (
+        sides.groupBy("_side", "band", "sig")
         .count()
         .filter(F.col("count") > cap)
         .limit(1)
         .count()
     )
-    over_batch = (
-        bands.groupBy("band", "sig")
-        .count()
-        .filter(F.col("count") > cap)
-        .limit(1)
-        .count()
-    )
-    if over_hist or over_batch:
+    if over:
         fs.write_text(
             marker,
-            "a band_bucket_cap bound during ingest: some buckets were "
-            "dropped from candidate generation, so the pair set may be "
-            "missing edges (under-merged clusters). Exact consumers "
+            "a band_bucket_cap bound during build/ingest: some buckets "
+            "were dropped from candidate generation, so the pair set may "
+            "be missing edges (under-merged clusters). Exact consumers "
             "must rebuild with build_pair_graph (cap None).",
         )
 

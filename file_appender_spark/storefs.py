@@ -249,6 +249,17 @@ class ArrowStoreFS:
 _FS_CACHE: dict[str, StoreFS] = {}
 
 
+def reset_store_fs_cache() -> None:
+    """Evict every memoized adapter. The cache otherwise holds its
+    lazily-opened connections for the life of the process, so a
+    namenode connection broken beyond the client's own recovery
+    (failover outside HA config, expired kerberos ticket) would fail
+    every subsequent metadata op with no way out — a long-running
+    foreachBatch driver calls this in its retry/backoff path and the
+    next store_fs_for reconnects fresh."""
+    _FS_CACHE.clear()
+
+
 def store_fs_for(path: str) -> StoreFS:
     """Scheme dispatch, mirroring the sink's ``fs_for_path``:
     ``hdfs://`` store dirs get the pyarrow Hadoop adapter, ``file://``

@@ -1209,3 +1209,42 @@ def test_spark_murmur3_twin_matches_f_hash(spark):
         .collect()
     )
     assert all(_spark_hash2(r["bit"], r["i"]) == r["h"] for r in rows)
+
+
+def test_srp_banded_verifier_never_suppresses_nan_vectors(spark, tmp_path):
+    """2nd r9 review pass: Spark orders NaN above every number, so an
+    unguarded `cos >= threshold` would let NaN cosines PASS the
+    banded verifier (NaN vectors share all-ones sign bands and
+    band-collide reliably). Undefined cosine must never suppress —
+    all NaN-vector rows are admitted, within a batch and vs
+    history."""
+    from file_appender_spark.operators.neardup_ingest import (
+        neardup_ingest_batch,
+    )
+
+    nan = float("nan")
+    docs = spark.createDataFrame(
+        [(1, [nan, 1.0, 2.0, 3.0]), (2, [nan, 1.0, 2.0, 3.0]),
+         (3, [4.0, nan, 5.0, 6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    store = str(tmp_path / "nan_store")
+    a1 = neardup_ingest_batch(spark, docs, store, threshold=0.4)
+    assert sorted(r["vec_id"] for r in a1.collect()) == [1, 2, 3]
+    # vs history too: a fresh NaN vector is admitted, not suppressed
+    b2 = spark.createDataFrame(
+        [(9, [nan, 1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    assert neardup_ingest_batch(spark, b2, store, threshold=0.4).count() == 1
+
+
+def test_store_fs_cache_reset():
+    from file_appender_spark.storefs import (
+        reset_store_fs_cache,
+        store_fs_for,
+    )
+
+    a = store_fs_for("hdfs://nn-x:8020/s")
+    assert store_fs_for("hdfs://nn-x:8020/t") is a
+    reset_store_fs_cache()
+    assert store_fs_for("hdfs://nn-x:8020/s") is not a
