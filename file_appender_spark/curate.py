@@ -261,8 +261,31 @@ def curate(
         from file_appender_spark.operators.pairstore import (
             pairstore_is_exact,
             read_pairs,
+            store_missing_ids,
         )
+        from file_appender_spark.queries.llm import _WS
 
+        # COVERAGE guard (r9 ADVICE, medium): a pair store built from
+        # a different or partial corpus passes both the threshold
+        # guard and pairstore_is_exact, and the semi-joins below would
+        # then silently drop most near-dup edges — near-dedup becomes
+        # a no-op with no signal. Every shingle-eligible survivor
+        # (>= 3 words — shorter docs never get a signature row by
+        # q52's definition) must have a signature row in the store.
+        elig = d1.filter(F.size(F.split("text", _WS)) >= 3).select("doc_id")
+        missing = store_missing_ids(spark, graph_dir, elig)
+        n_missing = missing.count()
+        if n_missing:
+            sample = [r["doc_id"] for r in missing.limit(5).collect()]
+            raise ValueError(
+                f"pair store {graph_dir} does not cover this corpus: "
+                f"{n_missing} surviving shingle-eligible doc_ids have no "
+                f"signature row (e.g. {sample}) — the store was built "
+                "from a different or partial corpus, and its pair set "
+                "would silently miss their near-dup edges. Rebuild the "
+                "store over (a superset of) these documents, or ingest "
+                "the missing epochs first."
+            )
         # a store whose ingest cap ever BOUND is missing edges — the
         # funnel must say so (near_dedup_store_capped below) rather
         # than let shards that still hold near-dups pass as exact

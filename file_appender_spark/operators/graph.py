@@ -134,16 +134,34 @@ def oriented_edges(e: DataFrame) -> DataFrame:
 
 def _capped(o: DataFrame, max_degree: int) -> DataFrame:
     """Truncate each src's out-list to a deterministic pseudo-random
-    max_degree-subset: rank by xxhash64(src, dst) so the kept subset
-    is unbiased w.r.t. vertex ids (smallest-id-first would
-    systematically favor old documents) yet stable across runs and
-    engines. One hash-partitioned window sort — linear in edges."""
-    w = Window.partitionBy("src").orderBy(F.xxhash64("src", "dst"), "dst")
+    max_degree-subset: rank by a multiplicative hash of (src, dst) so
+    the kept subset is unbiased w.r.t. vertex ids (smallest-id-first
+    would systematically favor old documents) yet stable across runs
+    AND portable across engines — the hash is plain mod-prime integer
+    arithmetic (no wrap-around), so an ANSI-SQL oracle (q266) can
+    reproduce the identical subset: each operand is reduced mod
+    p = 2^31 - 1 before the multiply, so every product stays below
+    2^62 and no engine-specific overflow semantics are involved
+    (DuckDB errors on int64 overflow where Spark wraps). One
+    hash-partitioned window sort — linear in edges."""
+    h = F.pmod(
+        F.pmod(F.col("src"), F.lit(_CAP_P)) * F.lit(_CAP_A)
+        + F.pmod(F.col("dst"), F.lit(_CAP_P)) * F.lit(_CAP_B),
+        F.lit(_CAP_P),
+    )
+    w = Window.partitionBy("src").orderBy(h, "dst")
     return (
         o.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= max_degree)
         .drop("_r")
     )
+
+
+# portable cap-subset hash constants (see _capped): p = 2^31 - 1 and
+# two odd multipliers < 2^31 — shared verbatim by q266's oracle SQL
+_CAP_P = 2147483647
+_CAP_A = 1103515245
+_CAP_B = 777767777
 
 
 def capped_vertices(e: DataFrame, max_degree: int) -> DataFrame:

@@ -61,6 +61,413 @@ def _store_has_data(store_dir: str) -> bool:
     )
 
 
+# --------------------------------------------------------------------------
+# Store schema v2 + the banded index sidecar (r9 verdict task 1)
+# --------------------------------------------------------------------------
+#
+# The r9 probes left ONE linear per-epoch term: a shuffle-free columnar
+# scan of the store at ~1.6s per 1M rows (SCALE1000_PROBE_r9), paid
+# FOUR times per micro-batch (band candidate join, payload fetch,
+# identical-signature slice, own-stored override). BREAKDOWN_PROBE_r10
+# attributes ~7.4s of the 8s extra at a 5.2M-row store to decoding +
+# hashing the ~40-char band-signature STRINGS in the candidate path.
+# Round 10 attacks both factors:
+#
+#   schema v2 — every stored row carries precomputed 64-bit hashes:
+#     bh{i} = xxhash64(i, b{i})  (per-band bucket key)
+#     fh    = xxhash64(full-signature columns)  (identical-sig key)
+#   so the per-epoch index scan reads ONLY long columns (parquet
+#   column pruning; no string decode, no per-row hashing), and all
+#   four store touches fuse onto ONE narrow scan (_history_access)
+#   plus ONE id-bounded payload fetch. v1 stores (no bh/fh columns)
+#   keep working — the hashes are derived at read time (the old cost)
+#   and appends match the store's existing schema so a store is never
+#   mixed-version; compact_store upgrades atomically.
+#
+#   banded index sidecar — compaction can additionally write
+#   ``<store>/_BANDS_IDX/data/bucket=K/`` rows
+#   (bucket = pmod(bh, n_buckets), band, bh, id, fh, payload...),
+#   one row per (item, band). A micro-batch's distinct buckets are
+#   collected driver-side (bounded by n_buckets) and pushed as a
+#   PARTITION filter, so a small batch against a huge store reads
+#   only the touched bucket directories instead of every page — the
+#   minute-level micro-batch regime the r9 verdict names. The sidecar
+#   is DERIVED data: its meta records exactly which wide files it
+#   covers; files appended since compaction form a tail that is
+#   scanned narrowly and unioned, and a stale/absent sidecar simply
+#   falls back to the fused wide scan. Large batches (touched buckets
+#   ~ all of n_buckets) also fall back — pruning cannot help when the
+#   batch touches everything, and the index's 4x row duplication
+#   would cost more than the narrow wide scan.
+
+_INDEX_DIR = "_BANDS_IDX"
+_INDEX_META = "_INDEX_META.json"
+# ADVICE r9: the candidate/payload broadcast is gated on an EXACT
+# bounded row count (both sides are checkpointed first), never forced
+# — a large micro-batch under a big cap can legally produce tens of
+# millions of candidate rows, which must go through AQE, not a hint
+_BROADCAST_FETCH_ROWS = 4_000_000
+
+
+def _modality_spec(params: dict) -> dict:
+    """Per-modality store-schema facts, derived from the params
+    sidecar (the one source of truth): band count, which columns are
+    the verify payload, which columns define full-signature equality,
+    and the renames the verifiers expect on the incumbent side."""
+    m = params["modality"]
+    if m == "minhash":
+        nb = params.get("n_slots", 16) // 4
+        return {
+            "n_bands": nb,
+            "payload": {"mh": "mh_old"},
+            "fh_cols": [f"b{i}" for i in range(nb)],
+        }
+    if m == "srp":
+        nb = params["n_bands"]
+        return {
+            "n_bands": nb,
+            "payload": {"v": "v_old", "nrm": "n_old"},
+            # full-signature equality for SRP is VECTOR equality (band
+            # equality does not imply cosine 1.0, vector equality does)
+            "fh_cols": ["v"],
+        }
+    if m in ("ahash", "dhash"):
+        return {
+            "n_bands": 4,
+            "payload": {f"b{k}": f"ob{k}" for k in range(4)},
+            "fh_cols": [f"b{k}" for k in range(4)],
+        }
+    raise ValueError(f"unknown store modality {m!r}")
+
+
+def _with_index_cols(sigs: DataFrame, n_bands: int, fh_cols: list[str]) -> DataFrame:
+    """Append the schema-v2 derived columns: per-band 64-bit bucket
+    keys ``bh{i} = xxhash64(i, b{i})`` and the full-signature key
+    ``fh``. Pure projection; bit-identical to the read-time derivation
+    for v1 stores (pinned in tests), so mixed-era signatures always
+    join."""
+    return sigs.select(
+        "*",
+        *[
+            F.xxhash64(F.lit(bi), F.col(f"b{bi}")).alias(f"bh{bi}")
+            for bi in range(n_bands)
+        ],
+        F.xxhash64(*[F.col(c) for c in fh_cols]).alias("fh"),
+    )
+
+
+def _store_is_v2(df: DataFrame) -> bool:
+    return "bh0" in df.columns and "fh" in df.columns
+
+
+def _bands_hash_long(
+    df: DataFrame, n_bands: int, id_col: str, fh_cols: list[str]
+) -> DataFrame:
+    """(id, band, bh, fh) — the hashed long band stack. v2 frames
+    stack the precomputed columns (all-long decode); v1 frames derive
+    them from the signature columns at the old string-decode cost
+    (the compatibility path compaction retires)."""
+    if _store_is_v2(df):
+        return df.select(
+            F.col(id_col),
+            "fh",
+            F.expr(
+                f"stack({n_bands}, "
+                + ", ".join(f"{bi}, bh{bi}" for bi in range(n_bands))
+                + ") AS (band, bh)"
+            ),
+        ).select(id_col, "band", "bh", "fh")
+    stacked = df.select(
+        F.col(id_col),
+        F.xxhash64(*[F.col(c) for c in fh_cols]).alias("fh"),
+        F.expr(
+            f"stack({n_bands}, "
+            + ", ".join(f"{bi}, b{bi}" for bi in range(n_bands))
+            + ") AS (band, sig)"
+        ),
+    )
+    return stacked.select(
+        id_col, "band", F.xxhash64("band", "sig").alias("bh"), "fh"
+    )
+
+
+def _wide_files(store_dir: str) -> list[str]:
+    fs = store_fs_for(store_dir)
+    return sorted(
+        f
+        for f in fs.listdir(store_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _band_index_state(store_dir: str) -> dict | None:
+    """The sidecar's validity check: meta must exist and every wide
+    file it covers must still be live (a rewrite invalidates it);
+    wide files appended since the build become the ``tail``."""
+    fs = store_fs_for(store_dir)
+    meta_path = os.path.join(store_dir, _INDEX_DIR, _INDEX_META)
+    if not fs.exists(meta_path):
+        return None
+    meta = json.loads(fs.read_text(meta_path))
+    live = _wide_files(store_dir)
+    covered = set(meta["covers"])
+    if not covered <= set(live):
+        return None
+    meta["tail"] = sorted(set(live) - covered)
+    return meta
+
+
+def _auto_index_buckets(banded_rows: int) -> int:
+    """Sized bucket count: enough directories that a minute-level
+    micro-batch (hundreds of items => ~4x that in distinct band keys)
+    touches a small fraction, few enough that partition discovery and
+    per-bucket file counts stay sane. Power of two in [64, 4096]."""
+    n = 64
+    while n < 4096 and n * 5_000 < banded_rows:
+        n *= 2
+    return n
+
+
+def build_band_index(
+    spark: SparkSession,
+    store_dir: str,
+    id_col: str,
+    n_buckets: int | str = "auto",
+) -> int:
+    """(Re)build the banded index sidecar for a signature store —
+    normally invoked by ``compact_store`` inside the single-writer
+    maintenance window, exposed for stores that were compacted before
+    the sidecar existed. Returns the bucket count. The meta (bucket
+    count + the exact wide files covered) is written LAST, so a crash
+    mid-build leaves an ignored, meta-less sidecar."""
+    fs = store_fs_for(store_dir)
+    params_path = os.path.join(store_dir, _PARAMS_FILE)
+    if not fs.exists(params_path):
+        raise ValueError(
+            f"store {store_dir} has no {_PARAMS_FILE}; stamp or rebuild it "
+            "before indexing (the index layout is derived from the params)"
+        )
+    spec = _modality_spec(json.loads(fs.read_text(params_path)))
+    idx_dir = os.path.join(store_dir, _INDEX_DIR)
+    if fs.exists(idx_dir):
+        fs.rmtree(idx_dir)
+    covers = _wide_files(store_dir)
+    hist = spark.read.parquet(store_dir)
+    v2 = hist if _store_is_v2(hist) else _with_index_cols(
+        hist, spec["n_bands"], spec["fh_cols"]
+    )
+    if n_buckets == "auto":
+        n_buckets = _auto_index_buckets(
+            store_fs_for(store_dir).parquet_rows(store_dir) * spec["n_bands"]
+        )
+    payload_cols = [c for c in spec["payload"] if c not in (id_col, "fh")]
+    rows = v2.select(
+        F.col(id_col),
+        "fh",
+        *payload_cols,
+        F.expr(
+            f"stack({spec['n_bands']}, "
+            + ", ".join(f"{bi}, bh{bi}" for bi in range(spec["n_bands"]))
+            + ") AS (band, bh)"
+        ),
+    ).select(
+        F.pmod(F.col("bh"), F.lit(int(n_buckets))).alias("bucket"),
+        "band",
+        "bh",
+        id_col,
+        "fh",
+        *payload_cols,
+    )
+    rows.repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(os.path.join(idx_dir, "data"))
+    fs.write_text(
+        os.path.join(idx_dir, _INDEX_META),
+        json.dumps(
+            {"version": 1, "buckets": int(n_buckets), "id_col": id_col,
+             "covers": covers},
+            sort_keys=True,
+        ),
+    )
+    return int(n_buckets)
+
+
+def _history_access(
+    spark: SparkSession,
+    store_dir: str,
+    hist: DataFrame,
+    batch_bands: DataFrame,
+    id_col: str,
+    spec: dict,
+) -> tuple[DataFrame, DataFrame]:
+    """The per-epoch store SOURCES (r9 verdict task 1): returns
+
+      slice_src — lazy (id, band, bh, fh) band rows;
+        _sliced_band_candidates semi-slices + checkpoints them into
+        THE one narrow store scan of the epoch.
+      payload_src — lazy (old_id, payload...) rows the bounded
+        payload fetch filters.
+
+    When the banded index sidecar is present, valid, and the batch's
+    touched buckets are a small fraction (< 1/4) of the bucket space,
+    both come from the PRUNED index partitions (+ the narrow tail of
+    post-compaction appends): a small batch against a huge store
+    reads only the touched directories. Otherwise the fused narrow
+    wide scan runs — all-long columns on a v2 store."""
+    payload_renames = [
+        F.col(src).alias(dst) for src, dst in spec["payload"].items()
+    ]
+    state = _band_index_state(store_dir)
+    use_index = False
+    bkts: list[int] = []
+    if state is not None:
+        nb = state["buckets"]
+        bkts = [
+            r["bucket"]
+            for r in batch_bands.select(
+                F.pmod(F.col("bh"), F.lit(int(nb))).alias("bucket")
+            )
+            .distinct()
+            .collect()
+        ]
+        use_index = len(bkts) <= nb // 4
+    if use_index:
+        idx = spark.read.parquet(
+            os.path.join(store_dir, _INDEX_DIR, "data")
+        ).filter(F.col("bucket").isin(bkts))
+        slice_src = idx.select(id_col, "band", "bh", "fh")
+        payload_src = idx.select(
+            F.col(id_col).alias("old_id"), *payload_renames
+        ).dropDuplicates(["old_id"])
+        if state["tail"]:
+            tail = spark.read.parquet(
+                *[os.path.join(store_dir, f) for f in state["tail"]]
+            )
+            slice_src = slice_src.unionByName(
+                _bands_hash_long(tail, spec["n_bands"], id_col, spec["fh_cols"])
+            )
+            payload_src = payload_src.unionByName(
+                tail.select(F.col(id_col).alias("old_id"), *payload_renames)
+            )
+    else:
+        slice_src = _bands_hash_long(
+            hist, spec["n_bands"], id_col, spec["fh_cols"]
+        )
+        payload_src = hist.select(F.col(id_col).alias("old_id"), *payload_renames)
+    return slice_src, payload_src
+
+
+def _sliced_band_candidates(
+    batch_bands: DataFrame,
+    hist_bands: DataFrame,
+    id_col: str,
+    cap: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared history-candidate core over HASHED band keys for stores
+    that manage their own layout (pairstore's partitioned sigs table):
+    semi-slice the history band stack by the batch's (band, bh) set,
+    materialize it ONCE (localCheckpoint — the slice is micro-batch-
+    bounded), then derive both the over-cap histogram and the post-cap
+    candidates from the materialized frame, so the store is scanned
+    exactly once per epoch however many consumers follow. Returns
+    (slice, candidates); candidate semantics match _band_pairs
+    (within_batch=False): self-id matches excluded, over-cap buckets
+    dropped from BOTH sides."""
+    touched = F.broadcast(batch_bands.select("band", "bh").distinct())
+    sl = hist_bands.join(touched, ["band", "bh"], "semi").localCheckpoint(
+        eager=True
+    )
+    x, s2 = batch_bands, sl
+    if cap is not None:
+        hot = F.broadcast(
+            sl.groupBy("band", "bh")
+            .agg(F.count("*").alias("n_in_bucket"))
+            .filter(F.col("n_in_bucket") > cap)
+        )
+        s2 = sl.join(hot, ["band", "bh"], "left_anti")
+        x = batch_bands.join(hot, ["band", "bh"], "left_anti")
+    cand = (
+        x.alias("x")
+        .join(
+            s2.select(F.col(id_col).alias("_oid"), "band", "bh").alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col(f"x.{id_col}") != F.col("y._oid")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("new_id"), F.col("y._oid").alias("old_id")
+        )
+        .distinct()
+    )
+    return sl, cand
+
+
+def _hist_dup_terms(
+    spark: SparkSession,
+    store_dir: str,
+    hist: DataFrame,
+    sigs: DataFrame,
+    batch_bands: DataFrame,
+    id_col: str,
+    spec: dict,
+    cap: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """History-side dup inputs from the fused store touch:
+
+      cand_pay  — (new_id, old_id, payload...) post-cap banded
+        candidates with the incumbent verify payload attached;
+      ident_pay — (new_id, old_id, payload...) full-signature-HASH
+        matches, UNCAPPED and including self-matches (old_id ==
+        new_id). Callers confirm exact payload equality (mh / bands /
+        vector) before suppressing — the 64-bit fh only prunes, so a
+        hash collision can never false-suppress — then split into
+        sig-stored dups (old != new) and the own-stored at-least-once
+        override set (old == new: this row's own content is already
+        stored, so a replay must re-emit it; see _identical_sig_dups'
+        contract). Identical-signature detection deliberately runs on
+        the UNCAPPED slice: a template family's stored twin may sit in
+        an over-cap bucket, and exact dups must dedup regardless
+        (the r8 shortcut's whole point).
+
+    With a cap both frames are checkpointed (micro-batch-bounded) and
+    the payload fetch broadcasts ONLY when their exact combined row
+    count stays under _BROADCAST_FETCH_ROWS (r9 ADVICE: the old
+    unconditional hint could legally OOM the driver); over the ceiling
+    — or with cap None, where nothing bounds the candidate set — the
+    joins run unhinted and AQE picks the strategy."""
+    slice_src, payload_src = _history_access(
+        spark, store_dir, hist, batch_bands, id_col, spec
+    )
+    sl, cand = _sliced_band_candidates(batch_bands, slice_src, id_col, cap)
+    ident = (
+        sigs.select(F.col(id_col).alias("new_id"), "fh")
+        .join(
+            sl.select(F.col(id_col).alias("old_id"), "fh").dropDuplicates(
+                ["old_id", "fh"]
+            ),
+            "fh",
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    if cap is not None:
+        cand = cand.localCheckpoint(eager=True)
+        ident = ident.localCheckpoint(eager=True)
+        bounded = (cand.count() + ident.count()) <= _BROADCAST_FETCH_ROWS
+        fetch_ids = (
+            cand.select("old_id").unionByName(ident.select("old_id")).distinct()
+        )
+        if bounded:
+            pay = payload_src.join(
+                F.broadcast(fetch_ids), "old_id", "semi"
+            ).localCheckpoint(eager=True)
+        else:
+            pay = payload_src.join(fetch_ids, "old_id", "semi")
+    else:
+        pay = payload_src
+    return cand.join(pay, "old_id"), ident.join(pay, "old_id")
+
+
 def _sig_frame(
     df: DataFrame, n_bits: int, n_bands: int, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -174,26 +581,6 @@ def _band_pairs(
     )
 
 
-def _fetch_old_payload(
-    cand: DataFrame, old_payload: DataFrame, capped: bool
-) -> DataFrame:
-    """Attach the incumbents' verify payload (vectors / minhash
-    slots / hash bands) THROUGH the candidate set. With a bucket cap
-    the candidate set is micro-batch-bounded (batch x bands x cap),
-    so broadcasting it turns the payload fetch into a plain store
-    SCAN — no shuffle of the store, and no O(store) dropDuplicates
-    pass (the old spelling deduped the FULL history by id before
-    joining, the second per-epoch O(store) shuffle next to the band
-    histogram). Retry-duplicated store rows now surface as duplicate
-    candidate rows carrying identical payloads, which the verifiers'
-    trailing ``distinct`` collapses — the dedup pass bought nothing.
-    Uncapped candidate sets have no size bound (a degenerate bucket
-    can be store-sized), so they stay un-hinted and AQE picks the
-    strategy from the runtime size."""
-    c = F.broadcast(cand) if capped else cand
-    return c.join(old_payload, "old_id")
-
-
 def _identical_sig_dups(
     sigs: DataFrame,
     hist: DataFrame | None,
@@ -264,23 +651,6 @@ def _identical_sig_dups(
     return base.filter(dup).select(id_col)
 
 
-def _own_stored_override(
-    dup_ids: DataFrame, hist: DataFrame, sigs: DataFrame, id_col: str
-) -> DataFrame:
-    """The ingests' shared at-least-once override (r8 ADVICE): a batch
-    row whose own id is already STORED was admitted by an earlier
-    attempt, so a replay must re-emit it regardless of which stored or
-    batch row it now collides with — identical-signature twins a
-    pre-shortcut cap admitted wholesale, legacy multi-id groups, any
-    store shape. One broadcast semi on the batch's ids (the store is
-    scanned on its id column only, never shuffled), then an anti-join
-    pulling those ids back out of the final dup set."""
-    own_stored = hist.select(id_col).join(
-        F.broadcast(sigs.select(id_col).distinct()), id_col, "semi"
-    )
-    return dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
-
-
 def neardup_ingest_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -327,12 +697,16 @@ def neardup_ingest_batch(
     disables the cap explicitly (the shortcut stays)."""
     from pyspark import StorageLevel
 
-    sigs = _sig_frame(batch, n_bits, n_bands, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    spec = _modality_spec(
+        {"modality": "srp", "n_bits": n_bits, "n_bands": n_bands}
     )
-    bands = _bands_long(sigs, n_bands, id_col)
+    sigs = _with_index_cols(
+        _sig_frame(batch, n_bits, n_bands, id_col, vec_col),
+        n_bands,
+        spec["fh_cols"],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    batch_bands = _bands_hash_long(sigs, n_bands, id_col, spec["fh_cols"])
 
-    cand_pairs = []
     _recover_store(store_dir)
     _check_store_params(
         store_dir, {"modality": "srp", "n_bits": n_bits, "n_bands": n_bands}
@@ -349,43 +723,57 @@ def neardup_ingest_batch(
         band_bucket_cap = _resolve_ingest_cap(band_bucket_cap, 2, n_bands, n_bits)
     store_exists = _store_has_data(store_dir)
     hist = spark.read.parquet(store_dir) if store_exists else None
-    if store_exists:
-        # batch x history candidates: equi-join on (band, sig) only
-        cand_pairs.append(
-            _fetch_old_payload(
-                _band_pairs(
-                    bands,
-                    _bands_long(hist, n_bands, id_col),
-                    id_col,
-                    within_batch=False,
-                    band_bucket_cap=band_bucket_cap,
-                ),
-                hist.select(
-                    F.col(id_col).alias("old_id"),
-                    F.col("v").alias("v_old"),
-                    F.col("nrm").alias("n_old"),
-                ),
-                capped=band_bucket_cap is not None,
-            )
-        )
-    # within-batch candidates: earlier id is the incumbent
-    cand_pairs.append(
-        _band_pairs(
-            bands, bands, id_col, within_batch=True,
-            band_bucket_cap=band_bucket_cap,
-        ).join(
-            sigs.select(
-                F.col(id_col).alias("old_id"),
-                F.col("v").alias("v_old"),
-                F.col("nrm").alias("n_old"),
-            ),
-            "old_id",
-        )
-    )
 
-    cands = cand_pairs[0]
-    for extra in cand_pairs[1:]:
-        cands = cands.unionByName(extra)
+    old_payload = lambda src: src.select(  # noqa: E731
+        F.col(id_col).alias("old_id"),
+        F.col("v").alias("v_old"),
+        F.col("nrm").alias("n_old"),
+    )
+    # within-batch candidates: earlier id is the incumbent (hashed
+    # long band keys — same buckets as the store touch, cheaper join)
+    wb = batch_bands.select(id_col, "band", F.col("bh").alias("sig"))
+    cands = _band_pairs(
+        wb, wb, id_col, within_batch=True, band_bucket_cap=band_bucket_cap
+    ).join(old_payload(sigs), "old_id")
+    own_stored = sig_stored = None
+    if store_exists:
+        # ONE fused store touch (r9 verdict task 1): banded candidates,
+        # the over-cap histogram, identical-signature matches and the
+        # own-stored override all come from _hist_dup_terms' narrow
+        # checkpointed slice + bounded payload fetch
+        cand_pay, ident_pay = _hist_dup_terms(
+            spark, store_dir, hist, sigs, batch_bands, id_col, spec,
+            band_bucket_cap,
+        )
+        cands = cands.unionByName(cand_pay.select(*cands.columns))
+        # full-signature-hash matches, confirmed by EXACT vector
+        # equality (cos(v, v) = 1.0 for finite nonzero v; undefined
+        # cosines must never suppress, so zero-norm/NaN rows are
+        # excluded on BOTH sides — the shortcut's finite_pos rule)
+        conf = ident_pay.join(
+            sigs.select(
+                F.col(id_col).alias("new_id"),
+                F.col("v").alias("v_new"),
+                F.col("nrm").alias("n_new"),
+            ),
+            "new_id",
+        ).filter(
+            (F.col("v_new") == F.col("v_old"))
+            & (F.col("n_new") > 0)
+            & ~F.isnan("n_new")
+            & (F.col("n_old") > 0)
+            & ~F.isnan("n_old")
+        )
+        own_stored = (
+            conf.filter(F.col("old_id") == F.col("new_id"))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        sig_stored = (
+            conf.filter(F.col("old_id") != F.col("new_id"))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
 
     new_side = sigs.select(
         F.col(id_col).alias("new_id"), F.col("v").alias("v_new"), F.col("nrm").alias("n_new")
@@ -416,33 +804,29 @@ def neardup_ingest_batch(
     )
     if threshold <= 1.0:
         # exact-duplicate shortcut — the SRP analog of the text/image
-        # _identical_sig_dups tier (r8 ADVICE): sign-band equality
+        # identical-signature tier (r8 ADVICE): sign-band equality
         # does NOT imply cosine >= threshold, but exact VECTOR
         # equality does (cos(v, v) = 1.0 after round_dp rounding for
-        # any nonzero v), so a degenerate identical-embedding family
-        # larger than the bucket cap still dedups — by a groupBy on
-        # the vector itself, no pair join — and stores ONE
-        # representative instead of permanently over-filling its
-        # bucket. Zero-norm/NaN vectors are excluded (their cosine is
-        # undefined, so the banded verifier never suppresses them and
-        # neither may the shortcut). threshold > 1.0 admits
+        # any finite nonzero v), so a degenerate identical-embedding
+        # family larger than the bucket cap still dedups and stores
+        # ONE representative. Within-batch by vector-equality groupBy
+        # (no pair join); vs history through the confirmed
+        # full-signature-hash matches above. threshold > 1.0 admits
         # everything by definition; the guard keeps the shortcut
         # subordinate to the verifier's semantics.
-        # NOT isnan: Spark orders NaN GREATER than every number, so a
-        # bare nrm > 0 would admit NaN-normed vectors into the
-        # shortcut and suppress rows whose cosine is undefined
         finite_pos = (F.col("nrm") > 0) & ~F.isnan("nrm")
         elig = sigs.filter(finite_pos).select(id_col, "v")
-        hist_elig = (
-            hist.filter(finite_pos).select(id_col, "v")
-            if store_exists
-            else None
-        )
         dup_ids = dup_ids.unionByName(
-            _identical_sig_dups(elig, hist_elig, id_col, ["v"])
-        ).distinct()
-    if store_exists:
-        dup_ids = _own_stored_override(dup_ids, hist, sigs, id_col)
+            _identical_sig_dups(elig, None, id_col, ["v"])
+        )
+        if sig_stored is not None:
+            dup_ids = dup_ids.unionByName(sig_stored)
+        dup_ids = dup_ids.distinct()
+    if own_stored is not None:
+        # at-least-once override: a row whose own (id, vector) is
+        # already stored was admitted by an earlier attempt and must
+        # be re-emitted whatever it now collides with
+        dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
     # NOTE: within-batch suppression is vs earlier-id rows regardless
     # of whether the earlier row itself gets suppressed — a chain
     # a~b~c (a<b<c, a!~c) admits only a. That is the transitive-
@@ -455,7 +839,17 @@ def neardup_ingest_batch(
     # this, the caller's action re-runs the whole history join +
     # verification after sigs is unpersisted
     admitted = admitted.localCheckpoint(eager=True)
-    admitted_sigs = _sig_frame(admitted, n_bits, n_bands, id_col, vec_col)
+    admitted_sigs = _with_index_cols(
+        _sig_frame(admitted, n_bits, n_bands, id_col, vec_col),
+        n_bands,
+        spec["fh_cols"],
+    )
+    if store_exists and not _store_is_v2(hist):
+        # appends always match the store's existing schema, so a store
+        # is never mixed-version (compact_store upgrades atomically)
+        admitted_sigs = admitted_sigs.drop(
+            "fh", *[f"bh{bi}" for bi in range(n_bands)]
+        )
     admitted_sigs.write.mode("append").parquet(store_dir)
     sigs.unpersist()
     return admitted
@@ -648,12 +1042,23 @@ def compact_store(
     store_dir: str,
     id_col: str = "vec_id",
     target_file_mb: int = 64,
+    index_buckets: int | None | str = "auto",
 ) -> int:
     """Signature-store maintenance: every micro-batch appends a few
     small files, so a long-running ingest accumulates thousands of
     them and the per-batch history join pays ever-growing file-listing
     and scan-open costs. Rewrite the store into ~target-sized files,
     deduping retry-appended rows (same id, keep one).
+
+    Compaction is also the store's MIGRATION point (r9 verdict task
+    1): a v1 store (string/int signature columns only) is upgraded to
+    schema v2 — precomputed bh0..bh{n-1} band-hash longs + the fh
+    full-signature hash — in the same rewrite, atomically with the
+    swap, and the banded index sidecar (_BANDS_IDX, bucket-partitioned
+    band rows for the minute-level micro-batch regime) is (re)built
+    over the compacted files unless ``index_buckets=None``. Both
+    steps need the params sidecar to know the modality; a legacy
+    unstamped store compacts as before, unindexed and unupgraded.
 
     Contract (narrower than layout.compact, which is read-concurrent):
     the swap goes through the StoreFS seam — POSIX rename on bare
@@ -667,12 +1072,23 @@ def compact_store(
     single-fault crash. Returns the ACTUAL compacted file count."""
     from file_appender_spark.operators.layout import dir_bytes, plan_file_count
 
+    from file_appender_spark.storefs import assert_no_inflight_write
+
     _recover_store(store_dir)
     fs = store_fs_for(store_dir)
+    # single-writer window invariant (r9 verdict task 7): an in-flight
+    # ingest append leaves _temporary under the store while it runs
+    assert_no_inflight_write(fs, store_dir)
     tmp = store_dir.rstrip("/") + ".compacting"
     if fs.exists(tmp):
         fs.rmtree(tmp)  # leftover from an interrupted compaction
     df = spark.read.parquet(store_dir)
+    params_src = os.path.join(store_dir, _PARAMS_FILE)
+    spec = None
+    if fs.exists(params_src):
+        spec = _modality_spec(json.loads(fs.read_text(params_src)))
+        if not _store_is_v2(df):
+            df = _with_index_cols(df, spec["n_bands"], spec["fh_cols"])
     # size the rewrite from the DEDUPED fraction, not raw bytes — a
     # heavily retry-duplicated store would otherwise get ~dup-factor
     # more, smaller files than target_file_mb asks for
@@ -680,13 +1096,22 @@ def compact_store(
         F.count("*").alias("total"), F.count_distinct(F.col(id_col)).alias("uniq")
     ).collect()[0]
     frac = (counts["uniq"] / counts["total"]) if counts["total"] else 1.0
-    n = plan_file_count(int(dir_bytes(spark, store_dir) * frac), target_file_mb)
+    # wide bytes only: the index sidecar is derived data and rebuilt
+    # below, so its files must not inflate the output sizing
+    idx_dir = os.path.join(store_dir, _INDEX_DIR)
+    wide_bytes = dir_bytes(spark, store_dir) - (
+        dir_bytes(spark, idx_dir) if fs.exists(idx_dir) else 0
+    )
+    n = plan_file_count(int(wide_bytes * frac), target_file_mb)
     df.dropDuplicates([id_col]).repartition(n).write.mode("overwrite").parquet(tmp)
     # the LSH-params stamp must survive the swap, or the next ingest
     # batch would re-stamp with whatever params it happens to pass
-    params_src = os.path.join(store_dir, _PARAMS_FILE)
     if fs.exists(params_src):
         fs.copy_file(params_src, os.path.join(tmp, _PARAMS_FILE))
+    if spec is not None and index_buckets is not None:
+        # built inside tmp BEFORE the swap: file names survive the
+        # directory rename, so the meta's covers list stays exact
+        build_band_index(spark, tmp, id_col, n_buckets=index_buckets)
     old = store_dir.rstrip("/") + ".old"
     if fs.exists(old):
         fs.rmtree(old)
@@ -784,13 +1209,18 @@ def textdup_ingest_batch(
     from file_appender_spark.queries.llm import _MH_PARAMS
 
     n_bands = len(_MH_PARAMS) // 4
+    spec = _modality_spec(
+        {"modality": "minhash", "n_slots": len(_MH_PARAMS), "n_bands": n_bands}
+    )
     _recover_store(store_dir)
     _check_store_params(
         store_dir,
         {"modality": "minhash", "n_slots": len(_MH_PARAMS), "n_bands": n_bands},
     )
-    sigs = _minhash_sig_frame(batch, id_col, text_col).localCheckpoint(eager=True)
-    bands = _bands_long(sigs, n_bands, id_col)
+    sigs = _with_index_cols(
+        _minhash_sig_frame(batch, id_col, text_col), n_bands, spec["fh_cols"]
+    ).localCheckpoint(eager=True)
+    batch_bands = _bands_hash_long(sigs, n_bands, id_col, spec["fh_cols"])
     # MinHash band space is effectively unbounded (four 32-bit slots),
     # so the sized policy is the count-free candidate budget — no
     # batch count, no store-size lookup (unlike the SRP/image
@@ -807,37 +1237,44 @@ def textdup_ingest_batch(
         / F.size("mh_new")
     )
 
-    cand_pairs = []
     store_exists = _store_has_data(store_dir)
-    if store_exists:
-        hist = spark.read.parquet(store_dir)
-        cand_pairs.append(
-            _fetch_old_payload(
-                _band_pairs(
-                    bands,
-                    _bands_long(hist, n_bands, id_col),
-                    id_col,
-                    within_batch=False,
-                    band_bucket_cap=band_bucket_cap,
-                ),
-                hist.select(
-                    F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")
-                ),
-                capped=band_bucket_cap is not None,
-            )
-        )
-    cand_pairs.append(
-        _band_pairs(
-            bands, bands, id_col, within_batch=True,
-            band_bucket_cap=band_bucket_cap,
-        ).join(
-            sigs.select(F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")),
-            "old_id",
-        )
+    hist = spark.read.parquet(store_dir) if store_exists else None
+    # within-batch candidates over the hashed long band keys
+    wb = batch_bands.select(id_col, "band", F.col("bh").alias("sig"))
+    cands = _band_pairs(
+        wb, wb, id_col, within_batch=True, band_bucket_cap=band_bucket_cap
+    ).join(
+        sigs.select(F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")),
+        "old_id",
     )
-    cands = cand_pairs[0]
-    for extra in cand_pairs[1:]:
-        cands = cands.unionByName(extra)
+    own_stored = sig_stored = None
+    if store_exists:
+        # ONE fused store touch (r9 verdict task 1): banded candidates,
+        # over-cap histogram, identical-signature matches and the
+        # own-stored override all derive from _hist_dup_terms' narrow
+        # checkpointed slice + bounded payload fetch
+        cand_pay, ident_pay = _hist_dup_terms(
+            spark, store_dir, hist, sigs, batch_bands, id_col, spec,
+            band_bucket_cap,
+        )
+        cands = cands.unionByName(cand_pay.select(*cands.columns))
+        # full-signature-hash matches confirmed by exact mh equality
+        # (all 16 slots agree <=> all four band signatures agree —
+        # the 64-bit fh only prunes, never decides a suppression)
+        conf = ident_pay.join(
+            sigs.select(F.col(id_col).alias("new_id"), F.col("mh").alias("mh_new")),
+            "new_id",
+        ).filter(F.col("mh_new") == F.col("mh_old"))
+        own_stored = (
+            conf.filter(F.col("old_id") == F.col("new_id"))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        sig_stored = (
+            conf.filter(F.col("old_id") != F.col("new_id"))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
 
     dup_ids = (
         cands.join(
@@ -851,18 +1288,29 @@ def textdup_ingest_batch(
     # identical-signature dups (estimated Jaccard exactly 1.0) by
     # signature equality — no pair join, so a template family is
     # deduped even when its band bucket is capped, and only ONE
-    # representative ever reaches the store (see _identical_sig_dups)
+    # representative ever reaches the store. Within-batch via the
+    # groupBy shortcut; vs history via the confirmed fh matches.
     sig_cols = [f"b{bi}" for bi in range(n_bands)]
     dup_ids = dup_ids.unionByName(
-        _identical_sig_dups(
-            sigs, hist if store_exists else None, id_col, sig_cols
-        )
-    ).distinct()
-    if store_exists:
-        dup_ids = _own_stored_override(dup_ids, hist, sigs, id_col)
+        _identical_sig_dups(sigs, None, id_col, sig_cols)
+    )
+    if sig_stored is not None:
+        dup_ids = dup_ids.unionByName(sig_stored)
+    dup_ids = dup_ids.distinct()
+    if own_stored is not None:
+        # at-least-once override: a row whose own (id, signature) is
+        # already stored was admitted by an earlier attempt and must
+        # be re-emitted whatever it now collides with
+        dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
     admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
-    admitted_ids = admitted.select(id_col)
-    sigs.join(admitted_ids, id_col).write.mode("append").parquet(store_dir)
+    admitted_sigs = sigs.join(admitted.select(id_col), id_col)
+    if store_exists and not _store_is_v2(hist):
+        # appends always match the store's existing schema, so a store
+        # is never mixed-version (compact_store upgrades atomically)
+        admitted_sigs = admitted_sigs.drop(
+            "fh", *[f"bh{bi}" for bi in range(n_bands)]
+        )
+    admitted_sigs.write.mode("append").parquet(store_dir)
     return admitted
 
 
@@ -919,22 +1367,24 @@ def imagedup_ingest_batch(
         raise ValueError(f"hash_mode must be 'ahash' or 'dhash', got {hash_mode!r}")
     wide_fn = ahash_wide if hash_mode == "ahash" else dhash_wide
     n_bands = 4
+    spec = _modality_spec({"modality": hash_mode})
     _recover_store(store_dir)
     _check_store_params(
         store_dir, {"modality": hash_mode, "grid": 64, "band_bits": 16}
     )
-    sigs = (
-        wide_fn(_spread(batch), id_col, payload_col)
-        .select(id_col, "b0", "b1", "b2", "b3")
-        .localCheckpoint(eager=True)
-    )
-    bands = _bands_long(sigs, n_bands, id_col)
+    sigs = _with_index_cols(
+        wide_fn(_spread(batch), id_col, payload_col).select(
+            id_col, "b0", "b1", "b2", "b3"
+        ),
+        n_bands,
+        spec["fh_cols"],
+    ).localCheckpoint(eager=True)
+    batch_bands = _bands_hash_long(sigs, n_bands, id_col, spec["fh_cols"])
 
     hamming = sum(
         F.bit_count(F.col(f"nb{k}").bitwiseXOR(F.col(f"ob{k}"))) for k in range(4)
     )
 
-    cand_pairs = []
     store_exists = _store_has_data(store_dir)
     old_cols = lambda src: src.select(  # noqa: E731
         F.col(id_col).alias("old_id"),
@@ -955,28 +1405,42 @@ def imagedup_ingest_batch(
         )
     else:
         cap = band_bucket_cap
+    # within-batch candidates over the hashed long band keys
+    wb = batch_bands.select(id_col, "band", F.col("bh").alias("sig"))
+    cands = _band_pairs(
+        wb, wb, id_col, within_batch=True, band_bucket_cap=cap
+    ).join(old_cols(sigs), "old_id")
+    own_stored = sig_stored = None
     if hist is not None:
-        cand_pairs.append(
-            _fetch_old_payload(
-                _band_pairs(
-                    bands,
-                    _bands_long(hist, n_bands, id_col),
-                    id_col,
-                    within_batch=False,
-                    band_bucket_cap=cap,
-                ),
-                old_cols(hist),
-                capped=cap is not None,
-            )
+        # ONE fused store touch (r9 verdict task 1) — see _hist_dup_terms
+        cand_pay, ident_pay = _hist_dup_terms(
+            spark, store_dir, hist, sigs, batch_bands, id_col, spec, cap
         )
-    cand_pairs.append(
-        _band_pairs(
-            bands, bands, id_col, within_batch=True, band_bucket_cap=cap
-        ).join(old_cols(sigs), "old_id")
-    )
-    cands = cand_pairs[0]
-    for extra in cand_pairs[1:]:
-        cands = cands.unionByName(extra)
+        cands = cands.unionByName(cand_pay.select(*cands.columns))
+        # fh matches confirmed by exact band equality (Hamming 0) —
+        # the 64-bit fh only prunes, never decides a suppression
+        conf = ident_pay.join(
+            sigs.select(
+                F.col(id_col).alias("new_id"),
+                *[F.col(f"b{k}").alias(f"nb{k}") for k in range(4)],
+            ),
+            "new_id",
+        ).filter(
+            sum(
+                (F.col(f"nb{k}") != F.col(f"ob{k}")).cast("int") for k in range(4)
+            )
+            == 0
+        )
+        own_stored = (
+            conf.filter(F.col("old_id") == F.col("new_id"))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        sig_stored = (
+            conf.filter(F.col("old_id") != F.col("new_id"))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
 
     dup_ids = (
         cands.join(
@@ -991,19 +1455,26 @@ def imagedup_ingest_batch(
         .distinct()
     )
     # identical-hash dups (Hamming exactly 0) via signature-equality
-    # groupBy — the flat-image family dedups even when its band
-    # bucket is capped, storing one representative (_identical_sig_dups)
+    # groupBy within the batch and the confirmed fh matches vs the
+    # store — the flat-image family dedups even when its band bucket
+    # is capped, storing one representative
     sig_cols = [f"b{k}" for k in range(4)]
     dup_ids = dup_ids.unionByName(
-        _identical_sig_dups(
-            sigs,
-            hist.select(id_col, *sig_cols) if hist is not None else None,
-            id_col,
-            sig_cols,
-        )
-    ).distinct()
-    if hist is not None:
-        dup_ids = _own_stored_override(dup_ids, hist, sigs, id_col)
+        _identical_sig_dups(sigs, None, id_col, sig_cols)
+    )
+    if sig_stored is not None:
+        dup_ids = dup_ids.unionByName(sig_stored)
+    dup_ids = dup_ids.distinct()
+    if own_stored is not None:
+        # at-least-once override: a row whose own (id, hash) is
+        # already stored was admitted by an earlier attempt and must
+        # be re-emitted whatever it now collides with
+        dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
     admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
-    sigs.join(admitted.select(id_col), id_col).write.mode("append").parquet(store_dir)
+    admitted_sigs = sigs.join(admitted.select(id_col), id_col)
+    if store_exists and not _store_is_v2(hist):
+        admitted_sigs = admitted_sigs.drop(
+            "fh", *[f"bh{bi}" for bi in range(n_bands)]
+        )
+    admitted_sigs.write.mode("append").parquet(store_dir)
     return admitted

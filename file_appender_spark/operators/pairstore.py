@@ -74,21 +74,45 @@ from pyspark.sql import functions as F
 
 from file_appender_spark.operators.neardup_ingest import (
     _band_pairs,
-    _bands_long,
+    _bands_hash_long,
     _resolve_ingest_cap,
+    _sliced_band_candidates,
     _spread,
+    _store_is_v2,
+    _with_index_cols,
 )
 from file_appender_spark.storefs import store_fs_for
 
 _PARAMS_FILE = "_PAIRSTORE_PARAMS.json"
 _CLUSTERS_STATE = "_CLUSTERS_STATE.json"
 
+# the store's one band count, used at EVERY _bands_long/_resolve call
+# site (r9 ADVICE: a hard-coded 4 drifting from _params would make the
+# cap marker silently undercount buckets and break pairstore_is_exact)
+_N_BANDS = 4
+# columns whose hash defines full-signature identity for the v2
+# derived columns (shared with neardup_ingest's minhash spec)
+_FH_COLS = [f"b{i}" for i in range(_N_BANDS)]
+# r9 ADVICE: exact-count ceiling for broadcasting the candidate set
+# into the sh32 payload fetch (mirrors neardup_ingest's gate)
+_BROADCAST_CAND_ROWS = 4_000_000
+
+
+def _with_sig_hashes(sigs: DataFrame) -> DataFrame:
+    """Schema v2 for the sigs table: precomputed bh0..bh3 band-hash
+    longs (+ fh) so every per-epoch history scan decodes longs instead
+    of the ~40-char band strings (r9 verdict task 1 — the measured
+    dominant term of the linear per-epoch cost). Derived data, same
+    params; legacy v1 epochs are derived at read and upgraded by
+    compact_pairstore."""
+    return _with_index_cols(sigs, _N_BANDS, _FH_COLS)
+
 
 def _params(threshold: float) -> dict:
     return {
         "modality": "minhash",
         "n_slots": 16,
-        "n_bands": 4,
+        "n_bands": _N_BANDS,
         "verifier": "jaccard_sh32",
         "threshold": threshold,
         "version": 1,
@@ -177,7 +201,7 @@ def _verified_pairs(
     on doc ids, HOF intersection — q52's verify stage over sh32.
 
     ``broadcast_cand`` is the ingest path's O(batch) discipline
-    (neardup_ingest._fetch_old_payload): with a bucket cap the
+    (neardup_ingest._hist_dup_terms' gated fetch): with a bucket cap the
     candidate set is micro-batch-bounded, so broadcasting the bare
     (new_id, old_id) pairs and joining the HISTORY side first turns
     the heavy sh32 fetch into a store scan — no shuffle of the
@@ -321,16 +345,19 @@ def build_pair_graph(
     if fs.exists(capped_marker):
         fs.remove(capped_marker)  # a rebuild restores exactness
 
-    sigs = pair_signatures(docs, id_col, text_col).persist(
+    sigs = _with_sig_hashes(pair_signatures(docs, id_col, text_col)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # the MinHash band space is unbounded (bucket_space_bits=None), so
     # the sized cap is count-free — no sigs.count() forced here, and
     # the default (None) pays nothing at all
-    cap = _resolve_ingest_cap(band_bucket_cap, 2, 4, None)
-    bands = _bands_long(sigs, 4, id_col)
+    cap = _resolve_ingest_cap(band_bucket_cap, 2, _N_BANDS, None)
+    bands = _bands_hash_long(sigs, _N_BANDS, id_col, _FH_COLS).select(
+        id_col, "band", F.col("bh").alias("sig")
+    )
     # within_batch=True emits every unordered candidate pair exactly
-    # once (larger id on the new side) — the full self-join
+    # once (larger id on the new side) — the full self-join, over the
+    # precomputed long band hashes (same buckets, cheaper equi-join)
     cand = _band_pairs(bands, bands, id_col, within_batch=True, band_bucket_cap=cap)
     pairs = _verified_pairs(
         cand, _new_side(sigs, id_col), _old_side(sigs, id_col), threshold
@@ -339,7 +366,9 @@ def build_pair_graph(
         # a capped BUILD can drop candidates too — the shared binding
         # test, history side empty (the build IS the corpus), marker
         # before the epoch writes like the ingest path
-        _mark_if_cap_bound(store_dir, None, bands, id_col, cap)
+        _mark_if_cap_bound(
+            store_dir, None, bands.withColumnRenamed("sig", "bh"), cap
+        )
     _write_epoch(sigs, _sigs_dir(store_dir), "base")
     _write_epoch(pairs, _pairs_dir(store_dir), "base")
     sigs.unpersist()
@@ -382,8 +411,10 @@ def pairstore_ingest_batch(
         )
     _recover(store_dir)
     threshold = _check_params(store_dir, None)
-    sigs = pair_signatures(batch, id_col, text_col).localCheckpoint(eager=True)
-    bands = _bands_long(sigs, 4, id_col)
+    sigs = _with_sig_hashes(
+        pair_signatures(batch, id_col, text_col)
+    ).localCheckpoint(eager=True)
+    batch_bands = _bands_hash_long(sigs, _N_BANDS, id_col, _FH_COLS)
 
     hist = (
         spark.read.option("basePath", _sigs_dir(store_dir))
@@ -397,24 +428,37 @@ def pairstore_ingest_batch(
     # the count-free candidate budget (65) — no batch count, no
     # per-ingest footer walk (review finding r8: the counts were dead
     # arguments on this path)
-    cap = _resolve_ingest_cap(band_bucket_cap, 2, 4, None)
-    new_vs_hist = _band_pairs(
-        bands,
-        _bands_long(hist, 4, id_col),
+    cap = _resolve_ingest_cap(band_bucket_cap, 2, _N_BANDS, None)
+    # ONE narrow store scan per epoch (r9 verdict task 1): the hashed
+    # band stack — precomputed long columns on a v2 sigs table, derived
+    # from the strings on a legacy one — is semi-sliced by the batch's
+    # (band, bh) set and checkpointed; the over-cap histogram, the
+    # candidate join AND the cap marker all read that one frame
+    hist_slice, new_vs_hist = _sliced_band_candidates(
+        batch_bands,
+        _bands_hash_long(hist, _N_BANDS, id_col, _FH_COLS),
         id_col,
-        within_batch=False,
-        band_bucket_cap=cap,
+        cap,
     )
+    wb = batch_bands.select(id_col, "band", F.col("bh").alias("sig"))
     new_vs_new = _band_pairs(
-        bands, bands, id_col, within_batch=True, band_bucket_cap=cap
+        wb, wb, id_col, within_batch=True, band_bucket_cap=cap
     )
     ns = _new_side(sigs, id_col)
+    if cap is not None:
+        # r9 ADVICE: gate the candidate broadcast on the EXACT row
+        # count (checkpoint first), never force it — a large batch
+        # under a big cap can legally exceed driver memory
+        new_vs_hist = new_vs_hist.localCheckpoint(eager=True)
+        bounded = new_vs_hist.count() <= _BROADCAST_CAND_ROWS
+    else:
+        bounded = False
     pairs = _verified_pairs(
         new_vs_hist,
         ns,
         _old_side(hist, id_col, dedup=False),
         threshold,
-        broadcast_cand=cap is not None,
+        broadcast_cand=bounded,
     ).unionByName(
         _verified_pairs(new_vs_new, ns, _old_side(sigs, id_col), threshold)
     ).distinct()
@@ -423,8 +467,13 @@ def pairstore_ingest_batch(
     # it), never a missing-edges store that pairstore_is_exact calls
     # exact (2nd review pass, r9)
     if cap is not None:
-        _mark_if_cap_bound(store_dir, hist, bands, id_col, cap)
+        _mark_if_cap_bound(store_dir, hist_slice, batch_bands, cap)
     _write_epoch(pairs, _pairs_dir(store_dir), str(batch_id))
+    if not _store_is_v2(hist):
+        # epochs always match the store's existing sig schema so the
+        # merged partitioned read is never mixed-version; compaction
+        # upgrades the whole table atomically
+        sigs = sigs.drop("fh", *[f"bh{bi}" for bi in range(_N_BANDS)])
     _write_epoch(sigs, _sigs_dir(store_dir), str(batch_id))
 
 
@@ -433,38 +482,36 @@ _CAPPED_MARKER = "_CAPPED_EPOCHS"
 
 def _mark_if_cap_bound(
     store_dir: str,
-    hist: DataFrame | None,
-    bands: DataFrame,
-    id_col: str,
+    hist_slice: DataFrame | None,
+    batch_bands: DataFrame,
     cap: int,
 ) -> None:
     """Drop the inexactness marker iff the hot-bucket cap actually
-    BINDS — some batch-touched history bucket (``hist`` None on the
-    build path, which has no history) or within-batch bucket exceeds
-    it, so candidates (hence possibly edges) are dropped. A
-    capped-but-never-binding store stays exact. Cost: ONE aggregate
-    job over the union of the batch band stack and the batch-sliced
-    history stack (both micro-batch-bounded — the r9 slice), only
-    when a cap is enabled, skipped entirely once a marker exists.
-    The marker makes exactness consumers (curate's funnel report,
-    pairstore_is_exact) honest instead of hopeful; it is
-    intentionally sticky — compaction folds the dropped-candidate
+    BINDS — some batch-touched history bucket (``hist_slice`` is the
+    ALREADY materialized narrow slice from _sliced_band_candidates;
+    None on the build path, which has no history) or within-batch
+    bucket exceeds it, so candidates (hence possibly edges) are
+    dropped. A capped-but-never-binding store stays exact. Cost: ONE
+    aggregate job over the checkpointed slice + the batch band stack
+    — NO extra store scan (the r9 spelling re-stacked and re-sliced
+    the store's band strings here, a second O(store) decode per
+    epoch), only when a cap is enabled, skipped entirely once a
+    marker exists. The marker makes exactness consumers (curate's
+    funnel report, pairstore_is_exact) honest instead of hopeful; it
+    is intentionally sticky — compaction folds the dropped-candidate
     history into ``base``, so the missing edges never come back
     without a full rebuild (which wipes it)."""
     fs = store_fs_for(store_dir)
     marker = os.path.join(store_dir, _CAPPED_MARKER)
     if fs.exists(marker):
         return
-    sides = bands.select("band", "sig", F.lit("batch").alias("_side"))
-    if hist is not None:
-        touched = F.broadcast(bands.select("band", "sig").distinct())
+    sides = batch_bands.select("band", "bh", F.lit("batch").alias("_side"))
+    if hist_slice is not None:
         sides = sides.unionByName(
-            _bands_long(hist, 4, id_col)
-            .join(touched, ["band", "sig"], "semi")
-            .select("band", "sig", F.lit("hist").alias("_side"))
+            hist_slice.select("band", "bh", F.lit("hist").alias("_side"))
         )
     over = (
-        sides.groupBy("_side", "band", "sig")
+        sides.groupBy("_side", "band", "bh")
         .count()
         .filter(F.col("count") > cap)
         .limit(1)
@@ -531,6 +578,31 @@ def read_pairs(
     if len(_epoch_ids(_pairs_dir(store_dir))) > 1:
         pairs = pairs.distinct()
     return pairs
+
+
+def store_missing_ids(
+    spark: SparkSession,
+    store_dir: str,
+    doc_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``doc_ids`` rows with NO signature row in the store — the
+    coverage probe behind curate's graph_dir guard (r9 ADVICE): a pair
+    store built from a different or partial corpus passes both the
+    threshold guard and ``pairstore_is_exact``, and the downstream
+    semi-joins then silently drop most near-dup edges. Callers pass
+    the SHINGLE-ELIGIBLE ids only (>= 3 words — shorter docs never
+    get a signature row by q52's definition, so their absence is not
+    a coverage gap). One columnar id scan of the sigs table + an
+    anti-join; no payload columns touched."""
+    _recover(store_dir)
+    _check_params(store_dir, None)
+    sigs_ids = (
+        spark.read.option("basePath", _sigs_dir(store_dir))
+        .parquet(_sigs_dir(store_dir))
+        .select(F.col(id_col))
+    )
+    return doc_ids.select(id_col).join(sigs_ids, id_col, "left_anti")
 
 
 def _q52_threshold() -> float:
@@ -665,9 +737,14 @@ def refresh_clusters(
 
     if mode not in ("auto", "full", "incremental"):
         raise ValueError(f"mode must be auto/full/incremental, got {mode!r}")
+    from file_appender_spark.storefs import assert_no_inflight_write
+
     _recover(store_dir)
     _check_params(store_dir, None)
     fs = store_fs_for(store_dir)
+    # refuse to stamp coverage while an epoch write is in flight: the
+    # stamp would claim (or miss) a half-written epoch
+    assert_no_inflight_write(fs, _pairs_dir(store_dir))
     live = set(_epoch_ids(_pairs_dir(store_dir)))
     state = os.path.join(store_dir, _CLUSTERS_STATE)
     covers: set | None = None
@@ -764,9 +841,14 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
     guard exists to catch (review finding r8)."""
     from file_appender_spark.operators.layout import dir_bytes, plan_file_count
 
+    from file_appender_spark.storefs import assert_no_inflight_write
+
     _recover(store_dir)
     _check_params(store_dir, None)
     fs = store_fs_for(store_dir)
+    # single-writer window invariant (r9 verdict task 7): refuse to
+    # fold epochs while an ingest epoch write is in flight
+    assert_no_inflight_write(fs, _sigs_dir(store_dir), _pairs_dir(store_dir))
     state = os.path.join(store_dir, _CLUSTERS_STATE)
     if fs.exists(state):
         covers = set(json.loads(fs.read_text(state))["covers"])
@@ -788,6 +870,10 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
         fs.replace_file(stmp, state)
     for d in (_sigs_dir(store_dir), _pairs_dir(store_dir)):
         merged = spark.read.option("basePath", d).parquet(d).drop("batch")
+        if d == _sigs_dir(store_dir) and not _store_is_v2(merged):
+            # compaction is the v1 -> v2 migration point: fold in the
+            # precomputed band-hash columns so later epochs scan longs
+            merged = _with_sig_hashes(merged)
         if d == _pairs_dir(store_dir):
             # cross-epoch duplicate pairs (an out-of-order replay's
             # contract violation — see pairstore_ingest_batch) are

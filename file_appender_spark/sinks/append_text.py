@@ -269,11 +269,23 @@ class ArrowFS:
 
 def fs_for_path(path: str) -> "AppendFS":
     """Scheme-based filesystem selection for the sink: ``hdfs://``
-    URIs get the pyarrow Hadoop adapter, everything else the POSIX
-    shim — so `append_text` against an HDFS output_dir needs no
-    explicit fs argument."""
+    URIs get the pyarrow Hadoop adapter, bare paths the POSIX shim —
+    so `append_text` against an HDFS output_dir needs no explicit fs
+    argument. Any other scheme is refused loudly (the storefs
+    discipline, r9 verdict task 3): the sink's whole protocol is
+    per-file APPEND, which object stores do not support — an
+    ``s3://`` output_dir would silently hit the POSIX shim and fail
+    with a confusing ENOENT instead of naming the real constraint."""
     if path.startswith("hdfs://"):
         return ArrowFS(path)
+    if "://" in path:
+        scheme = path.split("://", 1)[0]
+        raise ValueError(
+            f"unsupported sink filesystem scheme {scheme!r} for {path!r}: "
+            "the append sink requires per-file append (POSIX / HDFS), "
+            "which object stores such as s3:// do not provide. Use a "
+            "bare local path or hdfs://"
+        )
     return LocalFS()
 
 

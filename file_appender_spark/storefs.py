@@ -203,13 +203,22 @@ class ArrowStoreFS:
         # POSIX rename overwrites atomically; HDFS rename refuses an
         # existing destination, so degrade to delete+rename — safe
         # under the stores' single-writer maintenance windows (see
-        # module docstring)
+        # module docstring). The fallback is taken ONLY when the
+        # destination provably exists: a transient failure (namenode
+        # hiccup) must re-raise rather than delete the live sidecar
+        # and then fail the retry too, which would turn a transient
+        # error into a store needing manual re-stamp (r9 ADVICE). The
+        # final move gets one bounded retry for the same reason.
         try:
             self._filesystem().move(self._resolve(src), self._resolve(dst))
         except OSError:
-            if self.exists(dst):
-                self.remove(dst)
-            self._filesystem().move(self._resolve(src), self._resolve(dst))
+            if not self.exists(dst):
+                raise
+            self.remove(dst)
+            try:
+                self._filesystem().move(self._resolve(src), self._resolve(dst))
+            except OSError:
+                self._filesystem().move(self._resolve(src), self._resolve(dst))
 
     def rmtree(self, directory: str) -> None:
         self._filesystem().delete_dir(self._resolve(directory))
@@ -246,6 +255,43 @@ class ArrowStoreFS:
         return total
 
 
+def assert_no_inflight_write(fs: "StoreFS", *dirs: str) -> None:
+    """Cheap single-writer invariant for store MAINTENANCE entry
+    points (r9 verdict task 7): Spark leaves a ``_temporary``
+    directory under a parquet write root for the whole duration of an
+    in-flight write, so its presence under a store table while
+    compaction/refresh starts means another writer is live — exactly
+    the schedule violation the single-writer maintenance-window
+    contract (SCALING.md round-10) says WILL eventually happen at
+    scale. Refuse loudly instead of racing the swap. (A crashed
+    writer also leaves ``_temporary`` behind; that is equally a
+    reason to stop — the operator must decide whether the epoch is
+    dead before maintenance folds the store.) One listdir per table;
+    checks the table dir and, for partitioned tables, its immediate
+    ``batch=*`` children."""
+    for d in dirs:
+        if not fs.isdir(d):
+            continue
+        children = fs.listdir(d)
+        suspect = []
+        if "_temporary" in children:
+            suspect.append(os.path.join(d, "_temporary"))
+        for c in children:
+            if c.startswith("batch=") and fs.isdir(
+                os.path.join(d, c, "_temporary")
+            ):
+                suspect.append(os.path.join(d, c, "_temporary"))
+        if suspect:
+            raise RuntimeError(
+                f"store table {d} has an in-flight (or crashed) Spark "
+                f"write: {suspect} — maintenance requires the "
+                "single-writer window (pause ingest; remove stale "
+                "_temporary dirs only after confirming the writer is "
+                "dead). See SCALING.md: store maintenance concurrency "
+                "contract."
+            )
+
+
 _FS_CACHE: dict[str, StoreFS] = {}
 
 
@@ -273,7 +319,23 @@ def store_fs_for(path: str) -> StoreFS:
     fresh ArrowStoreFS per call would lazily open a new namenode
     connection each time on ``hdfs://`` stores. The cached instances
     are driver-side and the maintenance windows are single-writer by
-    contract, so sharing is safe."""
+    contract, so sharing is safe.
+
+    Any OTHER scheme is refused loudly (r9 verdict task 3): the
+    stores' crash-safety depends on ``rename`` being atomic for
+    DIRECTORIES (the compaction/refresh two-rename swap), which
+    object stores do not provide — an ``s3://`` store dir would pass
+    the old dispatch into the POSIX shim and corrupt on the first
+    compaction crash instead of failing at bind time."""
+    if "://" in path and not path.startswith(("hdfs://", "file://")):
+        scheme = path.split("://", 1)[0]
+        raise ValueError(
+            f"unsupported store filesystem scheme {scheme!r} for {path!r}: "
+            "store maintenance requires atomic directory rename (POSIX "
+            "rename / HDFS namenode rename); object stores such as s3:// "
+            "rename by copy+delete and would break the stores' crash-safe "
+            "compaction swap. Use a bare path, file://, or hdfs://"
+        )
     if path.startswith("hdfs://"):
         # one adapter per scheme+authority: paths under the same
         # namenode share a connection; the authority guard refuses

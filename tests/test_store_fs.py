@@ -80,6 +80,65 @@ def test_arrow_store_fs_ops(tmp_path):
         nn._resolve("hdfs://nn-b:8020/x")
 
 
+def test_store_fs_refuses_object_store_schemes():
+    """r9 verdict task 3: the rename-atomicity requirement is enforced
+    at bind time, not just documented — an s3:// store dir would break
+    the crash-safe compaction swap (rename = copy+delete there)."""
+    from file_appender_spark.sinks.append_text import fs_for_path
+
+    with pytest.raises(ValueError, match="atomic directory rename"):
+        store_fs_for("s3://bucket/stores/x")
+    with pytest.raises(ValueError, match="s3"):
+        store_fs_for("s3a://bucket/stores/x")
+    # the sink mirrors the guard (append is the constraint there)
+    with pytest.raises(ValueError, match="append"):
+        fs_for_path("s3://bucket/out")
+    with pytest.raises(ValueError, match="gs"):
+        fs_for_path("gs://bucket/out")
+
+
+def test_replace_file_transient_error_reraises(tmp_path, monkeypatch):
+    """r9 ADVICE: the delete+rename fallback is taken only when the
+    destination provably exists — a transient move failure with NO
+    existing destination must re-raise, never delete state; and the
+    final move gets one bounded retry."""
+    fs = ArrowStoreFS("local")
+    base = str(tmp_path / "rf")
+    fs.makedirs(base)
+    src = os.path.join(base, "s.json")
+    dst = os.path.join(base, "d.json")
+    fs.write_text(src, "new")
+
+    real_fs = fs._filesystem()
+    fails = {"n": 0}
+
+    class FlakyFS:
+        def __getattr__(self, name):
+            return getattr(real_fs, name)
+
+        def move(self, a, b):
+            if fails["n"] > 0:
+                fails["n"] -= 1
+                raise OSError("transient namenode hiccup")
+            return real_fs.move(a, b)
+
+    monkeypatch.setattr(fs, "_fs", FlakyFS())
+
+    # transient failure, destination absent: re-raise, src intact
+    fails["n"] = 10
+    with pytest.raises(OSError):
+        fs.replace_file(src, dst)
+    assert fs.exists(src) and not fs.exists(dst)
+
+    # destination exists: first move fails (HDFS dest-exists shape),
+    # fallback deletes + retries — and survives ONE transient failure
+    # of the final move too
+    fs.write_text(dst, "old")
+    fails["n"] = 2
+    fs.replace_file(src, dst)
+    assert fs.read_text(dst) == "new" and not fs.exists(src)
+
+
 def test_arrow_store_fs_parquet_rows(spark, tmp_path):
     fs = ArrowStoreFS("local")
     d = str(tmp_path / "pq")

@@ -1,0 +1,244 @@
+"""Round-10 store layout tests: schema v2 (precomputed band-hash /
+full-signature-hash long columns), the banded index sidecar built by
+compaction, v1-store compatibility, and curate's pair-store coverage
+guard (r9 verdict tasks 1-3 + ADVICE)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_appender_spark.operators.neardup_ingest import (
+    _INDEX_DIR,
+    _INDEX_META,
+    _band_index_state,
+    _bands_hash_long,
+    _minhash_sig_frame,
+    _modality_spec,
+    _store_is_v2,
+    _with_index_cols,
+    build_band_index,
+    compact_store,
+    stamp_store_params,
+    textdup_ingest_batch,
+)
+
+TEXT_PARAMS = {"modality": "minhash", "n_slots": 16, "n_bands": 4}
+
+
+def _docs(spark, ids_texts):
+    return spark.createDataFrame(ids_texts, "doc_id long, text string")
+
+
+def _corpus(spark, n=40, seed_tag="alpha"):
+    # per-doc-unique words, so docs only match where a twin is PLANTED
+    rows = [
+        (i, " ".join(f"{seed_tag}{i}x{j}" for j in range(12)))
+        for i in range(n)
+    ]
+    # near-dup twins: every 10k+1 id repeats 10k's text + a tail
+    rows = [
+        (i, rows[i - 1][1] + " tail marker token") if i % 10 == 1 else (i, t)
+        for i, t in rows
+    ]
+    return _docs(spark, rows)
+
+
+def test_with_index_cols_matches_v1_derive(spark):
+    """The write-time v2 columns and the read-time v1 derivation must
+    be bit-identical, or mixed-era signatures would never join."""
+    sigs = _minhash_sig_frame(_corpus(spark), "doc_id", "text")
+    spec = _modality_spec(TEXT_PARAMS)
+    v2 = _with_index_cols(sigs, 4, spec["fh_cols"])
+    a = _bands_hash_long(v2, 4, "doc_id", spec["fh_cols"])
+    b = _bands_hash_long(sigs, 4, "doc_id", spec["fh_cols"])  # derive path
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_v1_store_compat_appends_v1_then_compaction_upgrades(spark, tmp_path):
+    """A legacy v1 store keeps working: reads derive the hashes,
+    appends match the v1 schema (never mixed-version), and
+    compact_store upgrades to v2 + builds the index sidecar
+    atomically; results are identical before and after."""
+    store = str(tmp_path / "v1store")
+    docs = _corpus(spark, 40)
+    _minhash_sig_frame(docs, "doc_id", "text").write.parquet(store)
+    stamp_store_params(store, TEXT_PARAMS)
+
+    d0 = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    b2 = _docs(
+        spark,
+        [(100, d0),  # exact-text dup of stored doc 0 -> suppressed
+         (101, "совершенно unique words that match nothing at all here")],
+    )
+    before = sorted(
+        r["doc_id"] for r in textdup_ingest_batch(spark, b2, store).collect()
+    )
+    # the append stayed v1 (no mixed-version store)
+    assert not _store_is_v2(spark.read.parquet(store))
+
+    n_files = compact_store(spark, store, id_col="doc_id")
+    assert n_files >= 1
+    hist = spark.read.parquet(store)
+    assert _store_is_v2(hist)
+    state = _band_index_state(store)
+    assert state is not None and state["tail"] == []
+    # replay of the same batch post-upgrade: at-least-once re-emit of
+    # whatever was admitted before (identical decision set)
+    after = sorted(
+        r["doc_id"] for r in textdup_ingest_batch(spark, b2, store).collect()
+    )
+    assert after == before
+    # the post-compaction epoch appended v2 rows and became the tail
+    state = _band_index_state(store)
+    assert state is not None and len(state["tail"]) >= 1
+
+
+def test_band_index_pruned_epoch_equals_fullscan(spark, tmp_path):
+    """The sidecar-pruned history path must make identical admit
+    decisions to the fused wide scan: run the same epoch against an
+    indexed store and an index-free copy of the same store."""
+    import shutil
+
+    docs = _corpus(spark, 60, seed_tag="beta")
+    s_idx = str(tmp_path / "indexed")
+    seed = _docs(spark, [(i, t) for i, t in docs.collect()])
+    textdup_ingest_batch(spark, seed, s_idx)
+    compact_store(spark, s_idx, id_col="doc_id", index_buckets=64)
+    assert _band_index_state(s_idx) is not None
+    s_plain = str(tmp_path / "plain")
+    shutil.copytree(s_idx, s_plain)
+    shutil.rmtree(os.path.join(s_plain, _INDEX_DIR))
+
+    # small epoch: near-dup of doc 20, an exact-text dup of doc 0, a
+    # replayed stored id, and a fresh doc
+    d20 = docs.filter(F.col("doc_id") == 20).collect()[0]["text"]
+    d0 = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    ep = _docs(
+        spark,
+        [(500, d20 + " extra"), (501, d0), (20, d20),
+         (502, "entirely fresh words nothing shared with any one doc x y z")],
+    )
+    got_idx = sorted(
+        r["doc_id"] for r in textdup_ingest_batch(spark, ep, s_idx).collect()
+    )
+    got_plain = sorted(
+        r["doc_id"] for r in textdup_ingest_batch(spark, ep, s_plain).collect()
+    )
+    assert got_idx == got_plain
+    # the replayed stored id must be re-emitted (at-least-once) on
+    # both paths; the exact dup of doc 0 suppressed on both
+    assert 20 in got_idx and 501 not in got_idx
+
+
+def test_band_index_invalidated_by_wide_rewrite(spark, tmp_path):
+    """The sidecar is DERIVED data: if a covered wide file disappears
+    (external rewrite), the state reports invalid and readers fall
+    back to the wide scan rather than serving a stale index."""
+    store = str(tmp_path / "inval")
+    textdup_ingest_batch(spark, _corpus(spark, 30), store)
+    compact_store(spark, store, id_col="doc_id", index_buckets=64)
+    assert _band_index_state(store) is not None
+    # clobber one covered wide file
+    wide = [
+        f for f in os.listdir(store)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    os.remove(os.path.join(store, wide[0]))
+    assert _band_index_state(store) is None
+
+
+def test_build_band_index_requires_params(spark, tmp_path):
+    store = str(tmp_path / "noparams")
+    _minhash_sig_frame(_corpus(spark, 10), "doc_id", "text").write.parquet(store)
+    with pytest.raises(ValueError, match="stamp or rebuild"):
+        build_band_index(spark, store, "doc_id")
+
+
+def test_index_meta_shape(spark, tmp_path):
+    store = str(tmp_path / "meta")
+    textdup_ingest_batch(spark, _corpus(spark, 30), store)
+    nb = compact_store(spark, store, id_col="doc_id", index_buckets=32) and 32
+    meta = json.loads(
+        open(os.path.join(store, _INDEX_DIR, _INDEX_META)).read()
+    )
+    assert meta["buckets"] == nb and meta["id_col"] == "doc_id"
+    assert set(meta["covers"]) == {
+        f for f in os.listdir(store)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    }
+    # the data dir holds bucket= partitions only
+    data = os.listdir(os.path.join(store, _INDEX_DIR, "data"))
+    assert any(d.startswith("bucket=") for d in data)
+    assert all(d.startswith(("bucket=", "_", ".")) for d in data)
+
+
+def test_maintenance_refuses_inflight_write(spark, tmp_path):
+    """r9 verdict task 7: a Spark ``_temporary`` dir under a store
+    table means a live (or crashed) writer — compaction and cluster
+    refresh must refuse the maintenance window instead of racing the
+    directory swap."""
+    from file_appender_spark.operators.pairstore import (
+        _sigs_dir,
+        build_pair_graph,
+        compact_pairstore,
+        refresh_clusters,
+    )
+
+    store = str(tmp_path / "busy")
+    build_pair_graph(spark, _corpus(spark, 20), store, threshold=0.2)
+    os.makedirs(os.path.join(_sigs_dir(store), "batch=9", "_temporary"))
+    with pytest.raises(RuntimeError, match="in-flight"):
+        compact_pairstore(spark, store)
+    os.rmdir(os.path.join(_sigs_dir(store), "batch=9", "_temporary"))
+    os.rmdir(os.path.join(_sigs_dir(store), "batch=9"))
+
+    # signature store: same guard on compact_store
+    sstore = str(tmp_path / "busy_sig")
+    textdup_ingest_batch(spark, _corpus(spark, 15), sstore)
+    os.makedirs(os.path.join(sstore, "_temporary"))
+    with pytest.raises(RuntimeError, match="in-flight"):
+        compact_store(spark, sstore, id_col="doc_id")
+    os.rmdir(os.path.join(sstore, "_temporary"))
+    assert compact_store(spark, sstore, id_col="doc_id") >= 1
+    assert refresh_clusters(spark, store) in ("fresh", "incremental", "full")
+
+
+def test_curate_graph_dir_coverage_guard(spark, tmp_path):
+    """r9 ADVICE (medium): a pair store built from a PARTIAL corpus
+    must be refused by curate(graph_dir=...) instead of silently
+    skipping the missing docs' near-dup edges."""
+    from file_appender_spark.curate import curate
+    from file_appender_spark.operators.pairstore import (
+        build_pair_graph,
+        store_missing_ids,
+    )
+
+    docs = _corpus(spark, 40, seed_tag="gamma")
+    partial = docs.filter(F.col("doc_id") < 20)
+    gd = str(tmp_path / "partial_graph")
+    build_pair_graph(spark, partial, gd, threshold=0.2)
+
+    missing = store_missing_ids(spark, gd, docs.select("doc_id"))
+    assert missing.count() == 20
+
+    with pytest.raises(ValueError, match="does not cover this corpus"):
+        curate(
+            spark, docs, str(tmp_path / "out"),
+            near_threshold=0.2, graph_dir=gd,
+        )
+
+    # a covering store passes and the funnel matches the recompute
+    gd_full = str(tmp_path / "full_graph")
+    build_pair_graph(spark, docs, gd_full, threshold=0.2)
+    f_store = curate(
+        spark, docs, str(tmp_path / "out2"), near_threshold=0.2,
+        graph_dir=gd_full,
+    )
+    f_plain = curate(spark, docs, str(tmp_path / "out3"), near_threshold=0.2)
+    for k in ("input", "after_exact_dedup", "after_near_dedup",
+              "after_quality", "written"):
+        assert f_store[k] == f_plain[k], k
