@@ -107,6 +107,15 @@ _INDEX_META = "_INDEX_META.json"
 # — a large micro-batch under a big cap can legally produce tens of
 # millions of candidate rows, which must go through AQE, not a hint
 _BROADCAST_FETCH_ROWS = 4_000_000
+# below this store size (parquet-footer rows, no scan) the epoch takes
+# the LEAN shape: no slice/candidate materialization jobs, broadcast
+# hints straight into the lazy joins (the r9 spelling). The fused
+# checkpoint+count machinery exists to avoid re-scanning a BIG store
+# per consumer; at small stores the re-scans are cheaper than the 4-6
+# extra Spark jobs the materializations cost (the r9 verdict's
+# small-store throughput regression, measured again in
+# SCALE1000_PROBE_r10's first cut)
+_EAGER_SLICE_MIN_STORE_ROWS = 1_000_000
 
 
 def _modality_spec(params: dict) -> dict:
@@ -362,6 +371,7 @@ def _sliced_band_candidates(
     hist_bands: DataFrame,
     id_col: str,
     cap: int | None,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared history-candidate core over HASHED band keys for stores
     that manage their own layout (pairstore's partitioned sigs table):
@@ -372,11 +382,13 @@ def _sliced_band_candidates(
     exactly once per epoch however many consumers follow. Returns
     (slice, candidates); candidate semantics match _band_pairs
     (within_batch=False): self-id matches excluded, over-cap buckets
-    dropped from BOTH sides."""
+    dropped from BOTH sides. ``materialize=False`` keeps the slice
+    lazy (the small-store lean shape: consumers re-derive it inside
+    one action instead of paying a checkpoint job)."""
     touched = F.broadcast(batch_bands.select("band", "bh").distinct())
-    sl = hist_bands.join(touched, ["band", "bh"], "semi").localCheckpoint(
-        eager=True
-    )
+    sl = hist_bands.join(touched, ["band", "bh"], "semi")
+    if materialize:
+        sl = sl.localCheckpoint(eager=True)
     x, s2 = batch_bands, sl
     if cap is not None:
         hot = F.broadcast(
@@ -411,6 +423,7 @@ def _hist_dup_terms(
     id_col: str,
     spec: dict,
     cap: int | None,
+    store_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """History-side dup inputs from the fused store touch:
 
@@ -438,7 +451,10 @@ def _hist_dup_terms(
     slice_src, payload_src = _history_access(
         spark, store_dir, hist, batch_bands, id_col, spec
     )
-    sl, cand = _sliced_band_candidates(batch_bands, slice_src, id_col, cap)
+    big = store_rows is None or store_rows >= _EAGER_SLICE_MIN_STORE_ROWS
+    sl, cand = _sliced_band_candidates(
+        batch_bands, slice_src, id_col, cap, materialize=big
+    )
     ident = (
         sigs.select(F.col(id_col).alias("new_id"), "fh")
         .join(
@@ -450,7 +466,7 @@ def _hist_dup_terms(
         .select("new_id", "old_id")
         .distinct()
     )
-    if cap is not None:
+    if cap is not None and big:
         cand = cand.localCheckpoint(eager=True)
         ident = ident.localCheckpoint(eager=True)
         bounded = (cand.count() + ident.count()) <= _BROADCAST_FETCH_ROWS
@@ -463,9 +479,16 @@ def _hist_dup_terms(
             ).localCheckpoint(eager=True)
         else:
             pay = payload_src.join(fetch_ids, "old_id", "semi")
-    else:
-        pay = payload_src
-    return cand.join(pay, "old_id"), ident.join(pay, "old_id")
+        return cand.join(pay, "old_id"), ident.join(pay, "old_id")
+    if cap is not None:
+        # lean small-store shape: candidates are bounded by
+        # min(batch x bands x cap, store x bands) — a hint is safe and
+        # the joins stay lazy inside the caller's one action
+        return (
+            F.broadcast(cand).join(payload_src, "old_id"),
+            F.broadcast(ident).join(payload_src, "old_id"),
+        )
+    return cand.join(payload_src, "old_id"), ident.join(payload_src, "old_id")
 
 
 def _sig_frame(
@@ -711,11 +734,12 @@ def neardup_ingest_batch(
     _check_store_params(
         store_dir, {"modality": "srp", "n_bits": n_bits, "n_bands": n_bands}
     )
+    store_rows = _store_row_count(store_dir)  # footer metadata, no scan
     if band_bucket_cap == "auto":
-        # store size from parquet footers (no scan); the batch count
-        # materializes the persisted signature frame it would compute
-        # anyway. SRP bands carry n_bits sign bits per band.
-        n_items = sigs.count() + _store_row_count(store_dir)
+        # the batch count materializes the persisted signature frame
+        # it would compute anyway. SRP bands carry n_bits sign bits
+        # per band.
+        n_items = sigs.count() + store_rows
         band_bucket_cap = _resolve_ingest_cap(
             "auto", n_items, n_bands, bucket_space_bits=n_bits
         )
@@ -743,7 +767,7 @@ def neardup_ingest_batch(
         # checkpointed slice + bounded payload fetch
         cand_pay, ident_pay = _hist_dup_terms(
             spark, store_dir, hist, sigs, batch_bands, id_col, spec,
-            band_bucket_cap,
+            band_bucket_cap, store_rows=store_rows,
         )
         cands = cands.unionByName(cand_pay.select(*cands.columns))
         # full-signature-hash matches, confirmed by EXACT vector
@@ -1239,6 +1263,16 @@ def textdup_ingest_batch(
 
     store_exists = _store_has_data(store_dir)
     hist = spark.read.parquet(store_dir) if store_exists else None
+    # big-vs-lean threshold check only — early-exit footer walk, so a
+    # store with thousands of pre-compaction appends never pays a
+    # footer read per file here
+    store_rows = (
+        store_fs_for(store_dir).parquet_rows(
+            store_dir, stop_at=_EAGER_SLICE_MIN_STORE_ROWS
+        )
+        if store_exists
+        else 0
+    )
     # within-batch candidates over the hashed long band keys
     wb = batch_bands.select(id_col, "band", F.col("bh").alias("sig"))
     cands = _band_pairs(
@@ -1255,7 +1289,7 @@ def textdup_ingest_batch(
         # checkpointed slice + bounded payload fetch
         cand_pay, ident_pay = _hist_dup_terms(
             spark, store_dir, hist, sigs, batch_bands, id_col, spec,
-            band_bucket_cap,
+            band_bucket_cap, store_rows=store_rows,
         )
         cands = cands.unionByName(cand_pay.select(*cands.columns))
         # full-signature-hash matches confirmed by exact mh equality
@@ -1391,12 +1425,13 @@ def imagedup_ingest_batch(
         *[F.col(f"b{k}").alias(f"ob{k}") for k in range(4)],
     )
     hist = spark.read.parquet(store_dir) if store_exists else None
+    store_rows = _store_row_count(store_dir)  # footer metadata, no scan
     if band_bucket_cap == "auto":
-        # sized from parquet footers (no store scan) + the batch's
-        # checkpointed signature count — the cap needs order-of-
-        # magnitude accuracy only, so footer counts (which include
-        # retry-duplicated rows until compaction) are fine
-        n_items = sigs.count() + _store_row_count(store_dir)
+        # sized from the footer count + the batch's checkpointed
+        # signature count — the cap needs order-of-magnitude accuracy
+        # only, so footer counts (which include retry-duplicated rows
+        # until compaction) are fine
+        n_items = sigs.count() + store_rows
         cap = band_bucket_cap_for(max(n_items, 2), grid=64)
     elif isinstance(band_bucket_cap, str):
         raise ValueError(
@@ -1414,7 +1449,8 @@ def imagedup_ingest_batch(
     if hist is not None:
         # ONE fused store touch (r9 verdict task 1) — see _hist_dup_terms
         cand_pay, ident_pay = _hist_dup_terms(
-            spark, store_dir, hist, sigs, batch_bands, id_col, spec, cap
+            spark, store_dir, hist, sigs, batch_bands, id_col, spec, cap,
+            store_rows=store_rows,
         )
         cands = cands.unionByName(cand_pay.select(*cands.columns))
         # fh matches confirmed by exact band equality (Hamming 0) —

@@ -73,6 +73,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from file_appender_spark.operators.neardup_ingest import (
+    _EAGER_SLICE_MIN_STORE_ROWS,
     _band_pairs,
     _bands_hash_long,
     _resolve_ingest_cap,
@@ -121,6 +122,27 @@ def _params(threshold: float) -> dict:
 
 def _sigs_dir(store_dir: str) -> str:
     return os.path.join(store_dir, "sigs")
+
+
+def _sigs_row_count(store_dir: str) -> int:
+    """Total sigs rows across epoch partitions, from parquet FOOTER
+    metadata only (per-epoch-dir footer walks — the store's partition
+    layout hides its files from the flat parquet_rows). Sizes the
+    lean-vs-materialized epoch shape; order-of-magnitude is enough."""
+    fs = store_fs_for(store_dir)
+    d = _sigs_dir(store_dir)
+    if not fs.isdir(d):
+        return 0
+    total = 0
+    for part in fs.listdir(d):
+        if part.startswith("batch="):
+            total += fs.parquet_rows(
+                os.path.join(d, part),
+                stop_at=_EAGER_SLICE_MIN_STORE_ROWS,
+            )
+            if total >= _EAGER_SLICE_MIN_STORE_ROWS:
+                break
+    return total
 
 
 def _pairs_dir(store_dir: str) -> str:
@@ -434,25 +456,31 @@ def pairstore_ingest_batch(
     # from the strings on a legacy one — is semi-sliced by the batch's
     # (band, bh) set and checkpointed; the over-cap histogram, the
     # candidate join AND the cap marker all read that one frame
+    store_rows = _sigs_row_count(store_dir)
+    big = store_rows >= _EAGER_SLICE_MIN_STORE_ROWS
     hist_slice, new_vs_hist = _sliced_band_candidates(
         batch_bands,
         _bands_hash_long(hist, _N_BANDS, id_col, _FH_COLS),
         id_col,
         cap,
+        materialize=big,
     )
     wb = batch_bands.select(id_col, "band", F.col("bh").alias("sig"))
     new_vs_new = _band_pairs(
         wb, wb, id_col, within_batch=True, band_bucket_cap=cap
     )
     ns = _new_side(sigs, id_col)
-    if cap is not None:
+    if cap is not None and big:
         # r9 ADVICE: gate the candidate broadcast on the EXACT row
         # count (checkpoint first), never force it — a large batch
         # under a big cap can legally exceed driver memory
         new_vs_hist = new_vs_hist.localCheckpoint(eager=True)
         bounded = new_vs_hist.count() <= _BROADCAST_CAND_ROWS
     else:
-        bounded = False
+        # small stores take the lean shape: candidates are bounded by
+        # min(batch x bands x cap, store x bands), so the hint is safe
+        # without paying checkpoint+count jobs; cap None stays unhinted
+        bounded = cap is not None
     pairs = _verified_pairs(
         new_vs_hist,
         ns,

@@ -135,7 +135,23 @@ _DRIVER_PRIORITY = [
 # old evidence no longer certifies the current code, so they rank with
 # the never-green tranche until re-verified. Remove entries once the
 # round that re-checked them is committed.
-_FORCE_RECHECK: set[str] = set()  # r4's q142 re-check landed green (CORRECTNESS_r04)
+_FORCE_RECHECK: set[str] = {
+    # r10: the store ingest/build paths were rewritten (schema v2 +
+    # fused single-scan epochs + banded index sidecar) — the r9 green
+    # rows for the store-protocol tier certify the OLD implementation,
+    # so re-rank the whole tier into this round's window alongside the
+    # never-checked q266-q268. Remove once CORRECTNESS_r10 lands green.
+    "q256_pairstore_served_clusters",
+    "q257_pairstore_incremental_served",
+    "q258_corpusstats_served_tfidf",
+    "q259_pairstore_served_economics",
+    "q260_textdup_ingest_sim",
+    "q261_imagedup_ingest_sim",
+    "q262_corpusstats_incremental_served",
+    "q263_pairstore_compacted_served",
+    "q264_textdup_compacted_sim",
+    "q265_embeddingdup_ingest_sim",
+}
 
 
 def _reorder_registry() -> None:

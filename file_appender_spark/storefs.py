@@ -70,7 +70,7 @@ class StoreFS(Protocol):
 
     def copy_file(self, src: str, dst: str) -> None: ...
 
-    def parquet_rows(self, directory: str) -> int: ...
+    def parquet_rows(self, directory: str, stop_at: int | None = None) -> int: ...
 
 
 class LocalStoreFS:
@@ -114,11 +114,14 @@ class LocalStoreFS:
     def copy_file(self, src: str, dst: str) -> None:
         shutil.copy2(src, dst)
 
-    def parquet_rows(self, directory: str) -> int:
+    def parquet_rows(self, directory: str, stop_at: int | None = None) -> int:
         """Row count from parquet FOOTER metadata — zero Spark jobs,
         zero data read (order-of-magnitude sizing for the ingest
         caps, where retry-duplicated rows counting double is
-        immaterial)."""
+        immaterial). ``stop_at`` short-circuits the footer walk once
+        the running total reaches it — threshold checks (is the store
+        big?) must not pay a footer read per file on a store with
+        thousands of small pre-compaction appends."""
         import pyarrow.parquet as pq
 
         if not os.path.isdir(directory):
@@ -129,6 +132,8 @@ class LocalStoreFS:
                 total += pq.ParquetFile(
                     os.path.join(directory, f)
                 ).metadata.num_rows
+                if stop_at is not None and total >= stop_at:
+                    return total
         return total
 
 
@@ -240,7 +245,7 @@ class ArrowStoreFS:
             with fs.open_output_stream(self._resolve(dst)) as w:
                 w.write(r.read())
 
-    def parquet_rows(self, directory: str) -> int:
+    def parquet_rows(self, directory: str, stop_at: int | None = None) -> int:
         import pyarrow.parquet as pq
 
         if not self.isdir(directory):
@@ -252,6 +257,8 @@ class ArrowStoreFS:
             if name.endswith(".parquet") and not name.startswith((".", "_")):
                 with fs.open_input_file(f"{base}/{name}") as f:
                     total += pq.ParquetFile(f).metadata.num_rows
+                if stop_at is not None and total >= stop_at:
+                    return total
         return total
 
 

@@ -176,6 +176,38 @@ def test_index_meta_shape(spark, tmp_path):
     assert all(d.startswith(("bucket=", "_", ".")) for d in data)
 
 
+def test_big_store_materialized_path_equals_lean(spark, tmp_path, monkeypatch):
+    """The epoch has two shapes: LEAN (small stores — lazy joins, no
+    materialization jobs) and MATERIALIZED (big stores — checkpointed
+    slice/candidates + exact-count broadcast gating). They must make
+    identical admit decisions; unit stores are small, so the big
+    branch is forced by zeroing the threshold."""
+    import shutil
+
+    import file_appender_spark.operators.neardup_ingest as ni
+
+    docs = _corpus(spark, 50, seed_tag="delta")
+    s_lean = str(tmp_path / "lean")
+    textdup_ingest_batch(spark, docs, s_lean)
+    s_big = str(tmp_path / "big")
+    shutil.copytree(s_lean, s_big)
+
+    d5 = docs.filter(F.col("doc_id") == 5).collect()[0]["text"]
+    ep = _docs(
+        spark,
+        [(900, d5), (901, d5 + " near dup tail"), (5, d5),
+         (902, "totally novel tokens unlike anything else qq ww ee rr tt yy")],
+    )
+    lean = sorted(
+        r["doc_id"] for r in textdup_ingest_batch(spark, ep, s_lean).collect()
+    )
+    monkeypatch.setattr(ni, "_EAGER_SLICE_MIN_STORE_ROWS", 0)
+    big = sorted(
+        r["doc_id"] for r in textdup_ingest_batch(spark, ep, s_big).collect()
+    )
+    assert big == lean and 5 in big and 900 not in big
+
+
 def test_maintenance_refuses_inflight_write(spark, tmp_path):
     """r9 verdict task 7: a Spark ``_temporary`` dir under a store
     table means a live (or crashed) writer — compaction and cluster
