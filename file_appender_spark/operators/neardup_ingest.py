@@ -260,6 +260,12 @@ def build_band_index(
     idx_dir = os.path.join(store_dir, _INDEX_DIR)
     if fs.exists(idx_dir):
         fs.rmtree(idx_dir)
+    if fs.parquet_rows(store_dir, stop_at=1) == 0:
+        # an empty store gets NO sidecar: partitionBy on zero rows
+        # writes a dir with no partition directories, which a later
+        # pruned read cannot even infer a schema from (empty-corpus
+        # sweep); with the sidecar absent readers fall back cleanly
+        return 0
     covers = _wide_files(store_dir)
     hist = spark.read.parquet(store_dir)
     v2 = hist if _store_is_v2(hist) else _with_index_cols(
@@ -442,12 +448,18 @@ def _hist_dup_terms(
         an over-cap bucket, and exact dups must dedup regardless
         (the r8 shortcut's whole point).
 
-    With a cap both frames are checkpointed (micro-batch-bounded) and
-    the payload fetch broadcasts ONLY when their exact combined row
-    count stays under _BROADCAST_FETCH_ROWS (r9 ADVICE: the old
-    unconditional hint could legally OOM the driver); over the ceiling
-    — or with cap None, where nothing bounds the candidate set — the
-    joins run unhinted and AQE picks the strategy."""
+    Two shapes, pinned equal in tests/test_store_v2.py: BIG stores
+    (>= _EAGER_SLICE_MIN_STORE_ROWS, footer-estimated) checkpoint the
+    slice and both frames and gate the payload broadcast on their
+    EXACT combined row count under _BROADCAST_FETCH_ROWS (r9 ADVICE:
+    the old unconditional hint could legally OOM the driver); over
+    the ceiling the joins run unhinted and AQE picks the strategy.
+    SMALL stores take the LEAN shape — lazy joins, broadcast hints
+    straight on the candidate frames (bounded by min(batch x bands x
+    cap, store x bands) there) — because at that size the 4-6
+    materialization jobs cost more than re-deriving the slice inside
+    one action. cap None never hints anywhere (nothing bounds the
+    candidate set)."""
     slice_src, payload_src = _history_access(
         spark, store_dir, hist, batch_bands, id_col, spec
     )

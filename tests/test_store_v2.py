@@ -151,6 +151,19 @@ def test_band_index_invalidated_by_wide_rewrite(spark, tmp_path):
     assert _band_index_state(store) is None
 
 
+def test_compact_empty_store_skips_sidecar(spark, tmp_path):
+    """partitionBy on zero rows writes no partition directories, so an
+    empty store must get NO sidecar (a pruned read could not infer a
+    schema from it) — and later epochs must still work."""
+    store = str(tmp_path / "empty")
+    none = _docs(spark, []).limit(0)
+    textdup_ingest_batch(spark, none, store)
+    compact_store(spark, store, id_col="doc_id")
+    assert _band_index_state(store) is None
+    got = textdup_ingest_batch(spark, _corpus(spark, 10), store)
+    assert got.count() == 9  # one planted twin suppressed
+
+
 def test_build_band_index_requires_params(spark, tmp_path):
     store = str(tmp_path / "noparams")
     _minhash_sig_frame(_corpus(spark, 10), "doc_id", "text").write.parquet(store)
