@@ -107,7 +107,9 @@ def test_band_index_pruned_epoch_equals_fullscan(spark, tmp_path):
     s_idx = str(tmp_path / "indexed")
     seed = _docs(spark, [(i, t) for i, t in docs.collect()])
     textdup_ingest_batch(spark, seed, s_idx)
-    compact_store(spark, s_idx, id_col="doc_id", index_buckets=64)
+    # bucket count far above the epoch's key count, so the strict
+    # pruning gate (touched <= nb/16) actually takes the index path
+    compact_store(spark, s_idx, id_col="doc_id", index_buckets=1024)
     assert _band_index_state(s_idx) is not None
     s_plain = str(tmp_path / "plain")
     shutil.copytree(s_idx, s_plain)
