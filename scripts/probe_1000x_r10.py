@@ -82,6 +82,29 @@ def main() -> None:
     out: dict = {"probe": "r10_x1000_ingest_epochs", "textdup": {}, "pairstore": {}}
     small_dir = dirs["5k"]
 
+    # session warm-up on THROWAWAY stores: the first ingest of a
+    # session pays JVM/codegen warm-up (~20s observed), which
+    # otherwise lands entirely on whichever size runs first and
+    # poisons every ratio
+    wstore = "/tmp/spark_graft_r10x1000_warmup"
+    shutil.rmtree(wstore, ignore_errors=True)
+    wdocs = epoch_docs(spark, small_dir, 1_000, 90_000_000)
+    textdup_ingest_batch(spark, wdocs, wstore).count()
+    textdup_ingest_batch(
+        spark, epoch_docs(spark, small_dir, 1_000, 91_000_000), wstore
+    ).count()
+    wp = "/tmp/spark_graft_r10x1000_warmup_ps"
+    shutil.rmtree(wp, ignore_errors=True)
+    _with_sig_hashes(pair_signatures(wdocs)).write.parquet(
+        os.path.join(wp, "sigs", "batch=base")
+    )
+    os.makedirs(os.path.join(wp, "pairs", "batch=base"), exist_ok=True)
+    _stamp_params(wp, 0.2)
+    pairstore_ingest_batch(
+        spark, epoch_docs(spark, small_dir, 1_000, 92_000_000), wp, batch_id=1
+    )
+    print("# warm-up done", file=sys.stderr)
+
     for label, n in SIZES:
         # --- textdup: seed a v2 store, one 4k epoch (r9-comparable)
         store = f"/tmp/spark_graft_r10x1000_td_{label}"
