@@ -650,73 +650,31 @@ def _band_pairs(
 
 
 def _identical_sig_dups(
-    sigs: DataFrame,
-    hist: DataFrame | None,
-    id_col: str,
-    sig_cols: list[str],
+    sigs: DataFrame, id_col: str, sig_cols: list[str]
 ) -> DataFrame:
-    """ids of batch rows whose FULL signature equals an earlier-id
-    batch row or a stored row — EXACT duplicates under the modality's
-    own verifier (all 16 MinHash slots agree => estimated Jaccard
-    1.0; all four hash bands agree => Hamming 0), found by signature
-    equality with NO pair join.
+    """ids of batch rows whose FULL signature equals an EARLIER-ID row
+    of the same batch — exact duplicates under the modality's own
+    verifier (all 16 MinHash slots agree => estimated Jaccard 1.0; all
+    four hash bands agree => Hamming 0; for SRP the "signature" is the
+    vector itself, since band equality does not imply cosine 1.0 but
+    vector equality does) — found by a groupBy-min, never a pair join.
 
     This is what dissolves the hot-bucket degenerate case (probe
     TEXTCAP_PROBE_r8): a template family of identical signatures used
     to be suppressible only through the banded join — exactly the
     join the cap guards — so the sized default traded the family's
-    DEDUP away for the cost bound. Identical-signature dups need no
-    candidate generation: within-batch, dup iff not the group-min id;
-    vs history, dup iff the signature exists in the store. BOTH
-    checks are then overridden by the own-row membership rule: a row
-    whose own (id, signature) is ALREADY STORED is never suppressed —
-    presence in the store means some earlier attempt admitted it, and
-    under the at-least-once sink contract it must keep being
-    re-emitted until a downstream commit sticks. This internal rule
-    covers only the SHORTCUT's own paths; the full at-least-once
-    guarantee — a replayed row that a legacy multi-id group would
-    suppress through the BANDED history join at estimated distance
-    zero (r8 ADVICE) — is enforced by the entry points, which
-    subtract every own-id-stored row from the final dup set. The
-    store side is touched through one broadcast-semi filter on the
-    batch's signatures (micro-batch cardinality) folded to one
-    stored-ids set per matching signature — never a full-store
-    aggregation, no pair join, no extra materialization (the bench
-    ingest extra is the regression guard: the first spelling of this
-    check cost an eager checkpoint plus two store-slice joins and
-    more than halved micro-batch throughput). The per-group id set is
-    bounded by the stored group size — at most the retry-duplicated
-    representative post-shortcut, a family on legacy stores. For SRP
-    embeddings the "signature" passed here is the VECTOR itself
-    (sign-band equality does not imply cosine >= threshold, but
-    exact vector equality does — cos(v, v) = 1.0 for nonzero v);
-    the entry point restricts both sides to nonzero-norm rows."""
+    DEDUP away for the cost bound. Since r10 this helper covers ONLY
+    the within-batch half; the vs-HISTORY half rides the fused store
+    touch (_hist_dup_terms' fh full-signature-hash matches, confirmed
+    by exact payload equality), which also yields the own-stored
+    at-least-once override set — one store scan where the r9 spelling
+    paid a dedicated history slice here."""
     gmin = sigs.groupBy(*sig_cols).agg(F.min(id_col).alias("_bmin"))
-    if hist is None:
-        return (
-            sigs.join(gmin, sig_cols)
-            .filter(F.col(id_col) != F.col("_bmin"))
-            .select(id_col)
-        )
-    batch_sigs = F.broadcast(sigs.select(*sig_cols).distinct())
-    hist_groups = (
-        hist.select(id_col, *sig_cols)
-        .join(batch_sigs, sig_cols, "semi")
-        .groupBy(*sig_cols)
-        .agg(F.collect_set(F.col(id_col)).alias("_stored_ids"))
+    return (
+        sigs.join(gmin, sig_cols)
+        .filter(F.col(id_col) != F.col("_bmin"))
+        .select(id_col)
     )
-    base = (
-        sigs.select(id_col, *sig_cols)
-        .join(gmin, sig_cols)
-        .join(hist_groups, sig_cols, "left")
-    )
-    own_stored = F.col("_stored_ids").isNotNull() & F.array_contains(
-        "_stored_ids", F.col(id_col)
-    )
-    dup = ~own_stored & (
-        (F.col(id_col) != F.col("_bmin")) | F.col("_stored_ids").isNotNull()
-    )
-    return base.filter(dup).select(id_col)
 
 
 def neardup_ingest_batch(
@@ -886,7 +844,7 @@ def neardup_ingest_batch(
         finite_pos = (F.col("nrm") > 0) & ~F.isnan("nrm")
         elig = sigs.filter(finite_pos).select(id_col, "v")
         dup_ids = dup_ids.unionByName(
-            _identical_sig_dups(elig, None, id_col, ["v"])
+            _identical_sig_dups(elig, id_col, ["v"])
         )
         if sig_stored is not None:
             dup_ids = dup_ids.unionByName(sig_stored)
@@ -1371,7 +1329,7 @@ def textdup_ingest_batch(
     # groupBy shortcut; vs history via the confirmed fh matches.
     sig_cols = [f"b{bi}" for bi in range(n_bands)]
     dup_ids = dup_ids.unionByName(
-        _identical_sig_dups(sigs, None, id_col, sig_cols)
+        _identical_sig_dups(sigs, id_col, sig_cols)
     )
     if sig_stored is not None:
         dup_ids = dup_ids.unionByName(sig_stored)
@@ -1541,7 +1499,7 @@ def imagedup_ingest_batch(
     # is capped, storing one representative
     sig_cols = [f"b{k}" for k in range(4)]
     dup_ids = dup_ids.unionByName(
-        _identical_sig_dups(sigs, None, id_col, sig_cols)
+        _identical_sig_dups(sigs, id_col, sig_cols)
     )
     if sig_stored is not None:
         dup_ids = dup_ids.unionByName(sig_stored)

@@ -58,11 +58,34 @@ def main() -> None:
     from file_appender_spark.operators.neardup_ingest import (
         _band_pairs,
         _bands_long,
-        _identical_sig_dups,
         _minhash_sig_frame,
         stamp_store_params,
         textdup_ingest_batch,
     )
+
+    def _identical_sig_dups(sigs, hist, id_col, sig_cols):
+        # the r9 spelling this probe measured (module version is now
+        # within-batch-only; the history half rides the fused scan)
+        gmin = sigs.groupBy(*sig_cols).agg(F.min(id_col).alias("_bmin"))
+        batch_sigs = F.broadcast(sigs.select(*sig_cols).distinct())
+        hist_groups = (
+            hist.select(id_col, *sig_cols)
+            .join(batch_sigs, sig_cols, "semi")
+            .groupBy(*sig_cols)
+            .agg(F.collect_set(F.col(id_col)).alias("_stored_ids"))
+        )
+        base = (
+            sigs.select(id_col, *sig_cols)
+            .join(gmin, sig_cols)
+            .join(hist_groups, sig_cols, "left")
+        )
+        own = F.col("_stored_ids").isNotNull() & F.array_contains(
+            "_stored_ids", F.col(id_col)
+        )
+        dup = ~own & (
+            (F.col(id_col) != F.col("_bmin")) | F.col("_stored_ids").isNotNull()
+        )
+        return base.filter(dup).select(id_col)
 
     # local copies of the r9 spellings this probe measured (the module
     # helpers were replaced by the fused r10 path this probe motivated)
