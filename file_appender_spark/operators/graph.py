@@ -144,9 +144,13 @@ def _capped(o: DataFrame, max_degree: int) -> DataFrame:
     2^62 and no engine-specific overflow semantics are involved
     (DuckDB errors on int64 overflow where Spark wraps). One
     hash-partitioned window sort — linear in edges."""
+    # casts to long (r10 ADVICE): with IntegerType ids, pmod(int, int)
+    # stays int and int * _CAP_A wraps at 2^31 (or errors under ANSI),
+    # silently breaking the no-overflow contract above. Long operands
+    # keep every product below 2^62 whatever the id type.
     h = F.pmod(
-        F.pmod(F.col("src"), F.lit(_CAP_P)) * F.lit(_CAP_A)
-        + F.pmod(F.col("dst"), F.lit(_CAP_P)) * F.lit(_CAP_B),
+        F.pmod(F.col("src").cast("long"), F.lit(_CAP_P)) * F.lit(_CAP_A)
+        + F.pmod(F.col("dst").cast("long"), F.lit(_CAP_P)) * F.lit(_CAP_B),
         F.lit(_CAP_P),
     )
     w = Window.partitionBy("src").orderBy(h, "dst")

@@ -474,7 +474,17 @@ def _hist_dup_terms(
         sig-stored dups (old != new) and the own-stored at-least-once
         override set (old == new: this row's own content is already
         stored, so a replay must re-emit it; see _identical_sig_dups'
-        contract). Identical-signature detection deliberately runs on
+        contract). INTENDED NARROWING (r10 ADVICE confirmed): the
+        override requires id AND exact-payload equality, so the
+        at-least-once re-emit guarantee assumes byte-identical replay
+        content — which is what a retry of the same micro-batch is. A
+        same-id row whose payload DIFFERS from the stored one is not a
+        replay (id reuse / content drift); it gets no override and is
+        judged like any new document — it can never be suppressed by
+        its own stored row (the banded join excludes self-ids and the
+        ident tier requires payload equality), only by a genuine
+        near-match with a DIFFERENT incumbent, which is the correct
+        verdict for new content. Identical-signature detection deliberately runs on
         the UNCAPPED slice: a template family's stored twin may sit in
         an over-cap bucket, and exact dups must dedup regardless
         (the r8 shortcut's whole point).
@@ -526,12 +536,17 @@ def _hist_dup_terms(
             )
         return cand.join(pay, "old_id"), ident.join(pay, "old_id")
     if cap is not None:
-        # lean small-store shape: candidates are bounded by
+        # lean small-store shape: banded candidates are bounded by
         # min(batch x bands x cap, store x bands) — a hint is safe and
-        # the joins stay lazy inside the caller's one action
+        # the joins stay lazy inside the caller's one action. ident is
+        # NOT hinted (r10 ADVICE): identical-signature matches bypass
+        # the bucket cap by design, so a legacy small store holding a
+        # large identical-signature family times a template-heavy
+        # batch is |batch| x |family| rows — unbounded by the cap
+        # arithmetic above. Left unhinted, AQE sizes that join itself.
         return (
             F.broadcast(cand).join(payload_src, "old_id"),
-            F.broadcast(ident).join(payload_src, "old_id"),
+            ident.join(payload_src, "old_id"),
         )
     return cand.join(payload_src, "old_id"), ident.join(payload_src, "old_id")
 
