@@ -248,7 +248,20 @@ def build_band_index(
     maintenance window, exposed for stores that were compacted before
     the sidecar existed. Returns the bucket count. The meta (bucket
     count + the exact wide files covered) is written LAST, so a crash
-    mid-build leaves an ignored, meta-less sidecar."""
+    mid-build leaves an ignored, meta-less sidecar.
+
+    Index rows are ID-ONLY — (bucket, band, bh, id, fh), four fixed
+    longs per band row (r10 verdict task 2): the r10 sidecar carried a
+    full verify-payload copy per band row (4x the payload footprint —
+    4x the vector column on embedding stores), but the bounded
+    payload-by-id fetch against the WIDE store was already measured
+    cheaper than reading duplicated payloads through the index
+    (BREAKDOWN v3: 0.92s vs the 4x read volume), so the index now
+    serves only candidate generation and the existing count-gated
+    fetch serves payloads. The meta additionally records the measured
+    byte sizes (index_bytes, wide_narrow_bytes, banded_rows) that the
+    use-index gate compares at epoch time (r10 verdict task 6) —
+    footprint and crossover are store facts, not constants."""
     fs = store_fs_for(store_dir)
     params_path = os.path.join(store_dir, _PARAMS_FILE)
     if not fs.exists(params_path):
@@ -271,15 +284,13 @@ def build_band_index(
     v2 = hist if _store_is_v2(hist) else _with_index_cols(
         hist, spec["n_bands"], spec["fh_cols"]
     )
+    wide_rows = store_fs_for(store_dir).parquet_rows(store_dir)
+    banded_rows = wide_rows * spec["n_bands"]
     if n_buckets == "auto":
-        n_buckets = _auto_index_buckets(
-            store_fs_for(store_dir).parquet_rows(store_dir) * spec["n_bands"]
-        )
-    payload_cols = [c for c in spec["payload"] if c not in (id_col, "fh")]
+        n_buckets = _auto_index_buckets(banded_rows)
     rows = v2.select(
         F.col(id_col),
         "fh",
-        *payload_cols,
         F.expr(
             f"stack({spec['n_bands']}, "
             + ", ".join(f"{bi}, bh{bi}" for bi in range(spec["n_bands"]))
@@ -291,20 +302,77 @@ def build_band_index(
         "bh",
         id_col,
         "fh",
-        *payload_cols,
     )
     rows.repartition("bucket").write.partitionBy("bucket").mode(
         "overwrite"
     ).parquet(os.path.join(idx_dir, "data"))
+    # byte facts for the epoch-time use gate: what a pruned index read
+    # costs per bucket vs what the fused narrow wide scan costs. The
+    # narrow columns are exactly what _bands_hash_long touches on THIS
+    # store: all-long id/bh/fh on a v2 store; on a still-v1 store the
+    # fallback decodes the signature strings (b*) plus the fh source
+    # columns, so those are what get costed.
+    if _store_is_v2(hist):
+        narrow_cols = [id_col, "fh"] + [
+            f"bh{bi}" for bi in range(spec["n_bands"])
+        ]
+    else:
+        narrow_cols = sorted(
+            {id_col, *spec["fh_cols"]}
+            | {f"b{bi}" for bi in range(spec["n_bands"])}
+        )
+    index_bytes = fs.parquet_data_bytes(
+        os.path.join(idx_dir, "data"), recursive=True
+    )
+    wide_narrow_bytes = fs.parquet_data_bytes(store_dir, columns=narrow_cols)
     fs.write_text(
         os.path.join(idx_dir, _INDEX_META),
         json.dumps(
-            {"version": 1, "buckets": int(n_buckets), "id_col": id_col,
-             "covers": covers},
+            {"version": 2, "buckets": int(n_buckets), "id_col": id_col,
+             "covers": covers, "banded_rows": banded_rows,
+             "index_bytes": index_bytes,
+             "wide_narrow_bytes": wide_narrow_bytes},
             sort_keys=True,
         ),
     )
     return int(n_buckets)
+
+
+# observability: which history source the last epoch against each
+# store actually used ('pruned' | 'wide') — driver-side only, set by
+# _history_access; q269's lifecycle oracle asserts the pruned path was
+# really taken (the q257-asserts-'incremental' pattern)
+_LAST_HISTORY_PATH: dict[str, str] = {}
+
+
+_INDEX_GATE_SAFETY = 0.15
+
+
+def _use_band_index(state: dict, n_touched: int) -> bool:
+    """The epoch-time use-index decision from MEASURED store bytes
+    (r10 verdict task 6 — the old NB/16 constant was calibrated at one
+    scale and provably moves with store shape): estimated pruned read
+    volume (touched fraction of the id-only index) must undercut the
+    fused narrow wide scan by the calibrated safety margin.
+
+    The 0.15 factor is NOT byte physics — it folds in what bytes
+    alone miss (per-bucket-directory listing/open overhead, the
+    pruned path's extra plan unions), calibrated against
+    MINIBATCH_INDEX_PROBE_r11 on the 5.2M-row store (idx/wide byte
+    ratio 1.89): 64-doc epochs (~256 touched buckets, pruned/wide
+    byte fraction 0.118) measurably win, 128-doc epochs (~512,
+    fraction 0.236) measurably LOSE, so the acceptance line sits at
+    0.15. Per-bucket overhead AMORTIZES as stores grow (more bytes
+    per bucket at fixed bucket count), so a pure-fraction gate
+    calibrated here is conservative, never optimistic, at larger
+    stores. Metas without byte facts (r10 builds) fall back to the
+    old strict NB/16 fraction gate."""
+    nb = state["buckets"]
+    idx_b = state.get("index_bytes")
+    wide_b = state.get("wide_narrow_bytes")
+    if idx_b and wide_b:
+        return (n_touched / nb) * idx_b < _INDEX_GATE_SAFETY * wide_b
+    return n_touched <= nb // 16
 
 
 def _history_access(
@@ -321,17 +389,25 @@ def _history_access(
         _sliced_band_candidates semi-slices + checkpoints them into
         THE one narrow store scan of the epoch.
       payload_src — lazy (old_id, payload...) rows the bounded
-        payload fetch filters.
+        payload fetch filters. ALWAYS the wide store (r10 verdict
+        task 2): index rows are id-only, and the count-gated
+        payload-by-id fetch over the wide store's payload columns was
+        measured cheaper (BREAKDOWN v3 0.92s) than reading the old
+        4x-duplicated payload copies through the index.
 
-    When the banded index sidecar is present, valid, and the batch's
-    touched buckets are a small fraction (< 1/4) of the bucket space,
-    both come from the PRUNED index partitions (+ the narrow tail of
-    post-compaction appends): a small batch against a huge store
-    reads only the touched directories. Otherwise the fused narrow
-    wide scan runs — all-long columns on a v2 store."""
+    When the banded index sidecar is present, valid, and the byte-
+    derived gate says the pruned read undercuts the narrow wide scan
+    (_use_band_index), slice_src comes from the PRUNED index
+    partitions (+ the narrow tail of post-compaction appends): a
+    small batch against a huge store reads only the touched
+    directories. Otherwise the fused narrow wide scan runs — all-long
+    columns on a v2 store."""
     payload_renames = [
         F.col(src).alias(dst) for src, dst in spec["payload"].items()
     ]
+    # payload rows come from the wide frame in BOTH branches — hist
+    # includes post-compaction tail appends, so no tail union needed
+    payload_src = hist.select(F.col(id_col).alias("old_id"), *payload_renames)
     state = _band_index_state(store_dir)
     use_index = False
     bkts: list[int] = []
@@ -345,12 +421,7 @@ def _history_access(
             .distinct()
             .collect()
         ]
-        # pruning wins only when the batch touches a SMALL fraction:
-        # index rows are 4x-duplicated, so reading k/nb of the index
-        # costs ~4k/nb of the wide scan — the crossover is ~1/4, and
-        # under it the per-file open overhead of many small bucket
-        # dirs still bites, so the gate is deliberately strict
-        use_index = len(bkts) <= nb // 16
+        use_index = _use_band_index(state, len(bkts))
     if use_index:
         # read ONLY the touched bucket directories as explicit paths:
         # a plain read of the data dir triggers partition discovery of
@@ -369,21 +440,10 @@ def _history_access(
         if paths:
             idx = spark.read.parquet(*paths)
             slice_src = idx.select(id_col, "band", "bh", "fh")
-            # NO dropDuplicates here: the index holds one payload copy
-            # per band row (4x), but deduping the PRUNED source would
-            # shuffle every pruned payload row before the id filter
-            # ever runs (a measured 3-4x epoch regression); the fetch
-            # dedups after the semi, on the candidate-bounded frame
-            payload_src = idx.select(
-                F.col(id_col).alias("old_id"), *payload_renames
-            )
         else:
             # the batch touches no stored bucket at all: empty history
             slice_src = _bands_hash_long(
                 hist.limit(0), spec["n_bands"], id_col, spec["fh_cols"]
-            )
-            payload_src = hist.limit(0).select(
-                F.col(id_col).alias("old_id"), *payload_renames
             )
         if state["tail"]:
             tail = spark.read.parquet(
@@ -392,14 +452,12 @@ def _history_access(
             slice_src = slice_src.unionByName(
                 _bands_hash_long(tail, spec["n_bands"], id_col, spec["fh_cols"])
             )
-            payload_src = payload_src.unionByName(
-                tail.select(F.col(id_col).alias("old_id"), *payload_renames)
-            )
+        _LAST_HISTORY_PATH[store_dir] = "pruned"
     else:
         slice_src = _bands_hash_long(
             hist, spec["n_bands"], id_col, spec["fh_cols"]
         )
-        payload_src = hist.select(F.col(id_col).alias("old_id"), *payload_renames)
+        _LAST_HISTORY_PATH[store_dir] = "wide"
     return slice_src, payload_src
 
 
@@ -881,11 +939,12 @@ def neardup_ingest_batch(
     # this, the caller's action re-runs the whole history join +
     # verification after sigs is unpersisted
     admitted = admitted.localCheckpoint(eager=True)
-    admitted_sigs = _with_index_cols(
-        _sig_frame(admitted, n_bits, n_bands, id_col, vec_col),
-        n_bands,
-        spec["fh_cols"],
-    )
+    # reuse the persisted batch signature frame for the append (r11):
+    # recomputing _sig_frame(admitted) re-ran the whole per-row
+    # projection stage a second time per epoch; the semi-join slices
+    # the identical rows out of `sigs` instead (bit-identical — same
+    # computed frame, admitted ids only)
+    admitted_sigs = sigs.join(admitted.select(id_col), id_col)
     if store_exists and not _store_is_v2(hist):
         # appends always match the store's existing schema, so a store
         # is never mixed-version (compact_store upgrades atomically)
@@ -1171,13 +1230,15 @@ def compact_store(
 # --------------------------------------------------------------------------
 
 
-def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document MinHash signatures, identical definition to
-    q52_minhash_lsh (queries/llm.py: 3-word shingles, md5-derived
-    32-bit hashes, 16 affine min-slots, 4 bands) — imported, not
-    re-declared, so the ingest and the oracle query can never drift.
-    Documents with fewer than 3 words produce no signature (they
-    cannot shingle; callers admit them unconditionally)."""
+def _minhash_sig_frame_exploded(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """REFERENCE spelling of the MinHash signature stage: explode one
+    row per shingle, md5-hash, then 16 min aggregates under a
+    groupBy(doc) exchange — the literal shape of the q52 oracle SQL.
+    Kept as the bit-equality pin target for the fused production
+    spelling below (tests/test_operators.py::test_minhash_sig_fused_
+    bitequal); not on any hot path."""
     from file_appender_spark.queries.llm import (
         _MH_P,
         _MH_PARAMS,
@@ -1214,6 +1275,87 @@ def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias(f"b{bi}")
             for bi in range(n_slots // 4)
         ],
+    )
+
+
+def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document MinHash signatures, identical definition to
+    q52_minhash_lsh (queries/llm.py: 3-word shingles, md5-derived
+    32-bit hashes, 16 affine min-slots, 4 bands) — the primitives are
+    imported, not re-declared, so the ingest and the oracle query can
+    never drift. Documents with fewer than 3 words produce no
+    signature (they cannot shingle; callers admit them
+    unconditionally).
+
+    FUSED spelling (r10 verdict task 1): hash each shingle ONCE via
+    transform(md5), then fold ALL 16 affine min slots in a single
+    aggregate() HOF per row — no explode, no groupBy, no exchange
+    (the exploded reference spelling ran one md5 per shingle too, but
+    paid a per-epoch exchange plus per-shingle row traffic; measured
+    0.76 -> 0.39s per 2500-doc batch, scripts/probe_sigstage_r11.py).
+    Output is BIT-IDENTICAL to _minhash_sig_frame_exploded (pinned in
+    tests/test_operators.py): the fold's init value _MH_P strictly
+    exceeds every (a*h+b) % _MH_P, all arithmetic stays bigint, and
+    min over the same multiset is least-fold over the same multiset."""
+    from file_appender_spark.queries.llm import (
+        _MH_P,
+        _MH_PARAMS,
+        _WS,
+        _tok_hash32,
+        let_expr,
+        shingle_expr,
+    )
+
+    n_slots = len(_MH_PARAMS)
+    n_bands = n_slots // 4
+    words = F.split(F.col(text_col), _WS)
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for (a, b) in _MH_PARAMS
+        ]
+    )
+
+    def fold(shingles):
+        # transform: one md5 per shingle; the fold then reads the
+        # bound hash value 16 times per shingle (cheap lambda-var
+        # references, never re-hashing)
+        return F.aggregate(
+            F.transform(shingles, _tok_hash32),
+            F.array_repeat(F.lit(_MH_P).cast("bigint"), n_slots),
+            lambda acc, h: F.zip_with(
+                acc,
+                params,
+                lambda m, p: F.least(m, (p["a"] * h + p["b"]) % F.lit(_MH_P)),
+            ),
+        )
+
+    def row_out(m):
+        return F.struct(
+            m.alias("mh"),
+            *[
+                F.concat_ws(
+                    ",", *[F.element_at(m, 4 * bi + r + 1) for r in range(4)]
+                ).alias(f"b{bi}")
+                for bi in range(n_bands)
+            ],
+        )
+
+    shingled = (
+        _spread(df)
+        .filter(F.size(words) >= 3)
+        .select(id_col, let_expr(words, shingle_expr).alias("shingles"))
+    )
+    # both lets matter: the fold result is referenced 17 times by
+    # row_out (once per output column element), and an inlined copy
+    # would re-run the whole 16-slot fold per reference
+    s = shingled.select(
+        id_col, let_expr(fold(F.col("shingles")), row_out).alias("s")
+    )
+    return s.select(
+        id_col,
+        F.col("s.mh").alias("mh"),
+        *[F.col(f"s.b{bi}").alias(f"b{bi}") for bi in range(n_bands)],
     )
 
 

@@ -136,21 +136,20 @@ _DRIVER_PRIORITY = [
 # the never-green tranche until re-verified. Remove entries once the
 # round that re-checked them is committed.
 _FORCE_RECHECK: set[str] = {
-    # r10: the store ingest/build paths were rewritten (schema v2 +
-    # fused single-scan epochs + banded index sidecar) — the r9 green
-    # rows for the store-protocol tier certify the OLD implementation,
-    # so re-rank the whole tier into this round's window alongside the
-    # never-checked q266-q268. Remove once CORRECTNESS_r10 lands green.
-    "q256_pairstore_served_clusters",
-    "q257_pairstore_incremental_served",
-    "q258_corpusstats_served_tfidf",
-    "q259_pairstore_served_economics",
+    # r11: the MinHash signature stage was rewritten (fused no-explode
+    # spelling, bit-equality-pinned), the SRP ingest now appends the
+    # reused batch signature frame, the banded index sidecar went
+    # id-only with a byte-derived use gate (+ the lean-shape ident
+    # unhint), and graph._capped gained long casts — re-certify the
+    # driver rows whose lineage crosses those paths (r10 greens
+    # certify the pre-rewrite code; the pairstore/corpusstats tiers
+    # do NOT cross them — pairstore folds its own in-row minhash and
+    # has no sidecar). Remove once CORRECTNESS_r11 lands green.
     "q260_textdup_ingest_sim",
     "q261_imagedup_ingest_sim",
-    "q262_corpusstats_incremental_served",
-    "q263_pairstore_compacted_served",
     "q264_textdup_compacted_sim",
     "q265_embeddingdup_ingest_sim",
+    "q266_capped_triangles",
 }
 
 

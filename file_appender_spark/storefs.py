@@ -72,6 +72,28 @@ class StoreFS(Protocol):
 
     def parquet_rows(self, directory: str, stop_at: int | None = None) -> int: ...
 
+    def parquet_data_bytes(
+        self,
+        directory: str,
+        columns: list[str] | None = None,
+        recursive: bool = False,
+    ) -> int: ...
+
+
+def _file_column_bytes(md, columns: list[str] | None) -> int:
+    """Compressed byte size of the named TOP-LEVEL columns (None =
+    every column) from one parquet file's footer metadata. Nested
+    chunk paths ('mh.list.element') attribute to their root column."""
+    total = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            root = col.path_in_schema.split(".")[0]
+            if columns is None or root in columns:
+                total += col.total_compressed_size
+    return total
+
 
 class LocalStoreFS:
     """POSIX implementation — byte-identical behavior to the os/shutil
@@ -134,6 +156,38 @@ class LocalStoreFS:
                 ).metadata.num_rows
                 if stop_at is not None and total >= stop_at:
                     return total
+        return total
+
+    def parquet_data_bytes(
+        self,
+        directory: str,
+        columns: list[str] | None = None,
+        recursive: bool = False,
+    ) -> int:
+        """Compressed on-disk bytes of the named top-level columns
+        across a parquet table, from FOOTERS only (no data read) — the
+        sizing input for the banded-index use gate (r10 verdict task
+        6). ``recursive`` walks partition subdirectories (the sidecar's
+        bucket= layout); hidden/_ entries are skipped at every level."""
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(directory):
+            return 0
+        total = 0
+        stack = [directory]
+        while stack:
+            d = stack.pop()
+            for f in os.listdir(d):
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(d, f)
+                if os.path.isdir(p):
+                    if recursive:
+                        stack.append(p)
+                elif f.endswith(".parquet"):
+                    total += _file_column_bytes(
+                        pq.ParquetFile(p).metadata, columns
+                    )
         return total
 
 
@@ -259,6 +313,36 @@ class ArrowStoreFS:
                     total += pq.ParquetFile(f).metadata.num_rows
                 if stop_at is not None and total >= stop_at:
                     return total
+        return total
+
+    def parquet_data_bytes(
+        self,
+        directory: str,
+        columns: list[str] | None = None,
+        recursive: bool = False,
+    ) -> int:
+        import pyarrow.parquet as pq
+
+        if not self.isdir(directory):
+            return 0
+        fs = self._filesystem()
+        total = 0
+        stack = [directory]
+        while stack:
+            d = stack.pop()
+            base = self._resolve(d)
+            for name in self.listdir(d):
+                if name.startswith((".", "_")):
+                    continue
+                p = os.path.join(d, name)
+                if self.isdir(p):
+                    if recursive:
+                        stack.append(p)
+                elif name.endswith(".parquet"):
+                    with fs.open_input_file(f"{base}/{name}") as f:
+                        total += _file_column_bytes(
+                            pq.ParquetFile(f).metadata, columns
+                        )
         return total
 
 

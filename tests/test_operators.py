@@ -1248,3 +1248,60 @@ def test_store_fs_cache_reset():
     assert store_fs_for("hdfs://nn-x:8020/t") is a
     reset_store_fs_cache()
     assert store_fs_for("hdfs://nn-x:8020/s") is not a
+
+
+def test_minhash_sig_fused_bitequal(spark, sf_dir):
+    """r10 verdict task 1 contract: the fused MinHash signature stage
+    (one transform-hash per shingle + a single 16-slot aggregate()
+    fold per row, no explode/exchange) is BIT-IDENTICAL to the
+    exploded reference spelling — the literal q52 oracle shape — on
+    real documents plus the short-doc edge (< 3 words yields no
+    row in either spelling)."""
+    from file_appender_spark.operators.neardup_ingest import (
+        _minhash_sig_frame,
+        _minhash_sig_frame_exploded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(90001, "one two"), (90002, ""), (90003, "a b c"),
+         (90004, "x x x x x")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edge)
+    cur = _minhash_sig_frame_exploded(docs, "doc_id", "text")
+    fus = _minhash_sig_frame(docs, "doc_id", "text")
+    assert cur.schema.simpleString() == fus.schema.simpleString()
+    assert cur.exceptAll(fus).count() == 0
+    assert fus.exceptAll(cur).count() == 0
+    # the guard rows: exactly the two shingle-able edge docs appear
+    got = {r["doc_id"] for r in fus.filter("doc_id >= 90001").collect()}
+    assert got == {90003, 90004}
+
+
+def test_srp_admitted_sigs_reuse_batch_frame(spark, tmp_path):
+    """r11: the SRP ingest appends the PERSISTED batch signature frame
+    sliced to admitted ids instead of recomputing _sig_frame over the
+    admitted rows — store contents must be identical to a recompute
+    (same ids, vectors, bands, and v2 hash columns), and a follow-up
+    batch against the store must still dedup correctly."""
+    from file_appender_spark.operators.neardup_ingest import (
+        neardup_ingest_batch,
+    )
+
+    rows = [(i, [float(i), 1.0, 2.0]) for i in range(6)]
+    rows.append((100, [0.0, 1.0, 2.0]))  # near-dup of vec 0 direction
+    docs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    store = str(tmp_path / "srp_reuse_store")
+    admitted = neardup_ingest_batch(spark, docs, store, threshold=0.99)
+    stored = spark.read.parquet(store)
+    a_ids = sorted(r["vec_id"] for r in admitted.collect())
+    s_ids = sorted(r["vec_id"] for r in stored.collect())
+    assert s_ids == a_ids  # one stored sig row per admitted row
+    for c in ("v", "nrm", "b0", "fh", "bh0"):
+        assert c in stored.columns
+    # replay must re-emit (own-stored override reads the reused rows)
+    again = neardup_ingest_batch(spark, docs, store, threshold=0.99)
+    assert sorted(r["vec_id"] for r in again.collect()) == a_ids

@@ -289,3 +289,80 @@ def test_curate_graph_dir_coverage_guard(spark, tmp_path):
     for k in ("input", "after_exact_dedup", "after_near_dedup",
               "after_quality", "written"):
         assert f_store[k] == f_plain[k], k
+
+
+def test_use_band_index_gate_from_measured_bytes():
+    """r10 verdict task 6: the use-index decision derives from the
+    byte facts the build stamped into the meta — two synthetic store
+    shapes plus the legacy-meta fallback. With id-only index rows at
+    ~2.7x the narrow wide scan's bytes, the crossover sits near
+    0.5/2.7 of the bucket space — MUCH looser than the old NB/16
+    constant (the r10 verdict predicted the loosening)."""
+    from file_appender_spark.operators.neardup_ingest import _use_band_index
+
+    # shape A: the probe's measured shape — id-only index at 1.9x the
+    # narrow wide bytes, 4096 buckets; crossover = 0.15/1.9 * 4096
+    # ~ 323 touched buckets (the old NB/16 constant said 256)
+    big = {
+        "buckets": 4096,
+        "index_bytes": 1_900_000_000,
+        "wide_narrow_bytes": 1_000_000_000,
+    }
+    assert _use_band_index(big, 16)  # minute-level epoch: prune
+    assert _use_band_index(big, 300)  # loosened past the old 256 line
+    assert not _use_band_index(big, 400)  # past crossover: wide
+    # shape B: an index that came out FAT relative to the narrow wide
+    # scan (e.g. few, tiny signature columns): crossover tightens to
+    # 0.15/8 * 256 ~ 4.8 touched buckets
+    fat = {
+        "buckets": 256,
+        "index_bytes": 8_000_000,
+        "wide_narrow_bytes": 1_000_000,
+    }
+    assert _use_band_index(fat, 4)
+    assert not _use_band_index(fat, 6)
+    # legacy r10 meta without byte facts: strict NB/16 fallback
+    legacy = {"buckets": 1024}
+    assert _use_band_index(legacy, 64)
+    assert not _use_band_index(legacy, 65)
+
+
+def test_band_index_rows_are_id_only_and_meta_has_bytes(spark, tmp_path):
+    """r10 verdict task 2: index rows carry NO payload copy — exactly
+    (band, bh, id, fh) under the bucket partition — and the meta
+    records the byte facts the gate reads. The pruned epoch then
+    fetches payloads from the WIDE store (decision equality is pinned
+    by test_band_index_pruned_epoch_equals_fullscan)."""
+    store = str(tmp_path / "idonly")
+    textdup_ingest_batch(spark, _corpus(spark, 30), store)
+    compact_store(spark, store, id_col="doc_id", index_buckets=64)
+    idx = spark.read.parquet(os.path.join(store, _INDEX_DIR, "data"))
+    assert sorted(idx.columns) == ["band", "bh", "bucket", "doc_id", "fh"]
+    meta = json.loads(
+        open(os.path.join(store, _INDEX_DIR, _INDEX_META)).read()
+    )
+    assert meta["version"] == 2
+    assert meta["index_bytes"] > 0 and meta["wide_narrow_bytes"] > 0
+    assert meta["banded_rows"] == 4 * spark.read.parquet(store).select(
+        "doc_id"
+    ).count()
+
+
+def test_pruned_epoch_sets_history_path_diagnostic(spark, tmp_path):
+    """The q269 lifecycle oracle asserts the pruned path was really
+    taken; this pins the diagnostic it reads (_LAST_HISTORY_PATH)."""
+    from file_appender_spark.operators.neardup_ingest import (
+        _LAST_HISTORY_PATH,
+    )
+
+    store = str(tmp_path / "diag")
+    docs = _corpus(spark, 40, seed_tag="diag")
+    textdup_ingest_batch(spark, docs, store)
+    compact_store(spark, store, id_col="doc_id", index_buckets=1024)
+    ep = _docs(spark, [(900, "fresh words entirely unshared x y z")])
+    textdup_ingest_batch(spark, ep, store)
+    assert _LAST_HISTORY_PATH[store] == "pruned"
+    # a batch touching most buckets (the whole corpus re-ingested)
+    # falls back to the wide scan under the byte gate
+    textdup_ingest_batch(spark, _corpus(spark, 300, seed_tag="wide"), store)
+    assert _LAST_HISTORY_PATH[store] == "wide"
