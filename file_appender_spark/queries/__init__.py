@@ -45,6 +45,7 @@ from file_appender_spark.queries import tranche20  # noqa: E402,F401
 from file_appender_spark.queries import tranche21  # noqa: E402,F401
 from file_appender_spark.queries import tranche22  # noqa: E402,F401
 from file_appender_spark.queries import tranche23  # noqa: E402,F401
+from file_appender_spark.queries import tranche24  # noqa: E402,F401
 
 # --------------------------------------------------------------------------
 # Driver-facing registration order.

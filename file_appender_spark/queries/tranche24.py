@@ -1,0 +1,183 @@
+"""Round-11 tranche: the banded-index sidecar LIFECYCLE under the
+oracle (r10 verdict task 5).
+
+- q269: build the sidecar -> ingest a minute-level epoch through the
+  PRUNED history path (asserted via neardup_ingest._LAST_HISTORY_PATH,
+  the q257-asserts-'incremental' pattern) -> append a tail epoch that
+  falls back to the fused wide scan -> compact again (index rebuilt,
+  tail folded) -> serve. The admitted set across all three epochs is
+  pinned against a DuckDB mirror of the exact protocol over q52's own
+  CTE chain — until now the pruned read path was pytest-pinned
+  (tests/test_store_v2.py) but no driver hash had ever exercised it.
+
+Reference parity: the reference engine (a CDAP batch sink,
+/root/reference/src/main — no query surface) has no analog; this
+certifies SURVEY.md §2's incremental-ingest store tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_appender_spark.queries.llm import _Q52_CTES
+from file_appender_spark.queries.registry import register
+from file_appender_spark.queries.tpch_extra import _t
+from file_appender_spark.queries.tranche22 import _scratch
+
+# The three-epoch protocol mirrored in SQL. Epochs: 0 = doc_id%4==0
+# (the seed store, compacted+indexed before epoch 1), 1 = a
+# minute-level micro-batch (doc_id%4==1 AND doc_id<40 — small enough
+# that the byte gate provably takes the pruned index path at every
+# test scale), 2 = everything else (large: the gate falls back to the
+# fused wide scan). Suppression rules are textdup_ingest_batch's:
+# within an epoch vs earlier ids regardless of the earlier row's own
+# fate (single-pass); across epochs vs the ADMITTED history only, id
+# order irrelevant; docs too short to shingle admitted always.
+_Q269_ORACLE = f"""
+    WITH {_Q52_CTES},
+    est AS (
+      SELECT c.d1 AS a, c.d2 AS b,
+             sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS e
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.d1
+      JOIN sigs sb ON sb.doc_id = c.d2 AND sb.j = sa.j
+      GROUP BY c.d1, c.d2
+    ),
+    ep AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 0
+                  WHEN doc_id % 4 = 1 AND doc_id < 40 THEN 1
+                  ELSE 2 END AS epoch
+      FROM documents
+    ),
+    pe AS (
+      SELECT e.a, e.b, ea.epoch AS ea, eb.epoch AS eb
+      FROM est e
+      JOIN ep ea ON ea.doc_id = e.a
+      JOIN ep eb ON eb.doc_id = e.b
+      WHERE e.e >= 0.5
+    ),
+    dup0 AS (SELECT DISTINCT b AS doc FROM pe WHERE ea = 0 AND eb = 0),
+    adm0 AS (
+      SELECT doc_id FROM ep
+      WHERE epoch = 0 AND doc_id NOT IN (SELECT doc FROM dup0)
+    ),
+    dup1 AS (
+      SELECT DISTINCT b AS doc FROM pe WHERE ea = 1 AND eb = 1
+      UNION
+      SELECT DISTINCT CASE WHEN ea = 1 THEN a ELSE b END AS doc FROM pe
+      WHERE ea + eb = 1
+        AND (CASE WHEN ea = 0 THEN a ELSE b END)
+              IN (SELECT doc_id FROM adm0)
+    ),
+    adm1 AS (
+      SELECT doc_id FROM ep
+      WHERE epoch = 1 AND doc_id NOT IN (SELECT doc FROM dup1)
+    ),
+    dup2 AS (
+      SELECT DISTINCT b AS doc FROM pe WHERE ea = 2 AND eb = 2
+      UNION
+      SELECT DISTINCT CASE WHEN ea = 2 THEN a ELSE b END AS doc FROM pe
+      WHERE ((ea < 2 AND eb = 2) OR (ea = 2 AND eb < 2))
+        AND (CASE WHEN ea < 2 THEN a ELSE b END) IN
+            (SELECT doc_id FROM adm0 UNION SELECT doc_id FROM adm1)
+    )
+    SELECT p.doc_id, CAST(p.epoch AS INT) AS epoch
+    FROM ep p
+    WHERE NOT (p.epoch = 0 AND p.doc_id IN (SELECT doc FROM dup0))
+      AND NOT (p.epoch = 1 AND p.doc_id IN (SELECT doc FROM dup1))
+      AND NOT (p.epoch = 2 AND p.doc_id IN (SELECT doc FROM dup2))
+"""
+
+
+@register("q269_textdup_index_lifecycle", _Q269_ORACLE)
+def q269_textdup_index_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The banded-index sidecar's full lifecycle under the oracle
+    gate: seed epoch -> compact_store (v2 upgrade + id-only sidecar
+    built) -> a minute-level epoch that the byte gate serves through
+    the PRUNED index path (asserted — an epoch silently falling back
+    to the wide scan would pass the value hash without certifying the
+    index read) -> a large tail epoch that must fall back to the wide
+    scan (asserted, and its appends become the sidecar's tail) ->
+    compact again (index rebuilt over the folded files, no tail) ->
+    the admitted (doc_id, epoch) set, hash-equal to the protocol
+    mirror in DuckDB. Maintenance must never change admit decisions;
+    the pruned/wide path split must never change them either."""
+    from file_appender_spark.operators.neardup_ingest import (
+        _LAST_HISTORY_PATH,
+        _band_index_state,
+        compact_store,
+        textdup_ingest_batch,
+    )
+
+    store = _scratch("q269_textidx")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    e0 = docs.filter(F.col("doc_id") % 4 == 0)
+    e1 = docs.filter((F.col("doc_id") % 4 == 1) & (F.col("doc_id") < 40))
+    e2 = docs.filter(
+        (F.col("doc_id") % 4 != 0)
+        & ~((F.col("doc_id") % 4 == 1) & (F.col("doc_id") < 40))
+    )
+    out_path = os.path.join(os.path.dirname(store), "admitted.parquet")
+
+    def emit(admitted: DataFrame, epoch: int, mode: str) -> None:
+        # parquet-back each epoch's answer IMMEDIATELY (the tranche-22
+        # discipline): the ingest returns localCheckpoint frames whose
+        # blocks are evictable, and later maintenance rewrites the
+        # store the lazy plan would re-read
+        admitted.select(
+            "doc_id", F.lit(epoch).cast("int").alias("epoch")
+        ).write.mode(mode).parquet(out_path)
+
+    emit(
+        textdup_ingest_batch(
+            spark, e0, store, threshold=0.5, band_bucket_cap=None
+        ),
+        0,
+        "overwrite",
+    )
+    compact_store(spark, store, id_col="doc_id", index_buckets=4096)
+    state = _band_index_state(store)
+    if state is None or state.get("version", 1) < 2:
+        raise AssertionError(f"expected an id-only sidecar, got {state!r}")
+    emit(
+        textdup_ingest_batch(
+            spark, e1, store, threshold=0.5, band_bucket_cap=None
+        ),
+        1,
+        "append",
+    )
+    if _LAST_HISTORY_PATH.get(store) != "pruned":
+        raise AssertionError(
+            "the minute-level epoch must take the PRUNED index path, "
+            f"got {_LAST_HISTORY_PATH.get(store)!r}"
+        )
+    emit(
+        textdup_ingest_batch(
+            spark, e2, store, threshold=0.5, band_bucket_cap=None
+        ),
+        2,
+        "append",
+    )
+    if _LAST_HISTORY_PATH.get(store) != "wide":
+        raise AssertionError(
+            "the large tail epoch must fall back to the wide scan, "
+            f"got {_LAST_HISTORY_PATH.get(store)!r}"
+        )
+    state = _band_index_state(store)
+    if state is None or not state["tail"]:
+        raise AssertionError(
+            f"epoch appends must become the sidecar's tail, got {state!r}"
+        )
+    compact_store(spark, store, id_col="doc_id", index_buckets=4096)
+    state = _band_index_state(store)
+    if state is None or state["tail"]:
+        raise AssertionError(
+            f"recompaction must rebuild the index tail-free, got {state!r}"
+        )
+    return spark.read.parquet(out_path)
