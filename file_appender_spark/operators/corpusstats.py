@@ -41,7 +41,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from file_appender_spark.storefs import store_fs_for
+from file_appender_spark.storefs import require_atomic_dir_rename, store_fs_for
 
 _PARAMS_FILE = "_corpusstats_params.json"
 _REBUILD_MARKER = "_corpusstats_rebuilding"
@@ -392,8 +392,13 @@ def read_bigram_stats(spark: SparkSession, store_dir: str) -> DataFrame:
 def _recover(store_dir: str) -> None:
     """Restore the .old backup if a compaction crash left any
     stats directory missing — same single-fault discipline as
-    neardup_ingest's _recover_store."""
+    neardup_ingest's _recover_store. The corpus-stats store has NO
+    manifest layout (its swap covers three tables; deferred like the
+    pair store's), so its crash-safety still requires atomic
+    directory rename — enforced loudly here at the head of every
+    maintenance entry."""
     fs = store_fs_for(store_dir)
+    require_atomic_dir_rename(fs, store_dir, "corpus-stats maintenance")
     for d in _dirs(store_dir):
         old = d.rstrip("/") + ".old"
         if not fs.exists(d) and fs.exists(old):

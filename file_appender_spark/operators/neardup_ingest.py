@@ -49,7 +49,7 @@ from file_appender_spark.operators.similarity import (
     _srp_coefs,
     _vec_dim,
 )
-from file_appender_spark.storefs import store_fs_for
+from file_appender_spark.storefs import require_atomic_dir_rename, store_fs_for
 
 
 def _store_has_data(store_dir: str) -> bool:
@@ -59,6 +59,112 @@ def _store_has_data(store_dir: str) -> bool:
     return any(
         f.endswith(".parquet") for f in store_fs_for(store_dir).listdir(store_dir)
     )
+
+
+# --------------------------------------------------------------------------
+# Manifest store layout (r10 verdict task 4): object-store support
+# --------------------------------------------------------------------------
+#
+# The classic layout keeps the store's parquet directly under
+# store_dir and compacts via the crash-safe two-RENAME directory swap
+# — which requires atomic directory rename (POSIX/HDFS) and leaves a
+# brief mid-swap window where the dir is absent. The MANIFEST layout
+# removes both constraints: data lives in versioned subdirectories
+# (store_dir/v1, v2, ...) and a one-line ``_CURRENT`` manifest names
+# the live one. Compaction writes v{N+1} COMPLETELY (files + params
+# stamp + index sidecar), then atomically publishes the manifest
+# (publish_text: tmp+rename on POSIX/HDFS, one atomic PUT on object
+# stores) and only then deletes the old version. Readers resolve the
+# manifest once per epoch and never observe a half-state: the old
+# version stays fully present until the flip lands. A crash at any
+# point leaves either the old manifest + a stale next-version dir
+# (cleaned at the next compaction) or the new manifest + a stale old
+# dir (same) — no recovery rename needed, which is exactly why this
+# layout is legal on filesystems without atomic directory rename
+# (s3://, gs://; store_fs_for binds them with
+# supports_atomic_dir_rename=False and the classic swap refuses).
+
+_CURRENT_FILE = "_CURRENT"
+
+
+def _manifest_version(store_dir: str) -> str | None:
+    """The live version-dir name if ``store_dir`` is manifest-layout,
+    else None (classic layout)."""
+    fs = store_fs_for(store_dir)
+    cur = os.path.join(store_dir, _CURRENT_FILE)
+    if not fs.exists(cur):
+        return None
+    name = fs.read_text(cur).strip()
+    if not name or "/" in name or name.startswith((".", "_")):
+        raise ValueError(
+            f"corrupt manifest {cur!r}: {name!r} is not a version dir name"
+        )
+    return name
+
+
+def _resolve_store(store_dir: str) -> str:
+    """Where the store's live data actually is: the manifest's current
+    version dir, or ``store_dir`` itself for classic-layout stores.
+    Every ingest/maintenance entry point resolves ONCE at the top and
+    threads the resolved dir everywhere (params stamp, sidecar, reads,
+    appends), so the two layouts share every other line of code."""
+    v = _manifest_version(store_dir)
+    return store_dir if v is None else os.path.join(store_dir, v)
+
+
+def create_manifest_store(store_dir: str) -> str:
+    """Initialize an EMPTY manifest-layout store (the layout choice is
+    creation-time): makes ``v1`` and publishes the manifest. Returns
+    the live data dir. Ingest entry points call this automatically
+    when the target filesystem lacks atomic directory rename (an
+    object store could otherwise only ever hold a classic store that
+    its own compaction would then refuse)."""
+    fs = store_fs_for(store_dir)
+    if fs.exists(os.path.join(store_dir, _CURRENT_FILE)):
+        return _resolve_store(store_dir)
+    if fs.isdir(store_dir) and _store_has_data(store_dir):
+        raise ValueError(
+            f"{store_dir!r} already holds a classic-layout store; use "
+            "migrate_store_to_manifest instead"
+        )
+    fs.makedirs(os.path.join(store_dir, "v1"))
+    fs.publish_text(os.path.join(store_dir, _CURRENT_FILE), "v1")
+    return os.path.join(store_dir, "v1")
+
+
+def migrate_store_to_manifest(store_dir: str) -> str:
+    """Convert a CLASSIC store in place (single-writer maintenance
+    window): move the wide files + params stamp + sidecar into ``v1``
+    and publish the manifest. Needs per-file renames, so it runs on
+    POSIX/HDFS only — which is where classic stores can exist at all.
+    Returns the live data dir."""
+    fs = store_fs_for(store_dir)
+    if _manifest_version(store_dir) is not None:
+        return _resolve_store(store_dir)
+    require_atomic_dir_rename(fs, store_dir, "migrate_store_to_manifest")
+    _recover_store(store_dir)
+    v1 = os.path.join(store_dir, "v1")
+    fs.makedirs(v1)
+    for name in fs.listdir(store_dir):
+        if name == "v1" or name.startswith(".") or name == _CURRENT_FILE:
+            continue
+        fs.rename(os.path.join(store_dir, name), os.path.join(v1, name))
+    fs.publish_text(os.path.join(store_dir, _CURRENT_FILE), "v1")
+    return v1
+
+
+def _clean_stale_versions(store_dir: str, keep: str) -> None:
+    """Delete version dirs the manifest no longer names — crash debris
+    from an interrupted compaction (either direction). Lazy: runs at
+    the start of the next compaction, never on the read path."""
+    fs = store_fs_for(store_dir)
+    for name in fs.listdir(store_dir):
+        if (
+            name != keep
+            and not name.startswith((".", "_"))
+            and fs.isdir(os.path.join(store_dir, name))
+        ):
+            fs.rmtree(os.path.join(store_dir, name))
 
 
 # --------------------------------------------------------------------------
@@ -262,6 +368,7 @@ def build_band_index(
     byte sizes (index_bytes, wide_narrow_bytes, banded_rows) that the
     use-index gate compares at epoch time (r10 verdict task 6) —
     footprint and crossover are store facts, not constants."""
+    store_dir = _resolve_store(store_dir)
     fs = store_fs_for(store_dir)
     params_path = os.path.join(store_dir, _PARAMS_FILE)
     if not fs.exists(params_path):
@@ -806,7 +913,7 @@ def neardup_ingest_batch(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     batch_bands = _bands_hash_long(sigs, n_bands, id_col, spec["fh_cols"])
 
-    _recover_store(store_dir)
+    store_dir = _open_store(store_dir)
     _check_store_params(
         store_dir, {"modality": "srp", "n_bits": n_bits, "n_bands": n_bands}
     )
@@ -999,22 +1106,22 @@ def _check_store_params(store_dir: str, expected: dict) -> None:
                 "built with the same parameters, stamp it explicitly with "
                 "stamp_store_params(store_dir, params); otherwise rebuild."
             )
-        tmp = path + ".tmp"
-        fs.write_text(tmp, json.dumps(expected, sort_keys=True))
-        fs.replace_file(tmp, path)
+        fs.publish_text(path, json.dumps(expected, sort_keys=True))
 
 
 def stamp_store_params(store_dir: str, params: dict) -> None:
     """Explicit migration hook for a legacy signature store written
     before the params sidecar existed: the operator KNOWS which
     params built it and vouches for them. Overwrites any existing
-    stamp (atomic rename)."""
+    stamp (atomic publish; manifest-layout roots resolve to their
+    live version dir first)."""
     fs = store_fs_for(store_dir)
+    store_dir = _resolve_store(store_dir)
     fs.makedirs(store_dir)
-    path = os.path.join(store_dir, _PARAMS_FILE)
-    tmp = path + ".tmp"
-    fs.write_text(tmp, json.dumps(params, sort_keys=True))
-    fs.replace_file(tmp, path)
+    fs.publish_text(
+        os.path.join(store_dir, _PARAMS_FILE),
+        json.dumps(params, sort_keys=True),
+    )
 
 
 def ingest_band_bucket_cap_for(
@@ -1101,7 +1208,7 @@ def store_hot_buckets(
     4-rows-per-item band stack; no pair work, no payloads."""
     if band_bucket_cap < 1:
         raise ValueError(f"band_bucket_cap must be >= 1, got {band_bucket_cap}")
-    _recover_store(store_dir)
+    store_dir = _open_store(store_dir)
     hist = spark.read.parquet(store_dir)
     stacked = hist.select(
         F.expr(
@@ -1127,15 +1234,44 @@ def _store_row_count(store_dir: str) -> int:
 
 
 def _recover_store(store_dir: str) -> None:
-    """Crash recovery for compact_store's directory swap: if a crash
-    between the two renames left ``store_dir`` missing while the
+    """Crash recovery for compact_store's CLASSIC directory swap: if a
+    crash between the two renames left ``store_dir`` missing while the
     ``.old`` backup exists, restore the backup — called at the top of
     every ingest batch and compaction so the history can never be
-    silently treated as a first run."""
+    silently treated as a first run. Manifest-layout stores need no
+    recovery rename (the flip is one atomic publish; crash debris is
+    cleaned lazily by the next compaction) — and on filesystems
+    without atomic dir rename the backup rename could not run anyway."""
     fs = store_fs_for(store_dir)
+    if not fs.supports_atomic_dir_rename:
+        return
     old = store_dir.rstrip("/") + ".old"
     if not fs.exists(store_dir) and fs.exists(old):
         fs.rename(old, store_dir)
+
+
+def _open_store(store_dir: str) -> str:
+    """Every entry point's first move: classic-swap crash recovery,
+    manifest auto-creation for a NEW store on a filesystem without
+    atomic directory rename (an object store could otherwise only
+    ever grow a classic store its own compaction must refuse), and
+    layout resolution. Returns the live data dir all further work
+    (params stamp, reads, appends, sidecar) runs against."""
+    fs = store_fs_for(store_dir)
+    if not fs.supports_atomic_dir_rename and _manifest_version(
+        store_dir
+    ) is None:
+        if fs.isdir(store_dir) and _store_has_data(store_dir):
+            raise ValueError(
+                f"{store_dir!r} is a classic-layout store on a filesystem "
+                "without atomic directory rename — its compaction swap "
+                "cannot ever run there. Copy the store's files into a "
+                "fresh manifest-layout store (create_manifest_store) "
+                "instead"
+            )
+        return create_manifest_store(store_dir)
+    _recover_store(store_dir)
+    return _resolve_store(store_dir)
 
 
 def compact_store(
@@ -1162,29 +1298,45 @@ def compact_store(
     unstamped store compacts as before, unindexed and unupgraded.
 
     Contract (narrower than layout.compact, which is read-concurrent):
-    the swap goes through the StoreFS seam — POSIX rename on bare
-    paths, the pyarrow adapter's atomic namenode rename on ``hdfs://``
-    store dirs — and ingest must be PAUSED during compaction —
-    there is exactly one writer by design (the sequential foreachBatch
-    loop), so pausing is the natural maintenance window. A crash
-    between the two renames leaves the ``.old`` backup in place;
-    ``_recover_store`` (run at the top of every ingest batch and
-    compaction) restores it, so dedup history survives any
-    single-fault crash. Returns the ACTUAL compacted file count."""
+    ingest must be PAUSED during compaction — there is exactly one
+    writer by design (the sequential foreachBatch loop), so pausing is
+    the natural maintenance window. Two swap protocols by layout:
+
+    - CLASSIC stores: the crash-safe two-RENAME directory swap (POSIX
+      rename on bare paths, the pyarrow adapter's atomic namenode
+      rename on ``hdfs://``; refused on filesystems without atomic
+      directory rename). A crash between the two renames leaves the
+      ``.old`` backup; ``_recover_store`` restores it.
+    - MANIFEST stores (r10 verdict task 4): the next version dir is
+      written completely (files + params + sidecar), then ONE atomic
+      manifest publish flips readers over and the old version is
+      deleted after. No recovery rename exists or is needed — crash
+      debris is a stale version dir, cleaned here next time — which
+      is what makes this layout legal on object stores.
+
+    Returns the ACTUAL compacted file count."""
     from file_appender_spark.operators.layout import dir_bytes, plan_file_count
 
     from file_appender_spark.storefs import assert_no_inflight_write
 
-    _recover_store(store_dir)
     fs = store_fs_for(store_dir)
+    manifest_cur = _manifest_version(store_dir)
+    if manifest_cur is None:
+        require_atomic_dir_rename(fs, store_dir, "classic-layout compact_store")
+        _recover_store(store_dir)
+        data_dir = store_dir
+        tmp = store_dir.rstrip("/") + ".compacting"
+        if fs.exists(tmp):
+            fs.rmtree(tmp)  # leftover from an interrupted compaction
+    else:
+        _clean_stale_versions(store_dir, keep=manifest_cur)
+        data_dir = os.path.join(store_dir, manifest_cur)
+        tmp = os.path.join(store_dir, f"v{int(manifest_cur[1:]) + 1}")
     # single-writer window invariant (r9 verdict task 7): an in-flight
     # ingest append leaves _temporary under the store while it runs
-    assert_no_inflight_write(fs, store_dir)
-    tmp = store_dir.rstrip("/") + ".compacting"
-    if fs.exists(tmp):
-        fs.rmtree(tmp)  # leftover from an interrupted compaction
-    df = spark.read.parquet(store_dir)
-    params_src = os.path.join(store_dir, _PARAMS_FILE)
+    assert_no_inflight_write(fs, data_dir)
+    df = spark.read.parquet(data_dir)
+    params_src = os.path.join(data_dir, _PARAMS_FILE)
     spec = None
     if fs.exists(params_src):
         spec = _modality_spec(json.loads(fs.read_text(params_src)))
@@ -1199,8 +1351,8 @@ def compact_store(
     frac = (counts["uniq"] / counts["total"]) if counts["total"] else 1.0
     # wide bytes only: the index sidecar is derived data and rebuilt
     # below, so its files must not inflate the output sizing
-    idx_dir = os.path.join(store_dir, _INDEX_DIR)
-    wide_bytes = dir_bytes(spark, store_dir) - (
+    idx_dir = os.path.join(data_dir, _INDEX_DIR)
+    wide_bytes = dir_bytes(spark, data_dir) - (
         dir_bytes(spark, idx_dir) if fs.exists(idx_dir) else 0
     )
     n = plan_file_count(int(wide_bytes * frac), target_file_mb)
@@ -1210,17 +1362,28 @@ def compact_store(
     if fs.exists(params_src):
         fs.copy_file(params_src, os.path.join(tmp, _PARAMS_FILE))
     if spec is not None and index_buckets is not None:
-        # built inside tmp BEFORE the swap: file names survive the
-        # directory rename, so the meta's covers list stays exact
+        # built inside the next/tmp dir BEFORE the swap: file names
+        # survive both swap protocols, so the meta's covers list stays
+        # exact
         build_band_index(spark, tmp, id_col, n_buckets=index_buckets)
-    old = store_dir.rstrip("/") + ".old"
-    if fs.exists(old):
+    if manifest_cur is None:
+        old = store_dir.rstrip("/") + ".old"
+        if fs.exists(old):
+            fs.rmtree(old)
+        fs.rename(store_dir, old)
+        fs.rename(tmp, store_dir)
         fs.rmtree(old)
-    fs.rename(store_dir, old)
-    fs.rename(tmp, store_dir)
-    fs.rmtree(old)
+        live = store_dir
+    else:
+        # THE swap: one atomic publish; the old version dir stays fully
+        # readable until this lands, then becomes deletable debris
+        fs.publish_text(
+            os.path.join(store_dir, _CURRENT_FILE), os.path.basename(tmp)
+        )
+        fs.rmtree(data_dir)
+        live = tmp
     return sum(
-        1 for f in fs.listdir(store_dir)
+        1 for f in fs.listdir(live)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
 
@@ -1396,7 +1559,7 @@ def textdup_ingest_batch(
     spec = _modality_spec(
         {"modality": "minhash", "n_slots": len(_MH_PARAMS), "n_bands": n_bands}
     )
-    _recover_store(store_dir)
+    store_dir = _open_store(store_dir)
     _check_store_params(
         store_dir,
         {"modality": "minhash", "n_slots": len(_MH_PARAMS), "n_bands": n_bands},
@@ -1562,7 +1725,7 @@ def imagedup_ingest_batch(
     wide_fn = ahash_wide if hash_mode == "ahash" else dhash_wide
     n_bands = 4
     spec = _modality_spec({"modality": hash_mode})
-    _recover_store(store_dir)
+    store_dir = _open_store(store_dir)
     _check_store_params(
         store_dir, {"modality": hash_mode, "grid": 64, "band_bits": 16}
     )

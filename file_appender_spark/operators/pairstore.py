@@ -82,7 +82,7 @@ from file_appender_spark.operators.neardup_ingest import (
     _store_is_v2,
     _with_index_cols,
 )
-from file_appender_spark.storefs import store_fs_for
+from file_appender_spark.storefs import require_atomic_dir_rename, store_fs_for
 
 _PARAMS_FILE = "_PAIRSTORE_PARAMS.json"
 _CLUSTERS_STATE = "_CLUSTERS_STATE.json"
@@ -306,8 +306,16 @@ def _check_params(store_dir: str, threshold: float | None) -> float:
 
 def _recover(store_dir: str) -> None:
     """Restore .old backups a compaction/refresh crash left behind —
-    the single-fault discipline shared by every incremental store."""
+    the single-fault discipline shared by every incremental store.
+    The pair store has NO manifest layout (deferred with measurement:
+    its maintenance swaps three tables and the r10 x1000 probe put its
+    epoch ratio at 1.12 without one), so its crash-safety still
+    requires atomic directory rename — enforced loudly here, at the
+    head of every maintenance entry (r10 verdict task 4 relaxed the
+    bind-time scheme refusal for the signature stores' manifest
+    layout)."""
     fs = store_fs_for(store_dir)
+    require_atomic_dir_rename(fs, store_dir, "pair-store maintenance")
     for d in (_sigs_dir(store_dir), _pairs_dir(store_dir), _clusters_dir(store_dir)):
         old = d.rstrip("/") + ".old"
         if not fs.exists(d) and fs.exists(old):

@@ -79,6 +79,11 @@ class StoreFS(Protocol):
         recursive: bool = False,
     ) -> int: ...
 
+    @property
+    def supports_atomic_dir_rename(self) -> bool: ...
+
+    def publish_text(self, path: str, text: str) -> None: ...
+
 
 def _file_column_bytes(md, columns: list[str] | None) -> int:
     """Compressed byte size of the named TOP-LEVEL columns (None =
@@ -98,6 +103,17 @@ def _file_column_bytes(md, columns: list[str] | None) -> int:
 class LocalStoreFS:
     """POSIX implementation — byte-identical behavior to the os/shutil
     calls the stores made before the seam existed."""
+
+    supports_atomic_dir_rename = True
+
+    def publish_text(self, path: str, text: str) -> None:
+        """Atomically publish a small text file (the manifest flip):
+        write a sibling temp file, then os.replace — readers see the
+        old or the new content, never a partial write."""
+        tmp = path + ".publishing"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -193,11 +209,17 @@ class LocalStoreFS:
 
 class ArrowStoreFS:
     """pyarrow.fs implementation — ``hdfs://`` store dirs in
-    production, ``file://`` for the on-disk parity matrix. Shares the
-    sink adapter's conventions: the connection is created lazily (the
-    instance is picklable without handles), and every path passes the
-    authority guard before its scheme is stripped (a store on
-    ``hdfs://nn-b`` refuses an adapter bound to ``nn-a``)."""
+    production, ``file://`` for the on-disk parity matrix, and (r10
+    verdict task 4) object-store URIs (``s3://``, ``gs://``, ...) for
+    MANIFEST-layout stores only: object stores rename by copy+delete,
+    so ``supports_atomic_dir_rename`` is False there and every
+    maintenance path that needs the two-rename directory swap refuses
+    them (require_atomic_dir_rename); the manifest protocol publishes
+    through ``publish_text`` instead, which on object stores is one
+    atomic PUT. Shares the sink adapter's conventions: the connection
+    is created lazily (the instance is picklable without handles),
+    and every path passes the authority guard before resolution (a
+    store on ``hdfs://nn-b`` refuses an adapter bound to ``nn-a``)."""
 
     def __init__(self, fs_spec: str = "local"):
         self.fs_spec = fs_spec
@@ -210,26 +232,51 @@ class ArrowStoreFS:
         self.fs_spec = state["fs_spec"]
         self._fs = None
 
+    @property
+    def supports_atomic_dir_rename(self) -> bool:
+        # POSIX rename(2) and the HDFS namenode rename are atomic for
+        # directories; every other scheme is an object store where
+        # "rename" is copy+delete
+        return self.fs_spec == "local" or self.fs_spec.startswith("hdfs://")
+
+    def publish_text(self, path: str, text: str) -> None:
+        """Atomically publish a small text file (the manifest flip).
+        POSIX/HDFS: sibling temp + replace_file (atomic rename).
+        Object stores: a direct single-object write — one PUT, which
+        object stores apply atomically (readers see the whole old or
+        the whole new object, never a partial)."""
+        if self.supports_atomic_dir_rename:
+            tmp = path + ".publishing"
+            self.write_text(tmp, text)
+            self.replace_file(tmp, path)
+        else:
+            self.write_text(path, text)
+
     def _filesystem(self):
         if self._fs is None:
             from pyarrow import fs as pafs
 
             if self.fs_spec == "local":
                 self._fs = pafs.LocalFileSystem()
-            elif self.fs_spec.startswith("hdfs://"):
-                self._fs, _ = pafs.FileSystem.from_uri(self.fs_spec)
             else:
-                raise ValueError(
-                    f"unsupported ArrowStoreFS spec {self.fs_spec!r}: use "
-                    "'local' or an hdfs:// URI"
-                )
+                # hdfs://, s3://, gs://, ... — whatever pyarrow's URI
+                # dispatch can construct; credentials/region come from
+                # the environment exactly as pyarrow documents
+                self._fs, _ = pafs.FileSystem.from_uri(self.fs_spec)
         return self._fs
 
     def _resolve(self, path: str) -> str:
         # the sink adapter's shared authority guard: refuse a path on
         # a different scheme/cluster instead of silently stripping it
         # onto the wrong filesystem
-        return resolve_against_spec(self.fs_spec, path)
+        resolved = resolve_against_spec(self.fs_spec, path)
+        if not self.supports_atomic_dir_rename and "://" in path:
+            # object-store paths keep the bucket: pyarrow's
+            # S3/GCS filesystems address objects as 'bucket/key'
+            # (resolve_against_spec strips scheme AND authority)
+            bucket = path.split("://", 1)[1].split("/", 1)[0]
+            return f"{bucket}{resolved}"
+        return resolved
 
     def _info(self, path: str):
         return self._filesystem().get_file_info(self._resolve(path))
@@ -397,43 +444,52 @@ def reset_store_fs_cache() -> None:
     _FS_CACHE.clear()
 
 
+def require_atomic_dir_rename(fs: "StoreFS", path: str, what: str) -> None:
+    """The loud refusal that used to live at scheme-dispatch time (r9
+    verdict task 3), now enforced where the capability is actually
+    NEEDED (r10 verdict task 4 relaxed the bind-time refusal so
+    manifest-layout stores can live on object stores): any maintenance
+    path whose crash-safety depends on the two-rename DIRECTORY swap
+    calls this first. ``what`` names the operation for the error."""
+    if not fs.supports_atomic_dir_rename:
+        scheme = path.split("://", 1)[0] if "://" in path else "?"
+        raise ValueError(
+            f"{what} on {path!r} requires atomic directory rename (POSIX "
+            f"rename / HDFS namenode rename), which {scheme}:// does not "
+            "provide (object stores rename by copy+delete and would "
+            "corrupt on a mid-swap crash). Use a bare path, file:// or "
+            "hdfs:// — or a MANIFEST-layout store (create_manifest_store /"
+            " migrate_store_to_manifest), whose swap is one atomic "
+            "manifest publish and needs no directory rename"
+        )
+
+
 def store_fs_for(path: str) -> StoreFS:
     """Scheme dispatch, mirroring the sink's ``fs_for_path``:
     ``hdfs://`` store dirs get the pyarrow Hadoop adapter, ``file://``
     gets the SAME adapter on local disk (the parity-matrix backend —
     Spark reads/writes file:// URIs natively, so a whole store can
-    run through the adapter end-to-end on one machine), and bare
-    paths keep the direct POSIX implementation.
+    run through the adapter end-to-end on one machine), bare paths
+    keep the direct POSIX implementation, and any other scheme (s3://,
+    gs://, ...) gets a pyarrow URI adapter whose
+    ``supports_atomic_dir_rename`` is False — usable by
+    MANIFEST-layout stores (whose swap is one atomic publish_text),
+    refused with the original r9 rationale by every maintenance path
+    that needs the directory swap (require_atomic_dir_rename).
 
     Adapters are MEMOIZED per spec: store maintenance calls this on
     every metadata op (recover, params check, epoch listing), and a
     fresh ArrowStoreFS per call would lazily open a new namenode
     connection each time on ``hdfs://`` stores. The cached instances
     are driver-side and the maintenance windows are single-writer by
-    contract, so sharing is safe.
-
-    Any OTHER scheme is refused loudly (r9 verdict task 3): the
-    stores' crash-safety depends on ``rename`` being atomic for
-    DIRECTORIES (the compaction/refresh two-rename swap), which
-    object stores do not provide — an ``s3://`` store dir would pass
-    the old dispatch into the POSIX shim and corrupt on the first
-    compaction crash instead of failing at bind time."""
-    if "://" in path and not path.startswith(("hdfs://", "file://")):
-        scheme = path.split("://", 1)[0]
-        raise ValueError(
-            f"unsupported store filesystem scheme {scheme!r} for {path!r}: "
-            "store maintenance requires atomic directory rename (POSIX "
-            "rename / HDFS namenode rename); object stores such as s3:// "
-            "rename by copy+delete and would break the stores' crash-safe "
-            "compaction swap. Use a bare path, file://, or hdfs://"
-        )
-    if path.startswith("hdfs://"):
+    contract, so sharing is safe."""
+    if "://" in path and not path.startswith("file://"):
         # one adapter per scheme+authority: paths under the same
-        # namenode share a connection; the authority guard refuses
-        # cross-cluster paths anyway
-        rest = path.split("://", 1)[1]
-        spec = "hdfs://" + rest.split("/", 1)[0]
-        key = f"hdfs:{spec}"
+        # namenode/bucket share a connection; the authority guard
+        # refuses cross-cluster paths anyway
+        scheme, rest = path.split("://", 1)
+        spec = f"{scheme}://" + rest.split("/", 1)[0]
+        key = f"uri:{spec}"
         if key not in _FS_CACHE:
             _FS_CACHE[key] = ArrowStoreFS(spec)
         return _FS_CACHE[key]

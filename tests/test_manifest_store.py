@@ -1,0 +1,221 @@
+"""Manifest-layout signature stores (r10 verdict task 4): versioned
+data dirs + one atomic ``_CURRENT`` publish replace the two-rename
+directory swap, which is what makes a store legal on filesystems
+WITHOUT atomic directory rename (object stores). The parity matrix
+gains that backend mode here: a LocalStoreFS wrapper that REFUSES
+rename/replace_file (every object-store-illegal op raises, so a green
+test proves the manifest paths never attempt one) and publishes text
+by direct overwrite (the atomic-PUT analog).
+
+Spark's own parquet committer still does its _temporary dance on the
+local filesystem underneath — that is Spark's committer seam (cloud
+deployments configure a cloud committer), not the store-maintenance
+seam these tests pin.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_appender_spark import storefs
+from file_appender_spark.operators.neardup_ingest import (
+    _CURRENT_FILE,
+    _INDEX_DIR,
+    _band_index_state,
+    _manifest_version,
+    _resolve_store,
+    compact_store,
+    create_manifest_store,
+    migrate_store_to_manifest,
+    textdup_ingest_batch,
+)
+from file_appender_spark.storefs import LocalStoreFS
+
+
+class NoDirRenameFS(LocalStoreFS):
+    """The no-atomic-dir-rename backend mode: object-store semantics
+    on local disk. rename/replace_file raise (proving the code under
+    test never calls them); publish_text is a direct overwrite — the
+    single-PUT atomicity object stores actually provide."""
+
+    supports_atomic_dir_rename = False
+
+    def rename(self, src: str, dst: str) -> None:  # pragma: no cover
+        raise AssertionError(f"rename attempted on object-store fs: {src}")
+
+    def replace_file(self, src: str, dst: str) -> None:  # pragma: no cover
+        raise AssertionError(
+            f"replace_file (rename) attempted on object-store fs: {dst}"
+        )
+
+    def publish_text(self, path: str, text: str) -> None:
+        with open(path, "w") as f:
+            f.write(text)
+
+
+@pytest.fixture
+def object_fs(monkeypatch):
+    fs = NoDirRenameFS()
+    monkeypatch.setitem(storefs._FS_CACHE, "posix", fs)
+    yield fs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(spark, n=30, tag="mani"):
+    rows = [
+        (i, " ".join(f"{tag}{i}w{j}" for j in range(10))) for i in range(n)
+    ]
+    # exact-text twins at i % 10 == 1: estimated Jaccard is exactly
+    # 1.0, so suppression counts are deterministic (a near-twin's
+    # 16-slot estimate is noisy around any threshold)
+    rows = [
+        (i, rows[i - 1][1]) if i % 10 == 1 else (i, t) for i, t in rows
+    ]
+    return _docs(spark, rows)
+
+
+def test_manifest_lifecycle_on_no_dir_rename_backend(
+    spark, tmp_path, object_fs
+):
+    """The full lifecycle — auto-created manifest layout, two epochs,
+    compaction (v2 + sidecar + atomic flip), post-compaction epoch
+    through the resolved dir, at-least-once replay — with every
+    directory-rename-dependent op FORBIDDEN by the backend."""
+    store = str(tmp_path / "obj_store")
+    docs = _corpus(spark, 30)
+    a1 = textdup_ingest_batch(spark, docs.filter("doc_id < 20"), store)
+    # the layout was auto-created: manifest + v1 data dir
+    assert _manifest_version(store) == "v1"
+    assert os.path.isfile(os.path.join(store, _CURRENT_FILE))
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(os.path.join(store, "v1"))
+    )
+    n1 = a1.count()
+    assert n1 == 18  # exact twins 1 and 11 suppressed
+    # second epoch: its own exact twin (21 of 20) suppressed vs batch
+    a2 = textdup_ingest_batch(spark, docs.filter("doc_id >= 20"), store)
+    assert a2.count() == 9
+    # compaction: next version dir + ONE atomic publish, old dir gone
+    n_files = compact_store(spark, store, id_col="doc_id", index_buckets=64)
+    assert n_files >= 1
+    assert _manifest_version(store) == "v2"
+    assert not os.path.exists(os.path.join(store, "v1"))
+    state = _band_index_state(_resolve_store(store))
+    assert state is not None and state["version"] == 2
+    # post-compaction epoch resolves the new version; a replay of
+    # previously-ADMITTED ids re-emits them all (at-least-once; doc 1
+    # was never admitted — it is doc 0's exact twin)
+    replay = textdup_ingest_batch(
+        spark, docs.filter("doc_id IN (0, 2, 3, 4)"), store
+    )
+    assert replay.count() == 4
+
+
+def test_manifest_compaction_cleans_crash_debris(spark, tmp_path, object_fs):
+    """Crash simulation both directions: a stale NEXT-version dir
+    (crash before the flip) and a stale OLD-version dir (crash after
+    the flip, before the delete) are both cleaned by the next
+    compaction; the manifest always names a complete version."""
+    store = str(tmp_path / "obj_crash")
+    textdup_ingest_batch(spark, _corpus(spark, 20), store)
+    # crash-before-flip debris: a half-written v2
+    os.makedirs(os.path.join(store, "v2"))
+    open(os.path.join(store, "v2", "part-half.parquet"), "w").close()
+    assert _manifest_version(store) == "v1"
+    compact_store(spark, store, id_col="doc_id", index_buckets=64)
+    assert _manifest_version(store) == "v2"
+    assert not os.path.exists(os.path.join(store, "v1"))
+    # crash-after-flip debris: recreate a stale old dir, then compact
+    os.makedirs(os.path.join(store, "v1"))
+    open(os.path.join(store, "v1", "part-stale.parquet"), "w").close()
+    compact_store(spark, store, id_col="doc_id", index_buckets=64)
+    assert _manifest_version(store) == "v3"
+    assert not os.path.exists(os.path.join(store, "v1"))
+    assert not os.path.exists(os.path.join(store, "v2"))
+    # the store still serves: a fresh epoch dedups against history
+    dup = _docs(spark, [(900, _corpus(spark, 20).collect()[0]["text"])])
+    assert textdup_ingest_batch(spark, dup, store).count() == 0
+
+
+def test_classic_store_refused_on_no_dir_rename_backend(
+    spark, tmp_path, object_fs
+):
+    """A pre-existing CLASSIC store on an object filesystem is refused
+    loudly at open (its compaction could never run there), and classic
+    compact_store refuses through require_atomic_dir_rename."""
+    store = str(tmp_path / "classic_on_obj")
+    os.makedirs(store)
+    _corpus(spark, 5).write.mode("overwrite").parquet(store)
+    with pytest.raises(ValueError, match="classic-layout store"):
+        textdup_ingest_batch(spark, _corpus(spark, 3), store)
+    with pytest.raises(ValueError, match="atomic directory rename"):
+        compact_store(spark, store, id_col="doc_id")
+
+
+def test_pairstore_maintenance_refused_on_no_dir_rename_backend(
+    spark, tmp_path, object_fs
+):
+    """The pair store has no manifest layout (deferred with the r10
+    measurement); its maintenance must refuse loudly, not corrupt."""
+    from file_appender_spark.operators.pairstore import build_pair_graph
+
+    with pytest.raises(ValueError, match="atomic directory rename"):
+        build_pair_graph(
+            spark, _corpus(spark, 6), str(tmp_path / "ps_obj")
+        )
+
+
+def test_manifest_layout_is_fs_agnostic_and_decision_identical(
+    spark, tmp_path
+):
+    """The layouts must make IDENTICAL admit decisions: the same three
+    epochs against a classic store and an explicitly-created manifest
+    store (manifest works on POSIX too — the layout choice is
+    creation-time, not scheme-bound), with a compaction wedged into
+    the manifest run."""
+    docs = _corpus(spark, 40, tag="agno")
+    classic = str(tmp_path / "classic")
+    mani = str(tmp_path / "manifest")
+    create_manifest_store(mani)
+    got = {}
+    for store in (classic, mani):
+        parts = []
+        for lo, hi in ((0, 15), (15, 30), (30, 40)):
+            ep = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            parts += [
+                r["doc_id"]
+                for r in textdup_ingest_batch(spark, ep, store).collect()
+            ]
+            if store == mani and hi == 15:
+                compact_store(spark, store, id_col="doc_id", index_buckets=64)
+        got[store] = sorted(parts)
+    assert got[classic] == got[mani]
+
+
+def test_migrate_classic_store_to_manifest(spark, tmp_path):
+    """In-place migration (POSIX): history survives, decisions are
+    unchanged, and subsequent compactions run the manifest protocol."""
+    store = str(tmp_path / "migrate")
+    docs = _corpus(spark, 30, tag="migr")
+    textdup_ingest_batch(spark, docs.filter("doc_id < 20"), store)
+    live = migrate_store_to_manifest(store)
+    assert _manifest_version(store) == "v1" and live.endswith("v1")
+    # idempotent
+    assert migrate_store_to_manifest(store) == live
+    # post-migration epoch still dedups against the migrated history
+    dup_text = docs.filter("doc_id = 0").collect()[0]["text"]
+    ep = _docs(spark, [(800, dup_text), (801, "totally fresh words q z k")])
+    got = sorted(
+        r["doc_id"] for r in textdup_ingest_batch(spark, ep, store).collect()
+    )
+    assert got == [801]
+    compact_store(spark, store, id_col="doc_id", index_buckets=64)
+    assert _manifest_version(store) == "v2"

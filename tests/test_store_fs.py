@@ -80,17 +80,28 @@ def test_arrow_store_fs_ops(tmp_path):
         nn._resolve("hdfs://nn-b:8020/x")
 
 
-def test_store_fs_refuses_object_store_schemes():
-    """r9 verdict task 3: the rename-atomicity requirement is enforced
-    at bind time, not just documented — an s3:// store dir would break
-    the crash-safe compaction swap (rename = copy+delete there)."""
+def test_store_fs_object_schemes_gated_on_dir_rename_capability():
+    """r10 verdict task 4 relaxed the r9 bind-time refusal: an
+    object-store scheme now binds (manifest-layout stores can live
+    there — their swap is one atomic publish_text), but every
+    maintenance path that needs the two-rename DIRECTORY swap refuses
+    through require_atomic_dir_rename with the original rationale."""
     from file_appender_spark.sinks.append_text import fs_for_path
+    from file_appender_spark.storefs import require_atomic_dir_rename
 
+    fs = store_fs_for("s3://bucket/stores/x")
+    assert fs.supports_atomic_dir_rename is False
     with pytest.raises(ValueError, match="atomic directory rename"):
-        store_fs_for("s3://bucket/stores/x")
-    with pytest.raises(ValueError, match="s3"):
-        store_fs_for("s3a://bucket/stores/x")
-    # the sink mirrors the guard (append is the constraint there)
+        require_atomic_dir_rename(fs, "s3://bucket/stores/x", "compaction")
+    # POSIX and hdfs/file adapters keep the capability
+    assert store_fs_for("/tmp/x").supports_atomic_dir_rename is True
+    assert store_fs_for("file:///tmp/x").supports_atomic_dir_rename is True
+    assert store_fs_for(
+        "hdfs://nn-x:8020/s"
+    ).supports_atomic_dir_rename is True
+    # object paths keep their bucket under pyarrow's addressing
+    assert fs._resolve("s3://bucket/stores/x") == "bucket/stores/x"
+    # the sink is NOT relaxed (append is the constraint there)
     with pytest.raises(ValueError, match="append"):
         fs_for_path("s3://bucket/out")
     with pytest.raises(ValueError, match="gs"):
