@@ -85,9 +85,26 @@ def _exact_verify(cand: DataFrame, tf: DataFrame, threshold: float) -> DataFrame
     """Exact J_w for candidate (d1, d2) pairs via per-doc tf maps:
     inter = fold of min over the key union (map_zip_with nulls -> 0),
     union = sz1 + sz2 - inter. All JVM expressions; the shipped state
-    per candidate is two doc-length-bounded maps."""
+    per candidate is two doc-length-bounded maps.
+
+    Maps are keyed by xxhash64(tok) LONGS, not token strings (r11 —
+    the schema-v2 long-key trick applied to the verify, the operator's
+    dominant term per WJACCARD_BREAKDOWN_r11: 2.60 -> 2.41s over 2.0M
+    candidates on the bench corpus). The residual cost is the
+    map_zip_with fold itself — it materializes the key-union map per
+    candidate before the sum — and is attributed, with the measured
+    dead ends (broadcasting the map table: 2.61 -> 2.47s, within
+    noise; element_at-per-key folds are O(n) per lookup on Spark's
+    array-backed MapData), in SCALING.md round-11. The J_w VALUE is
+    unchanged unless two distinct tokens of one corpus collide in 64
+    bits (~1e-12 at a 20k vocabulary; q163's driver hash would fail
+    loudly, never silently)."""
     maps = tf.groupBy("_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("tok", "tf"))).alias("_m"),
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.xxhash64("tok").alias("k"), F.col("tf"))
+            )
+        ).alias("_m"),
         F.sum("tf").alias("_sz"),
     )
     m1 = maps.select(
@@ -161,9 +178,15 @@ def weighted_jaccard_pairs(
 
     if token_df_cap < 1:
         raise ValueError(f"token_df_cap must be >= 1, got {token_df_cap}")
-    # global token document frequencies (vocab-bounded aggregate)
-    tok_df = tf.groupBy("tok").agg(F.count("*").alias("_df"))
-    ranked = tf.join(tok_df, "tok")
+    # global token document frequencies (vocab-bounded aggregate).
+    # Postings JOINS run on xxhash64(tok) long keys (r11, the
+    # schema-v2 trick — WJACCARD_BREAKDOWN_r11 measured the candidate
+    # join 1.40 -> 1.21s); the prefix ORDER stays on (_df, tok)
+    # STRINGS, so the selected prefix — and with it the recall
+    # contract and the q163 oracle hash — is byte-identical.
+    tfh = tf.withColumn("_th", F.xxhash64("tok"))
+    tok_df = tfh.groupBy("_th").agg(F.count("*").alias("_df"))
+    ranked = tfh.join(tok_df, "_th")
     # weighted prefix: tokens in (df, tok) rarity order while the
     # cumulative tf BEFORE the token is <= (1-t)*|A|. The 1e-9 slack
     # errs toward a larger prefix, never smaller (float-noise guard,
@@ -176,14 +199,14 @@ def weighted_jaccard_pairs(
     prefix = pre.filter(
         (F.col("_cum") - F.col("tf"))
         <= (1.0 - threshold) * F.col("_sz") + 1e-9
-    ).select("_id", "tok")
-    bside = ranked.filter(F.col("_df") <= token_df_cap).select("_id", "tok")
+    ).select("_id", "_th")
+    bside = ranked.filter(F.col("_df") <= token_df_cap).select("_id", "_th")
     a = prefix.alias("a")
     b = bside.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.tok") == F.col("b.tok")) & (F.col("a._id") != F.col("b._id")),
+            (F.col("a._th") == F.col("b._th")) & (F.col("a._id") != F.col("b._id")),
         )
         .select(
             F.least("a._id", "b._id").alias("d1"),

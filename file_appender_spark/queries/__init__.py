@@ -151,6 +151,10 @@ _FORCE_RECHECK: set[str] = {
     "q264_textdup_compacted_sim",
     "q265_embeddingdup_ingest_sim",
     "q266_capped_triangles",
+    # r11: weighted-Jaccard capped path + _exact_verify moved to
+    # xxhash64 long keys (WJACCARD_BREAKDOWN_r11)
+    "q163_wjaccard_capped",
+    "q267_icws_error_contract",
 }
 
 
