@@ -1455,7 +1455,10 @@ def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     aggregate() HOF per row — no explode, no groupBy, no exchange
     (the exploded reference spelling ran one md5 per shingle too, but
     paid a per-epoch exchange plus per-shingle row traffic; measured
-    0.76 -> 0.39s per 2500-doc batch, scripts/probe_sigstage_r11.py).
+    1.17 -> 0.55s per 2500-doc batch under FORCED full-column
+    evaluation — a bare count() lets Catalyst prune the signature
+    expressions and under-measures both spellings
+    (scripts/probe_sigstage_r11.py).
     Output is BIT-IDENTICAL to _minhash_sig_frame_exploded (pinned in
     tests/test_operators.py): the fold's init value _MH_P strictly
     exceeds every (a*h+b) % _MH_P, all arithmetic stays bigint, and

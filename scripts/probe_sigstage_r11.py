@@ -11,7 +11,7 @@ bit-equality pin between the two.
 
 Also measures (and REJECTS — kept here for the record, never shipped)
 a fused per-row strided-fold spelling of the image aHash stage: 64
-interpreted aggregate() folds per row lose ~7x to the exploded
+interpreted aggregate() folds per row lose ~4x to the exploded
 codegen'd groupBy pipeline, so ahash_wide keeps its two-exchange
 shape. The interpreted-HOF cost model differs from the text case
 because the text fold is ONE aggregate over ~40 shingles, not 64
@@ -46,6 +46,15 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+def force(df):
+    """Force EVERY output column: a bare count() lets Catalyst prune
+    the expensive signature expressions out of the plan entirely
+    (caught mid-round — the first cut of this probe under-measured
+    both spellings that way). bit_xor never overflows under ANSI."""
+    cols = ", ".join(df.columns)
+    return df.agg(F.expr(f"bit_xor(xxhash64({cols}))")).collect()[0][0]
+
+
 def medtime(fn, reps=REPS):
     ts = []
     for _ in range(reps):
@@ -59,7 +68,7 @@ def ahash_wide_fused(
 ) -> DataFrame:
     """REJECTED candidate (see module docstring): per-row strided
     folds instead of the per-byte explode + two groupBys. Bit-equal
-    to ahash_wide but ~7x slower at the bench batch shape."""
+    to ahash_wide but ~4x slower at the bench batch shape."""
     from file_appender_spark.operators.textstats import let_expr
 
     w = grid // 4
@@ -163,8 +172,8 @@ def main() -> None:
     out = {"probe": "r11_sigstage", "batch_docs": n}
 
     # -- warm-up: run each spelling once before any timing
-    _minhash_sig_frame_exploded(docs, "doc_id", "text").count()
-    _minhash_sig_frame(docs, "doc_id", "text").count()
+    force(_minhash_sig_frame_exploded(docs, "doc_id", "text"))
+    force(_minhash_sig_frame(docs, "doc_id", "text"))
 
     # -- bit-equality pin (exceptAll both ways on full frames)
     cur = _minhash_sig_frame_exploded(docs, "doc_id", "text")
@@ -175,10 +184,10 @@ def main() -> None:
     out["text_diff_rows"] = d1 + d2
 
     out["text_exploded_sec"], out["text_exploded_reps"] = medtime(
-        lambda: _minhash_sig_frame_exploded(docs, "doc_id", "text").count()
+        lambda: force(_minhash_sig_frame_exploded(docs, "doc_id", "text"))
     )
     out["text_fused_sec"], out["text_fused_reps"] = medtime(
-        lambda: _minhash_sig_frame(docs, "doc_id", "text").count()
+        lambda: force(_minhash_sig_frame(docs, "doc_id", "text"))
     )
 
     # -- image aHash stage on the bench's encoded-text payloads
@@ -188,8 +197,8 @@ def main() -> None:
         .filter(F.col("doc_id") % 2 == 1)
         .localCheckpoint(eager=True)
     )
-    ahash_wide(_spread(pay), "doc_id", "payload").count()
-    ahash_wide_fused(_spread(pay), "doc_id", "payload").count()
+    force(ahash_wide(_spread(pay), "doc_id", "payload"))
+    force(ahash_wide_fused(_spread(pay), "doc_id", "payload"))
     cur_i = ahash_wide(_spread(pay), "doc_id", "payload")
     fus_i = ahash_wide_fused(_spread(pay), "doc_id", "payload")
     d1 = cur_i.exceptAll(fus_i).count()
@@ -197,12 +206,14 @@ def main() -> None:
     out["image_bitequal"] = (d1 == 0 and d2 == 0)
     out["image_diff_rows"] = d1 + d2
     out["image_exploded_sec"], out["image_exploded_reps"] = medtime(
-        lambda: ahash_wide(_spread(pay), "doc_id", "payload").count()
+        lambda: force(ahash_wide(_spread(pay), "doc_id", "payload"))
     )
     out["image_fused_rejected_sec"], out["image_fused_rejected_reps"] = medtime(
-        lambda: ahash_wide_fused(_spread(pay), "doc_id", "payload").count()
+        lambda: force(ahash_wide_fused(_spread(pay), "doc_id", "payload"))
     )
 
+    with open("/root/repo/SIGSTAGE_PROBE_r11.json", "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 
 
