@@ -9,6 +9,11 @@ oracle (r10 verdict task 5).
   pinned against a DuckDB mirror of the exact protocol over q52's own
   CTE chain — until now the pruned read path was pytest-pinned
   (tests/test_store_v2.py) but no driver hash had ever exercised it.
+- q270: q260's two-epoch protocol across a LAYOUT MIGRATION and a
+  manifest-protocol compaction (classic -> migrate_store_to_manifest
+  -> atomic-publish swap, versions asserted): neither the migration
+  nor the manifest swap may change one admit decision — same oracle
+  as q260/q264.
 
 Reference parity: the reference engine (a CDAP batch sink,
 /root/reference/src/main — no query surface) has no analog; this
@@ -185,4 +190,65 @@ def q269_textdup_index_lifecycle(
             raise AssertionError(
                 f"recompaction must rebuild the index tail-free, got {state!r}"
             )
+    return spark.read.parquet(out_path)
+
+
+from file_appender_spark.queries.registry import QUERIES  # noqa: E402
+
+_Q260_ORACLE = QUERIES["q260_textdup_ingest_sim"].oracle
+
+
+@register("q270_textdup_manifest_sim", _Q260_ORACLE)
+def q270_textdup_manifest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q260's two-epoch ingest protocol with the MANIFEST store layout
+    exercised mid-lifecycle (r10 verdict task 4 under the driver
+    hash): ingest the even doc_ids into a CLASSIC store, migrate it to
+    the manifest layout in place (asserted v1), compact under the
+    manifest protocol — the next version dir is written completely
+    and ONE atomic manifest publish flips readers (asserted v2, old
+    version gone) — then ingest the odd ids against the resolved
+    store. Layout migration and the manifest swap must not change one
+    admit decision: same oracle as q260/q264, hash-equal or the
+    driver fails the row."""
+    from file_appender_spark.operators.neardup_ingest import (
+        _manifest_version,
+        compact_store,
+        migrate_store_to_manifest,
+        textdup_ingest_batch,
+    )
+
+    store = _scratch("q270_manifest")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out_path = os.path.join(os.path.dirname(store), "admitted.parquet")
+    a0 = textdup_ingest_batch(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 0),
+        store,
+        threshold=0.5,
+        band_bucket_cap=None,
+    )
+    a0.select(
+        "doc_id", (F.col("doc_id") % 2).cast("int").alias("epoch")
+    ).write.mode("overwrite").parquet(out_path)
+    migrate_store_to_manifest(store)
+    if _manifest_version(store) != "v1":
+        raise AssertionError(
+            f"migration must publish v1, got {_manifest_version(store)!r}"
+        )
+    compact_store(spark, store, id_col="doc_id")
+    if _manifest_version(store) != "v2":
+        raise AssertionError(
+            f"manifest compaction must flip to v2, got "
+            f"{_manifest_version(store)!r}"
+        )
+    a1 = textdup_ingest_batch(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 1),
+        store,
+        threshold=0.5,
+        band_bucket_cap=None,
+    )
+    a1.select(
+        "doc_id", (F.col("doc_id") % 2).cast("int").alias("epoch")
+    ).write.mode("append").parquet(out_path)
     return spark.read.parquet(out_path)
