@@ -1567,6 +1567,11 @@ def textdup_ingest_batch(
         store_dir,
         {"modality": "minhash", "n_slots": len(_MH_PARAMS), "n_bands": n_bands},
     )
+    # eager localCheckpoint, NOT a lazy persist (re-measured r11): a
+    # persisted frame with five consumers inside one epoch DAG loses
+    # 30-40% wall to cache-population effects (measured 550-630 ->
+    # ~420 docs/s idle at sf0.1), so the dedicated materialization
+    # job earns its ~0.3-0.5s
     sigs = _with_index_cols(
         _minhash_sig_frame(batch, id_col, text_col), n_bands, spec["fh_cols"]
     ).localCheckpoint(eager=True)
@@ -1732,6 +1737,7 @@ def imagedup_ingest_batch(
     _check_store_params(
         store_dir, {"modality": hash_mode, "grid": 64, "band_bits": 16}
     )
+    # eager localCheckpoint, NOT a lazy persist — the text twin's note
     sigs = _with_index_cols(
         wide_fn(_spread(batch), id_col, payload_col).select(
             id_col, "b0", "b1", "b2", "b3"
