@@ -24,8 +24,12 @@ module is that table:
 - `read_token_stats` / `read_source_stats` — the merged view (one
   groupBy-sum over base + increments);
 - `compact_corpus_stats` — fold accumulated increments back into a
-  single base partition (crash-safe directory swap, the
-  neardup_ingest store discipline).
+  single base partition (crash-safe swap, the neardup_ingest store
+  discipline; r11: manifest-layout tables flip with one atomic
+  publish instead of the two-rename swap, so the store runs on
+  object stores — auto-created there, opt-in via
+  `create_manifest_corpusstats` / `migrate_corpusstats_to_manifest`
+  elsewhere).
 
 Consumers opt in via their `stats_dir` parameter (q58 TF-IDF, q59
 bigram frequencies, q191 bigram-LM model counts, q197 JSD drift,
@@ -41,10 +45,26 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from file_appender_spark.storefs import require_atomic_dir_rename, store_fs_for
+from file_appender_spark.storefs import (
+    MANIFEST_CURRENT_FILE,
+    clean_stale_manifest_versions,
+    create_manifest_dir,
+    manifest_version,
+    next_manifest_version_dir,
+    publish_manifest,
+    require_atomic_dir_rename,
+    resolve_manifest_dir,
+    store_fs_for,
+)
 
 _PARAMS_FILE = "_corpusstats_params.json"
 _REBUILD_MARKER = "_corpusstats_rebuilding"
+_MIGRATING_MARKER = "_MIGRATING_TO_MANIFEST"
+# the three stats tables; in the MANIFEST layout (r11, lifting the
+# r10 deferral) each carries its own _CURRENT manifest and compaction
+# flips it atomically instead of the two-rename swap — which is what
+# lets the store live on object stores (pairstore.py's discipline)
+_TABLE_NAMES = ("token_stats", "source_stats", "bigram_stats")
 # the one tokenizer every text query shares (queries/llm.py's _WS);
 # version 2 added the bigram table (a v1 store lacks it, so the
 # params guard forces a rebuild rather than failing mid-read)
@@ -215,10 +235,12 @@ def _stamp_params(store_dir: str) -> None:
     requiring manual deletion of the params file."""
     fs = store_fs_for(store_dir)
     fs.makedirs(store_dir)
-    path = os.path.join(store_dir, _PARAMS_FILE)
-    tmp = path + ".tmp"
-    fs.write_text(tmp, json.dumps(_TOKENIZER, sort_keys=True))
-    fs.replace_file(tmp, path)
+    # publish_text: atomic tmp+rename on POSIX/HDFS, one atomic PUT
+    # on object stores (where replace_file would raise)
+    fs.publish_text(
+        os.path.join(store_dir, _PARAMS_FILE),
+        json.dumps(_TOKENIZER, sort_keys=True),
+    )
 
 
 def _refuse_mid_rebuild(store_dir: str) -> None:
@@ -258,16 +280,99 @@ def _check_params(store_dir: str) -> None:
         _stamp_params(store_dir)
 
 
+def _table_base(store_dir: str, name: str) -> str:
+    """The table's UNRESOLVED dir — where its manifest (if any) and
+    version dirs live; only the swap paths need it."""
+    return os.path.join(store_dir, name)
+
+
+def _resolve_table(store_dir: str, name: str) -> str:
+    """The table's LIVE data dir: manifest current version, or the
+    base itself for classic layout."""
+    return resolve_manifest_dir(_table_base(store_dir, name))
+
+
 def _token_dir(store_dir: str) -> str:
-    return os.path.join(store_dir, "token_stats")
+    return _resolve_table(store_dir, "token_stats")
 
 
 def _source_dir(store_dir: str) -> str:
-    return os.path.join(store_dir, "source_stats")
+    return _resolve_table(store_dir, "source_stats")
 
 
 def _bigram_dir(store_dir: str) -> str:
-    return os.path.join(store_dir, "bigram_stats")
+    return _resolve_table(store_dir, "bigram_stats")
+
+
+def create_manifest_corpusstats(store_dir: str) -> str:
+    """Initialize an EMPTY manifest-layout corpus-stats store (layout
+    is a creation-time choice): each table gets v1 + a ``_CURRENT``
+    manifest. Idempotent; refuses classic-layout tables (use
+    migrate_corpusstats_to_manifest). The build/ingest entry points
+    call this automatically when the target filesystem lacks atomic
+    directory rename."""
+    fs = store_fs_for(store_dir)
+    for name in _TABLE_NAMES:
+        base = _table_base(store_dir, name)
+        if manifest_version(base) is not None:
+            continue
+        if fs.isdir(base):
+            raise ValueError(
+                f"{base!r} already holds a classic-layout table; use "
+                "migrate_corpusstats_to_manifest instead"
+            )
+        create_manifest_dir(base)
+    return store_dir
+
+
+def migrate_corpusstats_to_manifest(store_dir: str) -> str:
+    """Convert a CLASSIC store in place (single-writer window,
+    POSIX/HDFS only — where classic stores can exist). RESUMABLE: the
+    marker makes every other entry point refuse after a mid-move
+    crash; a re-run skips already-published tables and finishes the
+    rest (pairstore.py's migration discipline)."""
+    fs = store_fs_for(store_dir)
+    bases = [_table_base(store_dir, n) for n in _TABLE_NAMES]
+    if all(manifest_version(b) is not None for b in bases):
+        return store_dir
+    require_atomic_dir_rename(fs, store_dir, "migrate_corpusstats_to_manifest")
+    for b in bases:  # classic .old recovery (not _recover: marker)
+        old = b.rstrip("/") + ".old"
+        if not fs.exists(b) and fs.exists(old):
+            fs.rename(old, b)
+    marker = os.path.join(store_dir, _MIGRATING_MARKER)
+    fs.makedirs(store_dir)
+    fs.write_text(marker, "corpus-stats manifest migration in progress")
+    for b in bases:
+        if manifest_version(b) is not None:
+            continue  # resumed run: this table already flipped
+        v1 = os.path.join(b, "v1")
+        fs.makedirs(v1)
+        for name in fs.listdir(b):
+            if name == "v1" or name.startswith((".", "_")):
+                continue
+            fs.rename(os.path.join(b, name), os.path.join(v1, name))
+        fs.publish_text(os.path.join(b, MANIFEST_CURRENT_FILE), "v1")
+    fs.remove(marker)
+    return store_dir
+
+
+def _refuse_mid_migration(fs, store_dir: str) -> None:
+    if fs.exists(os.path.join(store_dir, _MIGRATING_MARKER)):
+        raise ValueError(
+            f"corpus-stats store {store_dir} has an unfinished manifest "
+            "migration (crash mid-migrate_corpusstats_to_manifest): some "
+            "tables are half-moved — re-run migrate_corpusstats_to_manifest"
+        )
+
+
+def _ensure_store_layout(store_dir: str) -> None:
+    """Creation-time layout choice: a NEW store on a filesystem
+    without atomic directory rename must be manifest-layout (its
+    classic swap could never run there); POSIX/HDFS stores default to
+    classic with manifest as the explicit opt-in."""
+    if not store_fs_for(store_dir).supports_atomic_dir_rename:
+        create_manifest_corpusstats(store_dir)
 
 
 def _dirs(store_dir: str) -> tuple[str, str, str]:
@@ -303,6 +408,7 @@ def build_corpus_stats(
     path anyway, where each batch is scanned once per table at
     micro-batch size."""
     _recover(store_dir)
+    _ensure_store_layout(store_dir)  # manifest mandatory sans atomic rename
     # a rebuild replaces all data, so it RE-STAMPS rather than checks
     # (upgrading a store across tokenizer versions goes through here)
     # — but only AFTER the new tables exist: stamp-then-wipe would
@@ -342,6 +448,7 @@ def corpusstats_ingest_batch(
             "ingest epoch writing there would clobber the corpus baseline"
         )
     _recover(store_dir)
+    _ensure_store_layout(store_dir)  # ingest may legitimately START a store
     _check_params(store_dir)
     _write_batch(corpus_token_stats(batch), _token_dir(store_dir), str(batch_id))
     _write_batch(corpus_source_stats(batch), _source_dir(store_dir), str(batch_id))
@@ -390,27 +497,36 @@ def read_bigram_stats(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 def _recover(store_dir: str) -> None:
-    """Restore the .old backup if a compaction crash left any
-    stats directory missing — same single-fault discipline as
-    neardup_ingest's _recover_store. The corpus-stats store has NO
-    manifest layout (its swap covers three tables; deferred like the
-    pair store's), so its crash-safety still requires atomic
-    directory rename — enforced loudly here at the head of every
-    maintenance entry."""
+    """Crash recovery at the head of every entry point, layout-aware
+    (r11, lifting the r10 deferral): MANIFEST-layout tables need no
+    recovery (debris is a stale version dir, cleaned lazily at the
+    next compaction), so a fully manifest store runs on filesystems
+    without atomic directory rename. CLASSIC tables keep the .old
+    restore, which still requires the rename — enforced per table,
+    only when classic data actually exists."""
     fs = store_fs_for(store_dir)
-    require_atomic_dir_rename(fs, store_dir, "corpus-stats maintenance")
-    for d in _dirs(store_dir):
-        old = d.rstrip("/") + ".old"
-        if not fs.exists(d) and fs.exists(old):
-            fs.rename(old, d)
+    _refuse_mid_migration(fs, store_dir)
+    for name in _TABLE_NAMES:
+        base = _table_base(store_dir, name)
+        if manifest_version(base) is not None:
+            continue
+        old = base.rstrip("/") + ".old"
+        if fs.exists(base) or fs.exists(old):
+            require_atomic_dir_rename(
+                fs, store_dir, "classic-layout corpus-stats maintenance"
+            )
+        if not fs.exists(base) and fs.exists(old):
+            fs.rename(old, base)
 
 
 def compact_corpus_stats(spark: SparkSession, store_dir: str) -> None:
     """Fold all accumulated epoch partitions into a fresh `base`:
     long-running maintenance otherwise pays ever-growing file listing
     on every read. Writer must be paused (the sequential foreachBatch
-    loop is the only writer by design); the two-rename swap plus
-    _recover makes a crash at any point non-destructive. Output files
+    loop is the only writer by design); the per-table swap (two
+    renames for classic tables, one atomic manifest publish for
+    manifest tables) plus _recover makes a crash at any point
+    non-destructive. Output files
     are sized from the store's measured bytes (the compact_store
     discipline) — without this every compaction writes one tiny file
     per shuffle partition, recreating the small-file problem it
@@ -419,21 +535,35 @@ def compact_corpus_stats(spark: SparkSession, store_dir: str) -> None:
 
     _recover(store_dir)
     fs = store_fs_for(store_dir)
-    for d, merged in (
-        (_token_dir(store_dir), read_token_stats(spark, store_dir)),
-        (_source_dir(store_dir), read_source_stats(spark, store_dir)),
-        (_bigram_dir(store_dir), read_bigram_stats(spark, store_dir)),
+    for name, merged in (
+        ("token_stats", read_token_stats(spark, store_dir)),
+        ("source_stats", read_source_stats(spark, store_dir)),
+        ("bigram_stats", read_bigram_stats(spark, store_dir)),
     ):
-        tmp = d.rstrip("/") + ".compacting"
-        if fs.exists(tmp):
-            fs.rmtree(tmp)
+        base = _table_base(store_dir, name)
+        cur = manifest_version(base)
+        d = base if cur is None else os.path.join(base, cur)
+        if cur is None:
+            tmp = d.rstrip("/") + ".compacting"
+            if fs.exists(tmp):
+                fs.rmtree(tmp)
+        else:
+            clean_stale_manifest_versions(base, keep=cur)
+            tmp = next_manifest_version_dir(base, cur)
         n = plan_file_count(dir_bytes(spark, d))
         merged.repartition(n).write.mode("overwrite").parquet(
             os.path.join(tmp, "batch=base")
         )
-        old = d.rstrip("/") + ".old"
-        if fs.exists(old):
+        if cur is None:
+            old = d.rstrip("/") + ".old"
+            if fs.exists(old):
+                fs.rmtree(old)
+            fs.rename(d, old)
+            fs.rename(tmp, d)
             fs.rmtree(old)
-        fs.rename(d, old)
-        fs.rename(tmp, d)
-        fs.rmtree(old)
+        else:
+            # one atomic manifest flip; the old version stays fully
+            # readable until it lands, then is deleted
+            publish_manifest(base, tmp)
+            if fs.exists(d):
+                fs.rmtree(d)

@@ -84,22 +84,14 @@ def _store_has_data(store_dir: str) -> bool:
 # (s3://, gs://; store_fs_for binds them with
 # supports_atomic_dir_rename=False and the classic swap refuses).
 
-_CURRENT_FILE = "_CURRENT"
-
-
-def _manifest_version(store_dir: str) -> str | None:
-    """The live version-dir name if ``store_dir`` is manifest-layout,
-    else None (classic layout)."""
-    fs = store_fs_for(store_dir)
-    cur = os.path.join(store_dir, _CURRENT_FILE)
-    if not fs.exists(cur):
-        return None
-    name = fs.read_text(cur).strip()
-    if not name or "/" in name or name.startswith((".", "_")):
-        raise ValueError(
-            f"corrupt manifest {cur!r}: {name!r} is not a version dir name"
-        )
-    return name
+# the per-directory manifest primitives are shared with the pair /
+# corpus-stats stores (they version per TABLE); storefs.py is the
+# canonical home, these aliases keep this module's established names
+from file_appender_spark.storefs import (  # noqa: E402
+    MANIFEST_CURRENT_FILE as _CURRENT_FILE,
+    clean_stale_manifest_versions as _clean_stale_versions,
+    manifest_version as _manifest_version,
+)
 
 
 def _resolve_store(store_dir: str) -> str:
@@ -151,20 +143,6 @@ def migrate_store_to_manifest(store_dir: str) -> str:
         fs.rename(os.path.join(store_dir, name), os.path.join(v1, name))
     fs.publish_text(os.path.join(store_dir, _CURRENT_FILE), "v1")
     return v1
-
-
-def _clean_stale_versions(store_dir: str, keep: str) -> None:
-    """Delete version dirs the manifest no longer names — crash debris
-    from an interrupted compaction (either direction). Lazy: runs at
-    the start of the next compaction, never on the read path."""
-    fs = store_fs_for(store_dir)
-    for name in fs.listdir(store_dir):
-        if (
-            name != keep
-            and not name.startswith((".", "_"))
-            and fs.isdir(os.path.join(store_dir, name))
-        ):
-            fs.rmtree(os.path.join(store_dir, name))
 
 
 # --------------------------------------------------------------------------

@@ -47,8 +47,15 @@ corpus. This module is that store:
   (_fold_new_edges — work bounded by the new pairs, not the store),
   with the full recompute as fallback and equivalence oracle.
 - ``compact_pairstore`` — fold epochs into ``batch=base`` (sized
-  output files, crash-safe two-rename swap, the corpusstats/
-  neardup_ingest discipline).
+  output files, crash-safe swap, the corpusstats/neardup_ingest
+  discipline). Two swap protocols by layout (r11): CLASSIC tables
+  use the two-rename directory swap (needs atomic rename —
+  POSIX/HDFS); MANIFEST-layout tables (each of sigs/pairs/clusters
+  carries its own ``_CURRENT``) write the next version completely
+  and flip with ONE atomic publish — which is what lets the store
+  live on object stores (auto-created there; opt-in via
+  ``create_manifest_pairstore`` / ``migrate_pairstore_to_manifest``
+  elsewhere).
 
 Scale notes: the build is q52's own plan (band equi-join candidates,
 never all-pairs) plus an O(log diameter)-round CC over the PAIR
@@ -61,7 +68,9 @@ template-family buckets. All store maintenance — compaction swaps,
 epoch listing, sidecar stamps — goes through the StoreFS seam
 (file_appender_spark/storefs.py), so the store can live on HDFS
 (``hdfs://`` store_dir) as well as local disk, matching the append
-sink's AppendFS discipline.
+sink's AppendFS discipline — and, in the MANIFEST layout, on object
+stores (``s3://``/``gs://``), whose missing atomic rename the
+per-table manifest flip does not need.
 """
 
 from __future__ import annotations
@@ -82,10 +91,27 @@ from file_appender_spark.operators.neardup_ingest import (
     _store_is_v2,
     _with_index_cols,
 )
-from file_appender_spark.storefs import require_atomic_dir_rename, store_fs_for
+from file_appender_spark.storefs import (
+    MANIFEST_CURRENT_FILE,
+    clean_stale_manifest_versions,
+    create_manifest_dir,
+    manifest_version,
+    next_manifest_version_dir,
+    publish_manifest,
+    require_atomic_dir_rename,
+    resolve_manifest_dir,
+    store_fs_for,
+)
 
 _PARAMS_FILE = "_PAIRSTORE_PARAMS.json"
 _CLUSTERS_STATE = "_CLUSTERS_STATE.json"
+_MIGRATING_MARKER = "_MIGRATING_TO_MANIFEST"
+# the three tables a maintenance pass may swap; each carries its OWN
+# manifest (dir/table/_CURRENT -> vN) in the manifest layout, because
+# they flip at different cadences (clusters on every refresh, sigs/
+# pairs only at compaction) — per-table flips match the crash-safety
+# granularity the classic per-table two-rename swap already had
+_TABLES = ("sigs", "pairs", "clusters")
 
 # the store's one band count, used at EVERY _bands_long/_resolve call
 # site (r9 ADVICE: a hard-coded 4 drifting from _params would make the
@@ -120,8 +146,23 @@ def _params(threshold: float) -> dict:
     }
 
 
+def _table_base(store_dir: str, name: str) -> str:
+    """The table's UNRESOLVED dir — where its manifest (if any) and
+    version dirs live. Maintenance swap paths need this; everything
+    else reads through the resolved live dir."""
+    return os.path.join(store_dir, name)
+
+
+def _resolve_table(store_dir: str, name: str) -> str:
+    """The table's LIVE data dir: the manifest's current version dir,
+    or the base itself for classic layout. Safe to resolve per call —
+    maintenance windows are single-writer by contract, so a flip
+    cannot race the operation that resolved."""
+    return resolve_manifest_dir(_table_base(store_dir, name))
+
+
 def _sigs_dir(store_dir: str) -> str:
-    return os.path.join(store_dir, "sigs")
+    return _resolve_table(store_dir, "sigs")
 
 
 def _sigs_row_count(store_dir: str) -> int:
@@ -146,11 +187,90 @@ def _sigs_row_count(store_dir: str) -> int:
 
 
 def _pairs_dir(store_dir: str) -> str:
-    return os.path.join(store_dir, "pairs")
+    return _resolve_table(store_dir, "pairs")
 
 
 def _clusters_dir(store_dir: str) -> str:
-    return os.path.join(store_dir, "clusters")
+    return _resolve_table(store_dir, "clusters")
+
+
+def create_manifest_pairstore(store_dir: str) -> str:
+    """Initialize an EMPTY manifest-layout pair store (the layout
+    choice is creation-time, like the signature stores'): each table
+    gets v1 + a ``_CURRENT`` manifest. Idempotent. Refuses a dir that
+    already holds classic-layout tables — use
+    migrate_pairstore_to_manifest for those. build_pair_graph calls
+    this automatically when the target filesystem lacks atomic
+    directory rename (an object store could otherwise only ever hold
+    a classic store that its own maintenance would refuse)."""
+    fs = store_fs_for(store_dir)
+    for name in _TABLES:
+        base = _table_base(store_dir, name)
+        if manifest_version(base) is not None:
+            continue
+        if fs.isdir(base):
+            raise ValueError(
+                f"{base!r} already holds a classic-layout table; use "
+                "migrate_pairstore_to_manifest instead"
+            )
+        create_manifest_dir(base)
+    return store_dir
+
+
+def migrate_pairstore_to_manifest(store_dir: str) -> str:
+    """Convert a CLASSIC pair store in place (single-writer
+    maintenance window): move each table's epoch partitions into its
+    ``v1`` and publish the table manifests. Needs per-dir renames, so
+    it runs on POSIX/HDFS only — which is where classic stores can
+    exist at all. RESUMABLE: the store-level marker makes every other
+    entry point refuse after a mid-move crash, and a re-run skips
+    already-published tables and finishes moving the rest (moves are
+    per-child and idempotent to re-attempt)."""
+    fs = store_fs_for(store_dir)
+    bases = [_table_base(store_dir, n) for n in _TABLES]
+    if all(manifest_version(b) is not None for b in bases):
+        return store_dir
+    require_atomic_dir_rename(fs, store_dir, "migrate_pairstore_to_manifest")
+    # classic .old recovery first — NOT _recover, which refuses on the
+    # migration marker this function itself is about to drop
+    for b in bases:
+        old = b.rstrip("/") + ".old"
+        if not fs.exists(b) and fs.exists(old):
+            fs.rename(old, b)
+    marker = os.path.join(store_dir, _MIGRATING_MARKER)
+    fs.makedirs(store_dir)
+    fs.write_text(marker, "pair-store manifest migration in progress")
+    for b in bases:
+        if manifest_version(b) is not None:
+            continue  # resumed run: this table already flipped
+        v1 = os.path.join(b, "v1")
+        fs.makedirs(v1)
+        for name in fs.listdir(b):
+            if name == "v1" or name.startswith((".", "_")):
+                continue
+            fs.rename(os.path.join(b, name), os.path.join(v1, name))
+        fs.publish_text(os.path.join(b, MANIFEST_CURRENT_FILE), "v1")
+    fs.remove(marker)
+    return store_dir
+
+
+def _refuse_mid_migration(fs, store_dir: str) -> None:
+    if fs.exists(os.path.join(store_dir, _MIGRATING_MARKER)):
+        raise ValueError(
+            f"pair store {store_dir} has an unfinished manifest migration "
+            "(crash mid-migrate_pairstore_to_manifest): some tables are "
+            "half-moved — re-run migrate_pairstore_to_manifest to finish"
+        )
+
+
+def _ensure_store_layout(store_dir: str) -> None:
+    """Creation-time layout choice: on a filesystem without atomic
+    directory rename the classic swap can never run, so a NEW store
+    must be manifest-layout (create_manifest_pairstore refuses loudly
+    if classic tables already exist there). POSIX/HDFS stores default
+    to classic; manifest is the explicit opt-in."""
+    if not store_fs_for(store_dir).supports_atomic_dir_rename:
+        create_manifest_pairstore(store_dir)
 
 
 def pair_signatures(
@@ -277,10 +397,13 @@ def _stamp_params(store_dir: str, threshold: float) -> None:
     (the corpusstats r7-advice lesson, applied from day one here)."""
     fs = store_fs_for(store_dir)
     fs.makedirs(store_dir)
-    path = os.path.join(store_dir, _PARAMS_FILE)
-    tmp = path + ".tmp"
-    fs.write_text(tmp, json.dumps(_params(threshold), sort_keys=True))
-    fs.replace_file(tmp, path)
+    # publish_text, not write+replace_file: atomic on POSIX/HDFS via
+    # the same tmp+rename, one atomic PUT on object stores (where
+    # replace_file would raise)
+    fs.publish_text(
+        os.path.join(store_dir, _PARAMS_FILE),
+        json.dumps(_params(threshold), sort_keys=True),
+    )
 
 
 def _check_params(store_dir: str, threshold: float | None) -> float:
@@ -305,21 +428,28 @@ def _check_params(store_dir: str, threshold: float | None) -> float:
 
 
 def _recover(store_dir: str) -> None:
-    """Restore .old backups a compaction/refresh crash left behind —
-    the single-fault discipline shared by every incremental store.
-    The pair store has NO manifest layout (deferred with measurement:
-    its maintenance swaps three tables and the r10 x1000 probe put its
-    epoch ratio at 1.12 without one), so its crash-safety still
-    requires atomic directory rename — enforced loudly here, at the
-    head of every maintenance entry (r10 verdict task 4 relaxed the
-    bind-time scheme refusal for the signature stores' manifest
-    layout)."""
+    """Crash recovery at the head of every entry point — the
+    single-fault discipline shared by every incremental store, now
+    layout-aware (r11, lifting the r10 deferral): MANIFEST-layout
+    tables need no recovery at all (crash debris is a stale version
+    dir, cleaned lazily by the next swap of that table), so a fully
+    manifest store runs on filesystems without atomic directory
+    rename. CLASSIC tables keep the .old restore, whose crash-safety
+    still requires the rename — enforced loudly here, per table,
+    only when classic data actually exists."""
     fs = store_fs_for(store_dir)
-    require_atomic_dir_rename(fs, store_dir, "pair-store maintenance")
-    for d in (_sigs_dir(store_dir), _pairs_dir(store_dir), _clusters_dir(store_dir)):
-        old = d.rstrip("/") + ".old"
-        if not fs.exists(d) and fs.exists(old):
-            fs.rename(old, d)
+    _refuse_mid_migration(fs, store_dir)
+    for name in _TABLES:
+        base = _table_base(store_dir, name)
+        if manifest_version(base) is not None:
+            continue
+        old = base.rstrip("/") + ".old"
+        if fs.exists(base) or fs.exists(old):
+            require_atomic_dir_rename(
+                fs, store_dir, "classic-layout pair-store maintenance"
+            )
+        if not fs.exists(base) and fs.exists(old):
+            fs.rename(old, base)
 
 
 def _write_epoch(df: DataFrame, base: str, batch_id: str) -> None:
@@ -357,6 +487,7 @@ def build_pair_graph(
         threshold = _q52_threshold()
 
     _recover(store_dir)
+    _ensure_store_layout(store_dir)  # manifest is mandatory sans atomic rename
     # wipe FIRST, stamp params only after the new tables exist: a
     # crash mid-rebuild must leave a store that fails LOUDLY (missing
     # tables / missing stamp), never old-threshold pairs readable
@@ -804,29 +935,43 @@ def refresh_clusters(
         pairs = read_pairs(spark, store_dir).select("d1", "d2")
         cl = dedup_clusters(pairs).select("doc", "cluster")
         used = "full"
-    d = _clusters_dir(store_dir)
-    tmp = d.rstrip("/") + ".refreshing"
-    if fs.exists(tmp):
-        fs.rmtree(tmp)
+    base = _table_base(store_dir, "clusters")
+    cur = manifest_version(base)
+    if cur is None:
+        d = base
+        tmp = d.rstrip("/") + ".refreshing"
+        if fs.exists(tmp):
+            fs.rmtree(tmp)
+    else:
+        # manifest swap: write the next version COMPLETELY, flip the
+        # manifest atomically, delete the old version after — no
+        # rename, no mid-swap absent-dir window
+        clean_stale_manifest_versions(base, keep=cur)
+        tmp = next_manifest_version_dir(base, cur)
     # repartition(>=1) guarantees at least one footer-bearing file so
     # an empty graph still reads back with a schema
     cl.repartition(max(1, spark.sparkContext.defaultParallelism // 8)).write.mode(
         "overwrite"
     ).parquet(tmp)
-    old = d.rstrip("/") + ".old"
-    if fs.exists(old):
-        fs.rmtree(old)
-    if fs.exists(d):
-        fs.rename(d, old)
-    fs.rename(tmp, d)
-    if fs.exists(old):
-        fs.rmtree(old)
-    stmp = state + ".tmp"
-    fs.write_text(
-        stmp,
+    if cur is None:
+        old = d.rstrip("/") + ".old"
+        if fs.exists(old):
+            fs.rmtree(old)
+        if fs.exists(d):
+            fs.rename(d, old)
+        fs.rename(tmp, d)
+        if fs.exists(old):
+            fs.rmtree(old)
+    else:
+        publish_manifest(base, tmp)
+        # the old version can legitimately be absent (build_pair_graph
+        # wipes the resolved dir before its first refresh)
+        if fs.exists(os.path.join(base, cur)):
+            fs.rmtree(os.path.join(base, cur))
+    fs.publish_text(
+        state,
         json.dumps({"covers": _epoch_ids(_pairs_dir(store_dir))}, sort_keys=True),
     )
-    fs.replace_file(stmp, state)
     return used
 
 
@@ -869,7 +1014,9 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
     ``base`` partitions with sized output files — long-running ingest
     otherwise pays ever-growing file listing on every history join.
     Writer paused by contract (one sequential writer by design);
-    crash-safe two-rename swap per table. The cluster coverage stamp
+    crash-safe swap per table (two renames for classic tables, one
+    atomic manifest publish for manifest tables — which never leaves
+    an absent-dir window). The cluster coverage stamp
     is rewritten to the folded epoch list ONLY when the assignment
     was fresh going in (content unchanged => still fresh); a stale
     assignment stays stale (empty coverage), because folding epochs
@@ -895,39 +1042,52 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
         # mid-fold then reads as (at worst spuriously) STALE — never
         # as spuriously fresh, which a crash between the pairs swap
         # and a trailing state write would produce (review finding)
-        stmp = state + ".tmp"
-        fs.write_text(
-            stmp,
+        fs.publish_text(
+            state,
             json.dumps(
                 {"covers": ["base"] if clusters_were_fresh else []},
                 sort_keys=True,
             ),
         )
-        fs.replace_file(stmp, state)
-    for d in (_sigs_dir(store_dir), _pairs_dir(store_dir)):
+    for name in ("sigs", "pairs"):
+        base = _table_base(store_dir, name)
+        cur = manifest_version(base)
+        d = base if cur is None else os.path.join(base, cur)
         merged = spark.read.option("basePath", d).parquet(d).drop("batch")
-        if d == _sigs_dir(store_dir) and not _store_is_v2(merged):
+        if name == "sigs" and not _store_is_v2(merged):
             # compaction is the v1 -> v2 migration point: fold in the
             # precomputed band-hash columns so later epochs scan longs
             merged = _with_sig_hashes(merged)
-        if d == _pairs_dir(store_dir):
+        if name == "pairs":
             # cross-epoch duplicate pairs (an out-of-order replay's
             # contract violation — see pairstore_ingest_batch) are
             # collapsed here for good; read_pairs dedups them on the
             # fly until compaction. Sigs never duplicate: each doc's
             # signature lives in exactly its own overwritten epoch.
             merged = merged.distinct()
-        tmp = d.rstrip("/") + ".compacting"
-        if fs.exists(tmp):
-            fs.rmtree(tmp)
+        if cur is None:
+            tmp = d.rstrip("/") + ".compacting"
+            if fs.exists(tmp):
+                fs.rmtree(tmp)
+        else:
+            clean_stale_manifest_versions(base, keep=cur)
+            tmp = next_manifest_version_dir(base, cur)
         n = plan_file_count(dir_bytes(spark, d))
         merged.repartition(n).write.mode("overwrite").parquet(
             os.path.join(tmp, "batch=base")
         )
-        old = d.rstrip("/") + ".old"
-        if fs.exists(old):
+        if cur is None:
+            old = d.rstrip("/") + ".old"
+            if fs.exists(old):
+                fs.rmtree(old)
+            fs.rename(d, old)
+            fs.rename(tmp, d)
             fs.rmtree(old)
-        fs.rename(d, old)
-        fs.rename(tmp, d)
-        fs.rmtree(old)
+        else:
+            # one atomic manifest flip; the old version stays fully
+            # readable until it lands, then is deleted (crash between
+            # the two leaves debris the next pass cleans)
+            publish_manifest(base, tmp)
+            if fs.exists(d):
+                fs.rmtree(d)
 

@@ -252,3 +252,64 @@ def q270_textdup_manifest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("doc_id") % 2).cast("int").alias("epoch")
     ).write.mode("append").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+_Q116_ORACLE = QUERIES["q116_dedup_clusters"].oracle
+
+
+@register("q271_pairstore_manifest_served", _Q116_ORACLE)
+def q271_pairstore_manifest_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q263's pair-store lifecycle with the PER-TABLE manifest layout
+    exercised mid-lifecycle (the r11 lift of the r10 deferral, under
+    the driver hash): build a CLASSIC store over even doc_ids, ingest
+    the odd ids as an epoch, migrate in place
+    (migrate_pairstore_to_manifest — all three tables asserted v1),
+    fold the clusters incrementally (the refresh swap is now ONE
+    atomic manifest publish — clusters asserted v2), compact under
+    the manifest protocol (sigs/pairs asserted v2, old versions
+    gone), then serve q116's shape from the store. Neither the
+    migration nor two manifest-protocol swaps may change one cluster:
+    hash-equal to the full-corpus closure oracle or the driver fails
+    the row."""
+    from file_appender_spark.operators.pairstore import (
+        build_pair_graph,
+        compact_pairstore,
+        migrate_pairstore_to_manifest,
+        pairstore_ingest_batch,
+        refresh_clusters,
+    )
+    from file_appender_spark.queries.llm import q116_dedup_clusters
+    from file_appender_spark.storefs import manifest_version
+
+    def _assert_version(table: str, want: str) -> None:
+        got = manifest_version(os.path.join(store, table))
+        if got != want:
+            raise AssertionError(
+                f"{table} manifest must be {want!r}, got {got!r}"
+            )
+
+    store = _scratch("q271_pairmani")
+    docs = _t(spark, sf_dir, "documents")
+    build_pair_graph(spark, docs.filter(F.col("doc_id") % 2 == 0), store)
+    pairstore_ingest_batch(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 1),
+        store,
+        batch_id=1,
+        band_bucket_cap=None,
+    )
+    migrate_pairstore_to_manifest(store)
+    for table in ("sigs", "pairs", "clusters"):
+        _assert_version(table, "v1")
+    used = refresh_clusters(spark, store)
+    if used != "incremental":
+        raise AssertionError(
+            f"expected the incremental fold, refresh chose {used!r}"
+        )
+    _assert_version("clusters", "v2")
+    compact_pairstore(spark, store)
+    _assert_version("sigs", "v2")
+    _assert_version("pairs", "v2")
+    return q116_dedup_clusters(spark, sf_dir, graph_dir=store)

@@ -464,6 +464,92 @@ def require_atomic_dir_rename(fs: "StoreFS", path: str, what: str) -> None:
         )
 
 
+# --------------------------------------------------------------------------
+# Manifest protocol (shared): versioned data dirs + one atomic flip
+# --------------------------------------------------------------------------
+#
+# The canonical per-DIRECTORY form of the r10 manifest layout
+# (operators/neardup_ingest.py applies it store-wide; operators/
+# pairstore.py and operators/corpusstats.py apply it per TABLE —
+# their maintenance swaps three tables each, and each table flips
+# independently exactly as its two-rename swap did). Data lives in
+# version subdirs (dir/v1, v2, ...); a one-line ``_CURRENT`` file
+# names the live one; ``publish_text`` flips it atomically (tmp +
+# replace on POSIX/HDFS, one PUT on object stores — the atomicity
+# object stores actually provide). Crash debris in either direction
+# is a stale version dir, cleaned lazily by the next maintenance
+# pass — no recovery rename exists or is needed, which is what makes
+# the layout legal on filesystems without atomic directory rename.
+
+MANIFEST_CURRENT_FILE = "_CURRENT"
+
+
+def manifest_version(directory: str) -> str | None:
+    """The live version-dir name if ``directory`` is manifest-layout,
+    else None (classic layout)."""
+    fs = store_fs_for(directory)
+    cur = os.path.join(directory, MANIFEST_CURRENT_FILE)
+    if not fs.exists(cur):
+        return None
+    name = fs.read_text(cur).strip()
+    if not name or "/" in name or name.startswith((".", "_")):
+        raise ValueError(
+            f"corrupt manifest {cur!r}: {name!r} is not a version dir name"
+        )
+    return name
+
+
+def resolve_manifest_dir(directory: str) -> str:
+    """Where the live data actually is: the manifest's current version
+    dir, or ``directory`` itself for classic layout."""
+    v = manifest_version(directory)
+    return directory if v is None else os.path.join(directory, v)
+
+
+def next_manifest_version_dir(directory: str, current: str) -> str:
+    """The version dir a maintenance pass should write COMPLETELY
+    before flipping the manifest to it."""
+    return os.path.join(directory, f"v{int(current[1:]) + 1}")
+
+
+def publish_manifest(directory: str, version_dir: str) -> None:
+    """Atomically flip ``directory``'s manifest to ``version_dir``
+    (already fully written). Readers resolve old or new, never a
+    half-state."""
+    store_fs_for(directory).publish_text(
+        os.path.join(directory, MANIFEST_CURRENT_FILE),
+        os.path.basename(version_dir.rstrip("/")),
+    )
+
+
+def clean_stale_manifest_versions(directory: str, keep: str) -> None:
+    """Delete version dirs the manifest no longer names — crash debris
+    from an interrupted maintenance pass (either direction). Lazy:
+    runs at the start of the next pass, never on the read path."""
+    fs = store_fs_for(directory)
+    for name in fs.listdir(directory):
+        if (
+            name != keep
+            and not name.startswith((".", "_"))
+            and fs.isdir(os.path.join(directory, name))
+        ):
+            fs.rmtree(os.path.join(directory, name))
+
+
+def create_manifest_dir(directory: str) -> str:
+    """Initialize an EMPTY manifest-layout directory: makes ``v1`` and
+    publishes the manifest. Idempotent if already manifest-layout.
+    Refusing non-empty classic data is the CALLER's job (only it
+    knows what counts as data for its layout)."""
+    fs = store_fs_for(directory)
+    if manifest_version(directory) is not None:
+        return resolve_manifest_dir(directory)
+    v1 = os.path.join(directory, "v1")
+    fs.makedirs(v1)
+    fs.publish_text(os.path.join(directory, MANIFEST_CURRENT_FILE), "v1")
+    return v1
+
+
 def store_fs_for(path: str) -> StoreFS:
     """Scheme dispatch, mirroring the sink's ``fs_for_path``:
     ``hdfs://`` store dirs get the pyarrow Hadoop adapter, ``file://``

@@ -158,17 +158,26 @@ def test_classic_store_refused_on_no_dir_rename_backend(
         compact_store(spark, store, id_col="doc_id")
 
 
-def test_pairstore_maintenance_refused_on_no_dir_rename_backend(
-    spark, tmp_path, object_fs
+def test_classic_pairstore_refused_on_no_dir_rename_backend(
+    spark, tmp_path, monkeypatch
 ):
-    """The pair store has no manifest layout (deferred with the r10
-    measurement); its maintenance must refuse loudly, not corrupt."""
-    from file_appender_spark.operators.pairstore import build_pair_graph
+    """A pre-existing CLASSIC pair store on an object filesystem is
+    refused loudly at every entry point (its .old-restore recovery
+    could never run there); fresh stores auto-create the manifest
+    layout instead — see test_pairstore_manifest_lifecycle."""
+    from file_appender_spark.operators.pairstore import (
+        build_pair_graph,
+        compact_pairstore,
+        read_pairs,
+    )
 
+    store = str(tmp_path / "ps_classic_obj")
+    build_pair_graph(spark, _corpus(spark, 10), store)  # classic, POSIX
+    monkeypatch.setitem(storefs._FS_CACHE, "posix", NoDirRenameFS())
     with pytest.raises(ValueError, match="atomic directory rename"):
-        build_pair_graph(
-            spark, _corpus(spark, 6), str(tmp_path / "ps_obj")
-        )
+        compact_pairstore(spark, store)
+    with pytest.raises(ValueError, match="atomic directory rename"):
+        read_pairs(spark, store)
 
 
 def test_manifest_layout_is_fs_agnostic_and_decision_identical(
@@ -219,3 +228,294 @@ def test_migrate_classic_store_to_manifest(spark, tmp_path):
     assert got == [801]
     compact_store(spark, store, id_col="doc_id", index_buckets=64)
     assert _manifest_version(store) == "v2"
+
+
+# --------------------------------------------------------------------------
+# r11: per-TABLE manifests for the pair / corpus-stats stores (the two
+# r10 deferrals). Each table (sigs/pairs/clusters; token/source/bigram
+# stats) carries its own _CURRENT and flips with one atomic publish —
+# the same crash-safety granularity the classic per-table two-rename
+# swap had, minus the rename requirement.
+# --------------------------------------------------------------------------
+
+
+def _sorted_pairs(spark, store):
+    from file_appender_spark.operators.pairstore import read_pairs
+
+    return sorted(
+        (min(r["d1"], r["d2"]), max(r["d1"], r["d2"]))
+        for r in read_pairs(spark, store).collect()
+    )
+
+
+def _cluster_groups(spark, store):
+    """Cluster CONTENTS (canonical member tuples), not raw labels —
+    labels are representative-based and path-dependent; the contract
+    is the grouping."""
+    from collections import defaultdict
+
+    from file_appender_spark.operators.pairstore import (
+        read_cluster_assignment,
+    )
+
+    groups = defaultdict(set)
+    for r in read_cluster_assignment(spark, store).collect():
+        groups[r["cluster"]].add(r["doc"])
+    # canonical tuples, not frozensets: sorted() over sets compares by
+    # SUBSET (a partial order) and gives an unstable result
+    return sorted(tuple(sorted(g)) for g in groups.values())
+
+
+def test_pairstore_manifest_lifecycle_on_no_dir_rename_backend(
+    spark, tmp_path, object_fs
+):
+    """Full pair-store lifecycle on the object backend: auto-created
+    per-table manifests, build, ingest epoch, INCREMENTAL cluster
+    refresh, compaction (sigs/pairs flip to v2), reads — with every
+    rename-dependent op forbidden by the backend."""
+    from file_appender_spark.operators.pairstore import (
+        build_pair_graph,
+        compact_pairstore,
+        pairstore_ingest_batch,
+        refresh_clusters,
+    )
+
+    store = str(tmp_path / "ps_obj")
+    docs = _corpus(spark, 30)
+    build_pair_graph(spark, docs, store)
+    for t in ("sigs", "pairs", "clusters"):
+        assert os.path.isfile(os.path.join(store, t, _CURRENT_FILE))
+    # exact twins at i % 10 == 1; everything else is word-disjoint
+    assert _sorted_pairs(spark, store) == [(0, 1), (10, 11), (20, 21)]
+    base_groups = _cluster_groups(spark, store)
+    assert base_groups == [(0, 1), (10, 11), (20, 21)]
+    # ingest epoch: a twin of doc 0's text joins that family
+    t0 = docs.filter("doc_id = 0").collect()[0]["text"]
+    ep = _docs(spark, [(100, t0), (101, "entirely fresh words here now")])
+    pairstore_ingest_batch(spark, ep, store, 1)
+    assert refresh_clusters(spark, store) == "incremental"
+    assert (0, 1, 100) in _cluster_groups(spark, store)
+    compact_pairstore(spark, store)
+    for t in ("sigs", "pairs"):
+        cur = open(os.path.join(store, t, _CURRENT_FILE)).read().strip()
+        assert cur == "v2"
+        assert not os.path.exists(os.path.join(store, t, "v1"))
+    assert _sorted_pairs(spark, store) == [
+        (0, 1),
+        (0, 100),
+        (1, 100),
+        (10, 11),
+        (20, 21),
+    ]
+    assert (0, 1, 100) in _cluster_groups(spark, store)
+
+
+def test_pairstore_manifest_parity_with_classic(spark, tmp_path):
+    """The layouts must serve IDENTICAL pair sets and cluster
+    groupings for the same build + epoch sequence (manifest works on
+    POSIX too — the layout choice is creation-time), with a
+    compaction wedged into the manifest run."""
+    from file_appender_spark.operators.pairstore import (
+        build_pair_graph,
+        compact_pairstore,
+        create_manifest_pairstore,
+        pairstore_ingest_batch,
+        refresh_clusters,
+    )
+
+    docs = _corpus(spark, 40, tag="pp")
+    got = {}
+    for layout in ("classic", "manifest"):
+        store = str(tmp_path / layout)
+        if layout == "manifest":
+            create_manifest_pairstore(store)
+        build_pair_graph(spark, docs.filter("doc_id < 25"), store)
+        pairstore_ingest_batch(
+            spark, docs.filter("doc_id >= 25"), store, 1
+        )
+        if layout == "manifest":
+            compact_pairstore(spark, store)
+        refresh_clusters(spark, store)
+        got[layout] = (
+            _sorted_pairs(spark, store),
+            _cluster_groups(spark, store),
+        )
+    assert got["classic"] == got["manifest"]
+
+
+def test_migrate_pairstore_to_manifest(spark, tmp_path):
+    """In-place migration (POSIX): history survives byte-identically,
+    idempotent re-run, and the next compaction runs the manifest
+    protocol."""
+    from file_appender_spark.operators.pairstore import (
+        build_pair_graph,
+        compact_pairstore,
+        migrate_pairstore_to_manifest,
+        pairstore_ingest_batch,
+        refresh_clusters,
+    )
+
+    store = str(tmp_path / "ps_migrate")
+    docs = _corpus(spark, 30, tag="pm")
+    build_pair_graph(spark, docs.filter("doc_id < 20"), store)
+    pairstore_ingest_batch(spark, docs.filter("doc_id >= 20"), store, 1)
+    refresh_clusters(spark, store)
+    before = (_sorted_pairs(spark, store), _cluster_groups(spark, store))
+    assert migrate_pairstore_to_manifest(store) == store
+    assert migrate_pairstore_to_manifest(store) == store  # idempotent
+    for t in ("sigs", "pairs", "clusters"):
+        cur = open(os.path.join(store, t, _CURRENT_FILE)).read().strip()
+        assert cur == "v1"
+    assert (_sorted_pairs(spark, store), _cluster_groups(spark, store)) == before
+    compact_pairstore(spark, store)
+    assert (
+        open(os.path.join(store, "pairs", _CURRENT_FILE)).read().strip()
+        == "v2"
+    )
+    assert (_sorted_pairs(spark, store), _cluster_groups(spark, store)) == before
+
+
+def test_pairstore_migration_resumes_after_crash(
+    spark, tmp_path, monkeypatch
+):
+    """A crash mid-migration leaves the marker; every entry point
+    refuses until a re-run finishes the remaining tables."""
+    from file_appender_spark.operators.pairstore import (
+        migrate_pairstore_to_manifest,
+        build_pair_graph,
+        read_pairs,
+    )
+
+    store = str(tmp_path / "ps_crash")
+    build_pair_graph(spark, _corpus(spark, 12, tag="pc"), store)
+    want = _sorted_pairs(spark, store)
+
+    real = LocalStoreFS.publish_text
+    calls = {"n": 0}
+
+    def flaky(self, path, text):
+        if os.path.basename(path) == _CURRENT_FILE:
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated crash mid-migration")
+        real(self, path, text)
+
+    monkeypatch.setattr(LocalStoreFS, "publish_text", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        migrate_pairstore_to_manifest(store)
+    with pytest.raises(ValueError, match="unfinished manifest migration"):
+        read_pairs(spark, store)
+    monkeypatch.setattr(LocalStoreFS, "publish_text", real)
+    migrate_pairstore_to_manifest(store)  # resumes: finishes the rest
+    for t in ("sigs", "pairs", "clusters"):
+        assert os.path.isfile(os.path.join(store, t, _CURRENT_FILE))
+    assert _sorted_pairs(spark, store) == want
+
+
+def _cdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_corpusstats_manifest_lifecycle_on_no_dir_rename_backend(
+    spark, tmp_path, object_fs
+):
+    """Corpus-stats lifecycle on the object backend: auto-created
+    per-table manifests, build, ingest epoch, compaction flip, and
+    merged reads equal to the from-scratch aggregation."""
+    from file_appender_spark.operators.corpusstats import (
+        build_corpus_stats,
+        compact_corpus_stats,
+        corpus_bigram_stats,
+        corpus_source_stats,
+        corpus_token_stats,
+        corpusstats_ingest_batch,
+        read_bigram_stats,
+        read_source_stats,
+        read_token_stats,
+    )
+
+    store = str(tmp_path / "cs_obj")
+    d1 = _cdocs(
+        spark,
+        [(1, "a", "x y x"), (2, "a", "y z"), (3, "b", "p q p q")],
+    )
+    d2 = _cdocs(spark, [(4, "a", "x q"), (5, "b", "q q r")])
+    build_corpus_stats(spark, d1, store)
+    for t in ("token_stats", "source_stats", "bigram_stats"):
+        assert os.path.isfile(os.path.join(store, t, _CURRENT_FILE))
+    corpusstats_ingest_batch(spark, d2, store, 1)
+    compact_corpus_stats(spark, store)
+    for t in ("token_stats", "source_stats", "bigram_stats"):
+        cur = open(os.path.join(store, t, _CURRENT_FILE)).read().strip()
+        assert cur == "v2"
+        assert not os.path.exists(os.path.join(store, t, "v1"))
+    full = d1.unionByName(d2)
+    for read_fn, batch_fn in (
+        (read_token_stats, corpus_token_stats),
+        (read_source_stats, corpus_source_stats),
+        (read_bigram_stats, corpus_bigram_stats),
+    ):
+        got = sorted(map(tuple, read_fn(spark, store).collect()))
+        want = sorted(map(tuple, batch_fn(full).collect()))
+        assert got == want
+
+
+def test_migrate_corpusstats_to_manifest(spark, tmp_path):
+    """In-place migration (POSIX): counts survive, idempotent, and the
+    next compaction flips instead of renaming."""
+    from file_appender_spark.operators.corpusstats import (
+        build_corpus_stats,
+        compact_corpus_stats,
+        corpusstats_ingest_batch,
+        migrate_corpusstats_to_manifest,
+        read_token_stats,
+    )
+
+    store = str(tmp_path / "cs_migrate")
+    build_corpus_stats(
+        spark, _cdocs(spark, [(1, "a", "m n m"), (2, "b", "n o")]), store
+    )
+    corpusstats_ingest_batch(
+        spark, _cdocs(spark, [(3, "a", "m o o")]), store, 1
+    )
+    before = sorted(map(tuple, read_token_stats(spark, store).collect()))
+    assert migrate_corpusstats_to_manifest(store) == store
+    assert migrate_corpusstats_to_manifest(store) == store  # idempotent
+    assert (
+        sorted(map(tuple, read_token_stats(spark, store).collect()))
+        == before
+    )
+    compact_corpus_stats(spark, store)
+    cur = open(
+        os.path.join(store, "token_stats", _CURRENT_FILE)
+    ).read().strip()
+    assert cur == "v2"
+    assert (
+        sorted(map(tuple, read_token_stats(spark, store).collect()))
+        == before
+    )
+
+
+def test_classic_corpusstats_refused_on_no_dir_rename_backend(
+    spark, tmp_path, monkeypatch
+):
+    """A pre-existing CLASSIC corpus-stats store on an object
+    filesystem is refused loudly (its .old recovery could never run
+    there); fresh stores auto-create the manifest layout."""
+    from file_appender_spark.operators.corpusstats import (
+        build_corpus_stats,
+        compact_corpus_stats,
+        read_token_stats,
+    )
+
+    store = str(tmp_path / "cs_classic_obj")
+    build_corpus_stats(
+        spark, _cdocs(spark, [(1, "a", "u v")]), store
+    )  # classic, POSIX
+    monkeypatch.setitem(storefs._FS_CACHE, "posix", NoDirRenameFS())
+    with pytest.raises(ValueError, match="atomic directory rename"):
+        read_token_stats(spark, store)
+    with pytest.raises(ValueError, match="atomic directory rename"):
+        compact_corpus_stats(spark, store)
