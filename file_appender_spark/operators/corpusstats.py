@@ -316,7 +316,7 @@ def create_manifest_corpusstats(store_dir: str) -> str:
         base = _table_base(store_dir, name)
         if manifest_version(base) is not None:
             continue
-        if fs.isdir(base):
+        if fs.isdir(base) and fs.listdir(base):
             raise ValueError(
                 f"{base!r} already holds a classic-layout table; use "
                 "migrate_corpusstats_to_manifest instead"
