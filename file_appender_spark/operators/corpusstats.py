@@ -46,15 +46,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from file_appender_spark.storefs import (
-    MANIFEST_CURRENT_FILE,
-    clean_stale_manifest_versions,
-    create_manifest_dir,
+    create_manifest_tables,
     manifest_version,
-    next_manifest_version_dir,
-    publish_manifest,
+    migrate_tables_to_manifest,
+    refuse_mid_migration,
     require_atomic_dir_rename,
     resolve_manifest_dir,
     store_fs_for,
+    swap_table_dir,
 )
 
 _PARAMS_FILE = "_corpusstats_params.json"
@@ -307,63 +306,29 @@ def _bigram_dir(store_dir: str) -> str:
 def create_manifest_corpusstats(store_dir: str) -> str:
     """Initialize an EMPTY manifest-layout corpus-stats store (layout
     is a creation-time choice): each table gets v1 + a ``_CURRENT``
-    manifest. Idempotent; refuses classic-layout tables (use
-    migrate_corpusstats_to_manifest). The build/ingest entry points
-    call this automatically when the target filesystem lacks atomic
-    directory rename."""
-    fs = store_fs_for(store_dir)
-    for name in _TABLE_NAMES:
-        base = _table_base(store_dir, name)
-        if manifest_version(base) is not None:
-            continue
-        if fs.isdir(base) and fs.listdir(base):
-            raise ValueError(
-                f"{base!r} already holds a classic-layout table; use "
-                "migrate_corpusstats_to_manifest instead"
-            )
-        create_manifest_dir(base)
-    return store_dir
+    manifest. Idempotent and crash-resumable; refuses classic data or
+    classic ``.old`` debris (storefs.create_manifest_tables). The
+    build/ingest entry points call this automatically when the target
+    filesystem lacks atomic directory rename."""
+    return create_manifest_tables(
+        store_dir,
+        _TABLE_NAMES,
+        "corpus-stats",
+        "migrate_corpusstats_to_manifest",
+    )
 
 
 def migrate_corpusstats_to_manifest(store_dir: str) -> str:
     """Convert a CLASSIC store in place (single-writer window,
-    POSIX/HDFS only — where classic stores can exist). RESUMABLE: the
-    marker makes every other entry point refuse after a mid-move
-    crash; a re-run skips already-published tables and finishes the
-    rest (pairstore.py's migration discipline)."""
-    fs = store_fs_for(store_dir)
-    bases = [_table_base(store_dir, n) for n in _TABLE_NAMES]
-    if all(manifest_version(b) is not None for b in bases):
-        return store_dir
-    require_atomic_dir_rename(fs, store_dir, "migrate_corpusstats_to_manifest")
-    for b in bases:  # classic .old recovery (not _recover: marker)
-        old = b.rstrip("/") + ".old"
-        if not fs.exists(b) and fs.exists(old):
-            fs.rename(old, b)
-    marker = os.path.join(store_dir, _MIGRATING_MARKER)
-    fs.makedirs(store_dir)
-    fs.write_text(marker, "corpus-stats manifest migration in progress")
-    for b in bases:
-        if manifest_version(b) is not None:
-            continue  # resumed run: this table already flipped
-        v1 = os.path.join(b, "v1")
-        fs.makedirs(v1)
-        for name in fs.listdir(b):
-            if name == "v1" or name.startswith((".", "_")):
-                continue
-            fs.rename(os.path.join(b, name), os.path.join(v1, name))
-        fs.publish_text(os.path.join(b, MANIFEST_CURRENT_FILE), "v1")
-    fs.remove(marker)
-    return store_dir
-
-
-def _refuse_mid_migration(fs, store_dir: str) -> None:
-    if fs.exists(os.path.join(store_dir, _MIGRATING_MARKER)):
-        raise ValueError(
-            f"corpus-stats store {store_dir} has an unfinished manifest "
-            "migration (crash mid-migrate_corpusstats_to_manifest): some "
-            "tables are half-moved — re-run migrate_corpusstats_to_manifest"
-        )
+    POSIX/HDFS only — where classic stores can exist). RESUMABLE via
+    the store-level marker; also sweeps classic debris siblings
+    (storefs.migrate_tables_to_manifest has the full contract)."""
+    return migrate_tables_to_manifest(
+        store_dir,
+        _TABLE_NAMES,
+        _MIGRATING_MARKER,
+        "migrate_corpusstats_to_manifest",
+    )
 
 
 def _ensure_store_layout(store_dir: str) -> None:
@@ -505,7 +470,12 @@ def _recover(store_dir: str) -> None:
     restore, which still requires the rename — enforced per table,
     only when classic data actually exists."""
     fs = store_fs_for(store_dir)
-    _refuse_mid_migration(fs, store_dir)
+    refuse_mid_migration(
+        store_dir,
+        _MIGRATING_MARKER,
+        "corpus-stats",
+        "migrate_corpusstats_to_manifest",
+    )
     for name in _TABLE_NAMES:
         base = _table_base(store_dir, name)
         if manifest_version(base) is not None:
@@ -534,36 +504,16 @@ def compact_corpus_stats(spark: SparkSession, store_dir: str) -> None:
     from file_appender_spark.operators.layout import dir_bytes, plan_file_count
 
     _recover(store_dir)
-    fs = store_fs_for(store_dir)
     for name, merged in (
         ("token_stats", read_token_stats(spark, store_dir)),
         ("source_stats", read_source_stats(spark, store_dir)),
         ("bigram_stats", read_bigram_stats(spark, store_dir)),
     ):
-        base = _table_base(store_dir, name)
-        cur = manifest_version(base)
-        d = base if cur is None else os.path.join(base, cur)
-        if cur is None:
-            tmp = d.rstrip("/") + ".compacting"
-            if fs.exists(tmp):
-                fs.rmtree(tmp)
-        else:
-            clean_stale_manifest_versions(base, keep=cur)
-            tmp = next_manifest_version_dir(base, cur)
-        n = plan_file_count(dir_bytes(spark, d))
-        merged.repartition(n).write.mode("overwrite").parquet(
-            os.path.join(tmp, "batch=base")
+        n = plan_file_count(dir_bytes(spark, _resolve_table(store_dir, name)))
+        # the shared classic-two-rename vs manifest-publish swap
+        swap_table_dir(
+            _table_base(store_dir, name),
+            lambda tmp, m=merged, k=n: m.repartition(k)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "batch=base")),
         )
-        if cur is None:
-            old = d.rstrip("/") + ".old"
-            if fs.exists(old):
-                fs.rmtree(old)
-            fs.rename(d, old)
-            fs.rename(tmp, d)
-            fs.rmtree(old)
-        else:
-            # one atomic manifest flip; the old version stays fully
-            # readable until it lands, then is deleted
-            publish_manifest(base, tmp)
-            if fs.exists(d):
-                fs.rmtree(d)

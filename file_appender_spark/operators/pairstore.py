@@ -92,15 +92,14 @@ from file_appender_spark.operators.neardup_ingest import (
     _with_index_cols,
 )
 from file_appender_spark.storefs import (
-    MANIFEST_CURRENT_FILE,
-    clean_stale_manifest_versions,
-    create_manifest_dir,
+    create_manifest_tables,
     manifest_version,
-    next_manifest_version_dir,
-    publish_manifest,
+    migrate_tables_to_manifest,
+    refuse_mid_migration,
     require_atomic_dir_rename,
     resolve_manifest_dir,
     store_fs_for,
+    swap_table_dir,
 )
 
 _PARAMS_FILE = "_PAIRSTORE_PARAMS.json"
@@ -197,70 +196,32 @@ def _clusters_dir(store_dir: str) -> str:
 def create_manifest_pairstore(store_dir: str) -> str:
     """Initialize an EMPTY manifest-layout pair store (the layout
     choice is creation-time, like the signature stores'): each table
-    gets v1 + a ``_CURRENT`` manifest. Idempotent. Refuses a dir that
-    already holds classic-layout tables — use
-    migrate_pairstore_to_manifest for those. build_pair_graph calls
-    this automatically when the target filesystem lacks atomic
-    directory rename (an object store could otherwise only ever hold
-    a classic store that its own maintenance would refuse)."""
-    fs = store_fs_for(store_dir)
-    for name in _TABLES:
-        base = _table_base(store_dir, name)
-        if manifest_version(base) is not None:
-            continue
-        if fs.isdir(base) and fs.listdir(base):
-            raise ValueError(
-                f"{base!r} already holds a classic-layout table; use "
-                "migrate_pairstore_to_manifest instead"
-            )
-        create_manifest_dir(base)
-    return store_dir
+    gets v1 + a ``_CURRENT`` manifest. Idempotent and crash-resumable;
+    refuses classic data or classic ``.old`` crash debris (see
+    storefs.create_manifest_tables). build_pair_graph calls this
+    automatically when the target filesystem lacks atomic directory
+    rename (an object store could otherwise only ever hold a classic
+    store that its own maintenance would refuse)."""
+    return create_manifest_tables(
+        store_dir, _TABLES, "pair", "migrate_pairstore_to_manifest"
+    )
 
 
 def migrate_pairstore_to_manifest(store_dir: str) -> str:
     """Convert a CLASSIC pair store in place (single-writer
-    maintenance window): move each table's epoch partitions into its
-    ``v1`` and publish the table manifests. Needs per-dir renames, so
-    it runs on POSIX/HDFS only — which is where classic stores can
-    exist at all. RESUMABLE: the store-level marker makes every other
-    entry point refuse after a mid-move crash, and a re-run skips
-    already-published tables and finishes moving the rest (moves are
-    per-child and idempotent to re-attempt)."""
-    fs = store_fs_for(store_dir)
-    bases = [_table_base(store_dir, n) for n in _TABLES]
-    if all(manifest_version(b) is not None for b in bases):
-        return store_dir
-    require_atomic_dir_rename(fs, store_dir, "migrate_pairstore_to_manifest")
-    # classic .old recovery first — NOT _recover, which refuses on the
-    # migration marker this function itself is about to drop
-    for b in bases:
-        old = b.rstrip("/") + ".old"
-        if not fs.exists(b) and fs.exists(old):
-            fs.rename(old, b)
-    marker = os.path.join(store_dir, _MIGRATING_MARKER)
-    fs.makedirs(store_dir)
-    fs.write_text(marker, "pair-store manifest migration in progress")
-    for b in bases:
-        if manifest_version(b) is not None:
-            continue  # resumed run: this table already flipped
-        v1 = os.path.join(b, "v1")
-        fs.makedirs(v1)
-        for name in fs.listdir(b):
-            if name == "v1" or name.startswith((".", "_")):
-                continue
-            fs.rename(os.path.join(b, name), os.path.join(v1, name))
-        fs.publish_text(os.path.join(b, MANIFEST_CURRENT_FILE), "v1")
-    fs.remove(marker)
-    return store_dir
-
-
-def _refuse_mid_migration(fs, store_dir: str) -> None:
-    if fs.exists(os.path.join(store_dir, _MIGRATING_MARKER)):
-        raise ValueError(
-            f"pair store {store_dir} has an unfinished manifest migration "
-            "(crash mid-migrate_pairstore_to_manifest): some tables are "
-            "half-moved — re-run migrate_pairstore_to_manifest to finish"
-        )
+    maintenance window, POSIX/HDFS only — where classic stores can
+    exist at all): move each table's epoch partitions into its ``v1``
+    and publish the table manifests. RESUMABLE via the store-level
+    marker; also sweeps classic debris siblings the manifest
+    maintenance would never clean (storefs.migrate_tables_to_manifest
+    has the full contract)."""
+    return migrate_tables_to_manifest(
+        store_dir,
+        _TABLES,
+        _MIGRATING_MARKER,
+        "migrate_pairstore_to_manifest",
+        classic_debris_suffixes=(".old", ".compacting", ".refreshing"),
+    )
 
 
 def _ensure_store_layout(store_dir: str) -> None:
@@ -438,7 +399,9 @@ def _recover(store_dir: str) -> None:
     still requires the rename — enforced loudly here, per table,
     only when classic data actually exists."""
     fs = store_fs_for(store_dir)
-    _refuse_mid_migration(fs, store_dir)
+    refuse_mid_migration(
+        store_dir, _MIGRATING_MARKER, "pair", "migrate_pairstore_to_manifest"
+    )
     for name in _TABLES:
         base = _table_base(store_dir, name)
         if manifest_version(base) is not None:
@@ -935,39 +898,18 @@ def refresh_clusters(
         pairs = read_pairs(spark, store_dir).select("d1", "d2")
         cl = dedup_clusters(pairs).select("doc", "cluster")
         used = "full"
-    base = _table_base(store_dir, "clusters")
-    cur = manifest_version(base)
-    if cur is None:
-        d = base
-        tmp = d.rstrip("/") + ".refreshing"
-        if fs.exists(tmp):
-            fs.rmtree(tmp)
-    else:
-        # manifest swap: write the next version COMPLETELY, flip the
-        # manifest atomically, delete the old version after — no
-        # rename, no mid-swap absent-dir window
-        clean_stale_manifest_versions(base, keep=cur)
-        tmp = next_manifest_version_dir(base, cur)
+    # the shared classic-two-rename vs manifest-publish swap; a
     # repartition(>=1) guarantees at least one footer-bearing file so
     # an empty graph still reads back with a schema
-    cl.repartition(max(1, spark.sparkContext.defaultParallelism // 8)).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    if cur is None:
-        old = d.rstrip("/") + ".old"
-        if fs.exists(old):
-            fs.rmtree(old)
-        if fs.exists(d):
-            fs.rename(d, old)
-        fs.rename(tmp, d)
-        if fs.exists(old):
-            fs.rmtree(old)
-    else:
-        publish_manifest(base, tmp)
-        # the old version can legitimately be absent (build_pair_graph
-        # wipes the resolved dir before its first refresh)
-        if fs.exists(os.path.join(base, cur)):
-            fs.rmtree(os.path.join(base, cur))
+    swap_table_dir(
+        _table_base(store_dir, "clusters"),
+        lambda tmp: cl.repartition(
+            max(1, spark.sparkContext.defaultParallelism // 8)
+        )
+        .write.mode("overwrite")
+        .parquet(tmp),
+        tmp_suffix=".refreshing",
+    )
     fs.publish_text(
         state,
         json.dumps({"covers": _epoch_ids(_pairs_dir(store_dir))}, sort_keys=True),
@@ -1050,9 +992,7 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
             ),
         )
     for name in ("sigs", "pairs"):
-        base = _table_base(store_dir, name)
-        cur = manifest_version(base)
-        d = base if cur is None else os.path.join(base, cur)
+        d = _resolve_table(store_dir, name)
         merged = spark.read.option("basePath", d).parquet(d).drop("batch")
         if name == "sigs" and not _store_is_v2(merged):
             # compaction is the v1 -> v2 migration point: fold in the
@@ -1065,29 +1005,11 @@ def compact_pairstore(spark: SparkSession, store_dir: str) -> None:
             # fly until compaction. Sigs never duplicate: each doc's
             # signature lives in exactly its own overwritten epoch.
             merged = merged.distinct()
-        if cur is None:
-            tmp = d.rstrip("/") + ".compacting"
-            if fs.exists(tmp):
-                fs.rmtree(tmp)
-        else:
-            clean_stale_manifest_versions(base, keep=cur)
-            tmp = next_manifest_version_dir(base, cur)
         n = plan_file_count(dir_bytes(spark, d))
-        merged.repartition(n).write.mode("overwrite").parquet(
-            os.path.join(tmp, "batch=base")
+        swap_table_dir(
+            _table_base(store_dir, name),
+            lambda tmp, m=merged, k=n: m.repartition(k)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "batch=base")),
         )
-        if cur is None:
-            old = d.rstrip("/") + ".old"
-            if fs.exists(old):
-                fs.rmtree(old)
-            fs.rename(d, old)
-            fs.rename(tmp, d)
-            fs.rmtree(old)
-        else:
-            # one atomic manifest flip; the old version stays fully
-            # readable until it lands, then is deleted (crash between
-            # the two leaves debris the next pass cleans)
-            publish_manifest(base, tmp)
-            if fs.exists(d):
-                fs.rmtree(d)
 

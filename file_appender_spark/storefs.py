@@ -550,6 +550,164 @@ def create_manifest_dir(directory: str) -> str:
     return v1
 
 
+def _is_empty_version_debris(fs: "StoreFS", base: str, name: str) -> bool:
+    """An EMPTY ``v<N>`` dir with no manifest is create_manifest_dir's
+    own crash debris (it makedirs v1 then publishes) — tolerated by a
+    retry. Anything non-empty is ambiguous and must be refused."""
+    p = os.path.join(base, name)
+    return (
+        len(name) > 1
+        and name[0] == "v"
+        and name[1:].isdigit()
+        and fs.isdir(p)
+        and not fs.listdir(p)
+    )
+
+
+def create_manifest_tables(
+    store_dir: str, table_names: tuple[str, ...], kind: str, migrate_hint: str
+) -> str:
+    """Initialize an EMPTY manifest-layout multi-table store: each
+    table gets v1 + its own ``_CURRENT``. Idempotent, and resumable
+    across a crash inside create_manifest_dir (a lone empty version
+    dir is recognized as our own debris, not classic data). Refuses:
+
+    - a table base with real (classic) children — classic data must
+      go through the store's migrate function instead;
+    - a ``<table>.old`` sibling — classic crash debris whose ONLY
+      data copy may be the backup; publishing an empty manifest over
+      it would orphan that copy silently (the manifest-layout
+      ``_recover`` never looks at .old again)."""
+    fs = store_fs_for(store_dir)
+    for name in table_names:
+        base = os.path.join(store_dir, name)
+        if manifest_version(base) is not None:
+            continue
+        old = base.rstrip("/") + ".old"
+        if fs.exists(old):
+            raise ValueError(
+                f"{base!r} has classic crash debris ({old!r} exists); "
+                f"recover the classic {kind} store first, then use "
+                f"{migrate_hint}"
+            )
+        if fs.isdir(base) and any(
+            not _is_empty_version_debris(fs, base, n) for n in fs.listdir(base)
+        ):
+            raise ValueError(
+                f"{base!r} already holds a classic-layout table; use "
+                f"{migrate_hint} instead"
+            )
+        create_manifest_dir(base)
+    return store_dir
+
+
+def refuse_mid_migration(
+    store_dir: str, marker_file: str, kind: str, migrate_hint: str
+) -> None:
+    if store_fs_for(store_dir).exists(os.path.join(store_dir, marker_file)):
+        raise ValueError(
+            f"{kind} store {store_dir} has an unfinished manifest migration "
+            f"(crash mid-{migrate_hint}): some tables are half-moved — "
+            f"re-run {migrate_hint} to finish"
+        )
+
+
+def migrate_tables_to_manifest(
+    store_dir: str,
+    table_names: tuple[str, ...],
+    marker_file: str,
+    what: str,
+    classic_debris_suffixes: tuple[str, ...] = (".old", ".compacting"),
+) -> str:
+    """Convert a CLASSIC multi-table store in place (single-writer
+    maintenance window): move each table's children into its ``v1``
+    and publish the per-table manifests. Needs per-child renames, so
+    POSIX/HDFS only — which is where classic stores can exist at all.
+    RESUMABLE: the store-level marker makes every other entry point
+    refuse after a mid-move crash (refuse_mid_migration), and a re-run
+    skips already-published tables and finishes the rest. The marker
+    is also removed when a re-run finds every table already published
+    (a crash BETWEEN the last publish and the marker removal must not
+    wedge the store). Classic debris siblings (stale ``.old`` backups
+    alongside a live table, interrupted ``.compacting``/``.refreshing``
+    outputs) are cleaned here — the classic maintenance passes that
+    used to clean them never run again after migration."""
+    fs = store_fs_for(store_dir)
+    marker = os.path.join(store_dir, marker_file)
+    bases = [os.path.join(store_dir, n) for n in table_names]
+    if all(manifest_version(b) is not None for b in bases):
+        if fs.exists(marker):
+            fs.remove(marker)  # crash after the last publish: finish up
+        return store_dir
+    require_atomic_dir_rename(fs, store_dir, what)
+    # classic .old recovery first (the store's _recover refuses on the
+    # marker, so the restore must happen here)
+    for b in bases:
+        old = b.rstrip("/") + ".old"
+        if not fs.exists(b) and fs.exists(old):
+            fs.rename(old, b)
+    fs.makedirs(store_dir)
+    fs.write_text(marker, f"{what} in progress")
+    for b in bases:
+        # classic debris that no later pass would ever clean: a stale
+        # .old BACKUP next to a live table (classic compaction deletes
+        # it after the second rename; a crash in between leaves it),
+        # and interrupted swap outputs
+        for suffix in classic_debris_suffixes:
+            p = b.rstrip("/") + suffix
+            if fs.exists(p):
+                fs.rmtree(p)
+        if manifest_version(b) is not None:
+            continue  # resumed run: this table already flipped
+        v1 = os.path.join(b, "v1")
+        fs.makedirs(v1)
+        for name in fs.listdir(b):
+            if name == "v1" or name.startswith((".", "_")):
+                continue
+            fs.rename(os.path.join(b, name), os.path.join(v1, name))
+        fs.publish_text(os.path.join(b, MANIFEST_CURRENT_FILE), "v1")
+    fs.remove(marker)
+    return store_dir
+
+
+def swap_table_dir(base: str, write, tmp_suffix: str = ".compacting") -> None:
+    """The per-table swap both protocols share: call ``write(tmp)`` to
+    produce the table's full next state at ``tmp``, then make it live.
+
+    - CLASSIC layout (no manifest): ``tmp`` is a ``tmp_suffix``
+      sibling; the crash-safe two-rename swap (needs atomic directory
+      rename; the caller's ``_recover`` restores the ``.old`` backup
+      after a mid-swap crash).
+    - MANIFEST layout: ``tmp`` is the next version dir inside
+      ``base``; one atomic manifest publish flips readers, the old
+      version is deleted after (it can legitimately be absent — a
+      rebuild may have wiped the resolved dir), and stale version
+      debris from prior crashes is cleaned first."""
+    fs = store_fs_for(base)
+    cur = manifest_version(base)
+    if cur is None:
+        tmp = base.rstrip("/") + tmp_suffix
+        if fs.exists(tmp):
+            fs.rmtree(tmp)
+        write(tmp)
+        old = base.rstrip("/") + ".old"
+        if fs.exists(old):
+            fs.rmtree(old)
+        if fs.exists(base):
+            fs.rename(base, old)
+        fs.rename(tmp, base)
+        if fs.exists(old):
+            fs.rmtree(old)
+    else:
+        clean_stale_manifest_versions(base, keep=cur)
+        tmp = next_manifest_version_dir(base, cur)
+        write(tmp)
+        publish_manifest(base, tmp)
+        live_old = os.path.join(base, cur)
+        if fs.exists(live_old):
+            fs.rmtree(live_old)
+
+
 def store_fs_for(path: str) -> StoreFS:
     """Scheme dispatch, mirroring the sink's ``fs_for_path``:
     ``hdfs://`` store dirs get the pyarrow Hadoop adapter, ``file://``

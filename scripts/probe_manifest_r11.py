@@ -6,9 +6,9 @@ numbers carry over", and this measures it instead of asserting it.
 
 Drives the identical lifecycle against a CLASSIC and a MANIFEST pair
 store on local disk (same sf0.1 corpus, same epoch split): build over
-doc_id %% 10 < 8, three ingest epochs over the remaining deciles, an
-incremental cluster refresh per epoch, one compaction, one post-compaction
-epoch. Times each phase per layout, warm (one throwaway build first).
+doc_id %% 10 < 8, two ingest epochs (deciles 8 and 9) each followed by
+an incremental cluster refresh, one compaction, one clusters read.
+Times each phase per layout, warm (one throwaway build first).
 The manifest layout adds one tiny _CURRENT read per table-dir
 resolution (driver-side metadata), so the expectation is parity within
 host noise on every phase.

@@ -519,3 +519,83 @@ def test_classic_corpusstats_refused_on_no_dir_rename_backend(
         read_token_stats(spark, store)
     with pytest.raises(ValueError, match="atomic directory rename"):
         compact_corpus_stats(spark, store)
+
+
+def test_pairstore_migration_marker_crash_after_last_publish(
+    spark, tmp_path
+):
+    """Review finding: a crash BETWEEN the last table publish and the
+    marker removal used to wedge the store forever (the re-run's
+    all-published early return skipped the removal). A re-run must
+    remove the marker and the store must serve."""
+    from file_appender_spark.operators.pairstore import (
+        _MIGRATING_MARKER,
+        build_pair_graph,
+        migrate_pairstore_to_manifest,
+        read_pairs,
+    )
+
+    store = str(tmp_path / "ps_marker")
+    build_pair_graph(spark, _corpus(spark, 12, tag="mk"), store)
+    migrate_pairstore_to_manifest(store)
+    # simulate the crash: every table published, marker back on disk
+    open(os.path.join(store, _MIGRATING_MARKER), "w").write("crash")
+    with pytest.raises(ValueError, match="unfinished manifest migration"):
+        read_pairs(spark, store)
+    migrate_pairstore_to_manifest(store)  # must finish up, not no-op
+    assert not os.path.exists(os.path.join(store, _MIGRATING_MARKER))
+    assert read_pairs(spark, store).count() >= 1
+
+
+def test_create_manifest_pairstore_resumes_and_refuses_debris(
+    spark, tmp_path, object_fs
+):
+    """Review findings on create_manifest_* crash windows: a lone
+    EMPTY version dir without _CURRENT (create's own crash debris) is
+    finished by a retry, not misread as classic data; a classic .old
+    backup refuses loudly instead of being silently orphaned under an
+    empty manifest."""
+    from file_appender_spark.operators.pairstore import (
+        build_pair_graph,
+        create_manifest_pairstore,
+        read_pairs,
+    )
+
+    store = str(tmp_path / "ps_create_resume")
+    # crash between makedirs(v1) and the _CURRENT publish
+    os.makedirs(os.path.join(store, "sigs", "v1"))
+    create_manifest_pairstore(store)  # retry completes the layout
+    build_pair_graph(spark, _corpus(spark, 10, tag="cr"), store)
+    assert read_pairs(spark, store).count() == 1
+    # a .old sibling is recoverable classic data — never orphan it
+    store2 = str(tmp_path / "ps_create_old")
+    os.makedirs(os.path.join(store2, "pairs.old"))
+    open(os.path.join(store2, "pairs.old", "part-x.parquet"), "w").close()
+    with pytest.raises(ValueError, match="classic crash debris"):
+        create_manifest_pairstore(store2)
+
+
+def test_pairstore_migration_sweeps_classic_debris(spark, tmp_path):
+    """Review finding: classic debris siblings (a stale .old backup
+    next to a live table, interrupted .compacting/.refreshing swap
+    outputs) would never be cleaned again after migration — the
+    classic passes that cleaned them stop running. Migration sweeps
+    them."""
+    from file_appender_spark.operators.pairstore import (
+        build_pair_graph,
+        migrate_pairstore_to_manifest,
+        read_pairs,
+    )
+
+    store = str(tmp_path / "ps_debris")
+    build_pair_graph(spark, _corpus(spark, 12, tag="db"), store)
+    want = read_pairs(spark, store).count()
+    # stale backup NEXT TO a live table + interrupted swap outputs
+    os.makedirs(os.path.join(store, "sigs.old"))
+    open(os.path.join(store, "sigs.old", "stale.parquet"), "w").close()
+    os.makedirs(os.path.join(store, "pairs.compacting"))
+    os.makedirs(os.path.join(store, "clusters.refreshing"))
+    migrate_pairstore_to_manifest(store)
+    for debris in ("sigs.old", "pairs.compacting", "clusters.refreshing"):
+        assert not os.path.exists(os.path.join(store, debris)), debris
+    assert read_pairs(spark, store).count() == want
