@@ -114,6 +114,15 @@ def create_manifest_store(store_dir: str) -> str:
     fs = store_fs_for(store_dir)
     if fs.exists(os.path.join(store_dir, _CURRENT_FILE)):
         return _resolve_store(store_dir)
+    _refuse_mid_migration(store_dir)  # half-moved v1 is NOT a fresh store
+    if fs.exists(store_dir.rstrip("/") + ".old"):
+        # classic crash debris whose ONLY data copy may be the backup;
+        # publishing an empty manifest would orphan it silently
+        raise ValueError(
+            f"{store_dir!r} has classic crash debris "
+            f"({store_dir.rstrip('/') + '.old'!r} exists); recover the "
+            "classic store first, then use migrate_store_to_manifest"
+        )
     if fs.isdir(store_dir) and _store_has_data(store_dir):
         raise ValueError(
             f"{store_dir!r} already holds a classic-layout store; use "
@@ -124,24 +133,61 @@ def create_manifest_store(store_dir: str) -> str:
     return os.path.join(store_dir, "v1")
 
 
+# a crash mid-migration (files half-moved into v1, manifest not yet
+# published) must not read as a classic store silently missing
+# history — the marker makes every entry point refuse until a re-run
+# of the (resumable) migration finishes the move (the same discipline
+# as the pair/corpus-stats stores' migrate_tables_to_manifest)
+_MIGRATING_MARKER = "_MIGRATING_TO_MANIFEST"
+
+
+def _refuse_mid_migration(store_dir: str) -> None:
+    if store_fs_for(store_dir).exists(
+        os.path.join(store_dir, _MIGRATING_MARKER)
+    ):
+        raise ValueError(
+            f"signature store {store_dir} has an unfinished manifest "
+            "migration (crash mid-migrate_store_to_manifest): its files "
+            "are half-moved — re-run migrate_store_to_manifest to finish"
+        )
+
+
 def migrate_store_to_manifest(store_dir: str) -> str:
     """Convert a CLASSIC store in place (single-writer maintenance
     window): move the wide files + params stamp + sidecar into ``v1``
     and publish the manifest. Needs per-file renames, so it runs on
     POSIX/HDFS only — which is where classic stores can exist at all.
-    Returns the live data dir."""
+    RESUMABLE: the marker makes every other entry point refuse after
+    a mid-move crash (a half-moved store would otherwise read as a
+    classic store silently missing history), and a re-run finishes
+    the move. Returns the live data dir."""
     fs = store_fs_for(store_dir)
+    marker = os.path.join(store_dir, _MIGRATING_MARKER)
     if _manifest_version(store_dir) is not None:
+        if fs.exists(marker):
+            fs.remove(marker)  # crash between the publish and this
         return _resolve_store(store_dir)
     require_atomic_dir_rename(fs, store_dir, "migrate_store_to_manifest")
-    _recover_store(store_dir)
+    # classic .old recovery inline — _recover_store refuses on the
+    # marker this function itself drops
+    old = store_dir.rstrip("/") + ".old"
+    if not fs.exists(store_dir) and fs.exists(old):
+        fs.rename(old, store_dir)
+    fs.makedirs(store_dir)
+    fs.write_text(marker, "migrate_store_to_manifest in progress")
     v1 = os.path.join(store_dir, "v1")
     fs.makedirs(v1)
     for name in fs.listdir(store_dir):
-        if name == "v1" or name.startswith(".") or name == _CURRENT_FILE:
+        if (
+            name == "v1"
+            or name.startswith(".")
+            or name == _CURRENT_FILE
+            or name == _MIGRATING_MARKER
+        ):
             continue
         fs.rename(os.path.join(store_dir, name), os.path.join(v1, name))
     fs.publish_text(os.path.join(store_dir, _CURRENT_FILE), "v1")
+    fs.remove(marker)
     return v1
 
 
@@ -1219,8 +1265,12 @@ def _recover_store(store_dir: str) -> None:
     silently treated as a first run. Manifest-layout stores need no
     recovery rename (the flip is one atomic publish; crash debris is
     cleaned lazily by the next compaction) — and on filesystems
-    without atomic dir rename the backup rename could not run anyway."""
+    without atomic dir rename the backup rename could not run anyway.
+    A half-finished manifest MIGRATION refuses loudly first (a
+    half-moved store would otherwise read as classic with silently
+    missing history)."""
     fs = store_fs_for(store_dir)
+    _refuse_mid_migration(store_dir)
     if not fs.supports_atomic_dir_rename:
         return
     old = store_dir.rstrip("/") + ".old"

@@ -599,3 +599,44 @@ def test_pairstore_migration_sweeps_classic_debris(spark, tmp_path):
     for debris in ("sigs.old", "pairs.compacting", "clusters.refreshing"):
         assert not os.path.exists(os.path.join(store, debris)), debris
     assert read_pairs(spark, store).count() == want
+
+
+def test_sigstore_migration_marker_refuses_and_resumes(spark, tmp_path):
+    """The signature store's migration gets the same marker discipline
+    as the pair/corpus-stats stores: a crash mid-move must not read as
+    a classic store silently missing history; a re-run finishes the
+    move, and a crash between the publish and the marker removal is
+    finished by the re-run's early return."""
+    from file_appender_spark.operators.neardup_ingest import (
+        _MIGRATING_MARKER,
+    )
+
+    store = str(tmp_path / "sig_marker")
+    docs = _corpus(spark, 20, tag="sm")
+    textdup_ingest_batch(spark, docs, store)
+    # simulate a crash mid-move: marker on disk, nothing moved yet
+    open(os.path.join(store, _MIGRATING_MARKER), "w").write("crash")
+    with pytest.raises(ValueError, match="unfinished manifest migration"):
+        textdup_ingest_batch(spark, _corpus(spark, 3, tag="x"), store)
+    with pytest.raises(ValueError, match="unfinished manifest migration"):
+        compact_store(spark, store, id_col="doc_id")
+    live = migrate_store_to_manifest(store)  # resumes and finishes
+    assert _manifest_version(store) == "v1" and live.endswith("v1")
+    assert not os.path.exists(os.path.join(store, _MIGRATING_MARKER))
+    # crash between the publish and the marker removal: re-run cleans
+    open(os.path.join(store, _MIGRATING_MARKER), "w").write("crash")
+    assert migrate_store_to_manifest(store) == live
+    assert not os.path.exists(os.path.join(store, _MIGRATING_MARKER))
+    # history survived: a twin of doc 0 is still suppressed
+    dup = _docs(spark, [(900, docs.collect()[0]["text"])])
+    assert textdup_ingest_batch(spark, dup, store).count() == 0
+
+
+def test_create_manifest_store_refuses_old_debris(tmp_path, object_fs):
+    """create_manifest_store must not orphan a classic .old backup
+    (possibly the only data copy) under a fresh empty manifest."""
+    store = str(tmp_path / "sig_old")
+    os.makedirs(store + ".old")
+    open(os.path.join(store + ".old", "part-x.parquet"), "w").close()
+    with pytest.raises(ValueError, match="classic crash debris"):
+        create_manifest_store(store)
