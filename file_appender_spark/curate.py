@@ -299,7 +299,18 @@ def curate(
     else:
         pairs = _minhash_pairs(d1, threshold=near_threshold, persisted=_persisted)
     drop = pairs.select(F.col("d2").alias("doc_id")).distinct()
-    d2 = d1.join(drop, "doc_id", "left_anti")
+    # persist the near-dup SURVIVORS: three downstream consumers
+    # (n_near count, the quality-gate count, the shard write) would
+    # otherwise each recompute the band join + exact verify + both
+    # dedup anti-joins — the funnel's most expensive lineage. The
+    # persisted shingled frame only covers the shingle work, not the
+    # joins above it (measured: curate sf0.1 recompute 6.8 -> ~4s).
+    from pyspark import StorageLevel
+
+    d2 = d1.join(drop, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _persisted.append(d2)
     n_near = d2.count()
 
     # 3. quality gate: heuristic alpha ratio or the q154 model scorer
