@@ -256,93 +256,99 @@ def curate(
     # copies are already gone, so the pair graph is the near-dup one);
     # the larger id of every verified pair is dropped (q122's rule)
     _persisted: list = []
-    store_capped = False
-    if graph_dir is not None:
-        from file_appender_spark.operators.pairstore import (
-            pairstore_is_exact,
-            read_pairs,
-            store_missing_ids,
-        )
-        from file_appender_spark.queries.llm import _WS
-
-        # COVERAGE guard (r9 ADVICE, medium): a pair store built from
-        # a different or partial corpus passes both the threshold
-        # guard and pairstore_is_exact, and the semi-joins below would
-        # then silently drop most near-dup edges — near-dedup becomes
-        # a no-op with no signal. Every shingle-eligible survivor
-        # (>= 3 words — shorter docs never get a signature row by
-        # q52's definition) must have a signature row in the store.
-        elig = d1.filter(F.size(F.split("text", _WS)) >= 3).select("doc_id")
-        missing = store_missing_ids(spark, graph_dir, elig)
-        n_missing = missing.count()
-        if n_missing:
-            sample = [r["doc_id"] for r in missing.limit(5).collect()]
-            raise ValueError(
-                f"pair store {graph_dir} does not cover this corpus: "
-                f"{n_missing} surviving shingle-eligible doc_ids have no "
-                f"signature row (e.g. {sample}) — the store was built "
-                "from a different or partial corpus, and its pair set "
-                "would silently miss their near-dup edges. Rebuild the "
-                "store over (a superset of) these documents, or ingest "
-                "the missing epochs first."
+    # everything that consumes the persisted frames runs under
+    # try/finally: a mid-funnel failure (quality scorer, shard
+    # write) must not leak the cached survivors/shingles blocks
+    # in a long-lived session (review finding)
+    try:
+        store_capped = False
+        if graph_dir is not None:
+            from file_appender_spark.operators.pairstore import (
+                pairstore_is_exact,
+                read_pairs,
+                store_missing_ids,
             )
-        # a store whose ingest cap ever BOUND is missing edges — the
-        # funnel must say so (near_dedup_store_capped below) rather
-        # than let shards that still hold near-dups pass as exact
-        store_capped = not pairstore_is_exact(graph_dir)
-        surv = d1.select("doc_id")
-        pairs = (
-            read_pairs(spark, graph_dir, expected_threshold=near_threshold)
-            .join(surv.select(F.col("doc_id").alias("d1")), "d1", "semi")
-            .join(surv.select(F.col("doc_id").alias("d2")), "d2", "semi")
+            from file_appender_spark.queries.llm import _WS
+
+            # COVERAGE guard (r9 ADVICE, medium): a pair store built from
+            # a different or partial corpus passes both the threshold
+            # guard and pairstore_is_exact, and the semi-joins below would
+            # then silently drop most near-dup edges — near-dedup becomes
+            # a no-op with no signal. Every shingle-eligible survivor
+            # (>= 3 words — shorter docs never get a signature row by
+            # q52's definition) must have a signature row in the store.
+            elig = d1.filter(F.size(F.split("text", _WS)) >= 3).select("doc_id")
+            missing = store_missing_ids(spark, graph_dir, elig)
+            n_missing = missing.count()
+            if n_missing:
+                sample = [r["doc_id"] for r in missing.limit(5).collect()]
+                raise ValueError(
+                    f"pair store {graph_dir} does not cover this corpus: "
+                    f"{n_missing} surviving shingle-eligible doc_ids have no "
+                    f"signature row (e.g. {sample}) — the store was built "
+                    "from a different or partial corpus, and its pair set "
+                    "would silently miss their near-dup edges. Rebuild the "
+                    "store over (a superset of) these documents, or ingest "
+                    "the missing epochs first."
+                )
+            # a store whose ingest cap ever BOUND is missing edges — the
+            # funnel must say so (near_dedup_store_capped below) rather
+            # than let shards that still hold near-dups pass as exact
+            store_capped = not pairstore_is_exact(graph_dir)
+            surv = d1.select("doc_id")
+            pairs = (
+                read_pairs(spark, graph_dir, expected_threshold=near_threshold)
+                .join(surv.select(F.col("doc_id").alias("d1")), "d1", "semi")
+                .join(surv.select(F.col("doc_id").alias("d2")), "d2", "semi")
+            )
+        else:
+            pairs = _minhash_pairs(d1, threshold=near_threshold, persisted=_persisted)
+        drop = pairs.select(F.col("d2").alias("doc_id")).distinct()
+        # persist the near-dup SURVIVORS: three downstream consumers
+        # (n_near count, the quality-gate count, the shard write) would
+        # otherwise each recompute the band join + exact verify + both
+        # dedup anti-joins — the funnel's most expensive lineage. The
+        # persisted shingled frame only covers the shingle work, not the
+        # joins above it (measured: curate sf0.1 recompute 6.8 -> ~4s).
+        from pyspark import StorageLevel
+
+        d2 = d1.join(drop, "doc_id", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-    else:
-        pairs = _minhash_pairs(d1, threshold=near_threshold, persisted=_persisted)
-    drop = pairs.select(F.col("d2").alias("doc_id")).distinct()
-    # persist the near-dup SURVIVORS: three downstream consumers
-    # (n_near count, the quality-gate count, the shard write) would
-    # otherwise each recompute the band join + exact verify + both
-    # dedup anti-joins — the funnel's most expensive lineage. The
-    # persisted shingled frame only covers the shingle work, not the
-    # joins above it (measured: curate sf0.1 recompute 6.8 -> ~4s).
-    from pyspark import StorageLevel
+        _persisted.append(d2)
+        n_near = d2.count()
 
-    d2 = d1.join(drop, "doc_id", "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    _persisted.append(d2)
-    n_near = d2.count()
+        # 3. quality gate: heuristic alpha ratio or the q154 model scorer
+        d3 = d2.filter(quality_keep(quality_mode, min_alpha_ratio))
+        n_quality = d3.count()
 
-    # 3. quality gate: heuristic alpha ratio or the q154 model scorer
-    d3 = d2.filter(quality_keep(quality_mode, min_alpha_ratio))
-    n_quality = d3.count()
+        # 4. PII scrub + 5. hash split — the same module-level stage
+        # expressions the incremental (streaming) drive composes
+        d4 = d3.withColumn("text", scrub_expr(pii_mode)).withColumn(
+            "split", split_col()
+        )
 
-    # 4. PII scrub + 5. hash split — the same module-level stage
-    # expressions the incremental (streaming) drive composes
-    d4 = d3.withColumn("text", scrub_expr(pii_mode)).withColumn(
-        "split", split_col()
-    )
-
-    # 6. shard write, partitioned by split
-    d4.write.mode("overwrite").partitionBy("split").parquet(out_dir)
-    if n_quality == 0:
-        # a fully-filtered corpus writes only _SUCCESS — reading the
-        # empty partitioned dir back raises UNABLE_TO_INFER_SCHEMA,
-        # so the funnel reports zero written instead of crashing
-        # (curate() must survive a gate that admits nothing)
-        n_written, by_split = 0, {}
-    else:
-        written = spark.read.parquet(out_dir)
-        n_written = written.count()
-        by_split = {
-            r["split"]: r["n"]
-            for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()
-        }
-    # every downstream consumer of the persisted shingles (near-dup
-    # counts + the shard write) has materialized — release the cache
-    # so repeated curate() calls don't accumulate executor storage
-    for df in _persisted:
-        df.unpersist()
+        # 6. shard write, partitioned by split
+        d4.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+        if n_quality == 0:
+            # a fully-filtered corpus writes only _SUCCESS — reading the
+            # empty partitioned dir back raises UNABLE_TO_INFER_SCHEMA,
+            # so the funnel reports zero written instead of crashing
+            # (curate() must survive a gate that admits nothing)
+            n_written, by_split = 0, {}
+        else:
+            written = spark.read.parquet(out_dir)
+            n_written = written.count()
+            by_split = {
+                r["split"]: r["n"]
+                for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()
+            }
+        # every downstream consumer of the persisted shingles (near-dup
+        # counts + the shard write) has materialized — release the cache
+        # so repeated curate() calls don't accumulate executor storage
+    finally:
+        for df in _persisted:
+            df.unpersist()
     out = {
         "input": n_input,
         "after_exact_dedup": n_exact,

@@ -95,11 +95,14 @@ def containment_pairs(
     # (CONTBREAK_PROBE_r11: df join-back + windows 0.90 -> 0.83s,
     # candidate join 1.24 -> 0.99s on the 20k Zipf corpus); the
     # prefix ORDER below stays on (_df, tok) STRINGS, so the selected
-    # prefix — and with it the recall contract — is identical. A
-    # 64-bit token collision would merge two postings lists; at a
-    # realistic vocabulary the probability is ~1e-12 and the
-    # candidate set only GROWS (verify is exact), so precision is
-    # unaffected even then.
+    # prefix is identical barring hash collisions. Honest collision
+    # accounting: a 64-bit collision MERGES two tokens' df counts,
+    # which can push a rare token over token_df_cap (its postings
+    # drop from the super side) or evict it from a prefix — a RECALL
+    # loss, not just extra candidates. Probability ~vocab^2 / 2^64
+    # (~1e-12 at a realistic vocabulary); precision is always exact
+    # (full verify below), and the q129-family driver hashes fail
+    # loudly, never silently.
     toks = toks.withColumn("_th", F.xxhash64("tok"))
     tok_df = toks.groupBy("_th").agg(F.count("*").alias("_df"))
     ranked = toks.join(tok_df, "_th")
@@ -137,9 +140,13 @@ def containment_pairs(
     # PRE-HASHED long arrays (CONTBREAK_PROBE_r11: 0.72 -> 0.43s,
     # value-equality asserted in the probe): |A n B| and |A| are
     # unchanged unless two distinct tokens of one candidate pair
-    # collide in 64 bits (~1e-12; a collision only ROUNDS UP a
-    # containment already near threshold, and the q129-family driver
-    # hashes would fail loudly, never silently)
+    # collide in 64 bits (~1e-12). A cross-doc collision inflates the
+    # intersection (containment rounds UP); two colliding tokens
+    # WITHIN one doc leave a duplicate long in the transform output
+    # (|A| = size() still counts both) while array_intersect counts
+    # the value once — containment rounds DOWN. Either direction
+    # perturbs one pair's value by one token at ~1e-12 probability
+    # and fails the driver hash loudly, never silently
     arr64 = arr.select(
         "_id", F.expr("transform(_toks, t -> xxhash64(t))").alias("_toks64")
     )

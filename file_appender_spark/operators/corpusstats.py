@@ -475,6 +475,7 @@ def _recover(store_dir: str) -> None:
         _MIGRATING_MARKER,
         "corpus-stats",
         "migrate_corpusstats_to_manifest",
+        manifest_dirs=[_table_base(store_dir, n) for n in _TABLE_NAMES],
     )
     for name in _TABLE_NAMES:
         base = _table_base(store_dir, name)

@@ -142,14 +142,19 @@ _MIGRATING_MARKER = "_MIGRATING_TO_MANIFEST"
 
 
 def _refuse_mid_migration(store_dir: str) -> None:
-    if store_fs_for(store_dir).exists(
-        os.path.join(store_dir, _MIGRATING_MARKER)
-    ):
-        raise ValueError(
-            f"signature store {store_dir} has an unfinished manifest "
-            "migration (crash mid-migrate_store_to_manifest): its files "
-            "are half-moved — re-run migrate_store_to_manifest to finish"
-        )
+    # the shared refusal (storefs.py): raises on a live marker, but
+    # SELF-HEALS when the manifest is already published — a crash
+    # between the publish and the marker removal leaves a fully
+    # consistent store, and the marker is completed-migration debris
+    from file_appender_spark.storefs import refuse_mid_migration
+
+    refuse_mid_migration(
+        store_dir,
+        _MIGRATING_MARKER,
+        "signature",
+        "migrate_store_to_manifest",
+        manifest_dirs=[store_dir],
+    )
 
 
 def migrate_store_to_manifest(store_dir: str) -> str:
@@ -173,6 +178,15 @@ def migrate_store_to_manifest(store_dir: str) -> str:
     old = store_dir.rstrip("/") + ".old"
     if not fs.exists(store_dir) and fs.exists(old):
         fs.rename(old, store_dir)
+    # sweep classic debris no later pass would clean (the shared
+    # migrate_tables_to_manifest discipline): a stale .old BACKUP next
+    # to a live store and an interrupted .compacting output — classic
+    # compaction used to remove both, and it never runs again after
+    # this migration
+    for suffix in (".old", ".compacting"):
+        p = store_dir.rstrip("/") + suffix
+        if fs.exists(p):
+            fs.rmtree(p)
     fs.makedirs(store_dir)
     fs.write_text(marker, "migrate_store_to_manifest in progress")
     v1 = os.path.join(store_dir, "v1")

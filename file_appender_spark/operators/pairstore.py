@@ -400,7 +400,11 @@ def _recover(store_dir: str) -> None:
     only when classic data actually exists."""
     fs = store_fs_for(store_dir)
     refuse_mid_migration(
-        store_dir, _MIGRATING_MARKER, "pair", "migrate_pairstore_to_manifest"
+        store_dir,
+        _MIGRATING_MARKER,
+        "pair",
+        "migrate_pairstore_to_manifest",
+        manifest_dirs=[_table_base(store_dir, n) for n in _TABLES],
     )
     for name in _TABLES:
         base = _table_base(store_dir, name)

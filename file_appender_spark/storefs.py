@@ -602,14 +602,33 @@ def create_manifest_tables(
 
 
 def refuse_mid_migration(
-    store_dir: str, marker_file: str, kind: str, migrate_hint: str
+    store_dir: str,
+    marker_file: str,
+    kind: str,
+    migrate_hint: str,
+    manifest_dirs: "list[str] | None" = None,
 ) -> None:
-    if store_fs_for(store_dir).exists(os.path.join(store_dir, marker_file)):
-        raise ValueError(
-            f"{kind} store {store_dir} has an unfinished manifest migration "
-            f"(crash mid-{migrate_hint}): some tables are half-moved — "
-            f"re-run {migrate_hint} to finish"
-        )
+    """Refuse on a live migration marker — EXCEPT when every dir in
+    ``manifest_dirs`` already has a published manifest: then the crash
+    happened between the last publish and the marker removal, the
+    store is fully consistent, and the marker is completed-migration
+    debris — removed here so the entry point self-heals instead of
+    wedging behind a factually wrong 'half-moved' error (review
+    finding; safe under the single-writer maintenance contract)."""
+    fs = store_fs_for(store_dir)
+    marker = os.path.join(store_dir, marker_file)
+    if not fs.exists(marker):
+        return
+    if manifest_dirs and all(
+        manifest_version(d) is not None for d in manifest_dirs
+    ):
+        fs.remove(marker)
+        return
+    raise ValueError(
+        f"{kind} store {store_dir} has an unfinished manifest migration "
+        f"(crash mid-{migrate_hint}): some tables are half-moved — "
+        f"re-run {migrate_hint} to finish"
+    )
 
 
 def migrate_tables_to_manifest(

@@ -526,8 +526,11 @@ def test_pairstore_migration_marker_crash_after_last_publish(
 ):
     """Review finding: a crash BETWEEN the last table publish and the
     marker removal used to wedge the store forever (the re-run's
-    all-published early return skipped the removal). A re-run must
-    remove the marker and the store must serve."""
+    all-published early return skipped the removal). With every
+    manifest published the store is fully consistent, so entry points
+    SELF-HEAL: the marker is recognized as completed-migration debris
+    and removed (storefs.refuse_mid_migration), no manual re-run
+    needed."""
     from file_appender_spark.operators.pairstore import (
         _MIGRATING_MARKER,
         build_pair_graph,
@@ -540,9 +543,16 @@ def test_pairstore_migration_marker_crash_after_last_publish(
     migrate_pairstore_to_manifest(store)
     # simulate the crash: every table published, marker back on disk
     open(os.path.join(store, _MIGRATING_MARKER), "w").write("crash")
+    assert read_pairs(spark, store).count() >= 1  # self-heals
+    assert not os.path.exists(os.path.join(store, _MIGRATING_MARKER))
+    # a genuinely half-moved store (some manifest missing) still
+    # refuses: recreate the marker and unpublish one table's manifest
+    open(os.path.join(store, _MIGRATING_MARKER), "w").write("crash")
+    os.remove(os.path.join(store, "clusters", _CURRENT_FILE))
     with pytest.raises(ValueError, match="unfinished manifest migration"):
         read_pairs(spark, store)
-    migrate_pairstore_to_manifest(store)  # must finish up, not no-op
+    # the re-run republishes the missing manifest and clears the marker
+    migrate_pairstore_to_manifest(store)
     assert not os.path.exists(os.path.join(store, _MIGRATING_MARKER))
     assert read_pairs(spark, store).count() >= 1
 
