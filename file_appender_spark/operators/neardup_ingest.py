@@ -273,6 +273,7 @@ def _modality_spec(params: dict) -> dict:
         return {
             "n_bands": nb,
             "payload": {"mh": "mh_old"},
+            "payload_new": {"mh": "mh_new"},
             "fh_cols": [f"b{i}" for i in range(nb)],
         }
     if m == "srp":
@@ -280,6 +281,7 @@ def _modality_spec(params: dict) -> dict:
         return {
             "n_bands": nb,
             "payload": {"v": "v_old", "nrm": "n_old"},
+            "payload_new": {"v": "v_new", "nrm": "n_new"},
             # full-signature equality for SRP is VECTOR equality (band
             # equality does not imply cosine 1.0, vector equality does)
             "fh_cols": ["v"],
@@ -288,9 +290,14 @@ def _modality_spec(params: dict) -> dict:
         return {
             "n_bands": 4,
             "payload": {f"b{k}": f"ob{k}" for k in range(4)},
+            "payload_new": {f"b{k}": f"nb{k}" for k in range(4)},
             "fh_cols": [f"b{k}" for k in range(4)],
         }
     raise ValueError(f"unknown store modality {m!r}")
+
+
+# input-frame-independent Column cache (see _MH_COLS_CACHE's note)
+_IDX_COLS_CACHE: dict[tuple, list] = {}
 
 
 def _with_index_cols(sigs: DataFrame, n_bands: int, fh_cols: list[str]) -> DataFrame:
@@ -299,14 +306,15 @@ def _with_index_cols(sigs: DataFrame, n_bands: int, fh_cols: list[str]) -> DataF
     ``fh``. Pure projection; bit-identical to the read-time derivation
     for v1 stores (pinned in tests), so mixed-era signatures always
     join."""
-    return sigs.select(
-        "*",
-        *[
+    key = (n_bands, tuple(fh_cols))
+    cols = _IDX_COLS_CACHE.get(key)
+    if cols is None:
+        cols = [
             F.xxhash64(F.lit(bi), F.col(f"b{bi}")).alias(f"bh{bi}")
             for bi in range(n_bands)
-        ],
-        F.xxhash64(*[F.col(c) for c in fh_cols]).alias("fh"),
-    )
+        ] + [F.xxhash64(*[F.col(c) for c in fh_cols]).alias("fh")]
+        _IDX_COLS_CACHE[key] = cols
+    return sigs.select("*", *cols)
 
 
 def _store_is_v2(df: DataFrame) -> bool:
@@ -754,6 +762,133 @@ def _hist_dup_terms(
     return cand.join(payload_src, "old_id"), ident.join(payload_src, "old_id")
 
 
+def _lean_dup_terms(
+    spark: SparkSession,
+    store_dir: str,
+    hist: DataFrame | None,
+    sigs: DataFrame,
+    id_col: str,
+    spec: dict,
+    cap: int | None,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """Micro-batch (LEAN) dup-candidate terms with the verify payload
+    CARRIED through the within-batch band self-join (r12, r11 verdict
+    task 1: collapse the per-epoch fixed-overhead floor). At the
+    minute-level batch shape the epoch cost is dominated by tiny AQE
+    stages and broadcast jobs, not data — EPOCH_OVERHEAD_PROBE_r12
+    measured ~35 jobs per 2500-doc epoch with ~1.9s of driver-side
+    gaps — so every join and .distinct() removed from the lean DAG is
+    a measurable slice of wall time. Returns (wb_pairs, hist_pairs,
+    ident_pairs):
+
+      wb_pairs   — within-batch band-collision pairs ``(new_id,
+        old_id, payload_new..., payload_old...)``, earlier id is the
+        incumbent (``new_id > old_id``), hot-bucket cap applied, NOT
+        deduped: callers apply the verify filter directly, tolerating
+        the <= n_bands duplicate factor — the final left_anti
+        assembly treats the result as a set, and each dropped
+        ``.distinct()`` was a whole per-epoch shuffle stage.
+      hist_pairs — batch x store banded candidates with the OLD
+        payload attached (``new_id, old_id, payload_old...``). The
+        candidate frame stays id-only through the broadcast hint
+        exactly as the r11 lean shape (bounded by min(batch x bands x
+        cap, store x bands); carrying array payloads through the hint
+        would break that bound — the new side is re-attached from the
+        checkpointed ``sigs`` by the caller, a tiny AQE-broadcast).
+      ident_pairs — full-signature-HASH matches vs the store's
+        touched slice, uncapped, INCLUDING self-matches, old payload
+        attached. Callers confirm exact payload equality before
+        suppressing and split out the own-stored at-least-once
+        override — contract notes in _hist_dup_terms apply verbatim.
+        Not deduped: the <= n_bands (old_id, fh) duplicate factor is
+        harmless to set-shaped consumers.
+
+    hist_pairs/ident_pairs are None when ``hist`` is None. Admitted
+    sets are pinned equal to the materialized big-store shape in
+    tests/test_store_v2.py::test_big_store_materialized_path_equals_
+    lean (all three modalities)."""
+    n_bands = spec["n_bands"]
+    stack = F.expr(
+        f"stack({n_bands}, "
+        + ", ".join(f"{bi}, bh{bi}" for bi in range(n_bands))
+        + ") AS (band, bh)"
+    )
+    xb = sigs.select(
+        F.col(id_col).alias("new_id"),
+        stack,
+        *[F.col(c).alias(a) for c, a in spec["payload_new"].items()],
+    )
+    yb = sigs.select(
+        F.col(id_col).alias("old_id"),
+        stack,
+        *[F.col(c).alias(a) for c, a in spec["payload"].items()],
+    )
+    xw, yw = xb, yb
+    if cap is not None:
+        hot = F.broadcast(
+            yb.groupBy("band", "bh")
+            .agg(F.count("*").alias("n_in_bucket"))
+            .filter(F.col("n_in_bucket") > cap)
+        )
+        xw = xb.join(hot, ["band", "bh"], "left_anti")
+        yw = yb.join(hot, ["band", "bh"], "left_anti")
+    wb_pairs = (
+        xw.alias("x")
+        .join(
+            yw.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.new_id") > F.col("y.old_id")),
+        )
+        .select(
+            "x.new_id",
+            "y.old_id",
+            *[f"x.{a}" for a in spec["payload_new"].values()],
+            *[f"y.{a}" for a in spec["payload"].values()],
+        )
+    )
+    if hist is None:
+        return wb_pairs, None, None
+    slice_src, payload_src = _history_access(
+        spark, store_dir, hist, xb, id_col, spec
+    )
+    touched = F.broadcast(xb.select("band", "bh").distinct())
+    sl = slice_src.join(touched, ["band", "bh"], "semi")
+    xh = xb.select("new_id", "band", "bh")
+    s2 = sl
+    if cap is not None:
+        hot_h = F.broadcast(
+            sl.groupBy("band", "bh")
+            .agg(F.count("*").alias("n_in_bucket"))
+            .filter(F.col("n_in_bucket") > cap)
+        )
+        s2 = sl.join(hot_h, ["band", "bh"], "left_anti")
+        xh = xh.join(hot_h, ["band", "bh"], "left_anti")
+    cand = (
+        xh.alias("x")
+        .join(
+            s2.select(F.col(id_col).alias("old_id"), "band", "bh").alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.new_id") != F.col("y.old_id")),
+        )
+        .select("x.new_id", "y.old_id")
+    )
+    if cap is not None:
+        # the r11 lean rationale verbatim: candidates are bounded by
+        # min(batch x bands x cap, store x bands), so the hint is safe
+        # and the payload fetch streams the store scan with no shuffle
+        cand = F.broadcast(cand)
+    hist_pairs = cand.join(payload_src, "old_id")
+    ident_pairs = (
+        sigs.select(F.col(id_col).alias("new_id"), "fh")
+        .join(sl.select(F.col(id_col).alias("old_id"), "fh"), "fh")
+        .select("new_id", "old_id")
+        .join(payload_src, "old_id")
+    )
+    return wb_pairs, hist_pairs, ident_pairs
+
+
 def _sig_frame(
     df: DataFrame, n_bits: int, n_bands: int, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -786,6 +921,25 @@ def _spread(df: DataFrame) -> DataFrame:
     cores."""
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism)
+
+
+_LEAN_SCAN_PARTITIONS = 4
+
+
+def _compact_scan(ckpt: DataFrame) -> DataFrame:
+    """Narrow coalesce over an eager-checkpointed micro-batch frame
+    (r12): the checkpoint inherits _spread's core-count partitions —
+    right for the per-row signature computation, wrong for the many
+    downstream subtree evaluations that each re-scan the tiny frame.
+    At micro-batch scale every one of those scans paid a 32-task
+    stage of pure scheduling (EPOCH_OVERHEAD_PROBE_r12: several
+    0.8s/32-task stages over 2500 rows). coalesce is a zero-shuffle
+    wrapper over the already-materialized checkpoint partitions, so
+    each consumer stage drops to 4 tasks while the checkpoint itself
+    keeps full compute parallelism. ONLY safe after an eager
+    materialization — wrapping a lazy persist would run the upstream
+    computation itself at 4-way parallelism."""
+    return ckpt.coalesce(_LEAN_SCAN_PARTITIONS)
 
 
 def _bands_long(sigs: DataFrame, n_bands: int, id_col: str) -> DataFrame:
@@ -949,7 +1103,6 @@ def neardup_ingest_batch(
         n_bands,
         spec["fh_cols"],
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    batch_bands = _bands_hash_long(sigs, n_bands, id_col, spec["fh_cols"])
 
     store_dir = _open_store(store_dir)
     _check_store_params(
@@ -969,59 +1122,21 @@ def neardup_ingest_batch(
     store_exists = _store_has_data(store_dir)
     hist = spark.read.parquet(store_dir) if store_exists else None
 
-    old_payload = lambda src: src.select(  # noqa: E731
-        F.col(id_col).alias("old_id"),
-        F.col("v").alias("v_old"),
-        F.col("nrm").alias("n_old"),
+    new_pay = sigs.select(
+        F.col(id_col).alias("new_id"),
+        F.col("v").alias("v_new"),
+        F.col("nrm").alias("n_new"),
     )
-    # within-batch candidates: earlier id is the incumbent (hashed
-    # long band keys — same buckets as the store touch, cheaper join)
-    wb = batch_bands.select(id_col, "band", F.col("bh").alias("sig"))
-    cands = _band_pairs(
-        wb, wb, id_col, within_batch=True, band_bucket_cap=band_bucket_cap
-    ).join(old_payload(sigs), "old_id")
-    own_stored = sig_stored = None
-    if store_exists:
-        # ONE fused store touch (r9 verdict task 1): banded candidates,
-        # the over-cap histogram, identical-signature matches and the
-        # own-stored override all come from _hist_dup_terms' narrow
-        # checkpointed slice + bounded payload fetch
-        cand_pay, ident_pay = _hist_dup_terms(
-            spark, store_dir, hist, sigs, batch_bands, id_col, spec,
-            band_bucket_cap, store_rows=store_rows,
-        )
-        cands = cands.unionByName(cand_pay.select(*cands.columns))
-        # full-signature-hash matches, confirmed by EXACT vector
-        # equality (cos(v, v) = 1.0 for finite nonzero v; undefined
-        # cosines must never suppress, so zero-norm/NaN rows are
-        # excluded on BOTH sides — the shortcut's finite_pos rule)
-        conf = ident_pay.join(
-            sigs.select(
-                F.col(id_col).alias("new_id"),
-                F.col("v").alias("v_new"),
-                F.col("nrm").alias("n_new"),
-            ),
-            "new_id",
-        ).filter(
-            (F.col("v_new") == F.col("v_old"))
-            & (F.col("n_new") > 0)
-            & ~F.isnan("n_new")
-            & (F.col("n_old") > 0)
-            & ~F.isnan("n_old")
-        )
-        own_stored = (
-            conf.filter(F.col("old_id") == F.col("new_id"))
-            .select(F.col("new_id").alias(id_col))
-            .distinct()
-        )
-        sig_stored = (
-            conf.filter(F.col("old_id") != F.col("new_id"))
-            .select(F.col("new_id").alias(id_col))
-            .distinct()
-        )
-
-    new_side = sigs.select(
-        F.col(id_col).alias("new_id"), F.col("v").alias("v_new"), F.col("nrm").alias("n_new")
+    # full-signature matches are confirmed by EXACT vector equality
+    # (cos(v, v) = 1.0 for finite nonzero v; undefined cosines must
+    # never suppress, so zero-norm/NaN rows are excluded on BOTH
+    # sides — the shortcut's finite_pos rule)
+    exact_eq = (
+        (F.col("v_new") == F.col("v_old"))
+        & (F.col("n_new") > 0)
+        & ~F.isnan("n_new")
+        & (F.col("n_old") > 0)
+        & ~F.isnan("n_old")
     )
     # try_divide: a zero-norm vector's cosine is UNDEFINED — NULL
     # fails the >= threshold filter, so degenerate vectors are
@@ -1035,18 +1150,76 @@ def neardup_ingest_batch(
         ),
         round_dp,
     )
-    dup_ids = (
-        cands.join(new_side, "new_id")
-        # ~isnan: NaN-normed vectors have cos = NaN, and Spark orders
-        # NaN above every number (NaN >= t is TRUE) — without the
-        # guard the banded path would suppress rows whose cosine is
-        # undefined, the exact invariant the shortcut's finite_pos
-        # filter enforces (2nd review pass, r9). try_divide's NULL
-        # (zero norm) already fails the >= filter on its own.
-        .filter((cos >= threshold) & ~F.isnan(cos))
-        .select(F.col("new_id").alias(id_col))
-        .distinct()
-    )
+    # ~isnan: NaN-normed vectors have cos = NaN, and Spark orders
+    # NaN above every number (NaN >= t is TRUE) — without the guard
+    # the banded path would suppress rows whose cosine is undefined,
+    # the exact invariant the shortcut's finite_pos filter enforces
+    # (2nd review pass, r9). try_divide's NULL (zero norm) already
+    # fails the >= filter on its own.
+    verify = (cos >= threshold) & ~F.isnan(cos)
+    big = store_exists and store_rows >= _EAGER_SLICE_MIN_STORE_ROWS
+    if not big:
+        # LEAN micro-batch shape (r12) — see _lean_dup_terms and the
+        # text twin's branch notes; pinned equal to the big shape in
+        # tests/test_store_v2.py
+        wb_pairs, hist_pairs, ident_pairs = _lean_dup_terms(
+            spark, store_dir, hist if store_exists else None, sigs,
+            id_col, spec, band_bucket_cap,
+        )
+        dup_ids = wb_pairs.filter(verify).select(F.col("new_id").alias(id_col))
+        own_stored = sig_stored = None
+        if hist_pairs is not None:
+            hp = hist_pairs.join(new_pay, "new_id")
+            dup_ids = dup_ids.unionByName(
+                hp.filter(verify).select(F.col("new_id").alias(id_col))
+            )
+            conf = ident_pairs.join(new_pay, "new_id").filter(exact_eq)
+            own_stored = conf.filter(
+                F.col("old_id") == F.col("new_id")
+            ).select(F.col("new_id").alias(id_col))
+            sig_stored = conf.filter(
+                F.col("old_id") != F.col("new_id")
+            ).select(F.col("new_id").alias(id_col))
+    else:
+        # MATERIALIZED big-store shape — unchanged from r11
+        batch_bands = _bands_hash_long(sigs, n_bands, id_col, spec["fh_cols"])
+        old_payload = lambda src: src.select(  # noqa: E731
+            F.col(id_col).alias("old_id"),
+            F.col("v").alias("v_old"),
+            F.col("nrm").alias("n_old"),
+        )
+        # within-batch candidates: earlier id is the incumbent (hashed
+        # long band keys — same buckets as the store touch)
+        wb = batch_bands.select(id_col, "band", F.col("bh").alias("sig"))
+        cands = _band_pairs(
+            wb, wb, id_col, within_batch=True, band_bucket_cap=band_bucket_cap
+        ).join(old_payload(sigs), "old_id")
+        # ONE fused store touch (r9 verdict task 1): banded candidates,
+        # the over-cap histogram, identical-signature matches and the
+        # own-stored override all come from _hist_dup_terms' narrow
+        # checkpointed slice + bounded payload fetch
+        cand_pay, ident_pay = _hist_dup_terms(
+            spark, store_dir, hist, sigs, batch_bands, id_col, spec,
+            band_bucket_cap, store_rows=store_rows,
+        )
+        cands = cands.unionByName(cand_pay.select(*cands.columns))
+        conf = ident_pay.join(new_pay, "new_id").filter(exact_eq)
+        own_stored = (
+            conf.filter(F.col("old_id") == F.col("new_id"))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        sig_stored = (
+            conf.filter(F.col("old_id") != F.col("new_id"))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        dup_ids = (
+            cands.join(new_pay, "new_id")
+            .filter(verify)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
     if threshold <= 1.0:
         # exact-duplicate shortcut — the SRP analog of the text/image
         # identical-signature tier (r8 ADVICE): sign-band equality
@@ -1066,7 +1239,8 @@ def neardup_ingest_batch(
         )
         if sig_stored is not None:
             dup_ids = dup_ids.unionByName(sig_stored)
-        dup_ids = dup_ids.distinct()
+        if big:
+            dup_ids = dup_ids.distinct()
     if own_stored is not None:
         # at-least-once override: a row whose own (id, vector) is
         # already stored was admitted by an earlier attempt and must
@@ -1483,6 +1657,17 @@ def _minhash_sig_frame_exploded(
     )
 
 
+# Cached per-(id_col, text_col) Column trees for the fused signature
+# stage (r12): the expressions are input-frame-independent (unresolved
+# references only), and building them costs ~0.2s of driver py4j
+# round trips per call — a visible share of the minute-level epoch's
+# fixed floor (EPOCH_OVERHEAD_PROBE_r12: sig_plan_built 0.39s of a
+# ~4.7s epoch). One process-wide build per column naming, reused by
+# every epoch. Safe to reuse: Columns are immutable expression trees
+# and each appears at most once per plan.
+_MH_COLS_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document MinHash signatures, identical definition to
     q52_minhash_lsh (queries/llm.py: 3-word shingles, md5-derived
@@ -1516,50 +1701,53 @@ def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     n_slots = len(_MH_PARAMS)
     n_bands = n_slots // 4
-    words = F.split(F.col(text_col), _WS)
-    params = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for (a, b) in _MH_PARAMS
-        ]
-    )
-
-    def fold(shingles):
-        # transform: one md5 per shingle; the fold then reads the
-        # bound hash value 16 times per shingle (cheap lambda-var
-        # references, never re-hashing)
-        return F.aggregate(
-            F.transform(shingles, _tok_hash32),
-            F.array_repeat(F.lit(_MH_P).cast("bigint"), n_slots),
-            lambda acc, h: F.zip_with(
-                acc,
-                params,
-                lambda m, p: F.least(m, (p["a"] * h + p["b"]) % F.lit(_MH_P)),
-            ),
-        )
-
-    def row_out(m):
-        return F.struct(
-            m.alias("mh"),
+    cached = _MH_COLS_CACHE.get((id_col, text_col))
+    if cached is None:
+        words = F.split(F.col(text_col), _WS)
+        params = F.array(
             *[
-                F.concat_ws(
-                    ",", *[F.element_at(m, 4 * bi + r + 1) for r in range(4)]
-                ).alias(f"b{bi}")
-                for bi in range(n_bands)
-            ],
+                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                for (a, b) in _MH_PARAMS
+            ]
         )
 
-    shingled = (
-        _spread(df)
-        .filter(F.size(words) >= 3)
-        .select(id_col, let_expr(words, shingle_expr).alias("shingles"))
-    )
-    # both lets matter: the fold result is referenced 17 times by
-    # row_out (once per output column element), and an inlined copy
-    # would re-run the whole 16-slot fold per reference
-    s = shingled.select(
-        id_col, let_expr(fold(F.col("shingles")), row_out).alias("s")
-    )
+        def fold(shingles):
+            # transform: one md5 per shingle; the fold then reads the
+            # bound hash value 16 times per shingle (cheap lambda-var
+            # references, never re-hashing)
+            return F.aggregate(
+                F.transform(shingles, _tok_hash32),
+                F.array_repeat(F.lit(_MH_P).cast("bigint"), n_slots),
+                lambda acc, h: F.zip_with(
+                    acc,
+                    params,
+                    lambda m, p: F.least(m, (p["a"] * h + p["b"]) % F.lit(_MH_P)),
+                ),
+            )
+
+        def row_out(m):
+            return F.struct(
+                m.alias("mh"),
+                *[
+                    F.concat_ws(
+                        ",", *[F.element_at(m, 4 * bi + r + 1) for r in range(4)]
+                    ).alias(f"b{bi}")
+                    for bi in range(n_bands)
+                ],
+            )
+
+        # both lets matter: the fold result is referenced 17 times by
+        # row_out (once per output column element), and an inlined
+        # copy would re-run the whole 16-slot fold per reference
+        cached = (
+            F.size(words) >= 3,
+            let_expr(words, shingle_expr).alias("shingles"),
+            let_expr(fold(F.col("shingles")), row_out).alias("s"),
+        )
+        _MH_COLS_CACHE[(id_col, text_col)] = cached
+    shingle_filter, shingles_col, out_col = cached
+    shingled = _spread(df).filter(shingle_filter).select(id_col, shingles_col)
+    s = shingled.select(id_col, out_col)
     return s.select(
         id_col,
         F.col("s.mh").alias("mh"),
@@ -1614,10 +1802,11 @@ def textdup_ingest_batch(
     # 30-40% wall to cache-population effects (measured 550-630 ->
     # ~420 docs/s idle at sf0.1), so the dedicated materialization
     # job earns its ~0.3-0.5s
-    sigs = _with_index_cols(
-        _minhash_sig_frame(batch, id_col, text_col), n_bands, spec["fh_cols"]
-    ).localCheckpoint(eager=True)
-    batch_bands = _bands_hash_long(sigs, n_bands, id_col, spec["fh_cols"])
+    sigs = _compact_scan(
+        _with_index_cols(
+            _minhash_sig_frame(batch, id_col, text_col), n_bands, spec["fh_cols"]
+        ).localCheckpoint(eager=True)
+    )
     # MinHash band space is effectively unbounded (four 32-bit slots),
     # so the sized policy is the count-free candidate budget — no
     # batch count, no store-size lookup (unlike the SRP/image
@@ -1646,16 +1835,72 @@ def textdup_ingest_batch(
         if store_exists
         else 0
     )
-    # within-batch candidates over the hashed long band keys
-    wb = batch_bands.select(id_col, "band", F.col("bh").alias("sig"))
-    cands = _band_pairs(
-        wb, wb, id_col, within_batch=True, band_bucket_cap=band_bucket_cap
-    ).join(
-        sigs.select(F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")),
-        "old_id",
-    )
-    own_stored = sig_stored = None
-    if store_exists:
+    sig_cols = [f"b{bi}" for bi in range(n_bands)]
+    big = store_exists and store_rows >= _EAGER_SLICE_MIN_STORE_ROWS
+    if not big:
+        # LEAN micro-batch shape (r12): payloads carried through the
+        # within-batch band self-join, no intermediate .distinct()s,
+        # suppression assembled by two left_antis — see _lean_dup_terms
+        wb_pairs, hist_pairs, ident_pairs = _lean_dup_terms(
+            spark, store_dir, hist if store_exists else None, sigs,
+            id_col, spec, band_bucket_cap,
+        )
+        new_pay = sigs.select(
+            F.col(id_col).alias("new_id"), F.col("mh").alias("mh_new")
+        )
+        dup_ids = wb_pairs.filter(est_jacc >= threshold).select(
+            F.col("new_id").alias(id_col)
+        )
+        own_stored = None
+        if hist_pairs is not None:
+            hp = hist_pairs.join(new_pay, "new_id")
+            dup_ids = dup_ids.unionByName(
+                hp.filter(est_jacc >= threshold).select(
+                    F.col("new_id").alias(id_col)
+                )
+            )
+            # full-signature-hash matches confirmed by exact mh
+            # equality (all 16 slots agree <=> all four band
+            # signatures agree — the 64-bit fh only prunes, never
+            # decides a suppression)
+            conf = ident_pairs.join(new_pay, "new_id").filter(
+                F.col("mh_new") == F.col("mh_old")
+            )
+            own_stored = conf.filter(
+                F.col("old_id") == F.col("new_id")
+            ).select(F.col("new_id").alias(id_col))
+            dup_ids = dup_ids.unionByName(
+                conf.filter(F.col("old_id") != F.col("new_id")).select(
+                    F.col("new_id").alias(id_col)
+                )
+            )
+        # identical-signature dups (estimated Jaccard exactly 1.0) by
+        # signature equality — no pair join, so a template family is
+        # deduped even when its band bucket is capped (see the big
+        # branch's notes; semantics identical)
+        dup_ids = dup_ids.unionByName(
+            _identical_sig_dups(sigs, id_col, sig_cols)
+        )
+        if own_stored is not None:
+            # at-least-once override: a row whose own (id, signature)
+            # is already stored was admitted by an earlier attempt and
+            # must be re-emitted whatever it now collides with
+            dup_ids = dup_ids.join(
+                F.broadcast(own_stored), id_col, "left_anti"
+            )
+    else:
+        # MATERIALIZED big-store shape (>= _EAGER_SLICE_MIN_STORE_ROWS
+        # footer rows): checkpointed slice/candidates + the exact-count
+        # broadcast gate — unchanged from r11; the lean twin above is
+        # pinned equal in tests/test_store_v2.py
+        batch_bands = _bands_hash_long(sigs, n_bands, id_col, spec["fh_cols"])
+        wb = batch_bands.select(id_col, "band", F.col("bh").alias("sig"))
+        cands = _band_pairs(
+            wb, wb, id_col, within_batch=True, band_bucket_cap=band_bucket_cap
+        ).join(
+            sigs.select(F.col(id_col).alias("old_id"), F.col("mh").alias("mh_old")),
+            "old_id",
+        )
         # ONE fused store touch (r9 verdict task 1): banded candidates,
         # over-cap histogram, identical-signature matches and the
         # own-stored override all derive from _hist_dup_terms' narrow
@@ -1666,8 +1911,6 @@ def textdup_ingest_batch(
         )
         cands = cands.unionByName(cand_pay.select(*cands.columns))
         # full-signature-hash matches confirmed by exact mh equality
-        # (all 16 slots agree <=> all four band signatures agree —
-        # the 64-bit fh only prunes, never decides a suppression)
         conf = ident_pay.join(
             sigs.select(F.col(id_col).alias("new_id"), F.col("mh").alias("mh_new")),
             "new_id",
@@ -1682,32 +1925,27 @@ def textdup_ingest_batch(
             .select(F.col("new_id").alias(id_col))
             .distinct()
         )
-
-    dup_ids = (
-        cands.join(
-            sigs.select(F.col(id_col).alias("new_id"), F.col("mh").alias("mh_new")),
-            "new_id",
+        dup_ids = (
+            cands.join(
+                sigs.select(
+                    F.col(id_col).alias("new_id"), F.col("mh").alias("mh_new")
+                ),
+                "new_id",
+            )
+            .filter(est_jacc >= threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
         )
-        .filter(est_jacc >= threshold)
-        .select(F.col("new_id").alias(id_col))
-        .distinct()
-    )
-    # identical-signature dups (estimated Jaccard exactly 1.0) by
-    # signature equality — no pair join, so a template family is
-    # deduped even when its band bucket is capped, and only ONE
-    # representative ever reaches the store. Within-batch via the
-    # groupBy shortcut; vs history via the confirmed fh matches.
-    sig_cols = [f"b{bi}" for bi in range(n_bands)]
-    dup_ids = dup_ids.unionByName(
-        _identical_sig_dups(sigs, id_col, sig_cols)
-    )
-    if sig_stored is not None:
-        dup_ids = dup_ids.unionByName(sig_stored)
-    dup_ids = dup_ids.distinct()
-    if own_stored is not None:
-        # at-least-once override: a row whose own (id, signature) is
-        # already stored was admitted by an earlier attempt and must
-        # be re-emitted whatever it now collides with
+        # identical-signature dups (estimated Jaccard exactly 1.0) by
+        # signature equality — no pair join, so a template family is
+        # deduped even when its band bucket is capped, and only ONE
+        # representative ever reaches the store. Within-batch via the
+        # groupBy shortcut; vs history via the confirmed fh matches.
+        dup_ids = dup_ids.unionByName(
+            _identical_sig_dups(sigs, id_col, sig_cols)
+        )
+        dup_ids = dup_ids.unionByName(sig_stored).distinct()
+        # at-least-once override (see the lean branch's note)
         dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
     admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
     admitted_sigs = sigs.join(admitted.select(id_col), id_col)
@@ -1780,14 +2018,15 @@ def imagedup_ingest_batch(
         store_dir, {"modality": hash_mode, "grid": 64, "band_bits": 16}
     )
     # eager localCheckpoint, NOT a lazy persist — the text twin's note
-    sigs = _with_index_cols(
-        wide_fn(_spread(batch), id_col, payload_col).select(
-            id_col, "b0", "b1", "b2", "b3"
-        ),
-        n_bands,
-        spec["fh_cols"],
-    ).localCheckpoint(eager=True)
-    batch_bands = _bands_hash_long(sigs, n_bands, id_col, spec["fh_cols"])
+    sigs = _compact_scan(
+        _with_index_cols(
+            wide_fn(_spread(batch), id_col, payload_col).select(
+                id_col, "b0", "b1", "b2", "b3"
+            ),
+            n_bands,
+            spec["fh_cols"],
+        ).localCheckpoint(eager=True)
+    )
 
     hamming = sum(
         F.bit_count(F.col(f"nb{k}").bitwiseXOR(F.col(f"ob{k}"))) for k in range(4)
@@ -1814,33 +2053,73 @@ def imagedup_ingest_batch(
         )
     else:
         cap = band_bucket_cap
-    # within-batch candidates over the hashed long band keys
-    wb = batch_bands.select(id_col, "band", F.col("bh").alias("sig"))
-    cands = _band_pairs(
-        wb, wb, id_col, within_batch=True, band_bucket_cap=cap
-    ).join(old_cols(sigs), "old_id")
-    own_stored = sig_stored = None
-    if hist is not None:
+    sig_cols = [f"b{k}" for k in range(4)]
+    new_pay = sigs.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"b{k}").alias(f"nb{k}") for k in range(4)],
+    )
+    exact_eq = (
+        sum((F.col(f"nb{k}") != F.col(f"ob{k}")).cast("int") for k in range(4))
+        == 0
+    )
+    big = hist is not None and store_rows >= _EAGER_SLICE_MIN_STORE_ROWS
+    if not big:
+        # LEAN micro-batch shape (r12) — see _lean_dup_terms and the
+        # text twin's branch notes; semantics pinned equal to the big
+        # shape in tests/test_store_v2.py
+        wb_pairs, hist_pairs, ident_pairs = _lean_dup_terms(
+            spark, store_dir, hist, sigs, id_col, spec, cap
+        )
+        dup_ids = wb_pairs.filter(hamming <= max_hamming).select(
+            F.col("new_id").alias(id_col)
+        )
+        own_stored = None
+        if hist_pairs is not None:
+            hp = hist_pairs.join(new_pay, "new_id")
+            dup_ids = dup_ids.unionByName(
+                hp.filter(hamming <= max_hamming).select(
+                    F.col("new_id").alias(id_col)
+                )
+            )
+            # fh matches confirmed by exact band equality (Hamming 0)
+            # — the 64-bit fh only prunes, never decides a suppression
+            conf = ident_pairs.join(new_pay, "new_id").filter(exact_eq)
+            own_stored = conf.filter(
+                F.col("old_id") == F.col("new_id")
+            ).select(F.col("new_id").alias(id_col))
+            dup_ids = dup_ids.unionByName(
+                conf.filter(F.col("old_id") != F.col("new_id")).select(
+                    F.col("new_id").alias(id_col)
+                )
+            )
+        # identical-hash dups (Hamming exactly 0) via signature-
+        # equality groupBy within the batch — the flat-image family
+        # dedups even when its band bucket is capped
+        dup_ids = dup_ids.unionByName(
+            _identical_sig_dups(sigs, id_col, sig_cols)
+        )
+        if own_stored is not None:
+            # at-least-once override: a row whose own (id, hash) is
+            # already stored was admitted by an earlier attempt and
+            # must be re-emitted whatever it now collides with
+            dup_ids = dup_ids.join(
+                F.broadcast(own_stored), id_col, "left_anti"
+            )
+    else:
+        # MATERIALIZED big-store shape — unchanged from r11
+        batch_bands = _bands_hash_long(sigs, n_bands, id_col, spec["fh_cols"])
+        wb = batch_bands.select(id_col, "band", F.col("bh").alias("sig"))
+        cands = _band_pairs(
+            wb, wb, id_col, within_batch=True, band_bucket_cap=cap
+        ).join(old_cols(sigs), "old_id")
         # ONE fused store touch (r9 verdict task 1) — see _hist_dup_terms
         cand_pay, ident_pay = _hist_dup_terms(
             spark, store_dir, hist, sigs, batch_bands, id_col, spec, cap,
             store_rows=store_rows,
         )
         cands = cands.unionByName(cand_pay.select(*cands.columns))
-        # fh matches confirmed by exact band equality (Hamming 0) —
-        # the 64-bit fh only prunes, never decides a suppression
-        conf = ident_pay.join(
-            sigs.select(
-                F.col(id_col).alias("new_id"),
-                *[F.col(f"b{k}").alias(f"nb{k}") for k in range(4)],
-            ),
-            "new_id",
-        ).filter(
-            sum(
-                (F.col(f"nb{k}") != F.col(f"ob{k}")).cast("int") for k in range(4)
-            )
-            == 0
-        )
+        # fh matches confirmed by exact band equality (Hamming 0)
+        conf = ident_pay.join(new_pay, "new_id").filter(exact_eq)
         own_stored = (
             conf.filter(F.col("old_id") == F.col("new_id"))
             .select(F.col("new_id").alias(id_col))
@@ -1851,34 +2130,18 @@ def imagedup_ingest_batch(
             .select(F.col("new_id").alias(id_col))
             .distinct()
         )
-
-    dup_ids = (
-        cands.join(
-            sigs.select(
-                F.col(id_col).alias("new_id"),
-                *[F.col(f"b{k}").alias(f"nb{k}") for k in range(4)],
-            ),
-            "new_id",
+        dup_ids = (
+            cands.join(new_pay, "new_id")
+            .filter(hamming <= max_hamming)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
         )
-        .filter(hamming <= max_hamming)
-        .select(F.col("new_id").alias(id_col))
-        .distinct()
-    )
-    # identical-hash dups (Hamming exactly 0) via signature-equality
-    # groupBy within the batch and the confirmed fh matches vs the
-    # store — the flat-image family dedups even when its band bucket
-    # is capped, storing one representative
-    sig_cols = [f"b{k}" for k in range(4)]
-    dup_ids = dup_ids.unionByName(
-        _identical_sig_dups(sigs, id_col, sig_cols)
-    )
-    if sig_stored is not None:
-        dup_ids = dup_ids.unionByName(sig_stored)
-    dup_ids = dup_ids.distinct()
-    if own_stored is not None:
-        # at-least-once override: a row whose own (id, hash) is
-        # already stored was admitted by an earlier attempt and must
-        # be re-emitted whatever it now collides with
+        # identical-hash dups via the groupBy shortcut + confirmed fh
+        # matches (see the text twin's notes)
+        dup_ids = dup_ids.unionByName(
+            _identical_sig_dups(sigs, id_col, sig_cols)
+        )
+        dup_ids = dup_ids.unionByName(sig_stored).distinct()
         dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
     admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
     admitted_sigs = sigs.join(admitted.select(id_col), id_col)

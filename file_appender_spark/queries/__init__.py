@@ -136,25 +136,21 @@ _DRIVER_PRIORITY = [
 # old evidence no longer certifies the current code, so they rank with
 # the never-green tranche until re-verified. Remove entries once the
 # round that re-checked them is committed.
+# (r11 entries cleared: CORRECTNESS_r11 re-greened all seven.)
 _FORCE_RECHECK: set[str] = {
-    # r11: the MinHash signature stage was rewritten (fused no-explode
-    # spelling, bit-equality-pinned), the SRP ingest now appends the
-    # reused batch signature frame, the banded index sidecar went
-    # id-only with a byte-derived use gate (+ the lean-shape ident
-    # unhint), and graph._capped gained long casts — re-certify the
-    # driver rows whose lineage crosses those paths (r10 greens
-    # certify the pre-rewrite code; the pairstore/corpusstats tiers
-    # do NOT cross them — pairstore folds its own in-row minhash and
-    # has no sidecar). Remove once CORRECTNESS_r11 lands green.
+    # r12: the ingest epoch's LEAN micro-batch shape was restructured
+    # (operators/neardup_ingest._lean_dup_terms: payloads carried
+    # through the within-batch band self-join, intermediate
+    # .distinct()s dropped, post-checkpoint coalesce) — re-certify
+    # every driver row whose lineage crosses the small-store ingest
+    # path. Big-store shape unchanged; pairstore/corpusstats tiers do
+    # not cross this path.
     "q260_textdup_ingest_sim",
     "q261_imagedup_ingest_sim",
     "q264_textdup_compacted_sim",
     "q265_embeddingdup_ingest_sim",
-    "q266_capped_triangles",
-    # r11: weighted-Jaccard capped path + _exact_verify moved to
-    # xxhash64 long keys (WJACCARD_BREAKDOWN_r11)
-    "q163_wjaccard_capped",
-    "q267_icws_error_contract",
+    "q269_textdup_index_lifecycle",
+    "q270_textdup_manifest_sim",
 }
 
 
