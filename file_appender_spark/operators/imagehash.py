@@ -49,6 +49,14 @@ from pyspark.sql import functions as F
 
 _DIG = "0123456789ABCDEF"
 
+# Input-frame-independent Column caches (r12, the neardup_ingest
+# _MH_COLS_CACHE discipline): the extraction/banding expression trees
+# depend only on column NAMES and the grid, and building them cost
+# ~0.3s of driver py4j/parse time per ingest epoch. Columns are
+# immutable and appear once per plan, so reuse is safe.
+_CELL_COLS_CACHE: dict[tuple, tuple] = {}
+_WIDE_COLS_CACHE: dict[tuple, tuple] = {}
+
 
 def _cells(
     df: DataFrame, id_col: str, payload_col: str, grid: int = 64
@@ -59,33 +67,38 @@ def _cells(
     Bytes are extracted JVM-side via hex() + instr() (no UDF); cells
     for strides with no bytes (payloads shorter than the grid) are
     absent, which downstream treats as bit=0 consistently."""
-    hx = F.hex(F.col(payload_col))
-    n = F.length(F.col(payload_col))  # byte length for BinaryType
-    # one regex pass chunks the hex string into 2-char pairs BEFORE the
-    # explode — indexing the long hex string per byte (substr(hx, 2i+1))
-    # is O(len) per char under UTF-8 offsets, i.e. O(len^2) per payload
-    # (measured: ~9x the whole pipeline's cost at the 10x probe)
-    pairs = F.split(F.regexp_replace(hx, "(..)", "$1\x01"), "\x01")
-    e = df.select(
-        F.col(id_col),
-        n.alias("n"),
-        F.posexplode(pairs).alias("i", "p"),
-    ).filter(F.col("p") != "")
-    b = (
-        16 * (F.expr(f"instr('{_DIG}', substr(p, 1, 1))") - 1)
-        + (F.expr(f"instr('{_DIG}', substr(p, 2, 1))") - 1)
-    )
-    byt = e.select(
-        id_col,
-        "n",
-        (F.col("i") % grid).cast("int").alias("c"),
-        b.cast("bigint").alias("b"),
-    )
-    return byt.groupBy(id_col, "c").agg(
-        F.max("n").alias("n_bytes"),
-        F.sum("b").alias("cell"),
-        F.count("*").cast("bigint").alias("k"),
-    )
+    key = (id_col, payload_col, grid)
+    cached = _CELL_COLS_CACHE.get(key)
+    if cached is None:
+        hx = F.hex(F.col(payload_col))
+        n = F.length(F.col(payload_col))  # byte length for BinaryType
+        # one regex pass chunks the hex string into 2-char pairs
+        # BEFORE the explode — indexing the long hex string per byte
+        # (substr(hx, 2i+1)) is O(len) per char under UTF-8 offsets,
+        # i.e. O(len^2) per payload (measured: ~9x the whole
+        # pipeline's cost at the 10x probe)
+        pairs = F.split(F.regexp_replace(hx, "(..)", "$1\x01"), "\x01")
+        b = (
+            16 * (F.expr(f"instr('{_DIG}', substr(p, 1, 1))") - 1)
+            + (F.expr(f"instr('{_DIG}', substr(p, 2, 1))") - 1)
+        )
+        cached = (
+            (n.alias("n"), F.posexplode(pairs).alias("i", "p")),
+            (
+                (F.col("i") % grid).cast("int").alias("c"),
+                b.cast("bigint").alias("b"),
+            ),
+            (
+                F.max("n").alias("n_bytes"),
+                F.sum("b").alias("cell"),
+                F.count("*").cast("bigint").alias("k"),
+            ),
+        )
+        _CELL_COLS_CACHE[key] = cached
+    explode_cols, byt_cols, agg_cols = cached
+    e = df.select(F.col(id_col), *explode_cols).filter(F.col("p") != "")
+    byt = e.select(id_col, "n", *byt_cols)
+    return byt.groupBy(id_col, "c").agg(*agg_cols)
 
 
 def _wide_from_cells(
@@ -99,22 +112,29 @@ def _wide_from_cells(
     if grid % 4 != 0 or grid // 4 > 64:
         raise ValueError(f"grid must be a multiple of 4, <= 256: {grid}")
     w = grid // 4  # band width in bits (<= 64: packs into one BIGINT)
-    g = cells.groupBy(id_col).agg(
-        F.max("n_bytes").alias("n_bytes"),
-        F.collect_list(F.struct("c", "cell", "k")).alias("a"),
-    )
-    tot = F.expr("aggregate(a, 0L, (acc, s) -> acc + s.cell)")
-    withtot = g.select(id_col, "n_bytes", "a", tot.alias("tot"))
-    bit = "IF(s.cell * n_bytes > tot * s.k, 1L, 0L)"
-    pop = F.expr(f"aggregate(a, 0L, (acc, s) -> acc + {bit})")
-    bands = [
-        F.expr(
-            f"aggregate(a, 0L, (acc, s) -> acc + IF(CAST(floor(s.c / {w}) AS INT) = {k},"
-            f" shiftleft({bit}, s.c % {w}), 0L))"
-        ).alias(f"b{k}")
-        for k in range(4)
-    ]
-    return withtot.select(id_col, "n_bytes", pop.alias("popcount"), *bands)
+    key = (id_col, grid)
+    cached = _WIDE_COLS_CACHE.get(key)
+    if cached is None:
+        agg_cols = (
+            F.max("n_bytes").alias("n_bytes"),
+            F.collect_list(F.struct("c", "cell", "k")).alias("a"),
+        )
+        tot = F.expr("aggregate(a, 0L, (acc, s) -> acc + s.cell)")
+        bit = "IF(s.cell * n_bytes > tot * s.k, 1L, 0L)"
+        pop = F.expr(f"aggregate(a, 0L, (acc, s) -> acc + {bit})")
+        bands = [
+            F.expr(
+                f"aggregate(a, 0L, (acc, s) -> acc + IF(CAST(floor(s.c / {w}) AS INT) = {k},"
+                f" shiftleft({bit}, s.c % {w}), 0L))"
+            ).alias(f"b{k}")
+            for k in range(4)
+        ]
+        cached = (agg_cols, tot.alias("tot"), pop.alias("popcount"), bands)
+        _WIDE_COLS_CACHE[key] = cached
+    agg_cols, tot_col, pop_col, bands = cached
+    g = cells.groupBy(id_col).agg(*agg_cols)
+    withtot = g.select(id_col, "n_bytes", "a", tot_col)
+    return withtot.select(id_col, "n_bytes", pop_col, *bands)
 
 
 def ahash_wide(
@@ -125,6 +145,69 @@ def ahash_wide(
     ahash_params_for when the corpus outgrows 16-bit bands). Exactly
     two exchanges end-to-end."""
     return _wide_from_cells(_cells(df, id_col, payload_col, grid), id_col, grid)
+
+
+def ahash_ingest_sigs_sql(
+    df: DataFrame, id_col: str, payload_col: str, grid: int = 64
+) -> DataFrame:
+    """ONE-CALL spelling of the ingest signature stage: ahash_wide's
+    strided-cell pipeline + the schema-v2 index columns (bh0..bh3 =
+    xxhash64(i, b_i), fh = xxhash64(b0..b3)) emitted by a single
+    ``spark.sql`` statement (r12, the lean-epoch fixed-overhead work).
+
+    Identical VALUES to
+    ``_with_index_cols(ahash_wide(df, ...).select(id, b0..b3))`` —
+    pinned in tests/test_imagehash.py::test_ahash_ingest_sigs_sql_
+    bitequal. The DataFrame spelling pays eager JVM analysis per
+    transformation (~0.3s of driver time per ingest epoch across its
+    7 ops, EPOCH_OVERHEAD_PROBE_r12); one SQL statement is parsed and
+    analyzed once. Rows with empty payloads produce no cells and are
+    absent, exactly like ahash_wide."""
+    if grid % 4 != 0 or grid // 4 > 64:
+        raise ValueError(f"grid must be a multiple of 4, <= 256: {grid}")
+    w = grid // 4
+    ident, pay = f"`{id_col}`", f"`{payload_col}`"
+    bit = "IF(s.cell * n_bytes > tot * s.k, 1L, 0L)"
+    bands = ", ".join(
+        f"aggregate(a, 0L, (acc, s) -> acc + IF(CAST(floor(s.c / {w}) AS INT)"
+        f" = {k}, shiftleft({bit}, s.c % {w}), 0L)) AS b{k}"
+        for k in range(4)
+    )
+    bhs = ", ".join(f"xxhash64({k}, b{k}) AS bh{k}" for k in range(4))
+    query = f"""
+    WITH e AS (
+      SELECT {ident}, length({pay}) AS n, i, p
+      FROM {{df}}
+      LATERAL VIEW posexplode(split(regexp_replace(hex({pay}), '(..)', '$1\x01'), '\x01')) t AS i, p
+      WHERE p != ''
+    ),
+    byt AS (
+      SELECT {ident}, n, CAST(i % {grid} AS INT) AS c,
+             CAST(16 * (instr('{_DIG}', substr(p, 1, 1)) - 1)
+                + (instr('{_DIG}', substr(p, 2, 1)) - 1) AS BIGINT) AS b
+      FROM e
+    ),
+    cells AS (
+      SELECT {ident}, c, max(n) AS n_bytes, sum(b) AS cell,
+             CAST(count(*) AS BIGINT) AS k
+      FROM byt GROUP BY {ident}, c
+    ),
+    g AS (
+      SELECT {ident}, max(n_bytes) AS n_bytes,
+             collect_list(struct(c, cell, k)) AS a
+      FROM cells GROUP BY {ident}
+    ),
+    withtot AS (
+      SELECT {ident}, n_bytes, a,
+             aggregate(a, 0L, (acc, s) -> acc + s.cell) AS tot
+      FROM g
+    ),
+    wide AS (SELECT {ident}, {bands} FROM withtot)
+    SELECT {ident}, b0, b1, b2, b3, {bhs},
+           xxhash64(b0, b1, b2, b3) AS fh
+    FROM wide
+    """
+    return df.sparkSession.sql(query, df=df)
 
 
 def ahash_params_for(n_items: int, margin_bits: int = 8) -> int:

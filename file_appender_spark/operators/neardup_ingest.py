@@ -808,11 +808,14 @@ def _lean_dup_terms(
     tests/test_store_v2.py::test_big_store_materialized_path_equals_
     lean (all three modalities)."""
     n_bands = spec["n_bands"]
-    stack = F.expr(
-        f"stack({n_bands}, "
-        + ", ".join(f"{bi}, bh{bi}" for bi in range(n_bands))
-        + ") AS (band, bh)"
-    )
+    stack = _LEAN_STACK_CACHE.get(n_bands)
+    if stack is None:
+        stack = F.expr(
+            f"stack({n_bands}, "
+            + ", ".join(f"{bi}, bh{bi}" for bi in range(n_bands))
+            + ") AS (band, bh)"
+        )
+        _LEAN_STACK_CACHE[n_bands] = stack
     xb = sigs.select(
         F.col(id_col).alias("new_id"),
         stack,
@@ -852,7 +855,10 @@ def _lean_dup_terms(
     slice_src, payload_src = _history_access(
         spark, store_dir, hist, xb, id_col, spec
     )
-    touched = F.broadcast(xb.select("band", "bh").distinct())
+    # no .distinct() under the broadcast: a semi-join probe tolerates
+    # duplicate build keys, and the distinct was a whole shuffle stage
+    # over batch x bands rows — micro-batch cardinality either way
+    touched = F.broadcast(xb.select("band", "bh"))
     sl = slice_src.join(touched, ["band", "bh"], "semi")
     xh = xb.select("new_id", "band", "bh")
     s2 = sl
@@ -924,6 +930,10 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 _LEAN_SCAN_PARTITIONS = 4
+
+# input-frame-independent Column caches (see _MH_COLS_CACHE's note)
+_LEAN_STACK_CACHE: dict[int, object] = {}
+_VERIFY_COLS_CACHE: dict[str, object] = {}
 
 
 def _compact_scan(ckpt: DataFrame) -> DataFrame:
@@ -1814,14 +1824,17 @@ def textdup_ingest_batch(
     # population floor count-dependent)
     band_bucket_cap = _resolve_ingest_cap(band_bucket_cap, 2, n_bands, None)
 
-    est_jacc = (
-        F.aggregate(
-            F.zip_with("mh_new", "mh_old", lambda a, b: (a == b).cast("int")),
-            F.lit(0),
-            lambda s, x: s + x,
-        ).cast("double")
-        / F.size("mh_new")
-    )
+    est_jacc = _VERIFY_COLS_CACHE.get("est_jacc")
+    if est_jacc is None:
+        est_jacc = (
+            F.aggregate(
+                F.zip_with("mh_new", "mh_old", lambda a, b: (a == b).cast("int")),
+                F.lit(0),
+                lambda s, x: s + x,
+            ).cast("double")
+            / F.size("mh_new")
+        )
+        _VERIFY_COLS_CACHE["est_jacc"] = est_jacc
 
     store_exists = _store_has_data(store_dir)
     hist = spark.read.parquet(store_dir) if store_exists else None
@@ -2017,16 +2030,24 @@ def imagedup_ingest_batch(
     _check_store_params(
         store_dir, {"modality": hash_mode, "grid": 64, "band_bits": 16}
     )
-    # eager localCheckpoint, NOT a lazy persist — the text twin's note
-    sigs = _compact_scan(
-        _with_index_cols(
+    # eager localCheckpoint, NOT a lazy persist — the text twin's note.
+    # aHash takes the one-statement SQL spelling (single parse/analyze
+    # vs ~7 eagerly-analyzed DataFrame ops, ~0.3s/epoch of driver
+    # time; bit-equality pinned in tests/test_imagehash.py); dHash
+    # keeps the DataFrame pipeline.
+    if hash_mode == "ahash":
+        from file_appender_spark.operators.imagehash import ahash_ingest_sigs_sql
+
+        sig_plan = ahash_ingest_sigs_sql(_spread(batch), id_col, payload_col)
+    else:
+        sig_plan = _with_index_cols(
             wide_fn(_spread(batch), id_col, payload_col).select(
                 id_col, "b0", "b1", "b2", "b3"
             ),
             n_bands,
             spec["fh_cols"],
-        ).localCheckpoint(eager=True)
-    )
+        )
+    sigs = _compact_scan(sig_plan.localCheckpoint(eager=True))
 
     hamming = sum(
         F.bit_count(F.col(f"nb{k}").bitwiseXOR(F.col(f"ob{k}"))) for k in range(4)
