@@ -99,10 +99,12 @@ def containment_pairs(
     # accounting: a 64-bit collision MERGES two tokens' df counts,
     # which can push a rare token over token_df_cap (its postings
     # drop from the super side) or evict it from a prefix — a RECALL
-    # loss, not just extra candidates. Probability ~vocab^2 / 2^64
-    # (~1e-12 at a realistic vocabulary); precision is always exact
-    # (full verify below), and the q129-family driver hashes fail
-    # loudly, never silently.
+    # loss, not just extra candidates. Probability (birthday bound)
+    # ~vocab^2 / 2^65: ~5e-8 at a 1M-token vocabulary, ~5e-6 at 10M
+    # — small but NOT the per-pair ~1e-12 figure (that one applies to
+    # the verify-side per-pair claim below); precision is always
+    # exact (full verify below), and the q129-family driver hashes
+    # fail loudly, never silently.
     toks = toks.withColumn("_th", F.xxhash64("tok"))
     tok_df = toks.groupBy("_th").agg(F.count("*").alias("_df"))
     ranked = toks.join(tok_df, "_th")

@@ -622,7 +622,15 @@ def refuse_mid_migration(
     if manifest_dirs and all(
         manifest_version(d) is not None for d in manifest_dirs
     ):
-        fs.remove(marker)
+        # tolerate a concurrent reader having removed the marker
+        # between the exists() check and here: two read-only entry
+        # points may self-heal the same post-crash store at once, and
+        # the loser's remove must not fail a read that should succeed
+        # (r11 ADVICE)
+        try:
+            fs.remove(marker)
+        except FileNotFoundError:
+            pass
         return
     raise ValueError(
         f"{kind} store {store_dir} has an unfinished manifest migration "
@@ -676,15 +684,26 @@ def migrate_tables_to_manifest(
             p = b.rstrip("/") + suffix
             if fs.exists(p):
                 fs.rmtree(p)
-        if manifest_version(b) is not None:
-            continue  # resumed run: this table already flipped
-        v1 = os.path.join(b, "v1")
-        fs.makedirs(v1)
+        if manifest_version(b) is None:
+            v1 = os.path.join(b, "v1")
+            fs.makedirs(v1)
+            for name in fs.listdir(b):
+                if name == "v1" or name.startswith((".", "_")):
+                    continue
+                fs.rename(os.path.join(b, name), os.path.join(v1, name))
+            fs.publish_text(os.path.join(b, MANIFEST_CURRENT_FILE), "v1")
+        # sweep Spark write-artifact FILES left at the table base
+        # (_SUCCESS, Hadoop .part-*.crc siblings): their data files
+        # moved into v1, clean_stale_manifest_versions only removes
+        # directories, and no later pass touches base-level files —
+        # without this they'd sit there forever (r11 ADVICE). Runs on
+        # resumed/already-published tables too (a crash between
+        # publish and sweep must not orphan them). Version dirs and
+        # the manifest file itself are untouched.
         for name in fs.listdir(b):
-            if name == "v1" or name.startswith((".", "_")):
-                continue
-            fs.rename(os.path.join(b, name), os.path.join(v1, name))
-        fs.publish_text(os.path.join(b, MANIFEST_CURRENT_FILE), "v1")
+            p = os.path.join(b, name)
+            if name != MANIFEST_CURRENT_FILE and not fs.isdir(p):
+                fs.remove(p)
     fs.remove(marker)
     return store_dir
 

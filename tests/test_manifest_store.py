@@ -611,6 +611,84 @@ def test_pairstore_migration_sweeps_classic_debris(spark, tmp_path):
     assert read_pairs(spark, store).count() == want
 
 
+def test_migration_sweeps_base_level_write_artifacts(spark, tmp_path):
+    """r11 ADVICE: a table root written directly by Spark leaves
+    _SUCCESS and Hadoop .part-*.crc siblings at the table base; the
+    migration loop skips '.'/'_' names when moving children into v1,
+    and clean_stale_manifest_versions only removes directories — so
+    without an explicit sweep these files sat at the base forever.
+    After migration each table base holds only version dirs and the
+    manifest file."""
+    from file_appender_spark.operators.pairstore import (
+        build_pair_graph,
+        migrate_pairstore_to_manifest,
+        read_pairs,
+    )
+    from file_appender_spark.storefs import MANIFEST_CURRENT_FILE
+
+    store = str(tmp_path / "ps_base_debris")
+    build_pair_graph(spark, _corpus(spark, 12, tag="bd"), store)
+    want = read_pairs(spark, store).count()
+    # Spark/Hadoop write artifacts at two table bases
+    open(os.path.join(store, "sigs", "_SUCCESS"), "w").close()
+    open(os.path.join(store, "sigs", ".part-00000.crc"), "w").close()
+    open(os.path.join(store, "pairs", "_SUCCESS"), "w").close()
+    migrate_pairstore_to_manifest(store)
+    for t in ("sigs", "pairs", "clusters"):
+        base = os.path.join(store, t)
+        for name in os.listdir(base):
+            p = os.path.join(base, name)
+            assert os.path.isdir(p) or name == MANIFEST_CURRENT_FILE, (t, name)
+    assert read_pairs(spark, store).count() == want
+
+
+def test_refuse_mid_migration_self_heal_tolerates_lost_race(tmp_path):
+    """r11 ADVICE: two concurrent read-only entry points recovering
+    the same post-crash store can both pass the marker exists() check;
+    the loser's remove must not raise — the store is fully published
+    and the read should succeed."""
+    from file_appender_spark.storefs import (
+        refuse_mid_migration,
+        store_fs_for,
+    )
+
+    store = str(tmp_path / "heal")
+    tdir = os.path.join(store, "t")
+    os.makedirs(os.path.join(tdir, "v1"))
+    fs = store_fs_for(store)
+    fs.publish_text(os.path.join(tdir, "_CURRENT"), "v1")
+    marker = os.path.join(store, "_MIG")
+    fs.write_text(marker, "x")
+
+    class RacyFS:
+        """Delegates to the real fs but removes the marker between the
+        exists() check and the remove() call — the losing reader."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def exists(self, path):
+            ok = self._inner.exists(path)
+            if ok and path == marker:
+                os.remove(marker)  # the other reader wins the race
+            return ok
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    import file_appender_spark.storefs as sfs
+
+    orig = sfs.store_fs_for
+    sfs.store_fs_for = lambda p: RacyFS(orig(p))
+    try:
+        refuse_mid_migration(
+            store, "_MIG", "pair", "migrate", manifest_dirs=[tdir]
+        )  # must not raise
+    finally:
+        sfs.store_fs_for = orig
+    assert not os.path.exists(marker)
+
+
 def test_sigstore_migration_marker_refuses_and_resumes(spark, tmp_path):
     """The signature store's migration gets the same marker discipline
     as the pair/corpus-stats stores: a crash mid-move must not read as
