@@ -27,9 +27,10 @@ Three forms:
   is <= (1 - t) * |A| — if every prefix token were unshared, the
   prefix weight bound would be violated; hence every qualifying B
   shares at least one prefix token. The other side's postings are
-  capped at df <= k; candidates are verified EXACTLY against the full
-  per-doc tf maps (map_zip_with min fold, JVM-side), so emitted pairs
-  carry the exact J_w — the cap affects RECALL only, never precision:
+  capped at df <= k; candidates are verified EXACTLY against
+  occurrence-indexed long arrays (native array_intersect — see
+  _exact_verify), so emitted pairs carry the exact J_w — the cap
+  affects RECALL only, never precision:
 
   recall contract (same as containment's, same proof): a true pair
   (A, B) is found iff at least one SHARED token has df <= k. Prefix
@@ -82,54 +83,50 @@ def _tf(docs: DataFrame, id_col: str, text_col: str, ws: str) -> DataFrame:
 
 
 def _exact_verify(cand: DataFrame, tf: DataFrame, threshold: float) -> DataFrame:
-    """Exact J_w for candidate (d1, d2) pairs via per-doc tf maps:
-    inter = fold of min over the key union (map_zip_with nulls -> 0),
-    union = sz1 + sz2 - inter. All JVM expressions; the shipped state
-    per candidate is two doc-length-bounded maps.
+    """Exact J_w for candidate (d1, d2) pairs via OCCURRENCE-INDEXED
+    long arrays (r12, closing the r11 verdict's last untried
+    spelling): token t with tf = c contributes the c longs
+    xxhash64(t, 1..c), and
 
-    Maps are keyed by xxhash64(tok) LONGS, not token strings (r11 —
-    the schema-v2 long-key trick applied to the verify, the operator's
-    dominant term per WJACCARD_BREAKDOWN_r11: 2.60 -> 2.41s over 2.0M
-    candidates on the bench corpus). The residual cost is the
-    map_zip_with fold itself — it materializes the key-union map per
-    candidate before the sum — and is attributed, with the measured
-    dead ends (broadcasting the map table: 2.61 -> 2.47s, within
-    noise; element_at-per-key folds are O(n) per lookup on Spark's
-    array-backed MapData), in SCALING.md round-11. The J_w VALUE is
-    unchanged unless two distinct tokens of one corpus collide in 64
-    bits (~1e-12 at a 20k vocabulary; q163's driver hash would fail
+        sum_t min(a_t, b_t)  ==  |array_intersect(occ(A), occ(B))|
+
+    exactly — occurrence i of t is in both multisets iff i <=
+    min(a_t, b_t) — so the weighted intersection is ONE native
+    set-intersect over flat bigint arrays. union = sz1 + sz2 - inter.
+    No per-candidate union-map materialization (the r11 map_zip_with
+    fold's attributed dominant cost), no sort, no per-key lookups:
+    measured 2.50 -> 0.82s over 2.0M candidates on the bench corpus
+    (WJACCARD_BREAKDOWN_r12, value-equality asserted both directions)
+    — the same pre-hashed-array family as containment's verify
+    (CONTBREAK_PROBE_r11), which a sorted-merge zip cannot reach
+    because Spark HOFs have no two-pointer iteration.
+
+    The shipped state per candidate is two arrays of sum(tf) longs
+    (doc token LENGTH, vs the map spelling's distinct-token count —
+    a ~2-3x larger but flat and primitive payload; the trade is
+    measured above). The J_w VALUE is unchanged unless two distinct
+    (tok, i) occurrence pairs collide in 64 bits (birthday odds
+    ~1e-12 at bench corpus scale; q163's driver hash would fail
     loudly, never silently)."""
-    maps = tf.groupBy("_id").agg(
-        F.map_from_entries(
+    occ = tf.groupBy("_id").agg(
+        F.flatten(
             F.collect_list(
-                F.struct(F.xxhash64("tok").alias("k"), F.col("tf"))
+                F.expr("transform(sequence(1, tf), i -> xxhash64(tok, i))")
             )
-        ).alias("_m"),
+        ).alias("_occ"),
         F.sum("tf").alias("_sz"),
     )
-    m1 = maps.select(
-        F.col("_id").alias("d1"), F.col("_m").alias("_m1"), F.col("_sz").alias("_sz1")
+    o1 = occ.select(
+        F.col("_id").alias("d1"), F.col("_occ").alias("_o1"), F.col("_sz").alias("_sz1")
     )
-    m2 = maps.select(
-        F.col("_id").alias("d2"), F.col("_m").alias("_m2"), F.col("_sz").alias("_sz2")
+    o2 = occ.select(
+        F.col("_id").alias("d2"), F.col("_occ").alias("_o2"), F.col("_sz").alias("_sz2")
     )
-    inter = F.aggregate(
-        F.map_values(
-            F.map_zip_with(
-                "_m1",
-                "_m2",
-                lambda k, v1, v2: F.least(
-                    F.coalesce(v1, F.lit(0)), F.coalesce(v2, F.lit(0))
-                ),
-            )
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    inter = F.size(F.array_intersect("_o1", "_o2")).cast("bigint")
     wjac = inter.cast("double") / (F.col("_sz1") + F.col("_sz2") - inter)
     return (
-        cand.join(m1, "d1")
-        .join(m2, "d2")
+        cand.join(o1, "d1")
+        .join(o2, "d2")
         .filter(wjac >= threshold)
         .select("d1", "d2", F.round(wjac, 6).alias("wjac"))
     )

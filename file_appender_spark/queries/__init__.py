@@ -151,6 +151,11 @@ _FORCE_RECHECK: set[str] = {
     "q265_embeddingdup_ingest_sim",
     "q269_textdup_index_lifecycle",
     "q270_textdup_manifest_sim",
+    # r12: wjaccard/_exact_verify rewritten to occurrence-indexed
+    # array_intersect (WJACCARD_BREAKDOWN_r12, 3.1x) — re-certify the
+    # two driver rows that ride it
+    "q163_wjaccard_capped",
+    "q267_icws_error_contract",
 }
 
 
