@@ -381,14 +381,8 @@ def _minhash_pairs(
     accumulate cached blocks until executor storage evicts them."""
     from pyspark import StorageLevel
 
-    from file_appender_spark.queries.llm import (
-        _MH_P,
-        _MH_PARAMS,
-        _WS,
-        _tok_hash32,
-        let_expr,
-        shingle_expr,
-    )
+    from file_appender_spark.operators.neardup_ingest import minhash_signatures
+    from file_appender_spark.queries.llm import _WS, let_expr, shingle_expr
 
     words = F.split("text", _WS)
     shingled = (
@@ -398,24 +392,17 @@ def _minhash_pairs(
     )
     if persisted is not None:
         persisted.append(shingled)
-    hashed = shingled.select("doc_id", F.explode("shingles").alias("sh")).select(
-        "doc_id", _tok_hash32(F.col("sh")).alias("h")
-    )
-    sigs = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P).alias(f"mh{j}")
-            for j, (a, b) in enumerate(_MH_PARAMS)
-        ]
-    )
+    # the REUSE branch of the minhash_signatures dispatch: the
+    # persisted shingled frame also feeds the exact verify below, so
+    # signatures derive from it (the exploded tail) instead of the
+    # fused re-shingling spelling — see the dispatcher's measured
+    # policy (SIGDISPATCH_PROBE_r12)
+    sigs = minhash_signatures(None, "doc_id", shingled=shingled)
     bands = sigs.select(
         "doc_id",
         F.expr(
             "stack(4, "
-            + ", ".join(
-                f"{bi}, concat_ws(',', mh{4 * bi}, mh{4 * bi + 1}, "
-                f"mh{4 * bi + 2}, mh{4 * bi + 3})"
-                for bi in range(4)
-            )
+            + ", ".join(f"{bi}, b{bi}" for bi in range(4))
             + ") AS (band, sig)"
         ),
     )

@@ -1619,32 +1619,17 @@ def compact_store(
 # --------------------------------------------------------------------------
 
 
-def _minhash_sig_frame_exploded(
-    df: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """REFERENCE spelling of the MinHash signature stage: explode one
-    row per shingle, md5-hash, then 16 min aggregates under a
-    groupBy(doc) exchange — the literal shape of the q52 oracle SQL.
-    Kept as the bit-equality pin target for the fused production
-    spelling below (tests/test_operators.py::test_minhash_sig_fused_
-    bitequal); not on any hot path."""
-    from file_appender_spark.queries.llm import (
-        _MH_P,
-        _MH_PARAMS,
-        _WS,
-        _tok_hash32,
-        let_expr,
-        shingle_expr,
-    )
+def _minhash_sigs_from_shingles(shingled: DataFrame, id_col: str) -> DataFrame:
+    """The EXPLODED signature tail over an already-shingled frame
+    (id, shingles): explode one row per shingle, md5-hash, 16 min
+    aggregates under a groupBy(doc) exchange — the literal shape of
+    the q52 oracle SQL. This is the reuse-path half of the
+    minhash_signatures dispatch: when the caller persists the
+    shingled frame for a downstream exact verify (curate's funnel),
+    deriving signatures FROM it avoids re-shingling and re-hashing
+    every document."""
+    from file_appender_spark.queries.llm import _MH_P, _MH_PARAMS, _tok_hash32
 
-    words = F.split(F.col(text_col), _WS)
-    # let_expr: bind the split once per row (projection collapse would
-    # re-split inside every shingle element_at — 20x on this stage)
-    shingled = (
-        _spread(df)
-        .filter(F.size(words) >= 3)
-        .select(id_col, let_expr(words, shingle_expr).alias("shingles"))
-    )
     hashed = shingled.select(
         id_col, F.explode("shingles").alias("sh")
     ).select(id_col, _tok_hash32(F.col("sh")).alias("h"))
@@ -1665,6 +1650,60 @@ def _minhash_sig_frame_exploded(
             for bi in range(n_slots // 4)
         ],
     )
+
+
+def _minhash_sig_frame_exploded(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """REFERENCE spelling of the MinHash signature stage: shingle,
+    then the exploded tail (_minhash_sigs_from_shingles). Kept as the
+    bit-equality pin target for the fused production spelling below
+    (tests/test_operators.py::test_minhash_sig_fused_bitequal); on
+    the hot path only through the reuse branch of the
+    minhash_signatures dispatch."""
+    from file_appender_spark.queries.llm import _WS, let_expr, shingle_expr
+
+    words = F.split(F.col(text_col), _WS)
+    # let_expr: bind the split once per row (projection collapse would
+    # re-split inside every shingle element_at — 20x on this stage)
+    shingled = (
+        _spread(df)
+        .filter(F.size(words) >= 3)
+        .select(id_col, let_expr(words, shingle_expr).alias("shingles"))
+    )
+    return _minhash_sigs_from_shingles(shingled, id_col)
+
+
+def minhash_signatures(
+    df: DataFrame | None,
+    id_col: str,
+    text_col: str | None = None,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """ONE dispatch policy for the fused-vs-exploded MinHash signature
+    spellings (r11 verdict task 6). The crossover is STRUCTURAL, not
+    sized: SIGDISPATCH_PROBE_r12 measured the fused one-projection
+    spelling faster at EVERY doc length for the standalone stage
+    (1.69x at 54 avg words, 3.84x at 216, 4.20x at 864 — forced
+    full-column evaluation), so batch size or document length never
+    flips the choice. What flips it is REUSE: when the caller already
+    persists the shingled frame for a downstream exact-Jaccard verify
+    (curate's funnel), deriving signatures from that frame avoids
+    re-shingling + re-hashing every document — r11 measured the fused
+    respelling 1.3x SLOWER inside curate for exactly this reason.
+
+    - ``shingled=None`` (signatures are the only output — the ingest
+      stores, any standalone caller): the FUSED spelling.
+    - ``shingled=<persisted (id, shingles) frame>``: the exploded
+      tail over the shared frame.
+
+    Both spellings are pinned bit-identical
+    (tests/test_operators.py::test_minhash_sig_fused_bitequal)."""
+    if shingled is not None:
+        return _minhash_sigs_from_shingles(shingled, id_col)
+    if df is None or text_col is None:
+        raise ValueError("need (df, text_col) when no shingled frame is given")
+    return _minhash_sig_frame(df, id_col, text_col)
 
 
 # Cached per-(id_col, text_col) Column trees for the fused signature
@@ -1814,7 +1853,9 @@ def textdup_ingest_batch(
     # job earns its ~0.3-0.5s
     sigs = _compact_scan(
         _with_index_cols(
-            _minhash_sig_frame(batch, id_col, text_col), n_bands, spec["fh_cols"]
+            minhash_signatures(batch, id_col, text_col),
+            n_bands,
+            spec["fh_cols"],
         ).localCheckpoint(eager=True)
     )
     # MinHash band space is effectively unbounded (four 32-bit slots),
