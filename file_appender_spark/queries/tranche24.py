@@ -313,3 +313,125 @@ def q271_pairstore_manifest_served(
     _assert_version("sigs", "v2")
     _assert_version("pairs", "v2")
     return q116_dedup_clusters(spark, sf_dir, graph_dir=store)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 mint: the dHash-mode image ingest store under the oracle.
+# q261 certifies the image ingest protocol for aHash only; the dhash
+# mode (the q184 gradient hash, selected by the store's pinned
+# hash_mode param) was pytest-pinned but never driver-hashed. Same
+# two-epoch protocol, q184's own band/wide CTE chain as the mirror.
+# ---------------------------------------------------------------------------
+
+from file_appender_spark.queries.tranche5 import _AHASH_CTES  # noqa: E402
+
+_Q272_ORACLE = f"""
+    WITH {_AHASH_CTES},
+    ids AS (SELECT doc_id, max(n_bytes) AS n_bytes FROM cells GROUP BY doc_id),
+    dense AS (
+      SELECT ids.doc_id, ids.n_bytes, r.c,
+             coalesce(cells.cell, 0) AS cell, coalesce(cells.k, 1) AS k
+      FROM ids CROSS JOIN range(0, 64) r(c)
+      LEFT JOIN cells ON cells.doc_id = ids.doc_id AND cells.c = r.c
+    ),
+    db AS (
+      SELECT a.doc_id, a.n_bytes, a.c,
+             CASE WHEN a.cell * b.k > b.cell * a.k THEN 1 ELSE 0 END AS bit
+      FROM dense a JOIN dense b ON b.doc_id = a.doc_id AND b.c = a.c + 1
+    ),
+    dbands AS (
+      SELECT doc_id,
+             CAST(floor(c / 16.0) AS INTEGER) AS bi,
+             CAST(sum(bit << (c % 16)) AS BIGINT) AS bv
+      FROM db GROUP BY doc_id, CAST(floor(c / 16.0) AS INTEGER)
+    ),
+    dwide AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bi = 0 THEN bv ELSE 0 END) AS BIGINT) AS b0,
+             CAST(sum(CASE WHEN bi = 1 THEN bv ELSE 0 END) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN bi = 2 THEN bv ELSE 0 END) AS BIGINT) AS b2,
+             CAST(sum(CASE WHEN bi = 3 THEN bv ELSE 0 END) AS BIGINT) AS b3
+      FROM dbands GROUP BY doc_id
+    ),
+    dcand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM dbands a JOIN dbands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    dham AS (
+      SELECT d1, d2,
+             bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+           + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3))
+             AS hamming
+      FROM dcand
+      JOIN dwide w1 ON w1.doc_id = d1
+      JOIN dwide w2 ON w2.doc_id = d2
+    ),
+    dup0 AS (
+      SELECT DISTINCT d2 AS doc FROM dham
+      WHERE d1 % 2 = 0 AND d2 % 2 = 0 AND hamming <= 8
+    ),
+    adm0 AS (
+      SELECT doc_id FROM h
+      WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc FROM dup0)
+    ),
+    dup1 AS (
+      SELECT DISTINCT d2 AS doc FROM dham
+      WHERE d1 % 2 = 1 AND d2 % 2 = 1 AND hamming <= 8
+      UNION
+      SELECT DISTINCT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS doc
+      FROM dham
+      WHERE (d1 % 2) <> (d2 % 2) AND hamming <= 8
+        AND (CASE WHEN d1 % 2 = 0 THEN d1 ELSE d2 END)
+              IN (SELECT doc_id FROM adm0)
+    )
+    SELECT doc_id, CAST(doc_id % 2 AS INT) AS epoch
+    FROM h
+    WHERE NOT (doc_id % 2 = 0 AND doc_id IN (SELECT doc FROM dup0))
+      AND NOT (doc_id % 2 = 1 AND doc_id IN (SELECT doc FROM dup1))
+    """
+
+
+@register("q272_imagedup_dhash_ingest_sim", _Q272_ORACLE)
+def q272_imagedup_dhash_ingest_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q261's incremental image-dedup protocol under the store's
+    OTHER pinned hash mode: the q184 gradient dHash (bit c = stride
+    c's mean exceeds stride c+1's; bit 63 always 0). The store's
+    params sidecar pins hash_mode, so this also certifies that a
+    dhash store's signatures, band joins, fh identical-hash matches
+    and exact xor-popcount verify all run the q184 definitions — the
+    mode was pytest-pinned (tests/test_store_v2.py drives both modes)
+    but no driver hash covered it. Protocol, thresholds and the
+    empty-payload exclusion are exactly q261's."""
+    from file_appender_spark.operators.neardup_ingest import (
+        imagedup_ingest_batch,
+    )
+
+    store = _scratch("q272_imagedup_dh")
+    d = _t(spark, sf_dir, "documents")
+    payload = d.filter(F.length(F.encode("text", "UTF-8")) >= 1).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    a0 = imagedup_ingest_batch(
+        spark,
+        payload.filter(F.col("doc_id") % 2 == 0),
+        store,
+        max_hamming=8,
+        hash_mode="dhash",
+        band_bucket_cap=None,
+    )
+    a1 = imagedup_ingest_batch(
+        spark,
+        payload.filter(F.col("doc_id") % 2 == 1),
+        store,
+        max_hamming=8,
+        hash_mode="dhash",
+        band_bucket_cap=None,
+    )
+    out_path = os.path.join(os.path.dirname(store), "admitted.parquet")
+    a0.unionByName(a1).select(
+        "doc_id", (F.col("doc_id") % 2).cast("int").alias("epoch")
+    ).write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
