@@ -210,6 +210,107 @@ def ahash_ingest_sigs_sql(
     return df.sparkSession.sql(query, df=df)
 
 
+def image_sigs_arrow(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    hash_mode: str = "ahash",
+    grid: int = 64,
+) -> DataFrame:
+    """(id, b0..b3) via ONE vectorized Arrow pass — the ingest-path
+    spelling of ahash_wide/dhash_wide's per-byte cells stage (r12,
+    guide §4.2: hand whole batches to numpy instead of exploding to
+    per-byte rows).
+
+    The exploded JVM spelling generates ~n_bytes rows per payload and
+    aggregates them through TWO exchanges (per-(id, cell), then
+    per-id); at the 2500-payload micro-batch shape those two shuffled
+    aggregations are the epoch's largest real-work term
+    (EPOCH_OVERHEAD_PROBE_r12: ~0.66s of 32-way work). Here each
+    payload's strided cell sums, count vector and threshold bits are
+    a handful of numpy int64 ops on the raw bytes — no explode, no
+    exchange, no per-row JVM lambda (the interpreted aggregate() fold
+    was measured 4x SLOWER in r11 and rejected;
+    scripts/probe_sigstage_r11.py keeps it for the record).
+
+    BIT-EQUALITY contract (pinned in tests/test_imagehash.py):
+    identical (id, b0..b3) multisets to
+    ``ahash_wide/dhash_wide(df, ...).select(id, b0..b3)`` including
+    the absence contract — empty/NULL payloads produce NO row. All
+    arithmetic is int64 with the same cross-multiplied integer
+    threshold, so equality is exact, not approximate; int64 products
+    only overflow past ~1.5 GB payloads, identically in both
+    spellings (Java long and numpy int64 both wrap).
+
+    Batch sizing: rows cross the boundary in Arrow batches bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (and Spark 4's
+    maxBytesPerBatch); for multi-MB payloads set those down — the
+    2 GiB binary-column cap per batch is the hard limit."""
+    if hash_mode not in ("ahash", "dhash"):
+        raise ValueError(f"hash_mode must be 'ahash' or 'dhash', got {hash_mode!r}")
+    if grid % 4 != 0 or grid // 4 > 64:
+        raise ValueError(f"grid must be a multiple of 4, <= 256: {grid}")
+    id_field = df.schema[id_col]
+    w = grid // 4
+    mode = hash_mode
+    g = grid
+
+    def compute(batches: "Iterator[object]") -> "Iterator[object]":
+        import numpy as np
+        import pyarrow as pa
+
+        shifts = (np.arange(g) % w).astype(np.int64)
+        for rb in batches:
+            n_rows = rb.num_rows
+            if n_rows == 0:
+                continue
+            ids = rb.column(0)
+            pays = rb.column(1)
+            keep = np.zeros(n_rows, dtype=bool)
+            bands = np.zeros((n_rows, 4), dtype=np.int64)
+            for r in range(n_rows):
+                v = pays[r].as_py()
+                if not v:  # NULL or empty payload: row absent
+                    continue
+                keep[r] = True
+                arr = np.frombuffer(v, dtype=np.uint8).astype(np.int64)
+                n = arr.size
+                pad = (-n) % g
+                if pad:
+                    arr2 = np.concatenate([arr, np.zeros(pad, np.int64)])
+                else:
+                    arr2 = arr
+                cells = arr2.reshape(-1, g).sum(axis=0)
+                k = np.full(g, n // g, dtype=np.int64)
+                rem = n % g
+                if rem:
+                    k[:rem] += 1
+                if mode == "ahash":
+                    # bit c: mean(cell c) > global mean, cross-multiplied
+                    bits = (cells * n) > (int(cells.sum()) * k)
+                else:
+                    # dhash: gradient sign vs right neighbor; absent
+                    # strides read as (cell=0, k=1); last bit always 0
+                    kd = np.where(k == 0, 1, k)
+                    bits = np.zeros(g, dtype=bool)
+                    bits[:-1] = cells[:-1] * kd[1:] > cells[1:] * kd[:-1]
+                vals = bits.astype(np.int64) << shifts
+                bands[r] = vals.reshape(4, w).sum(axis=1)
+            mask = pa.array(keep)
+            kept = bands[keep]
+            yield pa.RecordBatch.from_arrays(
+                [ids.filter(mask)]
+                + [pa.array(kept[:, bk]) for bk in range(4)],
+                names=[id_field.name, "b0", "b1", "b2", "b3"],
+            )
+
+    out_schema = ", ".join(
+        [f"`{id_field.name}` {id_field.dataType.simpleString()}"]
+        + [f"b{bk} bigint" for bk in range(4)]
+    )
+    return df.select(id_col, payload_col).mapInArrow(compute, schema=out_schema)
+
+
 def ahash_params_for(n_items: int, margin_bits: int = 8) -> int:
     """Banding policy — the multi-index-Hamming analog of
     srp_params_for's "bits ~ log n": 4 bands must each carry at least

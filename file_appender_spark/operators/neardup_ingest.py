@@ -45,7 +45,6 @@ from file_appender_spark.operators.similarity import (
     _as_double,
     _dot,
     _srp_band_sigs,
-    _srp_band_sigs_sql,
     _srp_coefs,
     _vec_dim,
 )
@@ -899,21 +898,25 @@ def _sig_frame(
     df: DataFrame, n_bits: int, n_bands: int, id_col: str, vec_col: str
 ) -> DataFrame:
     v = _as_double(F.col(vec_col))
-    # hoisted-coefficient fast path: bit-identical signatures (see
-    # _srp_band_sigs_sql), so stores written either way stay comparable
+    # Fixed-width batches take the vectorized Arrow signature stage —
+    # bit-identical by sequential-fold construction (similarity.
+    # srp_sigs_arrow's docstring; pinned in tests), so stores written
+    # either way stay comparable. Empty batches keep the inline HOF
+    # path (no dim to size the coefficient matrix from).
     base = _spread(df).select(F.col(id_col), v.alias("v"))
     dim = _vec_dim(base, F.col("v"))
     if dim is None:
         sigs = _srp_band_sigs(F.col("v"), n_bits, n_bands)
-    else:
-        coefs = _srp_coefs(df.sparkSession, n_bits, dim)
-        sigs = _srp_band_sigs_sql("v", n_bits, n_bands, coefs)
-    return base.select(
-        F.col(id_col),
-        "v",
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
-        *[sigs[bi].alias(f"b{bi}") for bi in range(n_bands)],
-    )
+        return base.select(
+            F.col(id_col),
+            "v",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+            *[sigs[bi].alias(f"b{bi}") for bi in range(n_bands)],
+        )
+    from file_appender_spark.operators.similarity import srp_sigs_arrow
+
+    coefs = _srp_coefs(df.sparkSession, n_bits, dim)
+    return srp_sigs_arrow(_spread(df), id_col, vec_col, n_bits, n_bands, coefs)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -2056,15 +2059,10 @@ def imagedup_ingest_batch(
     of candidate generation and their new members are admitted
     (at-least-once, see _band_pairs). ``None`` disables the cap
     explicitly (the shortcut stays)."""
-    from file_appender_spark.operators.imagehash import (
-        ahash_wide,
-        band_bucket_cap_for,
-        dhash_wide,
-    )
+    from file_appender_spark.operators.imagehash import band_bucket_cap_for
 
     if hash_mode not in ("ahash", "dhash"):
         raise ValueError(f"hash_mode must be 'ahash' or 'dhash', got {hash_mode!r}")
-    wide_fn = ahash_wide if hash_mode == "ahash" else dhash_wide
     n_bands = 4
     spec = _modality_spec({"modality": hash_mode})
     store_dir = _open_store(store_dir)
@@ -2072,22 +2070,24 @@ def imagedup_ingest_batch(
         store_dir, {"modality": hash_mode, "grid": 64, "band_bits": 16}
     )
     # eager localCheckpoint, NOT a lazy persist — the text twin's note.
-    # aHash takes the one-statement SQL spelling (single parse/analyze
-    # vs ~7 eagerly-analyzed DataFrame ops, ~0.3s/epoch of driver
-    # time; bit-equality pinned in tests/test_imagehash.py); dHash
-    # keeps the DataFrame pipeline.
-    if hash_mode == "ahash":
-        from file_appender_spark.operators.imagehash import ahash_ingest_sigs_sql
+    # Both modes take the vectorized Arrow signature stage (r12,
+    # guide §4.2): one mapInArrow pass computes the strided cells +
+    # threshold bits per payload in numpy int64 — no per-byte explode,
+    # no aggregation exchanges (the exploded spelling's two shuffled
+    # aggregations were the epoch's largest real-work term). Values
+    # are BIT-IDENTICAL to the exploded references (ahash_wide /
+    # dhash_wide / ahash_ingest_sigs_sql), pinned in
+    # tests/test_imagehash.py; measured 0.75 -> 0.37s (aHash) and
+    # 0.97 -> 0.39s (dHash) per 2500-payload batch
+    # (ARROW_SIGS_PROBE_r12). The index columns stay a JVM projection
+    # (xxhash64 must match stored v2 signatures exactly).
+    from file_appender_spark.operators.imagehash import image_sigs_arrow
 
-        sig_plan = ahash_ingest_sigs_sql(_spread(batch), id_col, payload_col)
-    else:
-        sig_plan = _with_index_cols(
-            wide_fn(_spread(batch), id_col, payload_col).select(
-                id_col, "b0", "b1", "b2", "b3"
-            ),
-            n_bands,
-            spec["fh_cols"],
-        )
+    sig_plan = _with_index_cols(
+        image_sigs_arrow(_spread(batch), id_col, payload_col, hash_mode),
+        n_bands,
+        spec["fh_cols"],
+    )
     sigs = _compact_scan(sig_plan.localCheckpoint(eager=True))
 
     hamming = sum(

@@ -279,6 +279,157 @@ def _srp_band_sigs(v, n_bits: int, n_bands: int, coefs: list | None = None) -> l
     return sigs
 
 
+def srp_sigs_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bits: int,
+    n_bands: int,
+    coefs: list[list[float]],
+) -> DataFrame:
+    """(id, v, nrm, b0..b{n_bands-1}) via ONE vectorized Arrow pass —
+    the signature-stage spelling behind ``srp_neardup`` and the
+    embedding ingest (r12, guide §4.2).
+
+    The SQL/HOF spelling evaluates n_bits x dim interpreted
+    multiply-adds per row (96 x 64 = 6144 at the bench's sized
+    params) — SRP_BREAKDOWN_r12 attributes 84% of srp_neardup's wall
+    to it. Here the projections are numpy float64 ops vectorized over
+    rows, with the FOLD ORDER preserved: the JVM spelling is a left
+    fold ``((0 + v0*c0) + v1*c1) + ...``, so the numpy loop runs
+    sequentially over the dimension axis (acc += V[:, j] * C[b, j]),
+    making every intermediate rounding — hence every sign bit, hence
+    every signature — BIT-IDENTICAL, not merely close (a single
+    np.dot would use pairwise summation and could flip near-zero
+    signs). nrm follows the same rule (sequential self-dot, then
+    IEEE sqrt). Pinned in tests/test_similarity_ops.py.
+
+    Degenerate rows reproduce the zip_with-against-literal semantics:
+    NULL vectors -> NULL v/nrm/bands; a vector whose LENGTH differs
+    from the coefficient dim -> valid v and nrm (the self-dot never
+    mismatches) but NULL bands (zip_with pads the shorter side with
+    NULLs); a NULL element -> NULL nrm and bands; NaN elements
+    poison the projection to NaN, whose sign bit is 0 in both
+    spellings (NaN >= 0 is false). The clean fixed-width fast path is
+    fully vectorized; degenerate batches fall back to a per-row
+    Python replica of the same folds."""
+    assert n_bits % n_bands == 0
+    rows_per_band = n_bits // n_bands
+    id_field = df.schema[id_col]
+    cmat = [list(map(float, row)) for row in coefs]
+    dim = len(cmat[0])
+
+    def _pack_bands(bits_mat):  # (rows, n_bits) int64 -> (rows, n_bands)
+        import numpy as np
+
+        out = np.zeros((bits_mat.shape[0], n_bands), dtype=np.int64)
+        for bi in range(n_bands):
+            sig = np.zeros(bits_mat.shape[0], dtype=np.int64)
+            for j in range(rows_per_band):
+                sig = sig * 2 + bits_mat[:, bi * rows_per_band + j]
+            out[:, bi] = sig
+        return out
+
+    def compute(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        C = np.array(cmat, dtype=np.float64)  # (n_bits, dim)
+
+        def slow_row(v):
+            """Per-row replica of the SQL folds for degenerate rows:
+            returns (nrm, bands or None)."""
+            if v is None:
+                return None, None
+            if any(e is None for e in v):
+                return None, None
+            acc = 0.0
+            for e in v:
+                acc = acc + float(e) * float(e)
+            import math
+
+            nrm = math.sqrt(acc)
+            if len(v) != dim:
+                return nrm, None
+            bands_row = []
+            for bi in range(n_bands):
+                sig = 0
+                for j in range(rows_per_band):
+                    b = bi * rows_per_band + j
+                    p = 0.0
+                    for jj in range(dim):
+                        p = p + float(v[jj]) * C[b, jj]
+                    sig = sig * 2 + (1 if p >= 0 else 0)
+                bands_row.append(sig)
+            return nrm, bands_row
+
+        for rb in batches:
+            n_rows = rb.num_rows
+            if n_rows == 0:
+                continue
+            ids = rb.column(0)
+            vec = pc.cast(
+                rb.column(1), pa.list_(pa.float64())
+            )  # exact float->double, nulls preserved
+            lens = pc.list_value_length(vec)
+            clean = (
+                vec.null_count == 0
+                and vec.flatten().null_count == 0
+                and pc.min(lens).as_py() == dim
+                and pc.max(lens).as_py() == dim
+            )
+            if clean:
+                flat = vec.flatten().to_numpy(zero_copy_only=False)
+                V = flat.reshape(n_rows, dim)
+                # sequential fold over the dim axis (see docstring)
+                nacc = np.zeros(n_rows, dtype=np.float64)
+                for j in range(dim):
+                    nacc = nacc + V[:, j] * V[:, j]
+                nrm = np.sqrt(nacc)
+                bits_mat = np.empty((n_rows, n_bits), dtype=np.int64)
+                with np.errstate(invalid="ignore"):
+                    for b in range(n_bits):
+                        acc = np.zeros(n_rows, dtype=np.float64)
+                        crow = C[b]
+                        for j in range(dim):
+                            acc = acc + V[:, j] * crow[j]
+                        bits_mat[:, b] = acc >= 0
+                bands = _pack_bands(bits_mat)
+                arrays = [ids, vec, pa.array(nrm)] + [
+                    pa.array(bands[:, bi]) for bi in range(n_bands)
+                ]
+            else:
+                pl = vec.to_pylist()
+                nrms, bandvals = [], []
+                for v in pl:
+                    nrm, brow = slow_row(v)
+                    nrms.append(nrm)
+                    bandvals.append(brow)
+                arrays = [ids, vec, pa.array(nrms, type=pa.float64())] + [
+                    pa.array(
+                        [b[bi] if b is not None else None for b in bandvals],
+                        type=pa.int64(),
+                    )
+                    for bi in range(n_bands)
+                ]
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                names=[id_field.name, "v", "nrm"]
+                + [f"b{bi}" for bi in range(n_bands)],
+            )
+
+    out_schema = ", ".join(
+        [
+            f"`{id_field.name}` {id_field.dataType.simpleString()}",
+            "v array<double>",
+            "nrm double",
+        ]
+        + [f"b{bi} bigint" for bi in range(n_bands)]
+    )
+    return df.select(id_col, vec_col).mapInArrow(compute, schema=out_schema)
+
+
 def srp_neardup(
     corpus: DataFrame,
     threshold: float,
@@ -310,24 +461,28 @@ def srp_neardup(
 
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     dim = _vec_dim(c, F.col("v"))
-    if dim is None:
-        band_sigs = _srp_band_sigs(F.col("v"), n_bits, n_bands)
-    else:
-        coefs = _srp_coefs(corpus.sparkSession, n_bits, dim)
-        band_sigs = _srp_band_sigs_sql("v", n_bits, n_bands, coefs)
-    # vectors + norms + band signatures in one projection — the frame
+    # vectors + norms + band signatures in one pass — the frame
     # feeds the candidate join AND both verify sides, so it is
     # persisted by default (the q52 shared-branch pattern). The cache
     # lives until evicted or the session ends; repeat callers in a
     # long-lived service should pass persist=False (recompute the
     # map-side signatures 3x instead of holding a cache per call) or
-    # unpersist via their own lifecycle.
-    sigs = c.select(
-        F.col(id_col),
-        "v",
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
-        *[band_sigs[bi].alias(f"b{bi}") for bi in range(n_bands)],
-    )
+    # unpersist via their own lifecycle. Fixed-width corpora take the
+    # vectorized Arrow signature stage (srp_sigs_arrow, bit-identical
+    # by sequential-fold construction, SRP_BREAKDOWN_r12: the SQL
+    # folds were 84% of end-to-end wall); the empty-frame fallback
+    # keeps the inline HOF path.
+    if dim is None:
+        band_sigs = _srp_band_sigs(F.col("v"), n_bits, n_bands)
+        sigs = c.select(
+            F.col(id_col),
+            "v",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+            *[band_sigs[bi].alias(f"b{bi}") for bi in range(n_bands)],
+        )
+    else:
+        coefs = _srp_coefs(corpus.sparkSession, n_bits, dim)
+        sigs = srp_sigs_arrow(corpus, id_col, vec_col, n_bits, n_bands, coefs)
     if persist:
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bands = sigs.select(

@@ -144,7 +144,9 @@ _FORCE_RECHECK: set[str] = {
     # .distinct()s dropped, post-checkpoint coalesce) — re-certify
     # every driver row whose lineage crosses the small-store ingest
     # path. Big-store shape unchanged; pairstore/corpusstats tiers do
-    # not cross this path.
+    # not cross this path. q261's lineage additionally crosses the
+    # r12 Arrow image-signature stage (image_sigs_arrow, bit-equality
+    # pinned; q272 rides it too but has no green row to invalidate).
     "q260_textdup_ingest_sim",
     "q261_imagedup_ingest_sim",
     "q264_textdup_compacted_sim",

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Write plans/r12/<name>_{before|after}.txt — explain("formatted")
+for every query/operator path round 12 touched. Run once in the
+r11-close worktree with SUFFIX=before OUT_DIR=<repo>/plans/r12, once
+at HEAD with SUFFIX=after.
+
+Captured:
+  - q163_wjaccard_capped, q267_icws_error_contract: the two driver
+    queries riding operators/wjaccard._exact_verify (rewritten r12 to
+    occurrence-indexed array_intersect).
+  - ahash_ingest_sig_stage: the image-ingest signature+index stage
+    (r12 fused it into one spark.sql statement). Captured at operator
+    level because the ingest epoch executes eagerly inside
+    imagedup_ingest_batch and returns a localCheckpoint (whose plan is
+    just a scan) — the per-epoch wall evidence is
+    EPOCH_OVERHEAD_PROBE_r12.json instead.
+  - minhash_lean_dup_admitted: the lean-epoch admitted frame BEFORE
+    the checkpoint (reconstructed via the module's internal seams) is
+    not reconstructable without executing a store epoch, so the text
+    path's evidence is the job/stage-count probe; the fused signature
+    frame itself is unchanged since r11 (bit-equality pinned).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SUFFIX = os.environ.get("SUFFIX", "after")
+OUT = os.environ.get("OUT_DIR", os.path.join(REPO, "plans", "r12"))
+SF = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.queries import QUERIES
+    from file_appender_spark.session import get_spark
+    from file_appender_spark.sources.catalog import load_table
+
+    spark = get_spark(app_name="snapshot_r12_plans")
+
+    def dump(name: str, df) -> None:
+        path = os.path.join(OUT, f"{name}_{SUFFIX}.txt")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+
+    for q in ("q163_wjaccard_capped", "q267_icws_error_contract"):
+        dump(q, QUERIES[q].spark_fn(spark, SF))
+
+    # image-ingest signature stage, operator level
+    from file_appender_spark.operators.neardup_ingest import _spread
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    pay = _spread(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    try:
+        from file_appender_spark.operators.imagehash import ahash_ingest_sigs_sql
+
+        sig = ahash_ingest_sigs_sql(pay, "doc_id", "payload")
+    except ImportError:
+        from file_appender_spark.operators.imagehash import ahash_wide
+        from file_appender_spark.operators.neardup_ingest import (
+            _modality_spec,
+            _with_index_cols,
+        )
+
+        spec = _modality_spec({"modality": "ahash"})
+        sig = _with_index_cols(
+            ahash_wide(pay, "doc_id", "payload").select(
+                "doc_id", "b0", "b1", "b2", "b3"
+            ),
+            4,
+            spec["fh_cols"],
+        )
+    dump("ahash_ingest_sig_stage", sig)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -721,3 +721,43 @@ def test_ahash_ingest_sigs_sql_bitequal(spark):
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
     assert got.filter(F.col("doc_id") == 4).count() == 0
+
+
+def test_image_sigs_arrow_bitequal_both_modes(spark):
+    """The vectorized Arrow signature stage (image_sigs_arrow, the
+    r12 ingest hot path) is BIT-IDENTICAL to the exploded references
+    for BOTH hash modes — including the absent-row contract for
+    empty and NULL payloads, sub-grid payloads (sparse cells with
+    k=0 strides), exact-grid boundaries, and all-zero bytes (dhash's
+    absent-stride (0, 1) densification)."""
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.operators.imagehash import (
+        ahash_wide,
+        dhash_wide,
+        image_sigs_arrow,
+    )
+
+    rows = [
+        (1, b"hello world, a payload long enough to fill strides"),
+        (2, b"hello world, a payload long enough to fill strideZ"),
+        (3, b"x"),              # shorter than the grid: sparse cells
+        (4, b""),               # empty: row absent
+        (5, bytes(range(256)) * 3),
+        (6, None),              # NULL: row absent
+        (7, b"\x00" * 500),     # all-zero bytes
+        (8, b"\xff" * 63),      # grid-1 bytes
+        (9, b"a" * 64),         # exactly one full stride pass
+        (10, b"ab" * 1000),     # alternating long payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    for mode, wide in (("ahash", ahash_wide), ("dhash", dhash_wide)):
+        ref = wide(df, "doc_id", "payload").select(
+            "doc_id", "b0", "b1", "b2", "b3"
+        )
+        got = image_sigs_arrow(df, "doc_id", "payload", hash_mode=mode)
+        assert got.columns == ref.columns, mode
+        assert got.exceptAll(ref).count() == 0, mode
+        assert ref.exceptAll(got).count() == 0, mode
+        absent = got.filter(F.col("doc_id").isin(4, 6)).count()
+        assert absent == 0, mode

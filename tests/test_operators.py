@@ -779,6 +779,61 @@ def test_srp_hoisted_coefs_bit_identical(spark, sf_dir):
     assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, hoisted.collect()))
 
 
+def test_srp_sigs_arrow_bit_identical(spark, sf_dir):
+    """The vectorized Arrow SRP signature stage (r12 hot path under
+    srp_neardup and the embedding ingest) must be BIT-IDENTICAL to
+    the SQL-fold spelling — v, nrm AND every band signature, because
+    stores persist these values and q265's oracle mirrors the
+    protocol over them. Also pins the degenerate-row semantics
+    (NULL vector, NULL element, ragged length) against the
+    zip_with-vs-literal reference behavior."""
+    from file_appender_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _srp_band_sigs_sql,
+        _srp_coefs,
+        srp_sigs_arrow,
+    )
+    from file_appender_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    dim = base.select(F.size("v").alias("d")).first()["d"]
+    coefs = _srp_coefs(spark, 16, dim)
+    sql_sigs = _srp_band_sigs_sql("v", 16, 4, coefs)
+    ref = base.select(
+        "vec_id",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        *[sql_sigs[i].alias(f"b{i}") for i in range(4)],
+    )
+    got = srp_sigs_arrow(emb, "vec_id", "embedding", 16, 4, coefs)
+    assert got.columns == ref.columns
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+    # degenerate rows: NULL vector / NULL element / ragged lengths
+    rows = [
+        (1, [1.0] * dim),
+        (2, None),
+        (3, [1.0] * (dim - 1)),          # ragged: nrm valid, bands NULL
+        (4, [None] + [1.0] * (dim - 1)),  # NULL element: nrm+bands NULL
+        (5, []),                          # empty: nrm 0.0, bands NULL
+    ]
+    adv = spark.createDataFrame(rows, f"vec_id long, embedding array<double>")
+    ref2 = adv.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+    ).select(
+        "vec_id",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        *[s.alias(f"b{i}") for i, s in enumerate(_srp_band_sigs_sql("v", 16, 4, coefs))],
+    )
+    got2 = srp_sigs_arrow(adv, "vec_id", "embedding", 16, 4, coefs)
+    assert sorted(map(tuple, ref2.collect())) == sorted(map(tuple, got2.collect()))
+
+
 def test_neardup_store_legacy_without_stamp_requires_migration(spark, tmp_path):
     """A store holding parquet data but NO params sidecar (legacy /
     lost stamp) must not be silently blessed with the current batch's
