@@ -496,34 +496,62 @@ def build_band_index(
 # really taken (the q257-asserts-'incremental' pattern)
 _LAST_HISTORY_PATH: dict[str, str] = {}
 
+# Explicit per-store read-path override for certification drives
+# (q269's lifecycle oracle, the pytest path diagnostics). The byte
+# gate is a PERFORMANCE policy — after the r12 recalibration it
+# correctly refuses to prune tiny stores (the per-touched-bucket
+# overhead exceeds the whole wide scan at fixture scale), so drives
+# that must CERTIFY the pruned read path request it explicitly
+# instead of relying on the heuristic to fire. Values: "pruned" /
+# "wide"; absent = the gate decides. "pruned" with no valid sidecar
+# still falls back to wide (there is nothing to prune), which the
+# certification drives assert around separately. Both paths are
+# pinned value-equal in tests/test_store_v2.py, so the override can
+# never change an admit decision.
+_FORCE_HISTORY_PATH: dict[str, str] = {}
 
-_INDEX_GATE_SAFETY = 0.15
+
+_INDEX_GATE_BUCKET_BYTES = 512 * 1024
 
 
 def _use_band_index(state: dict, n_touched: int) -> bool:
     """The epoch-time use-index decision from MEASURED store bytes
-    (r10 verdict task 6 — the old NB/16 constant was calibrated at one
-    scale and provably moves with store shape): estimated pruned read
-    volume (touched fraction of the id-only index) must undercut the
-    fused narrow wide scan by the calibrated safety margin.
+    (r10 verdict task 6; recalibrated r12 against probes at TWO store
+    scales): prune iff the pruned path's estimated cost — the touched
+    fraction of the id-only index PLUS a per-touched-bucket fixed
+    overhead expressed in scan-byte equivalents — undercuts the fused
+    narrow wide scan:
 
-    The 0.15 factor is NOT byte physics — it folds in what bytes
-    alone miss (per-bucket-directory listing/open overhead, the
-    pruned path's extra plan unions), calibrated against
-    MINIBATCH_INDEX_PROBE_r11 on the 5.2M-row store (idx/wide byte
-    ratio 1.89): 64-doc epochs (~256 touched buckets, pruned/wide
-    byte fraction 0.118) measurably win, 128-doc epochs (~512,
-    fraction 0.236) measurably LOSE, so the acceptance line sits at
-    0.15. Per-bucket overhead AMORTIZES as stores grow (more bytes
-    per bucket at fixed bucket count), so a pure-fraction gate
-    calibrated here is conservative, never optimistic, at larger
-    stores. Metas without byte facts (r10 builds) fall back to the
-    old strict NB/16 fraction gate."""
+        n_touched * BUCKET_BYTES + (n_touched / nb) * idx_b < wide_b
+
+    The r11 gate (pure byte fraction vs a 0.15 safety factor) folded
+    the per-bucket overhead into the MARGIN, which made it correct at
+    the 5.2M-row store it was calibrated on but provably WRONG in the
+    lost-win direction at scale: the overhead term is ~constant per
+    touched directory while the wide-scan term grows with the store,
+    so the true crossover LOOSENS as stores grow. Measured
+    (MINIBATCH_INDEX_PROBE_r12, 50M rows, forced-prune runs): 128-doc
+    epochs pruned 2.2x and 256-doc 2.1x FASTER than the wide scan the
+    r11 gate routed them to; 1024-doc epochs (every bucket touched,
+    index bytes > wide bytes) correctly stay wide at 0.79x.
+
+    BUCKET_BYTES = 0.5 MiB is the per-touched-bucket overhead
+    (directory listing + file open + per-path task scheduling) at the
+    meta's measured scan rate; the admissible band reproducing ALL
+    EIGHT measured prune/wide outcomes across both probes
+    (r11@5.2M: 64-doc prune 1.08x, 128/256-doc wide; r12@50M:
+    64/128/256-doc prune 2.6/2.2/2.1x, 1024-doc wide) is
+    (0.35, 0.81) MiB — 0.5 sits mid-band, erring toward the wide
+    scan. Metas without byte facts (r10 builds) fall back to the old
+    strict NB/16 fraction gate."""
     nb = state["buckets"]
     idx_b = state.get("index_bytes")
     wide_b = state.get("wide_narrow_bytes")
     if idx_b and wide_b:
-        return (n_touched / nb) * idx_b < _INDEX_GATE_SAFETY * wide_b
+        return (
+            n_touched * _INDEX_GATE_BUCKET_BYTES + (n_touched / nb) * idx_b
+            < wide_b
+        )
     return n_touched <= nb // 16
 
 
@@ -573,7 +601,12 @@ def _history_access(
             .distinct()
             .collect()
         ]
-        use_index = _use_band_index(state, len(bkts))
+        forced = _FORCE_HISTORY_PATH.get(store_dir)
+        use_index = (
+            (forced == "pruned")
+            if forced
+            else _use_band_index(state, len(bkts))
+        )
     if use_index:
         # read ONLY the touched bucket directories as explicit paths:
         # a plain read of the data dir triggers partition discovery of

@@ -641,11 +641,22 @@ def ann_sign_ivf(
             sig = sig * 2 + (_srp_projection(F.col(vname), b) >= 0).cast("long")
         return sig
 
-    c = (
-        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-        .withColumn("cell", cell_of("v"))
-        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    )
+    # corpus side: the packed n_bits signature IS srp_sigs_arrow with
+    # a single band (b0 = the cell id), so the fixed-width path rides
+    # the vectorized Arrow stage (r12) — bit-identical by the
+    # sequential-fold construction pinned in tests; the empty-frame
+    # fallback keeps the expression spelling. The (small) query side
+    # stays in JVM expressions either way.
+    if coefs is not None:
+        c = srp_sigs_arrow(corpus, id_col, vec_col, n_bits, 1, coefs).select(
+            F.col(id_col), "v", F.col("b0").alias("cell"), "nrm"
+        )
+    else:
+        c = (
+            corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+            .withColumn("cell", cell_of("v"))
+            .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        )
     q = (
         queries.select(F.col(qid_col), _as_double(F.col(vec_col)).alias("qv"))
         .withColumn("cell0", cell_of("qv"))

@@ -114,6 +114,7 @@ def q269_textdup_index_lifecycle(
     mirror in DuckDB. Maintenance must never change admit decisions;
     the pruned/wide path split must never change them either."""
     from file_appender_spark.operators.neardup_ingest import (
+        _FORCE_HISTORY_PATH,
         _LAST_HISTORY_PATH,
         _band_index_state,
         compact_store,
@@ -154,13 +155,24 @@ def q269_textdup_index_lifecycle(
     seeded = state is not None
     if seeded and state.get("version", 1) < 2:
         raise AssertionError(f"expected an id-only sidecar, got {state!r}")
-    emit(
-        textdup_ingest_batch(
-            spark, e1, store, threshold=0.5, band_bucket_cap=None
-        ),
-        1,
-        "append",
-    )
+    # the minute-level epoch REQUESTS the pruned path explicitly
+    # (r12): the recalibrated byte gate is a performance policy and
+    # correctly refuses to prune oracle-fixture-sized stores (the
+    # per-touched-bucket overhead exceeds the whole wide scan there
+    # — MINIBATCH_INDEX_PROBE_r11/r12); what this lifecycle certifies
+    # is that the pruned READ PATH computes the same admit decisions
+    # under the driver hash, so the path is forced, then asserted.
+    _FORCE_HISTORY_PATH[store] = "pruned"
+    try:
+        emit(
+            textdup_ingest_batch(
+                spark, e1, store, threshold=0.5, band_bucket_cap=None
+            ),
+            1,
+            "append",
+        )
+    finally:
+        _FORCE_HISTORY_PATH.pop(store, None)
     if seeded and _LAST_HISTORY_PATH.get(store) != "pruned":
         raise AssertionError(
             "the minute-level epoch must take the PRUNED index path, "

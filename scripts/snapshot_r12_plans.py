@@ -64,9 +64,21 @@ def main() -> None:
         docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     )
     try:
-        from file_appender_spark.operators.imagehash import ahash_ingest_sigs_sql
+        # the shipped ingest spelling: r12-final = the Arrow pass
+        # (+ JVM index-column projection); r12-mid = the one-statement
+        # SQL spelling; r11 = the DataFrame chain (fallback below)
+        from file_appender_spark.operators.imagehash import image_sigs_arrow
+        from file_appender_spark.operators.neardup_ingest import (
+            _modality_spec,
+            _with_index_cols,
+        )
 
-        sig = ahash_ingest_sigs_sql(pay, "doc_id", "payload")
+        spec = _modality_spec({"modality": "ahash"})
+        sig = _with_index_cols(
+            image_sigs_arrow(pay, "doc_id", "payload", "ahash"),
+            4,
+            spec["fh_cols"],
+        )
     except ImportError:
         from file_appender_spark.operators.imagehash import ahash_wide
         from file_appender_spark.operators.neardup_ingest import (
@@ -83,6 +95,35 @@ def main() -> None:
             spec["fh_cols"],
         )
     dump("ahash_ingest_sig_stage", sig)
+
+    # SRP signature stage (srp_neardup + embedding ingest)
+    from file_appender_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _srp_band_sigs_sql,
+        _srp_coefs,
+        _vec_dim,
+        srp_params_for,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    n_bits, n_bands = srp_params_for(emb.count(), threshold=0.95)
+    c = emb.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
+    dim = _vec_dim(c, F.col("v"))
+    coefs = _srp_coefs(spark, n_bits, dim)
+    try:
+        from file_appender_spark.operators.similarity import srp_sigs_arrow
+
+        srp_sig = srp_sigs_arrow(emb, "vec_id", "embedding", n_bits, n_bands, coefs)
+    except ImportError:
+        band_sigs = _srp_band_sigs_sql("v", n_bits, n_bands, coefs)
+        srp_sig = c.select(
+            F.col("vec_id"),
+            "v",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+            *[band_sigs[bi].alias(f"b{bi}") for bi in range(n_bands)],
+        )
+    dump("srp_sig_stage", srp_sig)
 
     spark.stop()
 

@@ -292,35 +292,49 @@ def test_curate_graph_dir_coverage_guard(spark, tmp_path):
 
 
 def test_use_band_index_gate_from_measured_bytes():
-    """r10 verdict task 6: the use-index decision derives from the
-    byte facts the build stamped into the meta — two synthetic store
-    shapes plus the legacy-meta fallback. With id-only index rows at
-    ~2.7x the narrow wide scan's bytes, the crossover sits near
-    0.5/2.7 of the bucket space — MUCH looser than the old NB/16
-    constant (the r10 verdict predicted the loosening)."""
+    """r10 verdict task 6, recalibrated r12: the use-index decision
+    derives from the byte facts the build stamped into the meta plus
+    a per-touched-bucket overhead term (0.5 MiB scan-equivalents) —
+    the model that reproduces all eight measured prune/wide outcomes
+    of MINIBATCH_INDEX_PROBE_r11 (5.2M rows) and _r12 (50M rows,
+    forced-prune runs). The pinned shapes below are those two REAL
+    stores, so the gate can never silently drift from the probes
+    that calibrated it."""
     from file_appender_spark.operators.neardup_ingest import _use_band_index
 
-    # shape A: the probe's measured shape — id-only index at 1.9x the
-    # narrow wide bytes, 4096 buckets; crossover = 0.15/1.9 * 4096
-    # ~ 323 touched buckets (the old NB/16 constant said 256)
+    # the r11 probe's 5.2M-row store: idx 444.7MB / wide 234.8MB /
+    # 4096 buckets. Measured: 64-doc epochs (<=256 touched) pruned
+    # 1.08x; 128-doc (<=512) and 256-doc (<=1024) LOSE pruned.
+    small = {
+        "buckets": 4096,
+        "index_bytes": 444_699_317,
+        "wide_narrow_bytes": 234_752_548,
+    }
+    assert _use_band_index(small, 256)  # 64-doc epoch: prune
+    assert not _use_band_index(small, 512)  # 128-doc: wide
+    assert not _use_band_index(small, 1024)  # 256-doc: wide
+    # the r12 probe's 50M-row store: idx 4.37GB / wide 2.25GB / 4096
+    # buckets. Measured (forced-prune): 64/128/256-doc epochs pruned
+    # 2.6/2.2/2.1x; 1024-doc epochs (all buckets touched, index bytes
+    # exceed wide bytes) lose pruned 0.79x.
     big = {
         "buckets": 4096,
-        "index_bytes": 1_900_000_000,
-        "wide_narrow_bytes": 1_000_000_000,
+        "index_bytes": 4_368_993_766,
+        "wide_narrow_bytes": 2_249_325_842,
     }
-    assert _use_band_index(big, 16)  # minute-level epoch: prune
-    assert _use_band_index(big, 300)  # loosened past the old 256 line
-    assert not _use_band_index(big, 400)  # past crossover: wide
-    # shape B: an index that came out FAT relative to the narrow wide
-    # scan (e.g. few, tiny signature columns): crossover tightens to
-    # 0.15/8 * 256 ~ 4.8 touched buckets
+    assert _use_band_index(big, 256)  # 64-doc: prune
+    assert _use_band_index(big, 512)  # 128-doc: prune (r11 gate said wide)
+    assert _use_band_index(big, 1024)  # 256-doc: prune (ditto)
+    assert not _use_band_index(big, 4096)  # 1024-doc: wide
+    # an index that came out FAT relative to a tiny narrow wide scan:
+    # overhead term alone confines pruning to single-bucket touches
     fat = {
         "buckets": 256,
         "index_bytes": 8_000_000,
         "wide_narrow_bytes": 1_000_000,
     }
-    assert _use_band_index(fat, 4)
-    assert not _use_band_index(fat, 6)
+    assert _use_band_index(fat, 1)
+    assert not _use_band_index(fat, 4)
     # legacy r10 meta without byte facts: strict NB/16 fallback
     legacy = {"buckets": 1024}
     assert _use_band_index(legacy, 64)
@@ -350,8 +364,12 @@ def test_band_index_rows_are_id_only_and_meta_has_bytes(spark, tmp_path):
 
 def test_pruned_epoch_sets_history_path_diagnostic(spark, tmp_path):
     """The q269 lifecycle oracle asserts the pruned path was really
-    taken; this pins the diagnostic it reads (_LAST_HISTORY_PATH)."""
+    taken; this pins the diagnostic it reads (_LAST_HISTORY_PATH) and
+    the explicit override it uses (_FORCE_HISTORY_PATH — the r12
+    recalibrated byte gate correctly refuses to prune fixture-sized
+    stores, so certification drives force the path)."""
     from file_appender_spark.operators.neardup_ingest import (
+        _FORCE_HISTORY_PATH,
         _LAST_HISTORY_PATH,
     )
 
@@ -360,7 +378,15 @@ def test_pruned_epoch_sets_history_path_diagnostic(spark, tmp_path):
     textdup_ingest_batch(spark, docs, store)
     compact_store(spark, store, id_col="doc_id", index_buckets=1024)
     ep = _docs(spark, [(900, "fresh words entirely unshared x y z")])
+    # unforced at fixture scale: the gate routes wide (tiny store)
     textdup_ingest_batch(spark, ep, store)
+    assert _LAST_HISTORY_PATH[store] == "wide"
+    _FORCE_HISTORY_PATH[store] = "pruned"
+    try:
+        ep2 = _docs(spark, [(901, "more fresh unshared words p q r")])
+        textdup_ingest_batch(spark, ep2, store)
+    finally:
+        _FORCE_HISTORY_PATH.pop(store, None)
     assert _LAST_HISTORY_PATH[store] == "pruned"
     # a batch touching most buckets (the whole corpus re-ingested)
     # falls back to the wide scan under the byte gate
