@@ -57,6 +57,65 @@ def _rot(col: Column, k: int) -> Column:
     return F.shiftleft(col, k).bitwiseOR(F.shiftrightunsigned(col, 64 - k))
 
 
+# pure-Python XXH64 (Collet's public reference spec), bit-compatible
+# with Spark's xxhash64 built-in at its default seed 42 — pinned
+# against the engine over every spec code path (stripe loop, 8/4/1
+# byte tails, multi-byte UTF-8) in tests/test_tranche5b.py. Used by
+# the Arrow CDC stage below, once per DISTINCT token per executor
+# (cached), so compatibility is everything and speed is irrelevant.
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xxh64_bytes(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` — unsigned 64-bit result."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    def rnd(acc: int, inp: int) -> int:
+        return (rotl((acc + inp * _XXP2) & _M64, 31) * _XXP1) & _M64
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i <= n - 32:
+            v1 = rnd(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = rnd(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = rnd(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = rnd(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ rnd(0, v)) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        h = (rotl(h ^ rnd(0, int.from_bytes(data[i : i + 8], "little")), 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i <= n - 4:
+        h = (rotl(h ^ (int.from_bytes(data[i : i + 4], "little") * _XXP1) & _M64, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = (rotl(h ^ (data[i] * _XXP5) & _M64, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
 def rolling_chunk_hashes(
     t: Column, window: int = _CDC_W, mask_bits: int = 3
 ) -> Column:
@@ -141,6 +200,96 @@ def rolling_chunk_hashes(
     return let_expr(F.transform(t, lambda x: F.xxhash64(x)), with_hashes)
 
 
+# Java's \s character class is ASCII-only ([ \t\n\x0B\f\r]); Python's
+# is Unicode-wide. The Arrow stage below may only take over
+# tokenization when it can reproduce the JVM's split EXACTLY, so the
+# default pattern is translated to the explicit ASCII class and any
+# other pattern routes to the JVM spelling.
+_JAVA_WS_CLASS = "[ \t\n\x0b\f\r]+"
+
+
+def _cdc_per_text_arrow(window: int, mask_bits: int):
+    """One-pass Arrow respelling of the per-distinct-text CDC stage
+    (guide §4.2, the image/SRP-signature family): (tk, n_docs, text)
+    -> (tk, n_docs, n_words, hs). Per text: tokenize (Java-\\s-exact
+    ASCII class), hash each DISTINCT token once via the pinned
+    pure-Python XXH64 (executor-lifetime cache — Zipf vocabularies
+    make this ~free), then the stateless buzhash
+    W_i = XOR_k rot_k(h(t_{i-k})) as ~``window`` vectorized uint64
+    shift/xor passes over the whole token axis, boundaries by one
+    mask compare, chunk md5s via hashlib. Replaces the interpreted
+    per-position filter-HOF evaluation (window rotate/xor Catalyst
+    expression nodes PER POSITION) with numpy; bit-identical by
+    construction and pinned against the JVM spelling in
+    tests/test_tranche5b.py."""
+    import re
+
+    mask = (1 << mask_bits) - 1
+    ws_re = re.compile(_JAVA_WS_CLASS)
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        cache: dict[str, int] = {}
+
+        def th(tok: str) -> int:
+            h = cache.get(tok)
+            if h is None:
+                h = _xxh64_bytes(tok.encode("utf-8"))
+                cache[tok] = h
+            return h
+
+        for batch in batches:
+            tks = batch.column("tk").to_pylist()
+            nds = batch.column("n_docs").to_pylist()
+            texts = batch.column("text").to_pylist()
+            o_nw: list[int] = []
+            o_hs: list[list[str]] = []
+            for text in texts:
+                toks = [t for t in ws_re.split(text) if t]
+                n = len(toks)
+                if n >= window:
+                    h = np.fromiter(
+                        (th(t) for t in toks), dtype=np.uint64, count=n
+                    )
+                    w_val = h[window - 1 :].copy()
+                    for k in range(1, window):
+                        hk = h[window - 1 - k : n - k]
+                        w_val ^= (hk << np.uint64(k)) | (hk >> np.uint64(64 - k))
+                    bnd = (
+                        np.nonzero((w_val & np.uint64(mask)) == 0)[0]
+                        + (window - 1)
+                    ).tolist()
+                else:
+                    bnd = []
+                starts = [0] + [b + 1 for b in bnd]
+                ends = bnd + [n - 1]
+                o_hs.append(
+                    [
+                        hashlib.md5(
+                            " ".join(toks[s : e + 1]).encode("utf-8")
+                        ).hexdigest()
+                        for s, e in zip(starts, ends)
+                        if s <= e
+                    ]
+                )
+                o_nw.append(n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(tks, pa.string()),
+                    pa.array(nds, pa.int64()),
+                    pa.array(o_nw, pa.int32()),
+                    pa.array(o_hs, pa.list_(pa.string())),
+                ],
+                ["tk", "n_docs", "n_words", "hs"],
+            )
+
+    return fn
+
+
 def cdc_chunk_stats_rolling(
     docs: DataFrame,
     window: int = _CDC_W,
@@ -168,7 +317,15 @@ def cdc_chunk_stats_rolling(
     near-dup operator (operators/imagehash.py docstring); here it
     makes the heavy compute scale with DISTINCT corpus content — on a
     duplicate-free corpus the cache degenerates to a pass-through
-    plus one exchange on the text hash."""
+    plus one exchange on the text hash.
+
+    Per-text stage dispatch (r12, guide §4.2): under the DEFAULT
+    ``ws`` the boundary+chunk-md5 stage runs as one vectorized Arrow
+    pass (``_cdc_per_text_arrow`` — bit-identical, dispatch-pinned in
+    tests/test_tranche5b.py); any other split pattern keeps the JVM
+    ``rolling_chunk_hashes`` spelling, because Python regex semantics
+    are not Java's and tokenization authority stays with the engine
+    that q186 declared."""
     from file_appender_spark.operators.textstats import let_expr
 
     w = F.filter(F.split(F.col(text_col), ws), lambda x: x != "")
@@ -181,16 +338,38 @@ def cdc_chunk_stats_rolling(
         .groupBy("tk")
         .agg(F.count("*").alias("n_docs"), F.min("text").alias("text"))
     )
-    wt = F.filter(F.split(F.col("text"), ws), lambda x: x != "")
-    per_text = distinct_texts.select(
-        "tk",
-        "n_docs",
-        F.size(wt).alias("n_words"),
-        let_expr(wt, lambda t: rolling_chunk_hashes(t, window, mask_bits)).alias(
-            "hs"
-        ),
+    if ws == r"\s+":
+        # default tokenizer: the vectorized Arrow stage reproduces
+        # Java's \s exactly (ASCII class) and the rolling math
+        # bit-for-bit — validated params first so both spellings
+        # raise identically
+        if not 1 <= mask_bits <= 62:
+            raise ValueError(f"mask_bits must be in [1, 62], got {mask_bits}")
+        if not 2 <= window <= 63:
+            raise ValueError(f"window must be in [2, 63], got {window}")
+        per_text = distinct_texts.mapInArrow(
+            _cdc_per_text_arrow(window, mask_bits),
+            schema="tk string, n_docs bigint, n_words int, hs array<string>",
+        )
+    else:
+        # non-default split pattern: Python regex semantics are not
+        # Java's, so the JVM spelling keeps tokenization authority
+        wt = F.filter(F.split(F.col("text"), ws), lambda x: x != "")
+        per_text = distinct_texts.select(
+            "tk",
+            "n_docs",
+            F.size(wt).alias("n_words"),
+            let_expr(wt, lambda t: rolling_chunk_hashes(t, window, mask_bits)).alias(
+                "hs"
+            ),
+        )
+    # n_words rides the explode so per_text has ONE consumer — the
+    # r12 Arrow stage made re-evaluating it a Python pass, and the
+    # old n_words join-back was a third full evaluation of the stage
+    # (plans/r12/cdc_rolling_stats: 3 MapInArrow nodes -> 2)
+    ch = per_text.select(
+        "tk", "n_docs", "n_words", F.explode("hs").alias("h")
     )
-    ch = per_text.select("tk", "n_docs", F.explode("hs").alias("h"))
     # distinct docs containing h = sum of group sizes over DISTINCT
     # texts containing h (a text contributes its group once even when
     # h repeats inside it)
@@ -208,12 +387,12 @@ def cdc_chunk_stats_rolling(
     # is actually small (the q186 oracle form keeps the hint as its
     # declared fixture-scale contract)
     j = ch.join(shared.withColumn("_s", F.lit(1)), "h", "left")
-    text_stats = j.groupBy("tk").agg(
+    text_stats = j.groupBy("tk", "n_words").agg(
         F.count("*").alias("n_chunks"),
         F.sum(F.when(F.col("_s").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_shared"),
-    ).join(per_text.select("tk", "n_words"), "tk")
+    )
     return ids.join(text_stats, "tk").select(
         "doc_id", "n_words", "n_chunks", "n_shared"
     )

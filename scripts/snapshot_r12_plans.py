@@ -125,6 +125,13 @@ def main() -> None:
         )
     dump("srp_sig_stage", srp_sig)
 
+    # rolling-CDC operator (r12: per-text stage dispatched to the
+    # vectorized Arrow pass under the default ws; before = the
+    # interpreted let_expr/filter-HOF projection)
+    from file_appender_spark.operators.chunking import cdc_chunk_stats_rolling
+
+    dump("cdc_rolling_stats", cdc_chunk_stats_rolling(load_table(spark, SF, "documents")))
+
     spark.stop()
 
 

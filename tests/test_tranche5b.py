@@ -320,3 +320,140 @@ def test_blocking_params_validation():
     ):
         with _pytest.raises(ValueError):
             blocking_params_for(**bad)
+
+
+# --------------------------------------------------------------------------
+# r12: vectorized Arrow per-text CDC stage (bit-equality vs the JVM spelling)
+# --------------------------------------------------------------------------
+
+
+def test_xxh64_python_matches_spark_engine(spark):
+    """The pure-Python XXH64 behind the Arrow CDC stage must match
+    Spark's xxhash64 built-in bit-for-bit on every spec code path:
+    empty, 1/3/4/7/8/9-byte tails, 31/32/33-byte stripe edges, long
+    inputs, multi-byte UTF-8."""
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.operators.chunking import _xxh64_bytes
+
+    cases = [
+        "", "a", "abc", "abcd", "abcdefg", "abcdefgh", "abcdefghi",
+        "x" * 31, "x" * 32, "x" * 33, "x" * 64, "x" * 100,
+        "tok17", "héllo wörld", "日本語トークン", "mixed é 語 x" * 7,
+    ]
+    rows = (
+        spark.createDataFrame([(c,) for c in cases], "t string")
+        .select("t", F.xxhash64("t").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        py = _xxh64_bytes(r["t"].encode("utf-8"))
+        signed = py - (1 << 64) if py >= (1 << 63) else py
+        assert signed == r["h"], repr(r["t"])
+
+
+def _cdc_adversarial_texts():
+    # every shape that could separate the Arrow tokenizer/rolling
+    # math from the JVM spelling: whitespace runs of each Java \s
+    # member, Unicode NON-\s whitespace inside tokens (NBSP, em
+    # space — Java \s is ASCII-only and must NOT split), short docs
+    # around the window size, multi-byte tokens, and enough long
+    # pseudo-random docs that chunk boundaries (incl. on the final
+    # token) occur across the set.
+    texts = [
+        "single",
+        "two toks",
+        "three tok doc",
+        "four tok doc now",
+        "a  b\tc\nd\re\ff\x0bg",
+        "  leading and trailing   ",
+        "nbsp inside one token here yes really",
+        "em space also stays inside its token ok",
+        "héllo wörld 日本語 トークン mixed ascii and utf8 tokens here",
+    ]
+    for s in range(12):
+        texts.append(
+            " ".join(f"tok{(i * 7919 + s * 104729) % 257}" for i in range(180 + s))
+        )
+    # exact duplicates exercise the n_docs grouping
+    texts.append(texts[-1])
+    texts.append(texts[3])
+    return texts
+
+
+def test_cdc_arrow_stage_matches_jvm_spelling(spark):
+    """cdc_chunk_stats_rolling's default-ws Arrow stage ==
+    the JVM rolling_chunk_hashes spelling, full output frame,
+    on the adversarial corpus. The JVM arm is forced by passing
+    Java \\s+'s explicit ASCII class as ws (same tokenization, JVM
+    dispatch path)."""
+    from file_appender_spark.operators.chunking import (
+        _JAVA_WS_CLASS,
+        cdc_chunk_stats_rolling,
+    )
+
+    texts = _cdc_adversarial_texts()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got_arrow = sorted(
+        map(tuple, cdc_chunk_stats_rolling(df).collect())
+    )
+    got_jvm = sorted(
+        map(tuple, cdc_chunk_stats_rolling(df, ws=_JAVA_WS_CLASS).collect())
+    )
+    assert got_arrow == got_jvm
+    assert len(got_arrow) == sum(
+        1 for t in texts if any(c not in " \t\n\r\f\x0b" for c in t)
+    )
+
+
+def test_cdc_arrow_per_text_hashes_match_rolling_chunk_hashes(spark):
+    """Stage-level pin: the Arrow pass's per-text chunk-hash arrays
+    equal rolling_chunk_hashes' for the same distinct texts (not just
+    the aggregated stats)."""
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.operators.chunking import (
+        _cdc_per_text_arrow,
+        rolling_chunk_hashes,
+    )
+
+    texts = [t for t in _cdc_adversarial_texts() if t.strip()]
+    df = spark.createDataFrame(
+        [(t,) for t in sorted(set(texts))], "text string"
+    ).select(
+        F.sha2("text", 256).alias("tk"), F.lit(1).cast("bigint").alias("n_docs"), "text"
+    )
+    wt = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    jvm = {
+        r["tk"]: (r["nw"], r["hs"])
+        for r in df.select(
+            "tk",
+            F.size(wt).alias("nw"),
+            rolling_chunk_hashes(wt).alias("hs"),
+        ).collect()
+    }
+    arrow = {
+        r["tk"]: (r["n_words"], r["hs"])
+        for r in df.mapInArrow(
+            _cdc_per_text_arrow(4, 3),
+            schema="tk string, n_docs bigint, n_words int, hs array<string>",
+        ).collect()
+    }
+    assert arrow == jvm
+    # sanity: boundaries actually fired somewhere in the corpus
+    assert any(len(v[1]) > 1 for v in arrow.values())
+
+
+def test_cdc_rolling_validation_same_on_both_paths(spark):
+    import pytest as _pytest
+
+    from file_appender_spark.operators.chunking import cdc_chunk_stats_rolling
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    for kw in (dict(mask_bits=0), dict(mask_bits=63), dict(window=1), dict(window=64)):
+        with _pytest.raises(ValueError):
+            cdc_chunk_stats_rolling(df, **kw)  # arrow path (default ws)
+        with _pytest.raises(ValueError):
+            cdc_chunk_stats_rolling(df, ws=r"[ ]+", **kw)  # jvm path
