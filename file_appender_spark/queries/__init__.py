@@ -154,8 +154,10 @@ _FORCE_RECHECK: set[str] = {
     "q269_textdup_index_lifecycle",
     "q270_textdup_manifest_sim",
     # r12: wjaccard/_exact_verify rewritten to occurrence-indexed
-    # array_intersect (WJACCARD_BREAKDOWN_r12, 3.1x) — re-certify the
-    # two driver rows that ride it
+    # array_intersect (WJACCARD_BREAKDOWN_r12, 3.1x), and the capped
+    # branch's join arms restructured onto one lazily-checkpointed
+    # sides frame (SIDES_CKPT_PROBE_r12, pair sets pinned equal both
+    # ways) — re-certify the two driver rows that ride the module
     "q163_wjaccard_capped",
     "q267_icws_error_contract",
 }
