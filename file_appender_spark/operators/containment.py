@@ -126,6 +126,10 @@ def containment_pairs(
     # which the per-token sides frame deliberately does not carry).
     # Flag expressions are the shipped prefix/cap predicates verbatim,
     # so the selected prefix and the recall contract are unchanged.
+    # Cluster caveat (same as wjaccard's): a LOCAL checkpoint is not
+    # fault-tolerant to executor loss — swap in reliable
+    # .checkpoint() for scheduled pipelines needing within-job
+    # recovery.
     sides = (
         ranked.withColumn("_pos", F.row_number().over(w))
         .withColumn(

@@ -207,7 +207,12 @@ def weighted_jaccard_pairs(
     # TFPERSIST_PROBE_r12 measured operator-internal persists neutral
     # to ~10% SLOWER here (cache-write serialization + a
     # materialization barrier); the checkpoint materializes once as a
-    # plain RDD scan that every consumer shares.
+    # plain RDD scan that every consumer shares. Cluster caveat: a
+    # LOCAL checkpoint stores blocks on executors, so an executor
+    # loss mid-query fails the job instead of recomputing lineage —
+    # acceptable for an interactive operator call (rerun), but a
+    # scheduled 100 TB pipeline that needs within-job recovery should
+    # swap in reliable .checkpoint() at the cost of a DFS write.
     sides = pre.select(
         "_id",
         "tok",
