@@ -74,8 +74,78 @@ R5_COMPARABLE = list(HEADLINE)
 HEADLINE = HEADLINE + R6_ADDITIONS
 
 
+def _burn_one(dur: float) -> int:
+    """Busy-loop for ~dur seconds; return iterations (one process)."""
+    t_end = time.perf_counter() + dur
+    n = 0
+    x = 1.0
+    while time.perf_counter() < t_end:
+        for _ in range(1000):
+            x = x * 1.0000001 + 1.0
+        n += 1000
+    return n
+
+
+def _burn_worker(dur: float, q) -> None:
+    q.put(_burn_one(dur))
+
+
+def _host_probe(n_procs: int, dur: float = 0.6) -> dict:
+    """Host-state probe (r12 verdict item 4): effective parallel core
+    capacity via an n_procs-way PROCESS burn (the GIL makes threads
+    useless for this), plus hypervisor steal%% and idle%% from
+    /proc/stat deltas around the parallel burn. Round-over-round PERF
+    comparisons on this shared microVM are only interpretable with
+    the host state attached — BENCH_r12's 0.543 'geomean regression'
+    on untouched code happened because the r11 run landed on a clean
+    window and the r12 run on a contended one."""
+    import multiprocessing as mp
+
+    out: dict = {}
+    try:
+        single = _burn_one(dur)
+
+        def read_stat():
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            vals = [int(v) for v in parts[:8]]  # ... idle iowait ... steal
+            return vals
+
+        s0 = read_stat()
+        ctx = mp.get_context("fork")
+        q = ctx.Queue()
+        procs = [
+            ctx.Process(target=_burn_worker, args=(dur, q))
+            for _ in range(n_procs)
+        ]
+        t0 = time.perf_counter()
+        for p in procs:
+            p.start()
+        total = 0
+        for _ in procs:
+            total += q.get()
+        for p in procs:
+            p.join()
+        wall = time.perf_counter() - t0
+        s1 = read_stat()
+        dt = [b - a for a, b in zip(s0, s1)]
+        tot_ticks = sum(dt) or 1
+        # single-proc rate over its own dur vs aggregate rate over wall
+        eff = (total / wall) / (single / dur) if single else 0.0
+        out["eff_cores"] = round(eff, 1)
+        out["steal_pct"] = round(100.0 * dt[7] / tot_ticks, 1)
+        out["idle_pct"] = round(100.0 * dt[3] / tot_ticks, 1)
+    except Exception as exc:  # the probe must never break the bench
+        out["error"] = str(exc)[:120]
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # host-state bracket, PRE side (before the JVM even starts so the
+    # burn measures the host, not the bench's own warm-up)
+    cpus_env = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    host_pre = _host_probe(cpus_env)
     from file_appender_spark.queries import QUERIES
     from file_appender_spark.session import get_spark
 
@@ -108,17 +178,33 @@ def main() -> None:
     # dependence on session state or the r4 warm-up list (SCALING.md
     # round-5 drift finding); heavier queries keep best-of-2.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
         best = None
+        samples: list[float] = []
         for rep in range(4):
             t0 = time.perf_counter()
             rows = spec.spark_fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
+            samples.append(dt)
             best = dt if best is None or dt < best else best
             if rep >= 1 and best >= 0.2:
                 break
         timings[name] = round(best, 3)
+        # r13 hardening (additions-only, r12 verdict item 4): a
+        # median-of-3 inside the same JVM REPORTED ALONGSIDE the
+        # best-of-N graded number. The `queries` methodology above is
+        # byte-identical (same rep loop, same early-break rule, best
+        # frozen before these extra reps run); heavy queries just run
+        # one more rep afterward so every row has >= 3 samples. The
+        # median resists the single-slow-rep host hiccups that a
+        # best-of can hide and a single-shot reading amplifies.
+        while len(samples) < 3:
+            t0 = time.perf_counter()
+            spec.spark_fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        medians[name] = round(sorted(samples[:3])[1], 3)
         print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     total_r5_subset = round(sum(timings[n] for n in R5_COMPARABLE), 3)
@@ -662,6 +748,14 @@ def main() -> None:
     except Exception as exc:
         print(f"# calibration skipped: {exc}", file=sys.stderr)
 
+    # host-state bracket, POST side (after the timed work, so the pair
+    # of probes bounds what the host did during the run)
+    host_post = _host_probe(cpus_env)
+    for tag, probe in (("pre", host_pre), ("post", host_post)):
+        for k, v in probe.items():
+            extras[f"host_{tag}_{k}"] = v
+    print(f"# host probes: pre {host_pre}, post {host_post}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -671,6 +765,9 @@ def main() -> None:
                 "value_r5_comparable_subset": total_r5_subset,
                 "unit": "sec",
                 "queries": timings,
+                # additions-only: the same queries' median-of-3 (see
+                # the rep loop) — existing keys/semantics unchanged
+                "queries_median3": medians,
                 "queries_registered": len(QUERIES),
                 "extras": extras,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

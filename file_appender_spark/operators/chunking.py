@@ -213,8 +213,12 @@ def _cdc_per_text_arrow(window: int, mask_bits: int):
     (guide §4.2, the image/SRP-signature family): (tk, n_docs, text)
     -> (tk, n_docs, n_words, hs). Per text: tokenize (Java-\\s-exact
     ASCII class), hash each DISTINCT token once via the pinned
-    pure-Python XXH64 (executor-lifetime cache — Zipf vocabularies
-    make this ~free), then the stateless buzhash
+    pure-Python XXH64 (per-TASK cache — created inside ``fn`` per
+    mapInArrow invocation, so reuse amortizes across the task's
+    batches, not across tasks; kept task-scoped deliberately so the
+    dict cannot grow without bound in a reused worker — r12 ADVICE
+    corrected the earlier 'executor-lifetime' claim), then the
+    stateless buzhash
     W_i = XOR_k rot_k(h(t_{i-k})) as ~``window`` vectorized uint64
     shift/xor passes over the whole token axis, boundaries by one
     mask compare, chunk md5s via hashlib. Replaces the interpreted

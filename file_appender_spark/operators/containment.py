@@ -50,12 +50,18 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     ws: str = r"\s+",
+    reliable: bool = False,
 ) -> DataFrame:
     """Directed pairs (d_sub, d_super, containment) with
     containment = |tokens(d_sub) n tokens(d_super)| / |tokens(d_sub)|
     rounded to 6 dp, containment >= threshold, d_sub != d_super.
     Token sets are whitespace-split distinct tokens (q51/q129's
-    declared tokenizer)."""
+    declared tokenizer).
+
+    ``reliable=True`` (capped branch only) swaps the sides frame's
+    localCheckpoint for the reliable DFS ``.checkpoint()`` — the
+    scheduled-pipeline knob; requires
+    ``spark.sparkContext.setCheckpointDir`` (materialize.py)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     arr = docs.select(
@@ -127,10 +133,12 @@ def containment_pairs(
     # Flag expressions are the shipped prefix/cap predicates verbatim,
     # so the selected prefix and the recall contract are unchanged.
     # Cluster caveat (same as wjaccard's): a LOCAL checkpoint is not
-    # fault-tolerant to executor loss — swap in reliable
-    # .checkpoint() for scheduled pipelines needing within-job
-    # recovery.
-    sides = (
+    # fault-tolerant to executor loss — reliable=True swaps in the
+    # DFS .checkpoint() for scheduled pipelines needing within-job
+    # recovery (r12 verdict item 7, materialize_frame).
+    from file_appender_spark.operators.materialize import materialize_frame
+
+    sides = materialize_frame(
         ranked.withColumn("_pos", F.row_number().over(w))
         .withColumn(
             "_k",
@@ -143,8 +151,9 @@ def containment_pairs(
             "_th",
             (F.col("_pos") <= F.col("_k")).alias("_isp"),
             (F.col("_df") <= token_df_cap).alias("_isb"),
-        )
-        .localCheckpoint(eager=False)
+        ),
+        eager=False,
+        reliable=reliable,
     )
     prefix = sides.filter("_isp").select("_id", "_th")
     # super side: capped postings only

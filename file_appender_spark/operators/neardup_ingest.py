@@ -41,6 +41,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from file_appender_spark.operators.materialize import materialize_frame
 from file_appender_spark.operators.similarity import (
     _as_double,
     _dot,
@@ -652,6 +653,7 @@ def _sliced_band_candidates(
     id_col: str,
     cap: int | None,
     materialize: bool = True,
+    reliable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared history-candidate core over HASHED band keys for stores
     that manage their own layout (pairstore's partitioned sigs table):
@@ -668,7 +670,7 @@ def _sliced_band_candidates(
     touched = F.broadcast(batch_bands.select("band", "bh").distinct())
     sl = hist_bands.join(touched, ["band", "bh"], "semi")
     if materialize:
-        sl = sl.localCheckpoint(eager=True)
+        sl = materialize_frame(sl, eager=True, reliable=reliable)
     x, s2 = batch_bands, sl
     if cap is not None:
         hot = F.broadcast(
@@ -704,6 +706,7 @@ def _hist_dup_terms(
     spec: dict,
     cap: int | None,
     store_rows: int | None = None,
+    reliable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """History-side dup inputs from the fused store touch:
 
@@ -749,7 +752,7 @@ def _hist_dup_terms(
     )
     big = store_rows is None or store_rows >= _EAGER_SLICE_MIN_STORE_ROWS
     sl, cand = _sliced_band_candidates(
-        batch_bands, slice_src, id_col, cap, materialize=big
+        batch_bands, slice_src, id_col, cap, materialize=big, reliable=reliable
     )
     ident = (
         sigs.select(F.col(id_col).alias("new_id"), "fh")
@@ -763,16 +766,20 @@ def _hist_dup_terms(
         .distinct()
     )
     if cap is not None and big:
-        cand = cand.localCheckpoint(eager=True)
-        ident = ident.localCheckpoint(eager=True)
+        cand = materialize_frame(cand, eager=True, reliable=reliable)
+        ident = materialize_frame(ident, eager=True, reliable=reliable)
         bounded = (cand.count() + ident.count()) <= _BROADCAST_FETCH_ROWS
         fetch_ids = (
             cand.select("old_id").unionByName(ident.select("old_id")).distinct()
         )
         if bounded:
-            pay = payload_src.join(
-                F.broadcast(fetch_ids), "old_id", "semi"
-            ).dropDuplicates(["old_id"]).localCheckpoint(eager=True)
+            pay = materialize_frame(
+                payload_src.join(
+                    F.broadcast(fetch_ids), "old_id", "semi"
+                ).dropDuplicates(["old_id"]),
+                eager=True,
+                reliable=reliable,
+            )
         else:
             pay = payload_src.join(fetch_ids, "old_id", "semi").dropDuplicates(
                 ["old_id"]
@@ -1106,6 +1113,7 @@ def neardup_ingest_batch(
     vec_col: str = "embedding",
     round_dp: int = 6,
     band_bucket_cap: int | None | str = "auto",
+    reliable: bool = False,
 ) -> DataFrame:
     """Admit the batch rows that are NOT near-duplicates (cosine >=
     threshold) of (a) any previously-admitted vector or (b) an
@@ -1138,7 +1146,9 @@ def neardup_ingest_batch(
     (_identical_sig_dups with the vector as the signature — cosine
     is exactly 1.0), so an identical-embedding family dedups to one
     stored representative even under a binding cap. ``None``
-    disables the cap explicitly (the shortcut stays)."""
+    disables the cap explicitly (the shortcut stays).
+    ``reliable=True`` as in textdup_ingest_batch (DFS checkpoints
+    for scheduled pipelines needing within-job recovery)."""
     from pyspark import StorageLevel
 
     spec = _modality_spec(
@@ -1246,7 +1256,7 @@ def neardup_ingest_batch(
         # checkpointed slice + bounded payload fetch
         cand_pay, ident_pay = _hist_dup_terms(
             spark, store_dir, hist, sigs, batch_bands, id_col, spec,
-            band_bucket_cap, store_rows=store_rows,
+            band_bucket_cap, store_rows=store_rows, reliable=reliable,
         )
         cands = cands.unionByName(cand_pay.select(*cands.columns))
         conf = ident_pay.join(new_pay, "new_id").filter(exact_eq)
@@ -1299,11 +1309,12 @@ def neardup_ingest_batch(
     # the conservative form drops more, never less, and stays
     # single-pass (no iteration inside a streaming batch).
     admitted = batch.join(dup_ids, id_col, "left_anti")
-    # materialize ONCE (executor-local checkpoint): the store append
-    # below and the caller's downstream write both reuse it — without
-    # this, the caller's action re-runs the whole history join +
-    # verification after sigs is unpersisted
-    admitted = admitted.localCheckpoint(eager=True)
+    # materialize ONCE (executor-local checkpoint; reliable=True takes
+    # the DFS spelling): the store append below and the caller's
+    # downstream write both reuse it — without this, the caller's
+    # action re-runs the whole history join + verification after sigs
+    # is unpersisted
+    admitted = materialize_frame(admitted, eager=True, reliable=reliable)
     # reuse the persisted batch signature frame for the append (r11):
     # recomputing _sig_frame(admitted) re-ran the whole per-row
     # projection stage a second time per epoch; the semi-join slices
@@ -1848,6 +1859,7 @@ def textdup_ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_bucket_cap: int | None | str = "auto",
+    reliable: bool = False,
 ) -> DataFrame:
     """Incremental TEXT near-dup ingest: the q52 MinHash-LSH pipeline
     folded into the same persistent-store protocol as
@@ -1870,7 +1882,13 @@ def textdup_ingest_batch(
     (_identical_sig_dups) suppresses them with a groupBy, so a
     template family dedups even under a binding cap and stores ONE
     representative — the hot bucket never accumulates.
-    ``None`` disables the cap explicitly (the shortcut stays)."""
+    ``None`` disables the cap explicitly (the shortcut stays).
+
+    ``reliable=True`` swaps every epoch checkpoint for the reliable
+    DFS ``.checkpoint()`` (requires a configured checkpoint dir —
+    operators/materialize.py) so an executor loss mid-epoch recovers
+    instead of failing the micro-batch; the default localCheckpoint
+    is the measured-faster interactive spelling."""
     from file_appender_spark.queries.llm import _MH_PARAMS
 
     n_bands = len(_MH_PARAMS) // 4
@@ -1888,11 +1906,15 @@ def textdup_ingest_batch(
     # ~420 docs/s idle at sf0.1), so the dedicated materialization
     # job earns its ~0.3-0.5s
     sigs = _compact_scan(
-        _with_index_cols(
-            minhash_signatures(batch, id_col, text_col),
-            n_bands,
-            spec["fh_cols"],
-        ).localCheckpoint(eager=True)
+        materialize_frame(
+            _with_index_cols(
+                minhash_signatures(batch, id_col, text_col),
+                n_bands,
+                spec["fh_cols"],
+            ),
+            eager=True,
+            reliable=reliable,
+        )
     )
     # MinHash band space is effectively unbounded (four 32-bit slots),
     # so the sized policy is the count-free candidate budget — no
@@ -1997,7 +2019,7 @@ def textdup_ingest_batch(
         # checkpointed slice + bounded payload fetch
         cand_pay, ident_pay = _hist_dup_terms(
             spark, store_dir, hist, sigs, batch_bands, id_col, spec,
-            band_bucket_cap, store_rows=store_rows,
+            band_bucket_cap, store_rows=store_rows, reliable=reliable,
         )
         cands = cands.unionByName(cand_pay.select(*cands.columns))
         # full-signature-hash matches confirmed by exact mh equality
@@ -2037,7 +2059,9 @@ def textdup_ingest_batch(
         dup_ids = dup_ids.unionByName(sig_stored).distinct()
         # at-least-once override (see the lean branch's note)
         dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
-    admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
+    admitted = materialize_frame(
+        batch.join(dup_ids, id_col, "left_anti"), eager=True, reliable=reliable
+    )
     admitted_sigs = sigs.join(admitted.select(id_col), id_col)
     if store_exists and not _store_is_v2(hist):
         # appends always match the store's existing schema, so a store
@@ -2063,6 +2087,7 @@ def imagedup_ingest_batch(
     payload_col: str = "payload",
     hash_mode: str = "ahash",
     band_bucket_cap: int | None | str = "auto",
+    reliable: bool = False,
 ) -> DataFrame:
     """Incremental IMAGE near-dup ingest — the third modality on the
     shared store protocol: perceptual-hash 16-bit bands
@@ -2091,7 +2116,8 @@ def imagedup_ingest_batch(
     never accumulates. Over-cap buckets of DISTINCT hashes drop out
     of candidate generation and their new members are admitted
     (at-least-once, see _band_pairs). ``None`` disables the cap
-    explicitly (the shortcut stays)."""
+    explicitly (the shortcut stays). ``reliable=True`` as in
+    textdup_ingest_batch (DFS checkpoints for scheduled pipelines)."""
     from file_appender_spark.operators.imagehash import band_bucket_cap_for
 
     if hash_mode not in ("ahash", "dhash"):
@@ -2121,7 +2147,9 @@ def imagedup_ingest_batch(
         n_bands,
         spec["fh_cols"],
     )
-    sigs = _compact_scan(sig_plan.localCheckpoint(eager=True))
+    sigs = _compact_scan(
+        materialize_frame(sig_plan, eager=True, reliable=reliable)
+    )
 
     hamming = sum(
         F.bit_count(F.col(f"nb{k}").bitwiseXOR(F.col(f"ob{k}"))) for k in range(4)
@@ -2210,7 +2238,7 @@ def imagedup_ingest_batch(
         # ONE fused store touch (r9 verdict task 1) — see _hist_dup_terms
         cand_pay, ident_pay = _hist_dup_terms(
             spark, store_dir, hist, sigs, batch_bands, id_col, spec, cap,
-            store_rows=store_rows,
+            store_rows=store_rows, reliable=reliable,
         )
         cands = cands.unionByName(cand_pay.select(*cands.columns))
         # fh matches confirmed by exact band equality (Hamming 0)
@@ -2238,7 +2266,9 @@ def imagedup_ingest_batch(
         )
         dup_ids = dup_ids.unionByName(sig_stored).distinct()
         dup_ids = dup_ids.join(F.broadcast(own_stored), id_col, "left_anti")
-    admitted = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(eager=True)
+    admitted = materialize_frame(
+        batch.join(dup_ids, id_col, "left_anti"), eager=True, reliable=reliable
+    )
     admitted_sigs = sigs.join(admitted.select(id_col), id_col)
     if store_exists and not _store_is_v2(hist):
         admitted_sigs = admitted_sigs.drop(

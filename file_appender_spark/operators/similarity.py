@@ -309,11 +309,16 @@ def srp_sigs_arrow(
     from the coefficient dim -> valid v and nrm (the self-dot never
     mismatches) but NULL bands (zip_with pads the shorter side with
     NULLs); a NULL element -> NULL nrm and bands; NaN elements
-    poison the projection to NaN, whose sign bit is 0 in both
-    spellings (NaN >= 0 is false). The clean fixed-width fast path is
-    fully vectorized; degenerate batches fall back to a per-row
-    Python replica of the same folds."""
-    assert n_bits % n_bands == 0
+    poison the projection to NaN, whose sign bit is 1 in both
+    spellings (Spark evaluates ``NaN >= 0`` as TRUE under its
+    NaN-as-largest comparison ordering, so the numpy/Python paths
+    spell the bit as ``not (proj < 0)`` to match — r12 ADVICE).
+    The clean fixed-width fast path is fully vectorized; degenerate
+    batches fall back to a per-row Python replica of the same folds."""
+    if n_bits % n_bands != 0:
+        raise ValueError(
+            f"n_bits ({n_bits}) must divide evenly into n_bands ({n_bands})"
+        )
     rows_per_band = n_bits // n_bands
     id_field = df.schema[id_col]
     cmat = [list(map(float, row)) for row in coefs]
@@ -360,7 +365,10 @@ def srp_sigs_arrow(
                     p = 0.0
                     for jj in range(dim):
                         p = p + float(v[jj]) * C[b, jj]
-                    sig = sig * 2 + (1 if p >= 0 else 0)
+                    # Spark: NaN >= 0 is TRUE (NaN sorts above every
+                    # number), so the bit is "not negative", which is
+                    # 1 for NaN here exactly like the engine
+                    sig = sig * 2 + (0 if p < 0 else 1)
                 bands_row.append(sig)
             return nrm, bands_row
 
@@ -394,7 +402,10 @@ def srp_sigs_arrow(
                         crow = C[b]
                         for j in range(dim):
                             acc = acc + V[:, j] * crow[j]
-                        bits_mat[:, b] = acc >= 0
+                        # ~(acc < 0), not (acc >= 0): numpy NaN >= 0 is
+                        # False but Spark's NaN >= 0 is TRUE — the bit
+                        # must match the engine (r12 ADVICE, medium)
+                        bits_mat[:, b] = ~(acc < 0)
                 bands = _pack_bands(bits_mat)
                 arrays = [ids, vec, pa.array(nrm)] + [
                     pa.array(bands[:, bi]) for bi in range(n_bands)

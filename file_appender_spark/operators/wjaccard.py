@@ -139,10 +139,18 @@ def weighted_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     ws: str = r"\s+",
+    reliable: bool = False,
 ) -> DataFrame:
     """All pairs (d1 < d2, wjac) with weighted Jaccard >= threshold.
     ``token_df_cap=None`` is exact; with a cap, precision stays exact
-    and recall follows the module-docstring contract."""
+    and recall follows the module-docstring contract.
+
+    ``reliable=True`` (capped branch only — the exact branch has no
+    checkpoint) swaps the sides frame's localCheckpoint for the
+    reliable DFS ``.checkpoint()`` so an executor loss recovers
+    instead of failing the job — a scheduled-pipeline knob; requires
+    ``spark.sparkContext.setCheckpointDir`` (operators/materialize.py
+    has the trade)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     tf = _tf(docs, id_col, text_col, ws)
@@ -210,20 +218,27 @@ def weighted_jaccard_pairs(
     # plain RDD scan that every consumer shares. Cluster caveat: a
     # LOCAL checkpoint stores blocks on executors, so an executor
     # loss mid-query fails the job instead of recomputing lineage —
-    # acceptable for an interactive operator call (rerun), but a
-    # scheduled 100 TB pipeline that needs within-job recovery should
-    # swap in reliable .checkpoint() at the cost of a DFS write.
-    sides = pre.select(
-        "_id",
-        "tok",
-        "tf",
-        "_th",
-        (
-            (F.col("_cum") - F.col("tf"))
-            <= (1.0 - threshold) * F.col("_sz") + 1e-9
-        ).alias("_isp"),
-        (F.col("_df") <= token_df_cap).alias("_isb"),
-    ).localCheckpoint(eager=False)
+    # acceptable for an interactive operator call (rerun); a
+    # scheduled 100 TB pipeline that needs within-job recovery passes
+    # reliable=True for the DFS .checkpoint() spelling (r12 verdict
+    # item 7 — materialize_frame holds the trade).
+    from file_appender_spark.operators.materialize import materialize_frame
+
+    sides = materialize_frame(
+        pre.select(
+            "_id",
+            "tok",
+            "tf",
+            "_th",
+            (
+                (F.col("_cum") - F.col("tf"))
+                <= (1.0 - threshold) * F.col("_sz") + 1e-9
+            ).alias("_isp"),
+            (F.col("_df") <= token_df_cap).alias("_isb"),
+        ),
+        eager=False,
+        reliable=reliable,
+    )
     a = sides.filter("_isp").select("_id", "_th").alias("a")
     b = sides.filter("_isb").select("_id", "_th").alias("b")
     cand = (

@@ -833,6 +833,39 @@ def test_srp_sigs_arrow_bit_identical(spark, sf_dir):
     got2 = srp_sigs_arrow(adv, "vec_id", "embedding", 16, 4, coefs)
     assert sorted(map(tuple, ref2.collect())) == sorted(map(tuple, got2.collect()))
 
+    # NaN rows (r12 ADVICE, medium): Spark evaluates NaN >= 0 as TRUE
+    # (NaN-as-largest ordering), so a NaN-poisoned projection's sign
+    # bit must be 1 in the Arrow spelling too — both the vectorized
+    # fast path (fixed-width batch) and the per-row replica (ragged
+    # batch forces the slow path). Band values are compared against
+    # the SQL reference directly; nrm is NaN on both sides (tuple
+    # equality can't see that, NaN != NaN, so bands are checked alone).
+    import math
+
+    nan = float("nan")
+    for extra in ([], [(99, [1.0] * (dim - 1))]):  # fast path / slow path
+        nrows = [(1, [nan] + [1.0] * (dim - 1)), (2, [nan] * dim)] + extra
+        ndf = spark.createDataFrame(nrows, "vec_id long, embedding array<double>")
+        nsel = ndf.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        nref = {
+            r["vec_id"]: tuple(r[f"b{i}"] for i in range(4))
+            for r in nsel.select(
+                "vec_id",
+                *[
+                    s.alias(f"b{i}")
+                    for i, s in enumerate(_srp_band_sigs_sql("v", 16, 4, coefs))
+                ],
+            ).collect()
+        }
+        ngot = srp_sigs_arrow(ndf, "vec_id", "embedding", 16, 4, coefs)
+        for r in ngot.collect():
+            if r["vec_id"] == 99:
+                continue  # the ragged row only forces the slow path
+            assert tuple(r[f"b{i}"] for i in range(4)) == nref[r["vec_id"]], (
+                r["vec_id"]
+            )
+            assert math.isnan(r["nrm"])
+
 
 def test_neardup_store_legacy_without_stamp_requires_migration(spark, tmp_path):
     """A store holding parquet data but NO params sidecar (legacy /

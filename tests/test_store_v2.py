@@ -392,3 +392,47 @@ def test_pruned_epoch_sets_history_path_diagnostic(spark, tmp_path):
     # falls back to the wide scan under the byte gate
     textdup_ingest_batch(spark, _corpus(spark, 300, seed_tag="wide"), store)
     assert _LAST_HISTORY_PATH[store] == "wide"
+
+
+def test_unforced_gate_routes_pruned_end_to_end(spark, tmp_path):
+    """r12 ADVICE (low): q269 certifies the pruned READ via the
+    explicit override, so a production regression where the byte gate
+    never prunes would only be caught by the synthetic-meta unit
+    test. This drives the UNFORCED decision end-to-end: a real
+    store + index whose meta byte facts are rewritten to the
+    50M-row-regime values (the gate reads FACTS from the sidecar —
+    doctoring the fact file reproduces the MINIBATCH_INDEX_PROBE_r12
+    regime without building 50M rows), an epoch with NO
+    _FORCE_HISTORY_PATH entry, and the assertion that the gate itself
+    routed it through the index — with admits equal to a wide-routed
+    twin store."""
+    from file_appender_spark.operators.neardup_ingest import (
+        _INDEX_META,
+        _LAST_HISTORY_PATH,
+    )
+
+    docs = _corpus(spark, 40, seed_tag="unforced")
+    ep = _corpus(spark, 60, seed_tag="unforced").filter(
+        F.col("doc_id") >= 40
+    ).unionByName(_docs(spark, [(990, "totally novel epoch words a b c")]))
+
+    admitted = {}
+    for tag in ("gated", "wide"):
+        store = str(tmp_path / f"store_{tag}")
+        textdup_ingest_batch(spark, docs, store)
+        compact_store(spark, store, id_col="doc_id", index_buckets=1024)
+        if tag == "gated":
+            meta_path = os.path.join(store, _INDEX_DIR, _INDEX_META)
+            meta = json.loads(open(meta_path).read())
+            # the probe-measured big-store regime: wide scan far past
+            # the touched buckets' fixed cost + index fraction
+            meta["wide_narrow_bytes"] = 10**10
+            with open(meta_path, "w") as f:
+                f.write(json.dumps(meta, sort_keys=True))
+        out = textdup_ingest_batch(spark, ep, store)
+        admitted[tag] = sorted(r["doc_id"] for r in out.collect())
+        # the gate alone (no _FORCE_HISTORY_PATH) must pick the path
+        assert _LAST_HISTORY_PATH[store] == (
+            "pruned" if tag == "gated" else "wide"
+        )
+    assert admitted["gated"] == admitted["wide"] and admitted["gated"]

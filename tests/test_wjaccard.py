@@ -164,3 +164,84 @@ def test_icws_rejects_seed_zero(spark):
         icws_sample_hashes(docs, n_hashes=4, seed=0)
     with _pytest.raises(ValueError, match="seed"):
         icws_sample_hashes(docs, n_hashes=4, seed=1 << 64)  # 0 mod 2^64
+
+
+def test_reliable_checkpoint_parameter(spark, tmp_path):
+    """r12 verdict item 7: the reliable-checkpoint escape hatch is a
+    parameter, not a docstring note. reliable=True must (a) refuse
+    loudly without a configured checkpoint dir, (b) produce the
+    IDENTICAL result as the default localCheckpoint spelling on the
+    capped operators and a textdup ingest epoch once a dir is set."""
+    from file_appender_spark.operators.containment import containment_pairs
+    from file_appender_spark.operators.neardup_ingest import (
+        textdup_ingest_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee"),
+            (2, "aa bb cc dd ff"),
+            (3, "gg hh ii jj kk"),
+            (4, "aa bb cc dd ee"),
+            (5, "zz yy xx ww vv"),
+        ],
+        "doc_id long, text string",
+    )
+
+    # (a) loud refusal before any checkpoint dir exists — evaluate an
+    # action so the lazy frame would actually need the checkpoint
+    if spark.sparkContext.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            weighted_jaccard_pairs(
+                docs, threshold=0.5, token_df_cap=10, reliable=True
+            ).count()
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+
+    # (b) identical pair sets, both operators
+    base_wj = sorted(
+        map(
+            tuple,
+            weighted_jaccard_pairs(
+                docs, threshold=0.5, token_df_cap=10
+            ).collect(),
+        )
+    )
+    rel_wj = sorted(
+        map(
+            tuple,
+            weighted_jaccard_pairs(
+                docs, threshold=0.5, token_df_cap=10, reliable=True
+            ).collect(),
+        )
+    )
+    assert base_wj == rel_wj and base_wj  # non-empty: dup group 1/2/4
+
+    base_ct = sorted(
+        map(
+            tuple,
+            containment_pairs(docs, threshold=0.8, token_df_cap=10).collect(),
+        )
+    )
+    rel_ct = sorted(
+        map(
+            tuple,
+            containment_pairs(
+                docs, threshold=0.8, token_df_cap=10, reliable=True
+            ).collect(),
+        )
+    )
+    assert base_ct == rel_ct and base_ct
+
+    # (b) ingest epoch: same admitted ids through the reliable path
+    batch1 = docs.filter(F.col("doc_id") <= 2)
+    batch2 = docs.filter(F.col("doc_id") > 2)
+    admitted = {}
+    for tag, rel in (("local", False), ("reliable", True)):
+        store = str(tmp_path / f"store_{tag}")
+        textdup_ingest_batch(spark, batch1, store, threshold=0.5, reliable=rel)
+        out = textdup_ingest_batch(
+            spark, batch2, store, threshold=0.5, reliable=rel
+        )
+        admitted[tag] = sorted(r["doc_id"] for r in out.collect())
+    assert admitted["local"] == admitted["reliable"]
