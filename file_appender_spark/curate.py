@@ -320,7 +320,6 @@ def curate(
 
         # 3. quality gate: heuristic alpha ratio or the q154 model scorer
         d3 = d2.filter(quality_keep(quality_mode, min_alpha_ratio))
-        n_quality = d3.count()
 
         # 4. PII scrub + 5. hash split — the same module-level stage
         # expressions the incremental (streaming) drive composes
@@ -328,21 +327,35 @@ def curate(
             "split", split_col()
         )
 
-        # 6. shard write, partitioned by split
-        d4.write.mode("overwrite").partitionBy("split").parquet(out_dir)
-        if n_quality == 0:
-            # a fully-filtered corpus writes only _SUCCESS — reading the
-            # empty partitioned dir back raises UNABLE_TO_INFER_SCHEMA,
-            # so the funnel reports zero written instead of crashing
-            # (curate() must survive a gate that admits nothing)
-            n_written, by_split = 0, {}
-        else:
-            written = spark.read.parquet(out_dir)
-            n_written = written.count()
-            by_split = {
-                r["split"]: r["n"]
-                for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()
-            }
+        # 6. shard write, partitioned by split. The funnel tail counts
+        # (quality survivors == rows written, plus the per-split
+        # breakdown) ride the write job itself via Dataset.observe
+        # (r13, guide §1.2 "don't compute things you throw away"): the
+        # r12 spelling paid a d3.count() action BEFORE the write plus
+        # a full read-back of the written shards (count + groupBy
+        # collect) AFTER it — three extra jobs re-deriving numbers the
+        # write already streams past (PCBREAK_r13: quality_count 0.31s
+        # + readback 0.58s of curate's 3.6s). Values are identical:
+        # what is written IS d4's rows, and n_quality == n_written by
+        # construction (d4 is a projection of d3). A fully-filtered
+        # corpus still short-circuits to zero counts without reading
+        # the empty partitioned dir back (UNABLE_TO_INFER_SCHEMA).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        d4.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col("split") == s).cast("long")).alias(s)
+                for s in ("train", "val", "test")
+            ],
+        ).write.mode("overwrite").partitionBy("split").parquet(out_dir)
+        m = obs.get
+        n_quality = n_written = int(m["n"] or 0)
+        by_split = {
+            s: int(m[s]) for s in ("train", "val", "test") if m[s]
+        }
         # every downstream consumer of the persisted shingles (near-dup
         # counts + the shard write) has materialized — release the cache
         # so repeated curate() calls don't accumulate executor storage

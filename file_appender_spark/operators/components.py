@@ -17,15 +17,25 @@ is NOT enough for iterative algorithms: it caches data but keeps the
 logical plan, and the optimizer re-analyzes a plan that grows
 exponentially with self-referencing joins per round (observed: OOM on
 a 10-node path). Checkpointing truncates the lineage so round N plans
-against round N-1's materialized result only. Convergence = count of
-changed labels (one action per round). Deterministic: min() labels,
-no ordering dependence.
+against round N-1's materialized result only.
+
+Convergence detection rides the SAME action (r13, guide §1.2/"don't
+compute things you throw away"): labels only ever DECREASE, so
+"changed" is exactly "new component < old component", an aggregate
+over columns already present in the round's join — collected via
+``Dataset.observe`` during the checkpoint materialization. The r12
+spelling paid a second action per round (a full new-vs-old JOIN plus
+a count job) for the same number; at near-dup cluster shapes (2-4
+rounds of fixed overhead over small frames) that was ~half the CC
+wall (PCBREAK_r13: dedup_clusters 2.15s over ~2.5k pairs before the
+fusion). Labels are value-identical: the observation changes no row.
+Deterministic: min() labels, no ordering dependence.
 """
 
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -57,22 +67,26 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        new_comp = F.least(
+            F.col("component"), F.coalesce("nbr_min", F.col("component"))
+        )
+        # the changed count rides the checkpoint's own job: labels are
+        # monotone non-increasing, so changed == strictly-decreased,
+        # an aggregate over the round join's existing columns — no
+        # second action, no new-vs-old join (module docstring)
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
+            .observe(
+                obs,
+                F.sum((new_comp < F.col("component")).cast("long")).alias(
+                    "changed"
+                ),
             )
+            .select("node", new_comp.alias("component"))
             .localCheckpoint(eager=True)  # truncate lineage every round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels
         if changed == 0:
             break
@@ -179,26 +193,38 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # fixpoint stat: same edge set (count + two independent hash sums;
+    # the contraction is monotone so a false "changed" only costs one
+    # extra round, and a stable checksum at equal count means equal
+    # sets with overwhelming probability). Modular-reduce the 64-bit
+    # hashes before summing: ANSI mode (Spark 4 default) hard-errors
+    # on long overflow, and a raw xxhash64 sum overflows immediately.
+    # r13 (same fusion as min-label propagation): the stat rides the
+    # round checkpoint's own job via observe, and each round compares
+    # against the REMEMBERED previous stat — the r12 spelling re-ran
+    # stat() as two extra aggregate jobs per round over checkpointed
+    # (hence deterministic, identical-value) frames.
+    stat_aggs = lambda: [  # noqa: E731 — fresh Columns per use site
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))).alias("h1"),
+        F.sum(F.pmod(F.hash("u", "v"), F.lit(998_244_353))).alias("h2"),
+    ]
+    prev = tuple(e.agg(*stat_aggs()).collect()[0])
     rounds = 0
     for _ in range(max_iterations):
-        stepped = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        obs = Observation()
+        stepped = (
+            _small_star(_large_star(e))
+            .observe(obs, *stat_aggs())
+            .localCheckpoint(eager=True)
+        )
         rounds += 1
-        # fixpoint: same edge set (count + two independent hash sums;
-        # the contraction is monotone so a false "changed" only costs
-        # one extra round, and a stable checksum at equal count means
-        # equal sets with overwhelming probability)
-        # modular-reduce the 64-bit hashes before summing: ANSI mode
-        # (Spark 4 default) hard-errors on long overflow, and a raw
-        # xxhash64 sum overflows almost immediately
-        stat = lambda d: d.agg(
-            F.count("*").alias("n"),
-            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))).alias("h1"),
-            F.sum(F.pmod(F.hash("u", "v"), F.lit(998_244_353))).alias("h2"),
-        ).collect()[0]
-        if tuple(stat(stepped)) == tuple(stat(e)):
-            e = stepped
-            break
+        got = obs.get
+        cur = (got["n"], got["h1"], got["h2"])
         e = stepped
+        if cur == prev:
+            break
+        prev = cur
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iterations} "

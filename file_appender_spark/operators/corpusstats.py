@@ -420,44 +420,135 @@ def corpusstats_ingest_batch(
     _write_batch(corpus_bigram_stats(batch), _bigram_dir(store_dir), str(batch_id))
 
 
+# ---------------------------------------------------------------------------
+# Merged-view memoization (r12 verdict item 5, the load_table pattern).
+#
+# Every consumer of a stats table re-planned the parquet read AND
+# re-ran the merge groupBy-sum per action: the bench's 6-consumer
+# fan-out paid ~0.4-0.5s of store-read per consumer on a Zipf-SMALL
+# table (CSBREAK_r13: read_*_stats noop 0.38-0.47s each; the six
+# consumers touch the tables ~10 times). The merged view is a pure
+# function of the table's FILES, so it is memoized per (Spark app,
+# table dir, file fingerprint) as a lazily-localCheckpoint'ed frame:
+# the first consumer's action materializes the (tiny) merged table
+# once, every later consumer scans the checkpointed partitions — the
+# r12 "sides" single-evaluation pattern applied across consumer
+# calls. The fingerprint is the recursive FILE listing: parquet part
+# names are write-unique (task UUIDs), so any append (new epoch dir),
+# overwrite (new part names), compaction swap or migration changes it
+# and the stale entry is dropped. Nothing persists across processes —
+# a fresh session always recomputes from the parquet inputs.
+# ---------------------------------------------------------------------------
+
+_VIEW_CACHE: dict[tuple, DataFrame] = {}
+_VIEW_CACHE_MAX = 24  # tables x stores a session plausibly touches
+
+
+def _table_fingerprint(store_dir: str, table_dir: str) -> tuple:
+    fs = store_fs_for(store_dir)
+    out: list[str] = []
+
+    def walk(p: str, rel: str) -> None:
+        for name in sorted(fs.listdir(p)):
+            sub = os.path.join(p, name)
+            r = rel + "/" + name
+            if fs.isdir(sub):
+                walk(sub, r)
+            else:
+                out.append(r)
+
+    if fs.isdir(table_dir):
+        walk(table_dir, "")
+    return tuple(out)
+
+
+def reset_stats_view_cache() -> None:
+    """Drop every memoized merged view. The cached frames are LOCAL
+    checkpoints (blocks on executors, no lineage): after an executor
+    loss in a long-lived cluster session their actions fail instead
+    of recomputing — call this to fall back to fresh reads. Test
+    seams and the storefs cache reset use it too."""
+    _VIEW_CACHE.clear()
+
+
+def _merged_view(spark: SparkSession, store_dir: str, table_dir: str, build):
+    key = (
+        spark.sparkContext.applicationId,
+        table_dir,
+        _table_fingerprint(store_dir, table_dir),
+    )
+    df = _VIEW_CACHE.get(key)
+    if df is None:
+        # drop stale fingerprints of the same table before inserting
+        for k in [k for k in _VIEW_CACHE if k[:2] == key[:2]]:
+            del _VIEW_CACHE[k]
+        while len(_VIEW_CACHE) >= _VIEW_CACHE_MAX:
+            del _VIEW_CACHE[next(iter(_VIEW_CACHE))]
+        df = build().localCheckpoint(eager=False)
+        _VIEW_CACHE[key] = df
+    return df
+
+
 def read_token_stats(spark: SparkSession, store_dir: str) -> DataFrame:
     """(source, token, tf, df): the merged view over base +
     increments — one map-side-combined groupBy-sum of the stats
-    table, never of the corpus. Runs crash recovery first: a
-    read-only consumer may be the first process to touch the store
-    after a compaction crash, and must not fail on a directory that
-    is one rename from healthy."""
+    table, never of the corpus; memoized per file fingerprint (see
+    the block comment above) so repeated consumers share ONE
+    materialization. Runs crash recovery first: a read-only consumer
+    may be the first process to touch the store after a compaction
+    crash, and must not fail on a directory that is one rename from
+    healthy."""
     _recover(store_dir)
     _refuse_mid_rebuild(store_dir)
-    df = spark.read.parquet(_token_dir(store_dir))
-    return df.groupBy("source", "token").agg(
-        F.sum("tf").cast("long").alias("tf"),
-        F.sum("df").cast("long").alias("df"),
+    d = _token_dir(store_dir)
+    return _merged_view(
+        spark,
+        store_dir,
+        d,
+        lambda: spark.read.parquet(d)
+        .groupBy("source", "token")
+        .agg(
+            F.sum("tf").cast("long").alias("tf"),
+            F.sum("df").cast("long").alias("df"),
+        ),
     )
 
 
 def read_source_stats(spark: SparkSession, store_dir: str) -> DataFrame:
     _recover(store_dir)
     _refuse_mid_rebuild(store_dir)
-    df = spark.read.parquet(_source_dir(store_dir))
-    return df.groupBy("source").agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("total_tokens").cast("long").alias("total_tokens"),
+    d = _source_dir(store_dir)
+    return _merged_view(
+        spark,
+        store_dir,
+        d,
+        lambda: spark.read.parquet(d)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+        ),
     )
 
 
 def read_bigram_stats(spark: SparkSession, store_dir: str) -> DataFrame:
     """(source, bigram, tf): merged bigram view — one groupBy-sum of
-    the bigram table. Same recovery discipline as read_token_stats.
+    the bigram table, memoized like read_token_stats. Same recovery
+    discipline.
 
     Note bigram counts are additive across epochs EXCEPT pairs that
     would span two epochs of one document — impossible under the
     whole-documents-per-epoch contract the ingest declares."""
     _recover(store_dir)
     _refuse_mid_rebuild(store_dir)
-    df = spark.read.parquet(_bigram_dir(store_dir))
-    return df.groupBy("source", "bigram").agg(
-        F.sum("tf").cast("long").alias("tf")
+    d = _bigram_dir(store_dir)
+    return _merged_view(
+        spark,
+        store_dir,
+        d,
+        lambda: spark.read.parquet(d)
+        .groupBy("source", "bigram")
+        .agg(F.sum("tf").cast("long").alias("tf")),
     )
 
 

@@ -374,3 +374,38 @@ def test_mid_rebuild_marker_refuses_ingest_and_reads(spark, sf_dir, tmp_path):
     build_corpus_stats(spark, docs, store)
     assert not os.path.exists(os.path.join(store, "_corpusstats_rebuilding"))
     assert read_token_stats(spark, store).count() > 0
+
+
+def test_merged_view_memo_shares_and_invalidates(spark, tmp_path):
+    """r13: the merged stats views are memoized per file fingerprint
+    (one shared localCheckpoint materialization across consumers —
+    r12 verdict item 5). Pins the two properties that make that safe:
+    (a) an UNCHANGED table serves the same cached frame (identity),
+    (b) ANY file change — a new epoch partition here — invalidates
+    the entry and the re-read sees the new counts."""
+    from file_appender_spark.operators.corpusstats import (
+        build_corpus_stats,
+        corpusstats_ingest_batch,
+        read_token_stats,
+    )
+
+    docs1 = spark.createDataFrame(
+        [(1, "a", "aa bb aa"), (2, "a", "bb cc")],
+        "doc_id long, source string, text string",
+    )
+    store = str(tmp_path / "memostats")
+    build_corpus_stats(spark, docs1, store)
+    v1 = read_token_stats(spark, store)
+    base = {(r["source"], r["token"]): (r["tf"], r["df"]) for r in v1.collect()}
+    assert base[("a", "aa")] == (2, 1) and base[("a", "bb")] == (2, 2)
+    # (a) unchanged table -> the SAME cached frame object
+    assert read_token_stats(spark, store) is v1
+    # (b) an appended epoch changes the fingerprint -> fresh view
+    docs2 = spark.createDataFrame(
+        [(3, "a", "aa")], "doc_id long, source string, text string"
+    )
+    corpusstats_ingest_batch(spark, docs2, store, 1)
+    v2 = read_token_stats(spark, store)
+    assert v2 is not v1
+    merged = {(r["source"], r["token"]): (r["tf"], r["df"]) for r in v2.collect()}
+    assert merged[("a", "aa")] == (3, 2)  # +1 tf, +1 df from epoch 1
