@@ -974,6 +974,61 @@ def _spread(df: DataFrame) -> DataFrame:
 
 _LEAN_SCAN_PARTITIONS = 4
 
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _static_epoch_planning(spark: SparkSession):
+    """Static (non-adaptive) planning for a LEAN micro-batch epoch's
+    actions (r13, r12 verdict item 3 — the epoch scheduling floor).
+
+    AQE earns its keep by re-planning on REAL sizes; in the lean
+    branch every frame is micro-batch-bounded by the branch condition
+    itself (store < _EAGER_SLICE_MIN_STORE_ROWS), the broadcast sides
+    are explicitly hinted, and _spread/_compact_scan already size the
+    partitioning — so what remains of AQE here is its COST: one
+    driver round-trip job + re-plan per Exchange (EPOCH probe r13:
+    26 jobs with ~0.9s of inter-job gaps around 1.3s of executor
+    work per 2500-doc epoch). Measured on the bench epoch shape:
+    admitted sets identical, docs/s +15-25% with AQE off.
+
+    Shuffle partitions pin to ``defaultParallelism`` for the same
+    actions — the session default locally, and on a cluster the same
+    cluster-size-derived value _spread uses (a parameter, not a
+    constant), so a 2000-partition deployment default cannot fan a
+    2500-row shuffle into 2000 tiny tasks once AQE's coalescing is
+    off. The BIG branch keeps AQE: its store-side frames are NOT
+    micro-batch-bounded and skew/coalescing decisions matter there.
+
+    Constraint propagation is likewise off for the epoch's actions:
+    it is the documented Catalyst hotspot for join/filter-heavy
+    plans (optimizer time quadratic in inferred constraints), the
+    lean DAG's predicates are all explicit, and the rule is an
+    optimizer-only toggle (semantics-preserving by definition).
+    Interleaved A/B on the bench epoch: +10-15% docs/s on top of the
+    static-planning win, admitted sets identical in every pair.
+
+    Conf flips are session-scoped: safe under the store's documented
+    single-writer ingest contract (the sequential foreachBatch loop);
+    restored in ``finally`` either way."""
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    old_cp = conf.get("spark.sql.constraintPropagation.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.constraintPropagation.enabled", "false")
+    conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_sp)
+        conf.set("spark.sql.constraintPropagation.enabled", old_cp)
+
 # input-frame-independent Column caches (see _MH_COLS_CACHE's note)
 _LEAN_STACK_CACHE: dict[int, object] = {}
 _VERIFY_COLS_CACHE: dict[str, object] = {}
@@ -1103,6 +1158,31 @@ def _identical_sig_dups(
 
 
 def neardup_ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    threshold: float,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    band_bucket_cap: int | None | str = "auto",
+    reliable: bool = False,
+) -> DataFrame:
+    if _epoch_is_lean(store_dir):
+        with _static_epoch_planning(spark):
+            return _neardup_epoch(
+                spark, batch, store_dir, threshold, n_bits, n_bands,
+                id_col, vec_col, round_dp, band_bucket_cap, reliable,
+            )
+    return _neardup_epoch(
+        spark, batch, store_dir, threshold, n_bits, n_bands,
+        id_col, vec_col, round_dp, band_bucket_cap, reliable,
+    )
+
+
+def _neardup_epoch(
     spark: SparkSession,
     batch: DataFrame,
     store_dir: str,
@@ -1851,7 +1931,48 @@ def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _epoch_is_lean(store_dir: str) -> bool:
+    """The lean-vs-big branch condition, computed cheaply (early-exit
+    footer walk) BEFORE an epoch starts so the public entry points can
+    enter static planning around the whole lean epoch. The impl
+    re-derives the same facts (idempotent file ops, no Spark jobs)."""
+    store_dir = _open_store(store_dir)
+    if not _store_has_data(store_dir):
+        return True
+    return (
+        store_fs_for(store_dir).parquet_rows(
+            store_dir, stop_at=_EAGER_SLICE_MIN_STORE_ROWS
+        )
+        < _EAGER_SLICE_MIN_STORE_ROWS
+    )
+
+
 def textdup_ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bucket_cap: int | None | str = "auto",
+    reliable: bool = False,
+) -> DataFrame:
+    if _epoch_is_lean(store_dir):
+        # micro-batch-bounded epoch: static planning (see
+        # _static_epoch_planning — AQE's per-Exchange driver round
+        # trips were the measured epoch floor, r12 verdict item 3)
+        with _static_epoch_planning(spark):
+            return _textdup_epoch(
+                spark, batch, store_dir, threshold, id_col, text_col,
+                band_bucket_cap, reliable,
+            )
+    return _textdup_epoch(
+        spark, batch, store_dir, threshold, id_col, text_col,
+        band_bucket_cap, reliable,
+    )
+
+
+def _textdup_epoch(
     spark: SparkSession,
     batch: DataFrame,
     store_dir: str,
@@ -2089,6 +2210,29 @@ def imagedup_ingest_batch(
     band_bucket_cap: int | None | str = "auto",
     reliable: bool = False,
 ) -> DataFrame:
+    if _epoch_is_lean(store_dir):
+        with _static_epoch_planning(spark):
+            return _imagedup_epoch(
+                spark, batch, store_dir, max_hamming, id_col, payload_col,
+                hash_mode, band_bucket_cap, reliable,
+            )
+    return _imagedup_epoch(
+        spark, batch, store_dir, max_hamming, id_col, payload_col,
+        hash_mode, band_bucket_cap, reliable,
+    )
+
+
+def _imagedup_epoch(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    hash_mode: str = "ahash",
+    band_bucket_cap: int | None | str = "auto",
+    reliable: bool = False,
+) -> DataFrame:
     """Incremental IMAGE near-dup ingest — the third modality on the
     shared store protocol: perceptual-hash 16-bit bands
     (operators/imagehash, the q175/q176 pipeline; ``hash_mode`` picks
@@ -2276,3 +2420,10 @@ def imagedup_ingest_batch(
         )
     admitted_sigs.write.mode("append").parquet(store_dir)
     return admitted
+
+
+# the public wrappers add only the lean-epoch static-planning guard;
+# their full contracts live on the impls — surface them for help()
+textdup_ingest_batch.__doc__ = _textdup_epoch.__doc__
+imagedup_ingest_batch.__doc__ = _imagedup_epoch.__doc__
+neardup_ingest_batch.__doc__ = _neardup_epoch.__doc__
