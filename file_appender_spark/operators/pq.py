@@ -105,16 +105,12 @@ def pq_assign_exprs(
     return out
 
 
-def pq_encode(
+def _pq_encode_sql(
     df: DataFrame,
     vec_col: str,
     codebook: list[list[list[float]]],
-    keep_cols: list[str] | None = None,
+    keep: list[str],
 ) -> DataFrame:
-    """Encode every vector: ``code{s}`` per subspace plus the total
-    squared reconstruction error (= sum of subspace distances, summed
-    in subspace order)."""
-    keep = keep_cols if keep_cols is not None else [df.columns[0]]
     pairs = pq_assign_exprs(vec_col, codebook)
     err = F.lit(0.0)
     for _, d in pairs:
@@ -124,6 +120,161 @@ def pq_encode(
         *[code.alias(f"code{s}") for s, (code, _) in enumerate(pairs)],
         err.alias("recon_err2"),
     )
+
+
+def _pq_encode_arrow(
+    df: DataFrame,
+    vec_col: str,
+    codebook: list[list[list[float]]],
+    keep: list[str],
+) -> DataFrame:
+    """One vectorized Arrow pass over fixed-width vectors — the
+    srp_sigs_arrow technique (r12, guide §4.2) applied to the encode
+    folds: m*k interpreted ``aggregate(zip_with(...))`` trees per row
+    (4*16 folds x 16 dims = 1024 expression evaluations at q158's
+    shape) become numpy float64 ops vectorized over rows with the
+    FOLD ORDER preserved — the JVM spelling is a left fold
+    ``((0 + d_1) + d_2) + ...`` per codeword and a left fold over
+    subspaces for recon_err2, so the numpy loops run sequentially
+    over the dim and subspace axes, making every intermediate
+    rounding — hence every distance, code and error — BIT-IDENTICAL.
+    Ties pick the lower codeword index in both spellings (np.argmin
+    first-minimum == the (d, i) struct array_min). Degenerate rows
+    (NULL vector, NULL element, ragged length, NaN values) fall back
+    to a per-row Python replica pinning the SQL semantics (NULL
+    distances sort FIRST like the struct ordering; NaN sorts LAST,
+    Spark's NaN-as-largest) — pinned against the SQL spelling in
+    tests/test_pq.py."""
+    m = len(codebook)
+    k = len(codebook[0])
+    sub = len(codebook[0][0])
+    dim = m * sub
+    cb = [[list(map(float, cw)) for cw in cbs] for cbs in codebook]
+    fields = [df.schema[c] for c in keep]
+
+    def compute(batches):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        C = np.array(cb, dtype=np.float64)  # (m, k, sub)
+
+        def slow_row(v):
+            if v is None:
+                v = []
+            codes, err = [], 0.0
+            err_none = False
+            for s in range(m):
+                ds = []
+                for c in range(k):
+                    acc, bad = 0.0, False
+                    for j in range(sub):
+                        idx = s * sub + j
+                        x = v[idx] if idx < len(v) else None
+                        if x is None:
+                            bad = True
+                            break
+                        dd = float(x) - C[s, c, j]
+                        acc = acc + dd * dd
+                    ds.append(None if bad else acc)
+                best_c, best_key = 0, None
+                for c, d in enumerate(ds):
+                    # struct (d, i) ordering: NULL first, NaN last
+                    key = (
+                        (0, 0.0)
+                        if d is None
+                        else ((2, 0.0) if math.isnan(d) else (1, d))
+                    )
+                    if best_key is None or key < best_key:
+                        best_key, best_c = key, c
+                codes.append(best_c)
+                d_sel = ds[best_c]
+                if d_sel is None:
+                    err_none = True
+                elif not err_none:
+                    err = err + d_sel
+            return codes, (None if err_none else err)
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            keeps = [rb.column(i) for i in range(len(keep))]
+            vec = pc.cast(rb.column(len(keep)), pa.list_(pa.float64()))
+            lens = pc.list_value_length(vec)
+            clean = (
+                vec.null_count == 0
+                and vec.flatten().null_count == 0
+                and pc.min(lens).as_py() == dim
+                and pc.max(lens).as_py() == dim
+            )
+            if clean:
+                V = vec.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+                if np.isnan(V).any():
+                    clean = False  # NaN ordering differs from argmin
+            if clean:
+                codes_cols = []
+                err_acc = np.zeros(n, dtype=np.float64)
+                for s in range(m):
+                    off = s * sub
+                    D = np.empty((n, k), dtype=np.float64)
+                    for c in range(k):
+                        acc = np.zeros(n, dtype=np.float64)
+                        crow = C[s, c]
+                        for j in range(sub):
+                            dd = V[:, off + j] - crow[j]
+                            acc = acc + dd * dd
+                        D[:, c] = acc
+                    sel = np.argmin(D, axis=1)  # first min == lower idx
+                    codes_cols.append(sel.astype(np.int32))
+                    err_acc = err_acc + D[np.arange(n), sel]
+                arrays = keeps + [pa.array(c) for c in codes_cols] + [
+                    pa.array(err_acc)
+                ]
+            else:
+                pl = vec.to_pylist()
+                rows = [slow_row(v) for v in pl]
+                arrays = keeps + [
+                    pa.array([r[0][s] for r in rows], type=pa.int32())
+                    for s in range(m)
+                ] + [
+                    pa.array([r[1] for r in rows], type=pa.float64())
+                ]
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                names=keep + [f"code{s}" for s in range(m)] + ["recon_err2"],
+            )
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+        + [f"code{s} int" for s in range(m)]
+        + ["recon_err2 double"]
+    )
+    return df.select(*keep, vec_col).mapInArrow(compute, schema=out_schema)
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebook: list[list[list[float]]],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Encode every vector: ``code{s}`` per subspace plus the total
+    squared reconstruction error (= sum of subspace distances, summed
+    in subspace order). Fixed-width frames take the vectorized Arrow
+    pass (bit-identical by sequential-fold construction —
+    _pq_encode_arrow's contract, pinned in tests/test_pq.py); an
+    empty frame (no dim to validate the codebook against) keeps the
+    generated-SQL spelling."""
+    keep = keep_cols if keep_cols is not None else [df.columns[0]]
+    from file_appender_spark.operators.similarity import _vec_dim
+
+    dim = _vec_dim(df.select(F.col(vec_col).alias("v")), F.col("v"))
+    if dim is None:
+        return _pq_encode_sql(df, vec_col, codebook, keep)
+    return _pq_encode_arrow(df, vec_col, codebook, keep)
 
 
 def pq_train(

@@ -147,3 +147,58 @@ def test_ivf_pq_index_is_projection_only(spark, vecs):
     plan = index._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_pq_encode_arrow_bitequal_sql(spark, sf_dir):
+    """r13: the vectorized Arrow encode pass must be BIT-IDENTICAL to
+    the generated-SQL spelling — codes AND raw recon_err2 doubles,
+    because q158 hash-checks the rounded values downstream. Compared
+    on the real embedding table and on a degenerate matrix (NULL
+    vector, NULL element, ragged short/long, NaN element, exact-tie
+    rows) — the degenerate rows force the per-row replica, whose
+    NULL-first / NaN-last ordering must match the struct array_min."""
+    from pyspark.sql import functions as F
+
+    from file_appender_spark.operators.pq import (
+        _pq_encode_arrow,
+        _pq_encode_sql,
+        seed_codebook,
+    )
+    from file_appender_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cb = seed_codebook(v, "e", 4, 16)
+    sql = _pq_encode_sql(v, "e", cb, ["vec_id"])
+    arrow = _pq_encode_arrow(v, "e", cb, ["vec_id"])
+    assert sql.columns == arrow.columns
+    assert sql.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(sql).count() == 0
+
+    dim = 4 * len(cb[0][0])
+    nan = float("nan")
+    rows = [
+        (1, [1.0] * dim),
+        (2, None),
+        (3, [1.0] * (dim - 3)),            # ragged short: NULL-padded tail
+        (4, [None] + [1.0] * (dim - 1)),   # NULL element
+        (5, []),                           # empty
+        (6, [nan] + [1.0] * (dim - 1)),    # NaN poisons subspace 0
+        (7, list(cb[0][2]) + list(cb[1][2]) + list(cb[2][2]) + list(cb[3][2])),
+    ]
+    adv = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    sql2 = _pq_encode_sql(adv, "e", cb, ["vec_id"]).collect()
+    arrow2 = _pq_encode_arrow(adv, "e", cb, ["vec_id"]).collect()
+    import math
+
+    def norm(rs):
+        out = {}
+        for r in sorted(rs, key=lambda r: r["vec_id"]):
+            vals = tuple(r[c] for c in ("code0", "code1", "code2", "code3"))
+            e = r["recon_err2"]
+            out[r["vec_id"]] = (vals, "nan" if e is not None and math.isnan(e) else e)
+        return out
+    assert norm(sql2) == norm(arrow2)
