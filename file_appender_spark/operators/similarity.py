@@ -441,6 +441,139 @@ def srp_sigs_arrow(
     return df.select(id_col, vec_col).mapInArrow(compute, schema=out_schema)
 
 
+def cos_scores_arrow(
+    pairs: DataFrame, qid_col: str, id_col: str
+) -> DataFrame:
+    """(qid, id, cos_raw) for a joined candidate frame carrying
+    ``qv``/``v`` vectors and their precomputed ``qnrm``/``nrm`` —
+    the SCORING stage of ``ann_sign_ivf`` as one vectorized Arrow
+    pass (r13, guide §4.2; the srp_sigs_arrow technique applied to
+    the post-join pair dot products: dim interpreted multiply-adds
+    PER CANDIDATE PAIR — ~target_cell_size x dim per query — become
+    numpy float64 ops vectorized over pairs).
+
+    cos_raw replicates ``aggregate(zip_with(qv, v, x*y), 0.0, s+x)
+    / (qnrm * nrm)`` BIT-IDENTICALLY: elementwise products are single
+    IEEE multiplies in both spellings, the sum preserves the JVM's
+    sequential left-fold order over the dimension axis, and the
+    division/norm product are single IEEE ops — callers apply the
+    final ``F.round`` in the JVM so even the HALF_UP rounding stays
+    the engine's. NaN elements propagate through the same arithmetic
+    in both spellings (no orderings are taken here). Degenerate rows
+    reproduce the zip_with semantics per row: a NULL vector, NULL
+    element, NULL norm, or LENGTH MISMATCH (zip_with pads the shorter
+    side with NULLs, so the fold goes NULL) -> cos_raw NULL. A ZERO
+    norm product replicates the engine's division semantics for the
+    session: under ANSI (the Spark 4 default) a non-NULL dot divided
+    by 0.0 raises DIVIDE_BY_ZERO in the JVM spelling, so this pass
+    raises too (captured from the session conf at plan-build time);
+    with ANSI off both spellings produce IEEE +-Inf/NaN. Pinned
+    against the expression spelling in tests/test_operators.py."""
+    qid_field = pairs.schema[qid_col]
+    id_field = pairs.schema[id_col]
+    ansi = (
+        pairs.sparkSession.conf.get("spark.sql.ansi.enabled", "true").lower()
+        == "true"
+    )
+
+    def compute(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def slow_row(qv, v, qn, nr):
+            if qv is None or v is None:
+                return None
+            L = max(len(qv), len(v))
+            acc = np.float64(0.0)
+            for i in range(L):
+                x = qv[i] if i < len(qv) else None
+                y = v[i] if i < len(v) else None
+                if x is None or y is None:
+                    return None
+                acc = acc + np.float64(x) * np.float64(y)
+            if qn is None or nr is None:
+                return None
+            den = np.float64(qn) * np.float64(nr)
+            if ansi and den == 0.0:
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero norm product in "
+                    "cos_scores_arrow under ANSI mode — the engine "
+                    "spelling raises here too"
+                )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return float(acc / den)
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            qids, ids = rb.column(0), rb.column(1)
+            qv = pc.cast(rb.column(2), pa.list_(pa.float64()))
+            v = pc.cast(rb.column(3), pa.list_(pa.float64()))
+            qn, nr = rb.column(4), rb.column(5)
+            qlens = pc.list_value_length(qv)
+            vlens = pc.list_value_length(v)
+            widths = {
+                pc.min(qlens).as_py(), pc.max(qlens).as_py(),
+                pc.min(vlens).as_py(), pc.max(vlens).as_py(),
+            }
+            clean = (
+                qv.null_count == 0 and v.null_count == 0
+                and qv.flatten().null_count == 0
+                and v.flatten().null_count == 0
+                and qn.null_count == 0 and nr.null_count == 0
+                and len(widths) == 1 and None not in widths
+            )
+            if clean:
+                dim = widths.pop()
+                Q = qv.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+                V = v.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+                acc = np.zeros(n, dtype=np.float64)
+                # sequential fold over the dim axis — the JVM's
+                # aggregate() order, so every intermediate rounding
+                # matches (see srp_sigs_arrow)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    for j in range(dim):
+                        acc = acc + Q[:, j] * V[:, j]
+                    den = qn.to_numpy(zero_copy_only=False) * nr.to_numpy(
+                        zero_copy_only=False
+                    )
+                    if ansi and (den == 0.0).any():
+                        raise ArithmeticError(
+                            "[DIVIDE_BY_ZERO] zero norm product in "
+                            "cos_scores_arrow under ANSI mode — the "
+                            "engine spelling raises here too"
+                        )
+                    cos = acc / den
+                cos_arr = pa.array(cos)
+            else:
+                qpl, vpl = qv.to_pylist(), v.to_pylist()
+                qnl, nrl = qn.to_pylist(), nr.to_pylist()
+                cos_arr = pa.array(
+                    [
+                        slow_row(qpl[i], vpl[i], qnl[i], nrl[i])
+                        for i in range(n)
+                    ],
+                    type=pa.float64(),
+                )
+            yield pa.RecordBatch.from_arrays(
+                [qids, ids, cos_arr],
+                names=[qid_field.name, id_field.name, "cos_raw"],
+            )
+
+    out_schema = ", ".join(
+        [
+            f"`{qid_field.name}` {qid_field.dataType.simpleString()}",
+            f"`{id_field.name}` {id_field.dataType.simpleString()}",
+            "cos_raw double",
+        ]
+    )
+    return pairs.select(
+        qid_col, id_col, "qv", "v", "qnrm", "nrm"
+    ).mapInArrow(compute, schema=out_schema)
+
+
 def srp_neardup(
     corpus: DataFrame,
     threshold: float,
@@ -687,9 +820,6 @@ def ann_sign_ivf(
         probes = q.select(
             qid_col, "qv", "qnrm", F.explode(flips).alias("cell")
         )
-    cos = F.round(
-        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), round_dp
-    )
     scored = probes.join(c, "cell")
     if exclude_self:
         # q74's contract: queries ARE corpus rows querying their own
@@ -698,7 +828,15 @@ def ann_sign_ivf(
         # on, a corpus vector whose id collides with a qid would be
         # silently dropped from that query's candidates.
         scored = scored.filter(F.col(id_col) != F.col(qid_col))
-    scored = scored.select(qid_col, id_col, cos.alias("cos_sim"))
+    # scoring stage: the candidate dot products are the residual cost
+    # ANNQ_r13 attributes past the (Arrow) signature stage — one
+    # vectorized pass, bit-identical by construction (r13, §4.2); the
+    # final HALF_UP rounding stays in the JVM either way
+    scored = cos_scores_arrow(scored, qid_col, id_col).select(
+        qid_col,
+        id_col,
+        F.round(F.col("cos_raw"), round_dp).alias("cos_sim"),
+    )
     w = W.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))

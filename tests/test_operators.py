@@ -1393,3 +1393,93 @@ def test_srp_admitted_sigs_reuse_batch_frame(spark, tmp_path):
     # replay must re-emit (own-stored override reads the reused rows)
     again = neardup_ingest_batch(spark, docs, store, threshold=0.99)
     assert sorted(r["vec_id"] for r in again.collect()) == a_ids
+
+
+def test_cos_scores_arrow_bit_identical(spark, sf_dir):
+    """r13: the vectorized Arrow scoring stage under ann_sign_ivf must
+    be BIT-IDENTICAL to the expression spelling — the raw (pre-round)
+    cosine doubles, compared both directions on a real joined
+    candidate frame, plus a degenerate matrix (NULL vector, NULL
+    element, ragged length mismatch, zero norm, NULL norm, NaN
+    element) that forces the per-row replica of the zip_with/fold
+    semantics."""
+    import math
+
+    from file_appender_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        cos_scores_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    a = emb.select(
+        F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv")
+    ).withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    b = emb.select(
+        F.col("vec_id").alias("vid"), _as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    pairs = a.join(b, (a["qid"] % 7) == (b["vid"] % 7))
+    ref = pairs.select(
+        "qid",
+        "vid",
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cos_raw"
+        ),
+    )
+    out = cos_scores_arrow(pairs, "qid", "vid")
+    assert ref.columns == out.columns
+    assert ref.exceptAll(out).count() == 0
+    assert out.exceptAll(ref).count() == 0
+
+    nan = float("nan")
+    rows = [
+        (1, 10, [1.0, 2.0, 3.0], [1.0, 0.5, 2.0], 3.7416573867739413, 2.29128784747792),
+        (2, 20, None, [1.0, 0.5, 2.0], 1.0, 2.29128784747792),  # NULL qv
+        (3, 30, [1.0, 2.0], [1.0, 0.5, 2.0], 2.23606797749979, 2.29128784747792),  # ragged
+        (4, 40, [1.0, None, 3.0], [1.0, 0.5, 2.0], 1.0, 2.29128784747792),  # NULL elem
+        (6, 60, [1.0, 2.0, 3.0], [1.0, 0.5, 2.0], None, 2.29128784747792),  # NULL norm
+        (7, 70, [nan, 2.0, 3.0], [1.0, 0.5, 2.0], nan, 2.29128784747792),  # NaN
+    ]
+    adv = spark.createDataFrame(
+        rows,
+        "qid long, vid long, qv array<double>, v array<double>, "
+        "qnrm double, nrm double",
+    )
+    ref2 = adv.select(
+        "qid",
+        "vid",
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cos_raw"
+        ),
+    ).collect()
+    out2 = cos_scores_arrow(adv, "qid", "vid").collect()
+
+    def norm(rs):
+        o = {}
+        for r in sorted(rs, key=lambda r: r["qid"]):
+            c = r["cos_raw"]
+            o[r["qid"]] = (
+                "nan" if c is not None and math.isnan(c) else c
+            )
+        return o
+
+    assert norm(ref2) == norm(out2)
+
+    # zero norm product: under ANSI (the Spark 4 default) the ENGINE
+    # spelling raises DIVIDE_BY_ZERO for a non-NULL dot / 0.0 — the
+    # Arrow pass must fail the same way, not emit IEEE Inf
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    zr = spark.createDataFrame(
+        [(5, 50, [0.0, 0.0, 0.0], [1.0, 0.5, 2.0], 0.0, 2.29128784747792)],
+        "qid long, vid long, qv array<double>, v array<double>, "
+        "qnrm double, nrm double",
+    )
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        zr.select(
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias("c")
+        ).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        cos_scores_arrow(zr, "qid", "vid").collect()
